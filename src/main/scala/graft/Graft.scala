@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning applied at every entry point (queries, Verify, Bench,
+  * tests). Only runtime-settable confs — safe to call on a session we did
+  * not build.
+  */
+object Graft {
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    // Reference semantics are silent-coercion (0.0/null/0/"N/A" sentinels,
+    // SURVEY.md §7.4); ANSI throw-on-malformed would abort instead.
+    c.set("spark.sql.ansi.enabled", "false")
+    // AQE: runtime shuffle-partition coalescing + skew-join splitting —
+    // the 100 TB safety net for every shuffle this library emits.
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+}

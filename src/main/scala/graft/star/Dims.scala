@@ -1,0 +1,62 @@
+package graft.star
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension builders for the Kimball star schema
+  * (`/root/reference/src/FullETLGenerator.java:80-122`).
+  *
+  * The reference assigns surrogate keys in file-encounter order via
+  * in-heap HashMaps — inherently single-threaded. Here SKs are assigned by
+  * `row_number()` over the natural-key ordering: deterministic,
+  * parallel-safe, and reproducible by any SQL oracle (`row_number` /
+  * `dense_rank`). SK values differ from the reference but are semantically
+  * opaque; fact<->dim consistency holds because both sides derive from the
+  * same assignment (SURVEY.md §7.4).
+  *
+  * Scale note: a single un-partitioned `row_number()` window funnels all
+  * distinct keys through one task. That is the correct trade-off here —
+  * dimensions are by definition the *small* side (they must fit in a
+  * broadcast); the heavy input is reduced first by a distributed
+  * `distinct()` (partial aggregation map-side), so the window sees only
+  * distinct keys. For a dimension too large to broadcast, use
+  * `zipWithIndex`-style dense ids or drop the dense requirement and use
+  * `xxhash64` keys instead.
+  */
+object Dims {
+
+  /** A1 (geracao/status/localizacao pattern): the dedup key is the full
+    * attribute set, so any-row-wins == first-wins; a plain distributed
+    * `distinct` is semantically exact (FullETLGenerator.java:80-112).
+    */
+  def distinctDim(df: DataFrame, skName: String, attrs: Seq[String]): DataFrame = {
+    val cols = attrs.map(col)
+    val w = Window.orderBy(cols: _*)
+    df.select(cols: _*)
+      .distinct()
+      .withColumn(skName, row_number().over(w))
+      .select(col(skName) +: cols: _*)
+  }
+
+  /** A1 (empreendimento pattern, FullETLGenerator.java:114-122): dedup key
+    * is a strict subset of the carried attributes, so WHICH row survives is
+    * observable. The reference keeps the first in file order;
+    * `dropDuplicates` is nondeterministic about the survivor, so we take
+    * rn=1 over an explicit stable ordering (SURVEY.md §7.4).
+    *
+    * Scale note: this is a single shuffle on `key` (hash-partitioned);
+    * the window is per-key, so it parallelizes across keys and never
+    * funnels through one task. Skewed keys only matter if one natural key
+    * repeats millions of times — then pre-aggregate min(order) per key and
+    * self-join instead.
+    */
+  def firstWinsDim(df: DataFrame, key: Seq[String], attrs: Seq[String],
+                   order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.select((key ++ attrs).map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
