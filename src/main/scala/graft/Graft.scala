@@ -17,6 +17,10 @@ object Graft {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's TimestampType
+    // (us) cannot hold; read the raw int64 and convert explicitly
+    // (graft.Queries.events does `ts div 1e6` -> timestamp_millis).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

@@ -1,0 +1,612 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions._
+import graft.operators._
+import graft.star._
+
+/** The graded query surface: one entry per operator from SURVEY.md §2
+  * (reference parity) and §2.4 (LLM-pipeline extensions), each with a
+  * semantically-equivalent DuckDB oracle in `oracle`.
+  *
+  * Determinism rules (SURVEY.md §7.4): every query ends in a total ORDER
+  * BY; double aggregation goes through exact decimal arithmetic (sum of
+  * doubles is association-order-dependent, sum of decimals is exact);
+  * output integer types are aligned (DuckDB row_number/year/... are
+  * BIGINT, Spark's are INT — oracles cast); hashes/similarities are
+  * engine-portable constructions (graft.functions.portableStringHash).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with its TIMESTAMP(NANOS) column truncated to millisecond
+    * TimestampType. Integer `div` (not double division — ns epochs exceed
+    * 2^53) matches DuckDB's epoch_ms() floor exactly.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+
+  /** Exact sum of a double column: decimal(18,2) in, double out —
+    * bit-identical in any engine regardless of aggregation order.
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def dsumSql(c: String): String = s"cast(sum(cast($c as decimal(18,2))) as double)"
+
+  // ======================================================================
+  // Reference parity (SURVEY.md §2.1) on the TPC-H-ish testdata
+  // ======================================================================
+
+  def p1_projection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  val p1Sql = "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey"
+
+  def p2_composite_key(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), compositeKey(col("p_brand"), col("p_type")).as("nk"))
+      .orderBy("p_partkey")
+
+  val p2Sql = "SELECT p_partkey, concat_ws(';', p_brand, p_type) AS nk FROM part ORDER BY p_partkey"
+
+  /** P3 — null/empty -> "N/A"; nulls synthesized by blanking one segment
+    * value so both branches execute on real data.
+    */
+  def p3_null_default(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        naIfEmpty(nullif(col("c_mktsegment"), lit("BUILDING"))).as("segment"))
+      .orderBy("c_custkey")
+
+  val p3Sql = """SELECT c_custkey,
+    coalesce(nullif(trim(nullif(c_mktsegment, 'BUILDING')), ''), 'N/A') AS segment
+    FROM customer ORDER BY c_custkey"""
+
+  /** F2+F3+P4 — prefix-date parse and yyyyMMdd int key over the string
+    * form of o_orderdate (the reference's date pipeline end to end).
+    */
+  def f3_date_key(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        parseDateKey(col("o_orderdate").cast("string")).as("date_key"))
+      .orderBy("o_orderkey")
+
+  val f3Sql = """SELECT o_orderkey,
+    cast(coalesce(strftime(cast(o_orderdate as date), '%Y%m%d'), '0') as int) AS date_key
+    FROM orders ORDER BY o_orderkey"""
+
+  /** F1+F5 — BR-locale round-trip: format a measure with decimal comma,
+    * parse it back (the reference's input parse and output format composed).
+    */
+  def f1_br_numbers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        formatDecimalComma(col("l_extendedprice")).as("br_text"),
+        parseBrDouble(formatDecimalComma(col("l_extendedprice"))).as("parsed"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val f1Sql = """SELECT l_orderkey, l_linenumber,
+    replace(printf('%.2f', l_extendedprice), '.', ',') AS br_text,
+    cast(replace(replace(replace(printf('%.2f', l_extendedprice), '.', ','), '.', ''), ',', '.') as double) AS parsed
+    FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  /** A1 (full-key pattern) + SK — distinct dim with dense row_number keys. */
+  def a1_distinct_dim(s: SparkSession, dir: String): DataFrame =
+    Dims.distinctDim(t(s, dir, "part"), "sk", Seq("p_brand", "p_type"))
+      .orderBy("sk")
+
+  val a1Sql = """SELECT cast(row_number() OVER (ORDER BY p_brand, p_type) as int) AS sk,
+    p_brand, p_type FROM (SELECT DISTINCT p_brand, p_type FROM part) ORDER BY sk"""
+
+  /** A1 (subset-key pattern) — deterministic first-wins survivor. */
+  def a1_first_wins(s: SparkSession, dir: String): DataFrame =
+    Dims.firstWinsDim(t(s, dir, "orders"),
+      key = Seq("o_custkey"),
+      attrs = Seq("o_orderkey", "o_orderdate", "o_totalprice"),
+      order = Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("first_date"), col("o_totalprice"))
+      .orderBy("o_custkey")
+
+  val a1fwSql = """SELECT o_custkey, o_orderkey, cast(o_orderdate as date) AS first_date, o_totalprice
+    FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+    ORDER BY o_custkey"""
+
+  /** A2 — whole-table min/max (the calendar range driver). */
+  def a2_minmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      min(col("o_orderdate").cast("date")).as("lo"),
+      max(col("o_orderdate").cast("date")).as("hi"),
+      count(lit(1)).as("n"))
+
+  val a2Sql = """SELECT min(cast(o_orderdate as date)) AS lo,
+    max(cast(o_orderdate as date)) AS hi, count(*) AS n FROM orders"""
+
+  /** G1 — data-driven pt-BR calendar dimension over the orders date range. */
+  def g1_calendar(s: SparkSession, dir: String): DataFrame =
+    CalendarDim.fromRange(t(s, dir, "orders"), "o_orderdate").orderBy("ChaveData")
+
+  val g1Sql: String = {
+    val months = Seq("janeiro", "fevereiro", "março", "abril", "maio", "junho",
+      "julho", "agosto", "setembro", "outubro", "novembro", "dezembro")
+    val days = Seq("segunda-feira", "terça-feira", "quarta-feira", "quinta-feira",
+      "sexta-feira", "sábado", "domingo")
+    val mCase = months.zipWithIndex.map { case (m, i) => s"WHEN ${i + 1} THEN '$m'" }.mkString(" ")
+    val dCase = days.zipWithIndex.map { case (d, i) => s"WHEN ${i + 1} THEN '$d'" }.mkString(" ")
+    s"""WITH r AS (SELECT min(cast(o_orderdate as date)) lo, max(cast(o_orderdate as date)) hi FROM orders),
+    d AS (SELECT cast(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) as date) AS d FROM r)
+    SELECT cast(strftime(d, '%Y%m%d') as int) AS ChaveData, d AS DataCompleta,
+      cast(year(d) as int) AS Ano, cast(month(d) as int) AS MesNumero,
+      CASE month(d) $mCase END AS NomeMes, cast(day(d) as int) AS Dia,
+      CASE isodow(d) $dCase END AS DiaDaSemana,
+      'T' || cast(quarter(d) as int) AS Trimestre
+    FROM d ORDER BY ChaveData"""
+  }
+
+  /** J1+J2+J3+A3+SK — the flagship star query (§7.2): snowflake dim
+    * (nation x region) -> surrogate keys -> broadcast FK resolution into a
+    * customer-grain fact with -1 sentinels and the constant count measure.
+    */
+  def star_fact(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation"); val region = t(s, dir, "region")
+    val flat = nation.join(region, nation("n_regionkey") === region("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val dim = Dims.distinctDim(flat, "nation_sk", Seq("n_name", "r_name"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(flat), col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), col("n_name"), col("r_name"), col("c_acctbal"))
+    FactBuilder.resolveFk(cust, dim, "nation_sk", Seq("n_name", "r_name"), "fk_nation")
+      .select(col("c_custkey"), col("fk_nation"), col("c_acctbal"),
+        lit(1).as("n_customers"))
+      .orderBy("c_custkey")
+  }
+
+  val starSql = """WITH flat AS (
+      SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey),
+    dim AS (
+      SELECT cast(row_number() OVER (ORDER BY n_name, r_name) as int) AS nation_sk, n_name, r_name
+      FROM (SELECT DISTINCT n_name, r_name FROM flat)),
+    cust AS (
+      SELECT c_custkey, n_name, r_name, c_acctbal FROM customer
+      LEFT JOIN flat ON c_nationkey = n_nationkey)
+    SELECT c_custkey, coalesce(nation_sk, -1) AS fk_nation, c_acctbal, 1 AS n_customers
+    FROM cust LEFT JOIN dim USING (n_name, r_name) ORDER BY c_custkey"""
+
+  // ======================================================================
+  // Extensions E5-E11: SQL-surface operators (SURVEY.md §2.4)
+  // ======================================================================
+
+  /** E6 — grouped aggregation (TPC-H Q1 shape), exact decimal arithmetic. */
+  def e6_group_agg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_base_price"),
+      sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("sum_disc_price"),
+      // cast to double BEFORE dividing: decimal/long division rounds to the
+      // decimal result scale, which no other engine reproduces exactly.
+      (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+      count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val e6Sql = s"""SELECT l_returnflag, l_linestatus,
+    ${dsumSql("l_quantity")} AS sum_qty,
+    ${dsumSql("l_extendedprice")} AS sum_base_price,
+    cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
+    cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty,
+    count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  /** E6 — rollup (grouping sets) with subtotal rows. */
+  def e6_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val e6rSql = s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+    ${dsumSql("l_quantity")} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  /** E7 — ranking, lag, and running totals (exact decimal running sum). */
+  def e7_window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRank = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      rank().over(wRank).as("price_rank"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val e7Sql = """SELECT o_custkey, o_orderkey, o_totalprice,
+    cast(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) as int) AS price_rank,
+    lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+    cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
+    FROM orders ORDER BY o_custkey, o_orderkey"""
+
+  /** E8 — global top-k with total tie-break. */
+  def e8_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val e8Sql = """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""
+
+  /** E9 — set operations: nations with customers vs nations with suppliers. */
+  def e9_setops(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    val both = c.intersect(su).select(lit("both").as("side"), col("nk"))
+    val onlyC = c.except(su).select(lit("cust_only").as("side"), col("nk"))
+    val onlyS = su.except(c).select(lit("supp_only").as("side"), col("nk"))
+    both.union(onlyC).union(onlyS).orderBy("side", "nk")
+  }
+
+  val e9Sql = """WITH c AS (SELECT c_nationkey AS nk FROM customer),
+    s AS (SELECT s_nationkey AS nk FROM supplier)
+    SELECT 'both' AS side, nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+    UNION ALL SELECT 'cust_only', nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+    UNION ALL SELECT 'supp_only', nk FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
+    ORDER BY side, nk"""
+
+  /** E10 — distinct counts (exact; the approx variant is library+test only
+    * because HLL sketches differ across engines).
+    */
+  def e10_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      count(lit(1)).as("n_rows"))
+
+  val e10Sql = """SELECT count(DISTINCT l_partkey) AS n_parts,
+    count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows FROM lineitem"""
+
+  /** E5 — JSON extraction from the events props column. */
+  def e5_json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  val e5Sql = """SELECT event_id, cast(json_extract_string(props, '$.k') as int) AS k
+    FROM events ORDER BY event_id"""
+
+  /** E11 — tumbling 10-minute event-time windows (epoch-ms export so ns-
+    * vs-us timestamp precision can't skew the compare).
+    */
+  def e11_tumbling(s: SparkSession, dir: String): DataFrame =
+    Sessionize.tumbling(events(s, dir), "user_id", "ts", "value", 10)
+      .orderBy("user_id", "w_start_ms")
+
+  val e11tSql = """SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 600000 AS w_start_ms,
+    count(*) AS n_events, round(cast(sum(cast(value as decimal(18,2))) as double), 4) AS sum_value
+    FROM events GROUP BY user_id, w_start_ms ORDER BY user_id, w_start_ms"""
+
+  /** E11 — gap-based sessionization (10-minute inactivity gap). */
+  def e11_sessions(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(events(s, dir), "user_id", "ts", "event_id", 10)
+      .orderBy("user_id", "session_id")
+
+  val e11sSql = """WITH g AS (
+      SELECT user_id, event_id, ts,
+        epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN gap IS NULL OR gap > 600000 THEN 1 ELSE 0 END AS new_session
+      FROM g),
+    sess AS (
+      SELECT user_id, ts,
+        cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, count(*) AS n_events,
+      min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  // ======================================================================
+  // Extensions E1-E4: dedup / text analysis (SURVEY.md §2.4 + mandate)
+  // ======================================================================
+
+  /** E1 — exact dedup by content with deterministic min-id survivor. */
+  def e1_exact_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), Seq("text"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val e1Sql = """SELECT doc_id, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1 ORDER BY doc_id"""
+
+  /** E4 — corpus term statistics (tf + document frequency), top 100. */
+  def e4_token_stats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(100)
+  }
+
+  val e4tSql = """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY tf DESC, token LIMIT 100"""
+
+  /** E4 — per-document quality metrics + composite score. */
+  def e4_quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val e4qSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""SELECT doc_id, cast(length(text) as int) AS n_chars,
+      cast(len(toks) as int) AS n_tokens,
+      cast(len(list_distinct(toks)) as int) AS n_distinct,
+      cast(length(text) - len(toks) + 1 as double) / len(toks) AS mean_token_len,
+      cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) AS stopword_ratio,
+      cast(len(list_distinct(toks)) as double) / len(toks) AS distinct_ratio,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    ORDER BY doc_id"""
+  }
+
+  /** E4 — marker-lexicon language ID with deterministic argmax. */
+  def e4_langid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .orderBy("doc_id")
+
+  val e4lSql: String = {
+    val sorted = TextAnalysis.langMarkers.sortBy(_._1)
+    val scores = sorted.map { case (l, ms) =>
+      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS s_$l"
+    }.mkString(", ")
+    val best = s"greatest(${sorted.map(l => s"s_${l._1}").mkString(", ")})"
+    val cases = sorted.map { case (l, _) => s"WHEN s_$l = m AND m > 0 THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred
+    FROM (SELECT doc_id, lang, $best AS m, * FROM (
+      SELECT doc_id, lang, $scores FROM (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)))
+    ORDER BY doc_id"""
+  }
+
+  /** E4 — document fingerprint (portable rolling hash). */
+  def e4_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val e4fSql = s"""SELECT doc_id,
+    list_reduce(list_concat([cast(7 as bigint)],
+      list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint))),
+      (a, b) -> (a * 31 + b) % $HashPrime) AS fp
+    FROM documents ORDER BY doc_id"""
+
+  // ======================================================================
+  // E2/E3 — near-dup + similarity over documents/embeddings
+  // ======================================================================
+
+  /** E2 — MinHash+LSH candidate pairs verified by exact Jaccard. */
+  def e2_minhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, bands = 4, rowsPerBand = 4, jaccardThreshold = 0.4)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id1", "id2")
+
+  val e2mSql: String = {
+    val coeffs = Dedup.minhashCoeffs(16)
+    val phash = (x: String) =>
+      s"""list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split($x, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)"""
+    // shingle hash: polynomial fold of 3 consecutive token hashes, exactly
+    // mirroring Dedup.hashedShingles' foldLeft.
+    val shingleExpr = (0 until 3).foldLeft("cast(7 as bigint)")((acc, j) =>
+      s"(($acc * 31 + th[i + $j]) % $HashPrime)")
+    val sig = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(sh, x -> (x * $a + $b) % $HashPrime))"
+    }.mkString("[", ", ", "]")
+    val bandHash = (bIdx: Int) => {
+      val lo = bIdx * 4 + 1; val hi = lo + 3
+      s"list_reduce(list_concat([cast(7 as bigint)], sig[$lo:$hi]), (a, b) -> (a * 31 + b) % $HashPrime)"
+    }
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, sh, $b AS band, ${bandHash(b)} AS band_hash FROM sigs").mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    th AS (SELECT doc_id, list_transform(tk, t -> ${phash("t")}) AS th, len(tk) AS n FROM toks),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, n - 1),
+        i -> $shingleExpr)) AS sh
+      FROM th WHERE n >= 3),
+    sigs AS (SELECT doc_id, sh, $sig AS sig FROM sh),
+    banded AS ($bandRows),
+    cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+        cast(len(list_intersect(l.sh, r.sh)) as double) /
+          (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard
+      FROM banded l JOIN banded r ON l.band = r.band AND l.band_hash = r.band_hash
+        AND l.doc_id < r.doc_id)
+    SELECT id1, id2, round(jaccard, 6) AS jaccard FROM cand
+    WHERE jaccard >= 0.4 ORDER BY id1, id2"""
+  }
+
+  /** E2 — SimHash signatures (24-bit, engine-portable). */
+  def e2_simhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      // token hashes materialized in their own projection (see
+      // Dedup.hashedShinglesFromHashes on subexpression inlining)
+      .select(col("doc_id"),
+        transform(Dedup.tokens(col("text")), tok => portableStringHash(tok)).as("th"))
+      .select(col("doc_id"), Dedup.simhashFromHashes(col("th"), bits = 24).as("simhash"))
+      .orderBy("doc_id")
+
+  val e2sSql: String = {
+    val phash = s"""list_reduce(list_concat([cast(7 as bigint)],
+      list_transform(string_split(t, ''), c -> cast(ascii(c) as bigint))),
+      (a, b) -> (a * 31 + b) % $HashPrime)"""
+    s"""SELECT doc_id, cast(list_sum(list_transform(range(24), k ->
+        CASE WHEN list_sum(list_transform(hs, h ->
+          (cast(floor(h / power(2, k)) as bigint) % 2) * 2 - 1)) > 0
+        THEN cast(power(2, k) as bigint) ELSE 0 END)) as bigint) AS simhash
+    FROM (SELECT doc_id, list_transform(string_split(text, ' '), t -> $phash) AS hs
+      FROM documents)
+    ORDER BY doc_id"""
+  }
+
+  /** E2 — n-gram Jaccard pairs, blocked by (source, token count). */
+  def e2_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("n_tok", size(Dedup.tokens(col("text"))))
+    Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      blockCols = Seq(col("source"), col("n_tok")), threshold = 0.3)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  val e2nSql = """WITH d AS (SELECT doc_id, source,
+      list_distinct(string_split(text, ' ')) AS tok,
+      len(string_split(text, ' ')) AS n_tok FROM documents)
+    SELECT l.doc_id AS id1, r.doc_id AS id2,
+      round(cast(len(list_intersect(l.tok, r.tok)) as double) /
+        (len(l.tok) + len(r.tok) - len(list_intersect(l.tok, r.tok))), 6) AS jaccard
+    FROM d l JOIN d r ON l.source = r.source AND l.n_tok = r.n_tok AND l.doc_id < r.doc_id
+    WHERE cast(len(list_intersect(l.tok, r.tok)) as double) /
+      (len(l.tok) + len(r.tok) - len(list_intersect(l.tok, r.tok))) >= 0.3
+    ORDER BY id1, id2"""
+
+  /** E3 — brute-force exact top-k cosine (correctness baseline). */
+  def e3_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(e.filter(col("id") < 8), e, k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, 65), i -> cast(q.e[i] as double) * cast(c.e[i] as double)))"
+  private val normSql = (v: String) =>
+    s"sqrt(list_sum(list_transform(range(1, 65), i -> cast($v.e[i] as double) * cast($v.e[i] as double))))"
+
+  val e3bSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** E3 — LSH-bucketed approximate top-k (the scale path). */
+  def e3_lsh_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.lshTopK(e.filter(col("id") < 8), e, k = 3, bits = 8)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val bucketSql = (v: String) =>
+    s"list_sum(list_transform(range(8), i -> CASE WHEN $v.e[i+1] >= 0 THEN cast(power(2, i) as bigint) ELSE 0 END))"
+
+  val e3lSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")})
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
+  /** E2 (embedding flavour) — near-dup pairs by cosine within LSH bucket. */
+  def e2_embed_neardup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.nearDupPairs(e, threshold = 0.35, bits = 8)
+      .orderBy("id1", "id2")
+  }
+
+  val e2eSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    pairs AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")})
+    SELECT id1, id2, sim FROM pairs WHERE sim >= 0.35 ORDER BY id1, id2"""
+
+  /** Multimodal — binary payload column + typed metadata extraction (the
+    * decode itself is a deterministic stub; the plumbing is real — see
+    * graft.multimodal.Multimodal). Payloads synthesized from documents.
+    */
+  def mm_media_meta(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"))
+    graft.multimodal.Multimodal.extractMetadataExpr(media).orderBy("media_id")
+  }
+
+  val mmSql = s"""WITH media AS (SELECT doc_id AS media_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      text FROM documents),
+    h AS (SELECT media_id, kind, cast(length(text) as bigint) AS n_bytes,
+      list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) AS hash FROM media)
+    SELECT media_id, kind, n_bytes,
+      CASE WHEN kind = 'image' THEN cast(hash % 1024 + 1 as int) ELSE 0 END AS width,
+      CASE WHEN kind = 'image' THEN cast((cast(floor(hash / 1024.0) as bigint) % 1024) + 1 as int) ELSE 0 END AS height,
+      CASE WHEN kind IN ('audio', 'video') THEN n_bytes * 8 ELSE cast(0 as bigint) END AS duration_ms
+    FROM h ORDER BY media_id"""
+
+  // ======================================================================
+  // Registry
+  // ======================================================================
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("p1_projection", p1_projection _, p1Sql),
+    ("p2_composite_key", p2_composite_key _, p2Sql),
+    ("p3_null_default", p3_null_default _, p3Sql),
+    ("f3_date_key", f3_date_key _, f3Sql),
+    ("f1_br_numbers", f1_br_numbers _, f1Sql),
+    ("a1_distinct_dim", a1_distinct_dim _, a1Sql),
+    ("a1_first_wins", a1_first_wins _, a1fwSql),
+    ("a2_minmax", a2_minmax _, a2Sql),
+    ("g1_calendar", g1_calendar _, g1Sql),
+    ("star_fact", star_fact _, starSql),
+    ("e6_group_agg", e6_group_agg _, e6Sql),
+    ("e6_rollup", e6_rollup _, e6rSql),
+    ("e7_window", e7_window _, e7Sql),
+    ("e8_topk", e8_topk _, e8Sql),
+    ("e9_setops", e9_setops _, e9Sql),
+    ("e10_distinct", e10_distinct _, e10Sql),
+    ("e5_json", e5_json _, e5Sql),
+    ("e11_tumbling", e11_tumbling _, e11tSql),
+    ("e11_sessions", e11_sessions _, e11sSql),
+    ("e1_exact_dedup", e1_exact_dedup _, e1Sql),
+    ("e4_token_stats", e4_token_stats _, e4tSql),
+    ("e4_quality", e4_quality _, e4qSql),
+    ("e4_langid", e4_langid _, e4lSql),
+    ("e4_fingerprint", e4_fingerprint _, e4fSql),
+    ("e2_minhash", e2_minhash _, e2mSql),
+    ("e2_simhash", e2_simhash _, e2sSql),
+    ("e2_ngram_jaccard", e2_ngram_jaccard _, e2nSql),
+    ("e3_cosine_topk", e3_cosine_topk _, e3bSql),
+    ("e3_lsh_topk", e3_lsh_topk _, e3lSql),
+    ("e2_embed_neardup", e2_embed_neardup _, e2eSql),
+    ("mm_media_meta", mm_media_meta _, mmSql))
+}

@@ -39,64 +39,132 @@ object Dedup {
     */
   def shingles(toks: Column, k: Int): Column = {
     val t = toks
-    // transform(sequence(0, size-k), i -> concat_ws(' ', t[i], ..., t[i+k-1]))
-    transform(
-      sequence(lit(0), greatest(size(t) - lit(k), lit(-1))),
-      i => concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j + 1))): _*))
+    // transform(sequence(0, size-k), i -> concat_ws(' ', t[i], ..., t[i+k-1]));
+    // guarded: sequence(0, n) with n<0 DESCENDS, so short docs get [].
+    when(size(t) >= k,
+      transform(
+        sequence(lit(0), size(t) - lit(k)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature of a shingle set: for each of `m` universal-hash
-    * permutations `(a_j*x + b_j) mod p`, the min over shingle hashes.
-    * Deterministic coefficients derived from a fixed seed so the signature
-    * is reproducible by any engine (portable polynomial base hash — see
-    * graft.functions.portableStringHash).
+  /** MinHash universal-hash coefficients `(a_j, b_j)` — deterministic so
+    * the signature is reproducible by any engine.
     */
   def minhashCoeffs(m: Int): Seq[(Long, Long)] =
     (0 until m).map(j => (2L * j + 3L, 104729L * (j + 1) % HashPrime))
 
-  def minhashSignature(shingleCol: Column, m: Int): Column = {
-    val base = array_distinct(transform(shingleCol, s => portableStringHash(s)))
-    array(minhashCoeffs(m).map { case (a, b) =>
-      array_min(transform(base, x => affineHash(x, a, b)))
-    }: _*)
+  /** All m MinHash minima in ONE fold over the shingle set (higher-order
+    * form, for tests/small data). The hot path in minhashLsh does NOT use
+    * this: higher-order functions evaluate interpreted (~us per expression
+    * node), so m x |shingles| lambda steps cost ~1000x their compiled
+    * equivalent — minhashLsh explodes shingles to rows and computes the
+    * minima as codegen'd hash aggregates instead (measured ~100x faster).
+    */
+  def minhashSignature(sh: Column, m: Int): Column = {
+    val coeffs = minhashCoeffs(m)
+    val aLit = array(coeffs.map(c => lit(c._1)): _*)
+    val bLit = array(coeffs.map(c => lit(c._2)): _*)
+    aggregate(
+      sh,
+      array_repeat(lit(HashPrime), m), // hashes are < HashPrime
+      (acc, x) => transform(sequence(lit(0), lit(m - 1)), j =>
+        least(element_at(acc, j + 1),
+          pmod(x * element_at(aLit, j + 1) + element_at(bLit, j + 1), lit(HashPrime)))))
   }
+
+  /** Hashed k-shingles over an ALREADY-MATERIALIZED token-hash array
+    * column: each shingle hash is the polynomial fold of k consecutive
+    * token hashes (seed 7, base 31, mod p). Distinct, as a set.
+    *
+    * IMPORTANT: `th` must be a concrete column (own projection), not a
+    * `transform(...)` subexpression — Catalyst inlines subexpressions at
+    * every use site, and this lambda references `th` 3+ times per shingle,
+    * which would re-run the whole per-token fold O(k·shingles) times per
+    * row (higher-order functions are interpreted, no subexpression
+    * elimination). Measured 2x-10x slowdowns from that inlining.
+    */
+  def hashedShinglesFromHashes(th: Column, k: Int): Column =
+    when(size(th) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(th) - lit(k)),
+        i => (0 until k).foldLeft(lit(7L): Column)((acc, j) =>
+          pmod(acc * lit(31L) + element_at(th, i + lit(j + 1)), lit(HashPrime))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Convenience single-expression form (tests / small data): tokenize,
+    * hash, shingle in one column. Prefer the two-projection form in
+    * operators (see hashedShinglesFromHashes).
+    */
+  def hashedShingles(toks: Column, k: Int): Column =
+    hashedShinglesFromHashes(transform(toks, t => portableStringHash(t)), k)
 
   /** E2 — MinHash + LSH banding: docs sharing any band bucket become
     * candidate pairs; candidates are then verified with EXACT Jaccard over
-    * distinct shingles. `bands*rowsPerBand` hashes total.
+    * the distinct hashed-shingle sets. `bands*rowsPerBand` hashes total.
     *
-    * Scale: the only join is on (band, bandHash) — candidates are rare by
-    * construction, so the shuffle is O(n·bands), never O(n²). At 100 TB
-    * the band-bucket join hash-partitions on the bucket; skewed buckets
-    * (e.g. empty docs) are handled by AQE skew-join splitting.
+    * Execution design (the codegen-friendly formulation):
+    *   1. shingle sets per doc (one narrow pass, higher-order exprs);
+    *   2. EXPLODE shingles to rows and take the m affine minima as plain
+    *      `min()` hash aggregates — whole-stage codegen'd, map-side
+    *      partial (each doc's shingles are colocated, so the shuffle
+    *      carries ~1 row per doc). Keeping this in array lambdas instead
+    *      runs interpreted and measured ~100x slower;
+    *   3. band hashes as plain column expressions, `stack` to one row per
+    *      (doc, band);
+    *   4. self-join on (band, bandHash) -> DISTINCT candidate pairs -> join
+    *      the (small) pair set back to the persisted shingle sets for
+    *      exact Jaccard.
+    *
+    * Scale: no O(n^2) anywhere — the only wide ops are the per-doc
+    * aggregation and the band-bucket join (AQE splits skewed buckets).
+    * At petabyte scale persist the shingle sets to a staging table
+    * instead of memory.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                  jaccardThreshold: Double = 0.5): DataFrame = {
     val m = bands * rowsPerBand
-    val sh = docs.select(
-      col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), k)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), m))
-    // explode one row per band: (band index, hash of the band's slice)
-    val banded = sh.select(
-      col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-          lit(7L), (acc, x) => pmod(acc * lit(31L) + x, lit(HashPrime))))))
+    val base = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      // filter HERE, on the raw token count — an equivalent filter on
+      // size(sh) pushes down through the projections below and inlines the
+      // whole hash chain into the predicate, where the multi-reference
+      // token-hash array re-evaluates per element_at (measured 250x
+      // slower). PushDownPredicates has no expensive-expression guard.
+      .filter(size(col("tk")) >= k)
+      // own projection per stage so multi-reference lambdas in the next
+      // stage don't re-inline (and re-run) the previous one.
+      .select(col("id"), transform(col("tk"), t => portableStringHash(t)).as("th"))
+      .select(col("id"), hashedShinglesFromHashes(col("th"), k).as("sh"))
+      .persist()
+    // 2. codegen'd minima over exploded shingles
+    val expl = base.select(col("id"), explode(col("sh")).as("x"))
+    val sigCols = minhashCoeffs(m).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(HashPrime))).as(s"s$j")
+    }
+    val sigs = expl.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    // 3. band hash = polynomial fold of the band's signature columns
+    def bandHash(b: Int): Column =
+      (0 until rowsPerBand).foldLeft(lit(7L): Column)((acc, r) =>
+        pmod(acc * lit(31L) + col(s"s${b * rowsPerBand + r}"), lit(HashPrime)))
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(bandHash): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandHash")
-    val l = banded.select(col("band"), col("bandHash"),
-      col("id").as("id1"), col("sh").as("sh1"))
-    val r = banded.select(col("band"), col("bandHash"),
-      col("id").as("id2"), col("sh").as("sh2"))
-    l.join(r, Seq("band", "bandHash"))
+    // 4. candidate pairs, dedup'd BEFORE the Jaccard arithmetic
+    val pairs = banded.select(col("band"), col("bandHash"), col("id").as("id1"))
+      .join(banded.select(col("band"), col("bandHash"), col("id").as("id2")),
+        Seq("band", "bandHash"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(base.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
@@ -105,8 +173,13 @@ object Dedup {
     * small Hamming distance. Bits come from the 30-bit portable hash so
     * the whole computation is reproducible in any engine; b <= 30.
     */
-  def simhash(toks: Column, bits: Int = 24): Column = {
-    val hashes = transform(toks, t => portableStringHash(t))
+  def simhash(toks: Column, bits: Int = 24): Column =
+    simhashFromHashes(transform(toks, t => portableStringHash(t)), bits)
+
+  /** SimHash over a materialized token-hash column — use this form in
+    * operators (see hashedShinglesFromHashes for why).
+    */
+  def simhashFromHashes(hashes: Column, bits: Int = 24): Column =
     aggregate(
       sequence(lit(0), lit(bits - 1)),
       lit(0L),
@@ -116,7 +189,6 @@ object Dedup {
           (s, h) => s + (floor(h / pow2).cast("long") % lit(2L)) * lit(2L) - lit(1L))
         acc + when(bitSum > 0, pow2.cast("long")).otherwise(lit(0L))
       })
-  }
 
   /** E2 — n-gram (token) Jaccard dedup with a cheap blocking key (same
     * `blockCols` value) so the self-join never goes quadratic: pairs are

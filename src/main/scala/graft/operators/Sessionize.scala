@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E11 — event-time windowing and sessionization, batch form (the graded,
+  * oracle-comparable path; the Structured Streaming variant lives in
+  * graft.streaming and shares the same semantics).
+  *
+  * Scale design: both operators shuffle exactly once on the entity key
+  * (user); windows then run per-key in parallel. Timestamps are exported
+  * as epoch milliseconds (bigint) so engines with different native
+  * timestamp precisions (ns vs us) compare exactly.
+  */
+object Sessionize {
+
+  /** Tumbling event-time windows: count/sum per (key, bucket). */
+  def tumbling(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, minutes: Int): DataFrame = {
+    val bucket = window(col(tsCol), s"$minutes minutes")
+    events.groupBy(col(keyCol), bucket.getField("start").as("w_start"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("sum_value"))
+      .select(col(keyCol), unix_millis(col("w_start")).as("w_start_ms"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Gap-based sessions: a new session starts when the gap from the
+    * previous event of the same key exceeds `gapMinutes`. Session id =
+    * running count of session starts (classic lag + cumulative sum).
+    */
+  def sessions(events: DataFrame, keyCol: String, tsCol: String,
+               idCol: String, gapMinutes: Int): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val gapMs = gapMinutes * 60000L
+    val withStart = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byKey))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_millis(col(tsCol)) - unix_millis(col("__prev")) > gapMs, 1L)
+          .otherwise(0L))
+    withStart
+      .withColumn("session_id", sum(col("__new")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col(tsCol))).as("start_ms"),
+        unix_millis(max(col(tsCol))).as("end_ms"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** E4 — text analysis over a document corpus: token statistics, quality
+  * scoring, language identification, fingerprinting. All pure Column
+  * expressions / narrow aggregations — distributed, codegen'd, no UDFs.
+  *
+  * Scale design: per-document metrics are narrow (no shuffle at all);
+  * corpus-level term statistics shuffle once on the token. Explode blows
+  * each doc into its tokens — at 100 TB keep the explode + groupBy in one
+  * stage (map-side partial aggregation collapses duplicate tokens within a
+  * partition before the shuffle).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count by whitespace plus a BPE-ish subword proxy: counts
+    * 4-char chunks, the standard rough chars/4 token estimate for LLM
+    * budgeting (ceil(len/4)).
+    */
+  def wordCount(text: Column): Column = size(tokens(text))
+  def bpeishCount(text: Column): Column =
+    ceil(length(regexp_replace(text, " ", "")).cast("double") / lit(4.0)).cast("long")
+
+  /** Per-language marker lexicons for the n-gram-heuristic language ID.
+    * Tiny on purpose: real language ID ships big lexicons; the operator
+    * shape (score per language = marker hits, argmax with deterministic
+    * tie-break) is what matters and is identical at any lexicon size.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  /** Marker-hit score for one language (with multiplicity). */
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Predicted language: argmax of marker scores, ties to the
+    * alphabetically-first language, all-zero scores -> "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.sortBy(_._1).map { case (l, m) => (l, langScore(toks, m)) }
+    val best = greatest(scored.map(_._2): _*)
+    val pick = scored.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+    pick
+  }
+
+  /** Quality metrics: length, token counts, mean token length, stopword
+    * ratio, uppercase ratio — the usual cheap corpus-filter features.
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val stop = langScore(toks, langMarkers.toMap.apply("en"))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      ((length(col(textCol)) - nTok + 1).cast("double") / nTok).as("mean_token_len"),
+      (stop.cast("double") / nTok).as("stopword_ratio"),
+      (size(array_distinct(toks)).cast("double") / nTok).as("distinct_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with
+    * lexical diversity and a sane stopword rate. Deterministic arithmetic
+    * only — oracle-reproducible.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityMetrics(df, idCol, textCol).withColumn("quality",
+      round(least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
+        + col("distinct_ratio") * lit(0.3)
+        + least(col("stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.2), 6))
+
+  /** Document fingerprint: portable 30-bit polynomial hash of the text —
+    * the cheap exact-dup / shard-routing key (rolling hash over chars).
+    */
+  def fingerprint(text: Column): Column = portableStringHash(text)
+
+  /** Corpus term frequencies: one shuffle on token (map-side combined). */
+  def termFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF per (doc, token): tf x ln(N / df). Two shuffles (doc-token
+    * counts, then token document frequencies joined back).
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docTok = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val dfreq = docTok.groupBy("token").agg(count(lit(1)).as("df"))
+    docTok.join(dfreq, "token")
+      .select(col("doc"), col("token"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("E1 exact dedup keeps deterministic min-order survivor") {
+    val df = Seq((3L, "x", "c"), (1L, "x", "a"), (2L, "x", "b"), (9L, "y", "z"))
+      .toDF("id", "key", "attr")
+    val got = Dedup.exact(df, Seq("key"), Seq(col("id")))
+      .orderBy("key").as[(Long, String, String)].collect()
+    assert(got.toSeq == Seq((1L, "x", "a"), (9L, "y", "z")))
+  }
+
+  test("shingles: k=3 over tokens; short docs yield empty array") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(Dedup.shingles(Dedup.tokens($"text"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("minhash LSH finds an exact duplicate pair and a near-dup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different tokens here nothing shared at all with others ever"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.3)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
+  }
+
+  test("simhash: identical docs equal, near docs close in hamming") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val m = df.select($"doc_id", Dedup.simhash(Dedup.tokens($"text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("cosine: orthogonal 0, identical 1, exact double math") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-15)
+  }
+
+  test("brute-force topK returns k ranked neighbours, no self-pairs") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("id", "vec")
+    val got = Similarity.bruteForceTopK(vecs.filter($"id" === 1), vecs, k = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.map(_._3).toSeq == Seq(2L, 3L)) // nearest then orthogonal
+    assert(got.forall(_._1 == 1L))
+  }
+
+  test("LSH bucket groups sign-identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1f, 1f, -1f)), (2L, Array(2f, 3f, -5f)), (3L, Array(-1f, 1f, 1f)))
+      .toDF("id", "vec")
+    val got = vecs.select($"id", Similarity.signBucket($"vec", 3).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+  }
+
+  test("language id picks max-marker language, und when no markers") {
+    val df = Seq("the cat of a hat and the", "der hund ist und das", "xyz qqq www")
+      .toDF("text")
+    val got = df.select(TextAnalysis.langId($"text")).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality metrics: exact ratios on a known doc") {
+    val df = Seq((1L, "the the fox")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Int]("n_distinct") == 2)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 3) < 1e-15)
+  }
+
+  test("sessionize: 10-minute gap splits sessions") {
+    val base = 1700000000000L
+    val df = Seq(
+      (1L, base, 10L), (2L, base + 5 * 60000, 10L), // same session
+      (3L, base + 20 * 60000, 10L), // new session (15 min gap)
+      (4L, base + 21 * 60000, 99L)) // other user
+      .toDF("event_id", "ms", "user_id")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val got = Sessionize.sessions(df, "user_id", "ts", "event_id", 10)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((10L, 1L, 2L), (10L, 2L, 1L), (99L, 1L, 1L)))
+  }
+
+  test("tumbling windows bucket to epoch-aligned 10 minutes") {
+    val df = Seq((1L, 1700000410000L, 5L, 1.5), (2L, 1700000900000L, 5L, 2.5))
+      .toDF("event_id", "ms", "user_id", "value")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val got = Sessionize.tumbling(df, "user_id", "ts", "value", 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 1) // both fall in the same 10-min bucket
+    assert(got(0)._2 % 600000 == 0)
+    assert(got(0)._3 == 2 && got(0)._4 == 4.0)
+  }
+
+  test("TF-IDF: token unique to one doc scores higher than a shared one") {
+    val df = Seq((1L, "cat dog cat"), (2L, "dog bird")).toDF("doc_id", "text")
+    val m = TextAnalysis.tfIdf(df, "doc_id", "text")
+      .select("doc", "token", "tfidf")
+      .as[(Long, String, Double)].collect()
+      .map { case (doc, tok, v) => (doc, tok) -> v }.toMap
+    assert(m((1L, "cat")) > m((1L, "dog")))
+    assert(m((2L, "dog")) == 0.0) // appears in all docs -> idf ln(1)=0... (df=2, n=2)
+  }
+}

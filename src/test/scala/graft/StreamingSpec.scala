@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling window matches batch semantics after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L // aligned-ish epoch ms
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val agg = StreamingOps.tumbling(df, "user_id", "ts", "value", minutes = 10,
+      watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("tumb")
+      .outputMode("append").start()
+    try {
+      input.addData((5L, base, 1.0), (5L, base + 60000, 2.0))
+      q.processAllAvailable()
+      // push watermark far past the first window so it emits
+      input.addData((5L, base + 3600 * 1000, 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM tumb ORDER BY w_start_ms")
+        .as[(Long, Long, Long, Double)].collect()
+      assert(rows.nonEmpty)
+      val first = rows.head
+      assert(first._2 % 600000 == 0 && first._3 == 2 && first._4 == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[StreamingOps.Event]
+    val out = StreamingOps.sessions(input.toDS(), gapMinutes = 10)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamingOps.Event(7L, base, 1.0),
+        StreamingOps.Event(7L, base + 60000, 1.0))
+      q.processAllAvailable()
+      // 30-minute gap -> previous session closes on next event
+      input.addData(StreamingOps.Event(7L, base + 31 * 60000, 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess").as[StreamingOps.SessionOut].collect()
+      assert(rows.length == 1)
+      assert(rows(0).n_events == 2 && rows(0).start_ms == base)
+    } finally q.stop()
+  }
+}
