@@ -573,6 +573,77 @@ object Queries {
       CASE WHEN kind IN ('audio', 'video') THEN n_bytes * 8 ELSE cast(0 as bigint) END AS duration_ms
     FROM h ORDER BY media_id"""
 
+  /** E4 — TF-IDF per (doc, token), lazy corpus-size broadcast. */
+  def e4_tfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc", "token")
+
+  val e4iSql = """WITH dt AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc, token),
+    dfreq AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+    n AS (SELECT cast(count(DISTINCT doc_id) as double) AS n_docs FROM documents)
+    SELECT doc, dt.token, tf, round(tf * ln(n_docs / df), 6) AS tfidf
+    FROM dt JOIN dfreq ON dt.token = dfreq.token CROSS JOIN n
+    ORDER BY doc, dt.token"""
+
+  /** E6 — cube: all grouping-set combinations. */
+  def e6_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val e6cSql = s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+    ${dsumSql("l_extendedprice")} AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  /** E7 — frames and offsets: moving average (2-preceding), lead,
+    * dense_rank over order history per customer.
+    */
+  def e7_frames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      (sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .over(w.rowsBetween(-2, Window.currentRow)).cast("double") /
+        count(lit(1)).over(w.rowsBetween(-2, Window.currentRow))).as("moving_avg"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      dense_rank().over(Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderpriority"))).as("prio_rank"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val e7fSql = """SELECT o_custkey, o_orderkey,
+    cast(sum(cast(o_totalprice as decimal(18,2))) OVER w2 as double)
+      / count(*) OVER w2 AS moving_avg,
+    lead(o_totalprice, 1) OVER w AS next_price,
+    cast(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) as int) AS prio_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** Semi/anti joins: parts that do/don't appear in any lineitem. */
+  def j_semi_anti(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part"); val li = t(s, dir, "lineitem")
+    val sold = part.join(li, part("p_partkey") === li("l_partkey"), "left_semi")
+      .select(lit("sold").as("side"), col("p_partkey"))
+    val unsold = part.join(li, part("p_partkey") === li("l_partkey"), "left_anti")
+      .select(lit("unsold").as("side"), col("p_partkey"))
+    sold.union(unsold).orderBy("side", "p_partkey")
+  }
+
+  val jsaSql = """SELECT 'sold' AS side, p_partkey FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    UNION ALL
+    SELECT 'unsold', p_partkey FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    ORDER BY side, p_partkey"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -608,5 +679,9 @@ object Queries {
     ("e3_cosine_topk", e3_cosine_topk _, e3bSql),
     ("e3_lsh_topk", e3_lsh_topk _, e3lSql),
     ("e2_embed_neardup", e2_embed_neardup _, e2eSql),
-    ("mm_media_meta", mm_media_meta _, mmSql))
+    ("mm_media_meta", mm_media_meta _, mmSql),
+    ("e4_tfidf", e4_tfidf _, e4iSql),
+    ("e6_cube", e6_cube _, e6cSql),
+    ("e7_frames", e7_frames _, e7fSql),
+    ("j_semi_anti", j_semi_anti _, jsaSql))
 }

@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float vectors, computed exactly in double. */
+  /** Dot product of two float vectors, computed exactly in double.
+    * Native codegen'd expression (graft.expressions.FloatVecDot) — the
+    * higher-order form `dotHof` has identical bit-level semantics but
+    * evaluates interpreted (lambda dispatch per element), which dominates
+    * candidate-join cost at scale. Tests assert dot == dotHof.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorFunctions.floatVecDot(a, b)
+
+  /** Reference higher-order formulation (what the SQL oracles mirror). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

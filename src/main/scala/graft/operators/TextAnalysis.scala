@@ -92,16 +92,19 @@ object TextAnalysis {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
 
-  /** TF-IDF per (doc, token): tf x ln(N / df). Two shuffles (doc-token
-    * counts, then token document frequencies joined back).
+  /** TF-IDF per (doc, token): tf x ln(N / df). Fully lazy — the corpus
+    * size N is a broadcast 1-row frame, NOT a driver-side count() (no
+    * eager job, stays one DAG at any scale). Two shuffles: doc-token
+    * counts, then token document frequencies joined back.
     */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docTok = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-    val nDocs = df.select(col(idCol)).distinct().count()
+    val nDocs = df.select(countDistinct(col(idCol)).cast("double").as("n_docs"))
     val dfreq = docTok.groupBy("token").agg(count(lit(1)).as("df"))
     docTok.join(dfreq, "token")
-      .select(col("doc"), col("token"),
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc"), col("token"), col("tf"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
   }
 }

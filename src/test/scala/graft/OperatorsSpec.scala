@@ -48,6 +48,21 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("native FloatVecDot == higher-order dot, bit for bit; null/mismatch -> null") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.75f, -1.0f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.4f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.dot($"a", $"b"), Similarity.dotHof($"a", $"b"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (native, hof) => assert(native == hof) }
+    // length mismatch -> null in both formulations
+    val mismatch = Seq((Array(1f, 2f), Array(1f))).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").isNull, Similarity.dotHof($"a", $"b").isNull)
+      .as[(Boolean, Boolean)].collect()(0)
+    assert(mismatch == ((true, true)))
+  }
+
   test("cosine: orthogonal 0, identical 1, exact double math") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
@@ -116,6 +131,14 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length == 1) // both fall in the same 10-min bucket
     assert(got(0)._2 % 600000 == 0)
     assert(got(0)._3 == 2 && got(0)._4 == 4.0)
+  }
+
+  test("E10 approx_count_distinct within 5% of exact on testdata") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val (approx, exact) = li.select(
+      approx_count_distinct($"l_partkey"), countDistinct($"l_partkey"))
+      .as[(Long, Long)].collect()(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
   test("TF-IDF: token unique to one doc scores higher than a shared one") {
