@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.FloatVecDot
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions available to pure-SQL users.
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT float_vec_dot(a.embedding, b.embedding) FROM ...
+  *
+  * (Column-API users get the same expressions from
+  * graft.expressions.VectorFunctions without any session config.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "float_vec_dot takes 2 arguments")
+        FloatVecDot(children(0), children(1))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration for an existing session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vec_dot",
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1)),
+      "scala_udf")
+}

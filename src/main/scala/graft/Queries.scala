@@ -644,6 +644,48 @@ object Queries {
     WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
     ORDER BY side, p_partkey"""
 
+  /** As-of (backward) join: each event picks up the user's most recent
+    * order at event time (union+window formulation — Spark has no native
+    * as-of; DuckDB verifies with its ASOF JOIN).
+    */
+  def j_asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+    // right side reduced to one row per (key, ts): survivor = max orderkey
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("asof_price"))
+    AsOfJoin.backward(ev, orders, "user_id", "ts",
+      Seq("asof_orderkey", "asof_price"))
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("asof_orderkey"), col("asof_price"))
+      .orderBy("event_id")
+  }
+
+  val jasSql = """WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate AS rts,
+        max(o_orderkey) AS asof_orderkey,
+        arg_max(o_totalprice, o_orderkey) AS asof_price
+      FROM orders GROUP BY 1, 2),
+    l AS (SELECT event_id, user_id, ts FROM events)
+    SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+      r.asof_orderkey, r.asof_price
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+    ORDER BY event_id"""
+
+  /** E10 — exact interpolated percentiles (both engines: linear
+    * interpolation over the sorted values).
+    */
+  def e10_percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+      round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+      round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"))
+
+  val e10pSql = """SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+    round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+    round(quantile_cont(l_quantity, 0.25), 6) AS q25 FROM lineitem"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -683,5 +725,7 @@ object Queries {
     ("e4_tfidf", e4_tfidf _, e4iSql),
     ("e6_cube", e6_cube _, e6cSql),
     ("e7_frames", e7_frames _, e7fSql),
-    ("j_semi_anti", j_semi_anti _, jsaSql))
+    ("j_semi_anti", j_semi_anti _, jsaSql),
+    ("j_asof", j_asof _, jasSql),
+    ("e10_percentiles", e10_percentiles _, e10pSql))
 }

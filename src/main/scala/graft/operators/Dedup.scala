@@ -190,6 +190,20 @@ object Dedup {
         acc + when(bitSum > 0, pow2.cast("long")).otherwise(lit(0L))
       })
 
+  /** Skew-salted equi-join: split each hot left key across `salt`
+    * sub-partitions and replicate the right side per salt value. Use when
+    * a key's row count dwarfs a task (AQE's skew-join handles sort-merge
+    * skew automatically; salting is the manual control for aggregations
+    * or when AQE is off).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val l = left.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1)).cast("array<long>")))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** E2 — n-gram (token) Jaccard dedup with a cheap blocking key (same
     * `blockCols` value) so the self-join never goes quadratic: pairs are
     * only compared within a block.

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup}
+import graft.sources.Bucketing
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of backward join: latest right row at or before each left ts") {
+    val left = Seq((1L, 100L, "e1"), (1L, 250L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "ms", "ev").withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (2L, 60L, 30.0))
+      .toDF("k", "ms", "px").withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = AsOfJoin.backward(left, right, "k", "ts", Seq("px"))
+      .select($"ev", $"px").as[(String, Option[Double])].collect().toMap
+    assert(got("e1").contains(10.0)) // same-instant right row is visible
+    assert(got("e2").contains(20.0)) // latest preceding
+    assert(got("e3").isEmpty)        // nothing at or before 50
+  }
+
+  test("bucketed tables join without any exchange") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Bucketing.writeBucketed(a, "bkt_a", "k", 4, sortCol = Some("k"))
+    Bucketing.writeBucketed(b, "bkt_b", "k", 4, sortCol = Some("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.readTable(spark, "bkt_a")
+        .join(Bucketing.readTable(spark, "bkt_b"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"plan has a shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join") {
+    val left = (1 to 100).map(i => (i % 3L, i)).toDF("k", "lv")
+    val right = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    val salted = Dedup.saltedJoin(left, right, "k", salt = 8)
+      .select("k", "lv", "rv").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("float_vec_dot available from SQL via extension registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .as[Double].collect()(0)
+    assert(got == 11.0)
+  }
+}
