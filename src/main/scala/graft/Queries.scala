@@ -686,6 +686,39 @@ object Queries {
     round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
     round(quantile_cont(l_quantity, 0.25), 6) AS q25 FROM lineitem"""
 
+  /** Bounded range join (bucketed): for each event, how many events of the
+    * same user fall in the following 10 minutes (self-inclusive).
+    */
+  def j_range(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+    val l = ev.select(col("user_id"), col("event_id"), col("ms").as("l_ms"))
+    val r = ev.select(col("user_id"), col("ms").as("r_ms"))
+    RangeJoin.bucketed(l, r, "user_id", "l_ms", "r_ms", 600000L)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_follow"))
+      .orderBy("event_id")
+  }
+
+  val jrSql = """SELECT l.event_id, count(*) AS n_follow
+    FROM events l JOIN events r ON l.user_id = r.user_id
+      AND epoch_ms(r.ts) >= epoch_ms(l.ts)
+      AND epoch_ms(r.ts) < epoch_ms(l.ts) + 600000
+    GROUP BY l.event_id ORDER BY l.event_id"""
+
+  /** E6 — pivot: quantities by return flag, pivoted over line status. */
+  def e6_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy("l_returnflag")
+
+  val e6pSql = """SELECT l_returnflag,
+    cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(18,2)) END) as double) AS F,
+    cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(18,2)) END) as double) AS O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -727,5 +760,7 @@ object Queries {
     ("e7_frames", e7_frames _, e7fSql),
     ("j_semi_anti", j_semi_anti _, jsaSql),
     ("j_asof", j_asof _, jasSql),
-    ("e10_percentiles", e10_percentiles _, e10pSql))
+    ("e10_percentiles", e10_percentiles _, e10pSql),
+    ("j_range", j_range _, jrSql),
+    ("e6_pivot", e6_pivot _, e6pSql))
 }

@@ -35,6 +35,21 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed range join == naive range join") {
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 300).map(i => (rnd.nextInt(3).toLong, i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("k", "lid", "l_ms")
+    val r = (1 to 300).map(i => (rnd.nextInt(3).toLong, rnd.nextInt(10000).toLong))
+      .toDF("k", "r_ms")
+    val w = 700L
+    val naive = l.join(r, Seq("k"))
+      .filter($"r_ms" >= $"l_ms" && $"r_ms" < $"l_ms" + w)
+      .groupBy("lid").count().as[(Long, Long)].collect().sorted.toSeq
+    val bucketed = operators.RangeJoin.bucketed(l, r, "k", "l_ms", "r_ms", w)
+      .groupBy("lid").count().as[(Long, Long)].collect().sorted.toSeq
+    assert(bucketed == naive)
+  }
+
   test("salted join equals plain join") {
     val left = (1 to 100).map(i => (i % 3L, i)).toDF("k", "lv")
     val right = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "rv")
