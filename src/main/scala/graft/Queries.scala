@@ -719,6 +719,26 @@ object Queries {
     cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(18,2)) END) as double) AS O
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** SQL surface parity: the engine's SQL front-end (Catalyst) running a
+    * TPC-H Q3-shaped query verbatim over temp views — same text any SQL
+    * engine can run, which is exactly what the oracle does.
+    */
+  def sql_tpch_q3(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(sqlQ3)
+  }
+
+  val sqlQ3 = """SELECT l_orderkey,
+      cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+      cast(o_orderdate as date) AS order_date, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 20"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -762,5 +782,6 @@ object Queries {
     ("j_asof", j_asof _, jasSql),
     ("e10_percentiles", e10_percentiles _, e10pSql),
     ("j_range", j_range _, jrSql),
-    ("e6_pivot", e6_pivot _, e6pSql))
+    ("e6_pivot", e6_pivot _, e6pSql),
+    ("sql_tpch_q3", sql_tpch_q3 _, sqlQ3))
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.star.{CalendarDim, Dims}
+
+/** Property-based laws (SURVEY.md §5.2-3). Batched: each property
+  * evaluates a whole generated dataset in one Spark job.
+  */
+object PropertiesSpec extends Properties("graft") {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val twoDp: Gen[Double] =
+    Gen.chooseNum(-999999L, 999999L).map(_ / 100.0)
+
+  property("format∘parse identity on 2dp doubles") =
+    Prop.forAll(Gen.listOfN(20, twoDp)) { xs =>
+      xs.isEmpty || {
+        val got = xs.toDF("x")
+          .select(parseBrDouble(formatDecimalComma($"x"))).as[Double].collect()
+        got.toSeq == xs
+      }
+    }
+
+  property("calendar row-count == days-between + 1, keys strictly increasing") =
+    Prop.forAll(Gen.chooseNum(0L, 2000L), Gen.chooseNum(10000L, 15000L)) { (a, b) =>
+      val lo = java.time.LocalDate.ofEpochDay(a)
+      val hi = java.time.LocalDate.ofEpochDay(b)
+      val cal = CalendarDim.overRange(spark, lo.toString, hi.toString)
+      val keys = cal.select($"ChaveData").as[Int].collect()
+      keys.length == (b - a + 1) && keys.sorted.toSeq == keys.toSeq.sorted &&
+        keys.distinct.length == keys.length
+    }
+
+  property("surrogate keys are dense 1..N over any distinct input") =
+    Prop.forAll(Gen.listOfN(50, Gen.alphaStr.map(_.take(4)))) { vs =>
+      vs.nonEmpty ==> {
+        val dim = Dims.distinctDim(vs.toDF("v"), "sk", Seq("v"))
+        val sks = dim.select($"sk").as[Int].collect().sorted.toSeq
+        sks == (1 to vs.distinct.length).toSeq
+      }
+    }
+
+  property("exact dedup is idempotent") =
+    Prop.forAll(Gen.listOfN(60, Gen.chooseNum(0, 9))) { ks =>
+      ks.nonEmpty ==> {
+        val df = ks.zipWithIndex.map { case (k, i) => (k.toLong, i.toLong) }
+          .toDF("k", "id")
+        val once = operators.Dedup.exact(df, Seq("k"), Seq(col("id")))
+        val twice = operators.Dedup.exact(once, Seq("k"), Seq(col("id")))
+        once.as[(Long, Long)].collect().sorted.toSeq ==
+          twice.as[(Long, Long)].collect().sorted.toSeq
+      }
+    }
+
+  property("parseDateKey never yields negative or malformed keys") =
+    Prop.forAll(Gen.oneOf(
+      Gen.const(null: String), Gen.alphaStr,
+      Gen.chooseNum(0L, 20000L).map(d => java.time.LocalDate.ofEpochDay(d).toString),
+      Gen.chooseNum(0L, 20000L).map(d => s"${java.time.LocalDate.ofEpochDay(d)}T10:30:00"))) { s =>
+      val k = Seq(s).toDF("s").select(parseDateKey($"s")).as[Int].collect()(0)
+      k == 0 || (k >= 19700101 && k <= 20241231 && (k % 100) >= 1 && (k % 100) <= 31)
+    }
+}
