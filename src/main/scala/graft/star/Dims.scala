@@ -1,8 +1,9 @@
 package graft.star
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Dimension builders for the Kimball star schema
   * (`/root/reference/src/FullETLGenerator.java:80-122`).
@@ -15,28 +16,34 @@ import org.apache.spark.sql.functions._
   * opaque; fact<->dim consistency holds because both sides derive from the
   * same assignment (SURVEY.md §7.4).
   *
-  * Scale note: a single un-partitioned `row_number()` window funnels all
-  * distinct keys through one task. That is the correct trade-off here —
-  * dimensions are by definition the *small* side (they must fit in a
-  * broadcast); the heavy input is reduced first by a distributed
-  * `distinct()` (partial aggregation map-side), so the window sees only
-  * distinct keys. For a dimension too large to broadcast, use
-  * `zipWithIndex`-style dense ids or drop the dense requirement and use
-  * `xxhash64` keys instead.
+  * Scale note: the heavy input is reduced first by a distributed
+  * `distinct()` (map-side partial aggregation); dense ids then come from
+  * sort + zipWithIndex, which stays parallel at any dimension size. If
+  * density is not required, `xxhash64(keys)` is cheaper still (no sort).
   */
 object Dims {
 
   /** A1 (geracao/status/localizacao pattern): the dedup key is the full
     * attribute set, so any-row-wins == first-wins; a plain distributed
     * `distinct` is semantically exact (FullETLGenerator.java:80-112).
+    *
+    * Dense SK assignment = global sort by the natural key (parallel range
+    * partitioning) + `zipWithIndex` (one count pass, no data movement) —
+    * same result as `row_number() over (orderBy keys)` but WITHOUT
+    * funnelling every distinct key through one window task, so it holds
+    * for dimensions of any size. (The rare legitimate RDD drop-down:
+    * DataFrames have no zipWithIndex.)
     */
   def distinctDim(df: DataFrame, skName: String, attrs: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
     val cols = attrs.map(col)
-    val w = Window.orderBy(cols: _*)
-    df.select(cols: _*)
-      .distinct()
-      .withColumn(skName, row_number().over(w))
-      .select(col(skName) +: cols: _*)
+    val sorted = df.select(cols: _*).distinct().orderBy(cols: _*)
+    val schema = StructType(
+      StructField(skName, IntegerType, nullable = false) +: sorted.schema.fields)
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq((i + 1).toInt +: r.toSeq)
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** A1 (empreendimento pattern, FullETLGenerator.java:114-122): dedup key
