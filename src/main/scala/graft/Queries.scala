@@ -389,6 +389,21 @@ object Queries {
     ORDER BY doc_id"""
   }
 
+  /** E4 — token counting for LLM budgeting: whitespace words + the
+    * chars/4 BPE-ish estimate.
+    */
+  def e4_token_counts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).as("n_words"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"))
+      .orderBy("doc_id")
+
+  val e4cSql = """SELECT doc_id,
+    cast(len(string_split(text, ' ')) as int) AS n_words,
+    cast(ceil(cast(length(replace(text, ' ', '')) as double) / 4.0) as bigint) AS n_bpeish
+    FROM documents ORDER BY doc_id"""
+
   /** E4 — document fingerprint (portable rolling hash). */
   def e4_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -783,5 +798,6 @@ object Queries {
     ("e10_percentiles", e10_percentiles _, e10pSql),
     ("j_range", j_range _, jrSql),
     ("e6_pivot", e6_pivot _, e6pSql),
-    ("sql_tpch_q3", sql_tpch_q3 _, sqlQ3))
+    ("sql_tpch_q3", sql_tpch_q3 _, sqlQ3),
+    ("e4_token_counts", e4_token_counts _, e4cSql))
 }
