@@ -547,6 +547,32 @@ object Queries {
       cand_id, sim FROM sims
     QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** E3 — IVF-flavoured ANN: Voronoi cells around 8 designated centroid
+    * vectors, search restricted to the query's cell.
+    */
+  def e3_ivf_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfTopK(e.filter(col("id") < 8), e, e.filter(col("id") < 8), k = 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3iSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, cid,
+        round(list_sum(list_transform(range(1, 65), i -> cast(v.e[i] as double) * cast(cents.ce[i] as double))), 6) AS d
+      FROM v CROSS JOIN cents),
+    cells AS (SELECT vec_id, cid AS cell FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN cells qc ON q.vec_id = qc.vec_id AND q.vec_id < 8
+        JOIN cells cc ON qc.cell = cc.cell
+        JOIN v c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
   /** E2 (embedding flavour) — near-dup pairs by cosine within LSH bucket. */
   def e2_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -799,5 +825,6 @@ object Queries {
     ("j_range", j_range _, jrSql),
     ("e6_pivot", e6_pivot _, e6pSql),
     ("sql_tpch_q3", sql_tpch_q3 _, sqlQ3),
-    ("e4_token_counts", e4_token_counts _, e4cSql))
+    ("e4_token_counts", e4_token_counts _, e4cSql),
+    ("e3_ivf_topk", e3_ivf_topk _, e3iSql))
 }

@@ -92,6 +92,45 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("cand_id"), col("sim"))
   }
 
+  /** E3 — IVF-flavoured ANN: partition the corpus into K Voronoi cells
+    * around centroid vectors, search only the query's own cell. Here the
+    * centroids are K designated corpus vectors (deterministic; a
+    * production build would k-means a sample — the index/search shape is
+    * identical). Assignment and ranking use ROUNDED similarity with id
+    * tie-breaks so results are engine-reproducible.
+    *
+    * Scale: assignment is a broadcast of K centroids over the corpus (one
+    * narrow pass); search is queries x corpus/K after one co-partitioned
+    * join on the cell id. Store the corpus bucketed by cell for a
+    * shuffle-free search side.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, roundTo: Int = 6): DataFrame = {
+    def assign(df: DataFrame, idCol: String): DataFrame = {
+      val scored = df.select(col("id").as(idCol), col("vec"))
+        .join(broadcast(centroids.select(col("id").as("cid"), col("vec").as("cvec"))),
+          lit(true))
+        .select(col(idCol), col("vec"),
+          col("cid"), round(dot(col("vec"), col("cvec")), roundTo).as("d"))
+      val w = Window.partitionBy(idCol).orderBy(col("d").desc, col("cid"))
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(idCol), col("vec"), col("cid").as("cell"))
+    }
+    val c = assign(corpus, "cand_id")
+      .select(col("cand_id"), col("vec").as("cv"), col("cell"), norm(col("vec")).as("cn"))
+    val q = assign(queries, "query_id")
+      .select(col("query_id"), col("vec").as("qv"), col("cell"), norm(col("vec")).as("qn"))
+    val sims = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("sim"))
+  }
+
   /** E2 (embedding flavour) — near-duplicate pairs by cosine >= threshold,
     * blocked by shared LSH bucket so the self-join never goes quadratic.
     */

@@ -50,6 +50,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("partitioned layout prunes non-matching partitions at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"2024-01-0${i % 5 + 1}"))
+      .toDF("id", "dt")
+    sources.Partitioning.writePartitioned(df, dir, Seq("dt"))
+    val q = sources.Partitioning.read(spark, dir).filter($"dt" === "2024-01-03")
+    assert(q.count() == 200)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("dt#") && scan.contains("2024-01-03"),
+      s"expected partition pruning in:\n$scan")
+    // files actually read: only the matching partition directory
+    val files = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!files.contains("2024-01-01") || files.contains("PartitionFilters"))
+  }
+
   test("salted join equals plain join") {
     val left = (1 to 100).map(i => (i % 3L, i)).toDF("k", "lv")
     val right = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "rv")
