@@ -283,10 +283,15 @@ object Queries {
   def e5_json(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        // schema-full parse path (from_json -> typed struct) — same value
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_typed"))
       .orderBy("event_id")
 
-  val e5Sql = """SELECT event_id, cast(json_extract_string(props, '$.k') as int) AS k
+  val e5Sql = """SELECT event_id, cast(json_extract_string(props, '$.k') as int) AS k,
+    cast(json_extract_string(props, '$.k') as int) AS k_typed
     FROM events ORDER BY event_id"""
 
   /** E11 — tumbling 10-minute event-time windows (epoch-ms export so ns-
@@ -321,6 +326,34 @@ object Queries {
     SELECT user_id, session_id, count(*) AS n_events,
       min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
     FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  /** E11 — Spark's NATIVE session_window operator (same sessions as the
+    * lag formulation; note its boundary convention is gap >= G starts a
+    * new session, since a session's half-open end is last+G).
+    */
+  def e11_session_window(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("last_ms"))
+      .select("user_id", "n_events", "start_ms", "last_ms")
+      .orderBy("user_id", "start_ms")
+
+  val e11wSql = """WITH g AS (
+      SELECT user_id, ts,
+        epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+      FROM events),
+    marked AS (SELECT user_id, ts,
+        CASE WHEN gap IS NULL OR gap >= 600000 THEN 1 ELSE 0 END AS new_session
+      FROM g),
+    sess AS (SELECT user_id, ts,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT user_id, count(*) AS n_events,
+      min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS last_ms
+    FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms"""
 
   // ======================================================================
   // Extensions E1-E4: dedup / text analysis (SURVEY.md §2.4 + mandate)
@@ -826,5 +859,6 @@ object Queries {
     ("e6_pivot", e6_pivot _, e6pSql),
     ("sql_tpch_q3", sql_tpch_q3 _, sqlQ3),
     ("e4_token_counts", e4_token_counts _, e4cSql),
-    ("e3_ivf_topk", e3_ivf_topk _, e3iSql))
+    ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
+    ("e11_session_window", e11_session_window _, e11wSql))
 }
