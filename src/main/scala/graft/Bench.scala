@@ -1,33 +1,69 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: times every graded query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line (also written to bench.json beside the CWD so a
+  * polluted stdout can never lose the round's bench signal again —
+  * round-1 lost its signal to a stray executor ERROR line).
+  *
+  * Timing protocol: per query, `reps` runs (default 3), report the MIN —
+  * min-of-n is the standard low-noise estimator for warm repeated runs, so
+  * round-over-round deltas aren't scheduler jitter. Failures are NOT
+  * swallowed into fake timings: a failed query records an `errors` entry
+  * and the process exits nonzero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // tune BEFORE any read: events.parquet is TIMESTAMP(NANOS) and needs
+    // spark.sql.legacy.parquet.nanosAsLong — round 1's warmup read it on an
+    // untuned session and the aborted job's ERROR line corrupted stdout.
+    Graft.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: JIT + codegen + scheduler paths, no table data
     spark.range(100000).selectExpr("sum(id * 2)").collect()
     // pre-touch parquet footers + data (page cache, vectorized-reader JIT)
-    // so the first timed query doesn't pay one-off costs the rest skip
+    // so the first timed query doesn't pay one-off costs the rest skip.
+    // A failing pre-touch is a real failure now, not a swallowed one.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { tb =>
-      try spark.read.parquet(s"$sfDir/$tb.parquet").count()
-      catch { case _: Throwable => () }
+      spark.read.parquet(s"$sfDir/$tb.parquet").count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+          None
+        }
+      }
+      if (times.isEmpty) None else Some(name -> times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n":$reps,"sf":"$sfDir"}"""
+    // disk copy first: stdout can be polluted by stray executor logging
+    Files.writeString(Paths.get("bench.json"), line + "\n")
+    // flush any pending log lines, then emit the JSON as the final line
+    System.err.flush(); System.out.flush()
+    println(line)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
