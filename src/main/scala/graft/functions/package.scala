@@ -19,11 +19,18 @@ package object functions {
     * `.` is a thousands separator (stripped), `,` the decimal mark.
     */
   def parseBrDouble(c: Column): Column = {
-    val normalized = regexp_replace(regexp_replace(c, "\\.", ""), ",", ".")
+    val normalized = trim(regexp_replace(regexp_replace(c, "\\.", ""), ",", "."))
     // Regex-guarded cast: defined behavior under BOTH ANSI and legacy cast
     // semantics (ANSI cast throws on malformed input; the reference
-    // requires silent 0.0 — FullETLGenerator.java:237).
-    when(normalized.rlike("^-?[0-9]+(\\.[0-9]*)?$"), normalized.cast("double"))
+    // requires silent 0.0 — FullETLGenerator.java:237). The guard accepts
+    // the Double.parseDouble grammar the reference inherits: optional
+    // sign, leading/trailing-dot forms (",5" / "5,"), exponent, f/d
+    // suffix, surrounding whitespace. Intentionally narrower than Java on
+    // "Infinity"/"NaN"/hex-float literals — impossible in a BR-locale
+    // numeric field; they parse to 0.0 here.
+    val guarded = normalized
+      .rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?[fFdD]?$")
+    when(guarded, regexp_replace(normalized, "[fFdD]$", "").cast("double"))
       .otherwise(lit(0.0))
   }
 
@@ -101,7 +108,7 @@ package object functions {
   // Spark's xxhash64/murmur3 don't exist in other engines, so operators
   // that must be verifiable against an external SQL oracle use this
   // engine-agnostic polynomial hash instead. Production path at scale
-  // uses xxhash64 (see graft.operators.MinHashDedup.scalable).
+  // uses xxhash64 (see graft.operators.Dedup.minhashLshScalable).
   // ---------------------------------------------------------------------
 
   /** Large prime modulus for portable polynomial hashing. Small enough

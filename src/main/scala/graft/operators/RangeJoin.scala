@@ -25,7 +25,10 @@ object RangeJoin {
     // a window of width W always spans exactly buckets b and b+1
     val b = floor(col(leftMs) / windowMs).cast("long")
     val lb = left.withColumn("__bucket", explode(array(b, b + 1)))
-    val rb = right.withColumn("__bucket", (col(rightMs) / windowMs).cast("long"))
+    // floor(), NOT a bare long cast: cast truncates toward zero, so for
+    // negative epoch-ms (pre-1970) the two sides would bucket differently
+    // and silently drop matching pairs.
+    val rb = right.withColumn("__bucket", floor(col(rightMs) / windowMs).cast("long"))
     lb.join(rb, Seq(keyCol, "__bucket"))
       .filter(col(rightMs) >= col(leftMs) &&
         col(rightMs) < col(leftMs) + windowMs)

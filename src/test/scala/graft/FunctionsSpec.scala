@@ -12,6 +12,14 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1234.56, 0.5, 100.0, 0.0, 0.0, 0.0))
   }
 
+  test("F1 parseBrDouble: full Double.parseDouble grammar after separator swap") {
+    // the reference delegates to Double.parseDouble — leading-dot, sign,
+    // exponent, whitespace and f/d suffix all parse (ADVICE round 1)
+    val got = Seq(",5", "+1", "1e3", " 2,5 ", "7,", "1,5f", "-,25", "1e", "--1")
+      .toDF("s").select(parseBrDouble($"s")).as[Double].collect()
+    assert(got.toSeq == Seq(0.5, 1.0, 1000.0, 2.5, 7.0, 1.5, -0.25, 0.0, 0.0))
+  }
+
   test("F2 parsePrefixDate: prefix, short, malformed, null") {
     val got = Seq("1995-03-01T10:00:00", "2001-12-31", "1995", "xxxx-yy-zz", null)
       .toDF("s").select(parsePrefixDate($"s").cast("string")).as[String].collect()

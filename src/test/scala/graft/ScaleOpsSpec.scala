@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup}
+import graft.operators.{AsOfJoin, Dedup, Similarity}
 import graft.sources.Bucketing
 
 class ScaleOpsSpec extends SparkSpec {
@@ -98,6 +98,54 @@ class ScaleOpsSpec extends SparkSpec {
         lit(0.0), (acc, v) => acc + v).as("d"))
       assert(!dbl.queryExecution.optimizedPlan.toString.contains("float_vec_dot"))
     } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("bruteForceTopK broadcasts the QUERY side and ranks without a window") {
+    val vecs = (1 to 200).map(i => (i.toLong, Array(i.toFloat, (i % 7 + 1).toFloat)))
+      .toDF("id", "vec")
+    val res = Similarity.bruteForceTopK(vecs.filter($"id" <= 2), vecs, k = 3)
+    assert(res.count() == 6)
+    val plan = res.queryExecution.executedPlan.toString
+    // corpus is the streamed side: the only broadcast is the query set
+    assert(plan.contains("BroadcastNestedLoopJoin BuildLeft"),
+      s"query side must be the build side:\n$plan")
+    // ranking is a bounded aggregate (partial per map task), not a
+    // per-query window that funnels a query's candidates into one task
+    assert(plan.contains("bounded_top_k"), s"expected bounded_top_k in:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected in:\n$plan")
+  }
+
+  test("ivfTopK cell assignment is a narrow projection (no window, no N*K shuffle)") {
+    val vecs = (1 to 100).map(i => (i.toLong, Array(math.cos(i).toFloat, math.sin(i).toFloat)))
+      .toDF("id", "vec")
+    val res = Similarity.ivfTopK(vecs.filter($"id" <= 4), vecs,
+      vecs.filter($"id" <= 4), k = 2)
+    assert(res.count() > 0)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"assignment must not use a window:\n$plan")
+    assert(plan.contains("bounded_top_k"))
+  }
+
+  test("BoundedTopK equals the window top-k formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val sims = (1 to 500).map { i =>
+      (i % 5L, i.toLong, math.floor(rnd.nextDouble() * 1e6) / 1e6)
+    }.toDF("query_id", "cand_id", "sim").repartition(7)
+    val agged = sims.groupBy("query_id")
+      .agg(expressions.BoundedTopK.topK($"sim", $"cand_id", 4).as("tk"))
+      .select($"query_id", posexplode($"tk"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"col.id".as("cand_id"), $"col.sim".as("sim"))
+      .orderBy("query_id", "rnk")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"cand_id")
+    val windowed = sims.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 4)
+      .select($"query_id", $"rnk".cast("int"), $"cand_id", $"sim")
+      .orderBy("query_id", "rnk")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(agged == windowed)
   }
 
   test("float_vec_dot available from SQL via extension registration") {
