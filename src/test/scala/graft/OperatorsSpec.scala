@@ -34,6 +34,37 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
   }
 
+  test("scalable (xxhash64) minhash LSH agrees with the portable variant") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different tokens here nothing shared at all with others ever"))
+      .toDF("doc_id", "text")
+    val scalable = Dedup.minhashLshScalable(docs, "doc_id", "text", jaccardThreshold = 0.3)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+    // exact duplicates are always candidates (identical signatures)
+    assert(scalable.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    // nothing from the unrelated doc survives the exact-Jaccard verify
+    assert(scalable.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
+    // exact Jaccard agrees pairwise with the portable family (hash choice
+    // affects candidate recall, not the verified similarity value)
+    val portable = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.3)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    scalable.foreach { case (a, b, j) =>
+      portable.get((a, b)).foreach(pj => assert(pj == j, s"pair ($a,$b)")) }
+  }
+
+  test("minhashLsh releases its shingle cache (no persist leak)") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashLsh(docs, "doc_id", "text").count()
+    // the only retained block is the checkpointed (small) result, never
+    // the per-doc shingle sets
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1, s"expected at most the checkpointed result, got +$leaked")
+  }
+
   test("simhash: identical docs equal, near docs close in hamming") {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val df = Seq(
@@ -46,6 +77,30 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(m(1L) == m(2L))
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("ngram Jaccard prefix filtering is lossless vs the naive block join") {
+    val rnd = new scala.util.Random(5)
+    val vocab = ('a' to 'p').map(_.toString)
+    val docs = (1 to 60).map { i =>
+      val n = 4 + rnd.nextInt(4)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "), i % 2)
+    }.toDF("doc_id", "text", "src")
+    val t = 0.4
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq(col("src")), t)
+      .select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val base = docs.select(col("doc_id").as("id"),
+      array_distinct(split(col("text"), " ")).as("tok"), col("src"))
+    val naive = base.as("l")
+      .join(base.as("r"), $"l.src" === $"r.src" && $"l.id" < $"r.id")
+      .select($"l.id".as("id1"), $"r.id".as("id2"),
+        (size(array_intersect($"l.tok", $"r.tok")).cast("double") /
+          size(array_union($"l.tok", $"r.tok"))).as("jaccard"))
+      .filter($"jaccard" >= t)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got == naive)
+    assert(naive.nonEmpty) // the comparison must actually exercise pairs
   }
 
   test("native FloatVecDot == higher-order dot, bit for bit; null/mismatch -> null") {
