@@ -101,7 +101,7 @@ object Queries {
     Dims.distinctDim(t(s, dir, "part"), "sk", Seq("p_brand", "p_type"))
       .orderBy("sk")
 
-  val a1Sql = """SELECT cast(row_number() OVER (ORDER BY p_brand, p_type) as int) AS sk,
+  val a1Sql = """SELECT row_number() OVER (ORDER BY p_brand, p_type) AS sk,
     p_brand, p_type FROM (SELECT DISTINCT p_brand, p_type FROM part) ORDER BY sk"""
 
   /** A1 (subset-key pattern) — deterministic first-wins survivor. */
@@ -170,13 +170,109 @@ object Queries {
   val starSql = """WITH flat AS (
       SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey),
     dim AS (
-      SELECT cast(row_number() OVER (ORDER BY n_name, r_name) as int) AS nation_sk, n_name, r_name
+      SELECT row_number() OVER (ORDER BY n_name, r_name) AS nation_sk, n_name, r_name
       FROM (SELECT DISTINCT n_name, r_name FROM flat)),
     cust AS (
       SELECT c_custkey, n_name, r_name, c_acctbal FROM customer
       LEFT JOIN flat ON c_nationkey = n_nationkey)
-    SELECT c_custkey, coalesce(nation_sk, -1) AS fk_nation, c_acctbal, 1 AS n_customers
+    SELECT c_custkey, cast(coalesce(nation_sk, -1) as bigint) AS fk_nation, c_acctbal, 1 AS n_customers
     FROM cust LEFT JOIN dim USING (n_name, r_name) ORDER BY c_custkey"""
+
+  /** S1+S2+O1 — the reference program END TO END, oracle-graded: CSV scan
+    * (ISO-8859-1, `;`, header, trim), two-phase dim+fact build, all
+    * coercions — over a deterministic ANEEL-shaped fixture
+    * (graft.star.AneelFixture). Result = fact joined back to its dims, so
+    * every SK assignment, first-wins survivor, sentinel and BR-parsed
+    * measure is hash-compared against DuckDB running the same pipeline in
+    * SQL over the same CSV bytes.
+    */
+  def star_etl_e2e(s: SparkSession, dir: String): DataFrame = {
+    val star = StarSchemaJob.build(
+      StarSchemaJob.readSource(s, graft.star.AneelFixture.ensure()))
+    star.fato
+      .join(star.dimGeracao, Seq("ID_Geracao"))
+      .join(star.dimStatus, Seq("ID_Status"))
+      .join(star.dimLocalizacao, Seq("ID_Localizacao"))
+      .join(star.dimEmpreendimento.select(col("CodCEG"), col("NomEmpreendimento")),
+        Seq("CodCEG"), "left")
+      .select(col("CodCEG"), col("ID_Geracao"), col("ID_Status"), col("ID_Localizacao"),
+        col("SigTipoGeracao"), col("DscOrigemCombustivel"), col("DscFonteCombustivel"),
+        col("DscFaseUsina"), col("DscTipoOutorga"), col("IdcGeracaoQualificada"),
+        col("SigUFPrincipal"), col("DscMuninicpios"), col("NomEmpreendimento"),
+        col("FK_DataOperacao"), col("MdaPotenciaOutorgadaKw"),
+        col("MdaPotenciaFiscalizadaKw"), col("MdaGarantiaFisicaKw"),
+        col("QtdEmpreendimentos"))
+      .orderBy("CodCEG", "FK_DataOperacao", "MdaPotenciaOutorgadaKw")
+  }
+
+  /** DuckDB twin of StarSchemaJob.build: same trim/null normalization as
+    * Spark's CSV reader (whitespace-only and empty -> NULL), NULLS FIRST
+    * in every SK ordering (Spark's orderBy default), null-safe FK joins
+    * (resolveFk's `<=>`), and the same BR-number / prefix-date coercions.
+    */
+  val starE2eSql: String = {
+    val brNum = (c: String) =>
+      s"coalesce(try_cast(replace(replace(s.$c, '.', ''), ',', '.') as double), 0.0)"
+    """WITH raw AS (
+      SELECT * FROM read_csv('/tmp/graft_star_e2e/in_utf8.csv',
+        delim=';', header=true, all_varchar=true)),
+    src AS (
+      SELECT nullif(trim(SigTipoGeracao), '') AS SigTipoGeracao,
+        nullif(trim(DscOrigemCombustivel), '') AS DscOrigemCombustivel,
+        nullif(trim(DscFonteCombustivel), '') AS DscFonteCombustivel,
+        nullif(trim(DscFaseUsina), '') AS DscFaseUsina,
+        nullif(trim(DscTipoOutorga), '') AS DscTipoOutorga,
+        coalesce(nullif(trim(IdcGeracaoQualificada), ''), 'N/A') AS IdcGeracaoQualificada,
+        nullif(trim(SigUFPrincipal), '') AS SigUFPrincipal,
+        nullif(trim(DscMuninicpios), '') AS DscMuninicpios,
+        nullif(trim(CodCEG), '') AS CodCEG,
+        nullif(trim(NomEmpreendimento), '') AS NomEmpreendimento,
+        nullif(trim(DscPropriRegimePariticipacao), '') AS DscPropriRegimePariticipacao,
+        nullif(trim(DatEntradaOperacao), '') AS DatEntradaOperacao,
+        nullif(trim(MdaPotenciaOutorgadaKw), '') AS MdaPotenciaOutorgadaKw,
+        nullif(trim(MdaPotenciaFiscalizadaKw), '') AS MdaPotenciaFiscalizadaKw,
+        nullif(trim(MdaGarantiaFisicaKw), '') AS MdaGarantiaFisicaKw
+      FROM raw),
+    dim_g AS (SELECT row_number() OVER (ORDER BY SigTipoGeracao NULLS FIRST,
+        DscOrigemCombustivel NULLS FIRST, DscFonteCombustivel NULLS FIRST) AS ID_Geracao, *
+      FROM (SELECT DISTINCT SigTipoGeracao, DscOrigemCombustivel, DscFonteCombustivel FROM src)),
+    dim_s AS (SELECT row_number() OVER (ORDER BY DscFaseUsina NULLS FIRST,
+        DscTipoOutorga NULLS FIRST, IdcGeracaoQualificada NULLS FIRST) AS ID_Status, *
+      FROM (SELECT DISTINCT DscFaseUsina, DscTipoOutorga, IdcGeracaoQualificada FROM src)),
+    dim_l AS (SELECT row_number() OVER (ORDER BY SigUFPrincipal NULLS FIRST,
+        DscMuninicpios NULLS FIRST) AS ID_Localizacao, *
+      FROM (SELECT DISTINCT SigUFPrincipal, DscMuninicpios FROM src)),
+    dim_e AS (SELECT CodCEG, NomEmpreendimento FROM src
+      QUALIFY row_number() OVER (PARTITION BY CodCEG ORDER BY NomEmpreendimento NULLS FIRST,
+        DscPropriRegimePariticipacao NULLS FIRST) = 1),
+    fact AS (
+      SELECT s.*,
+        CASE WHEN regexp_matches(substr(s.DatEntradaOperacao, 1, 10), '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+          THEN coalesce(cast(strftime(try_cast(substr(s.DatEntradaOperacao, 1, 10) as date), '%Y%m%d') as int), 0)
+          ELSE 0 END AS FK_DataOperacao,
+        """ + brNum("MdaPotenciaOutorgadaKw") + """ AS v1,
+        """ + brNum("MdaPotenciaFiscalizadaKw") + """ AS v2,
+        """ + brNum("MdaGarantiaFisicaKw") + """ AS v3
+      FROM src s)
+    SELECT f.CodCEG, g.ID_Geracao, st.ID_Status, l.ID_Localizacao,
+      g.SigTipoGeracao, g.DscOrigemCombustivel, g.DscFonteCombustivel,
+      st.DscFaseUsina, st.DscTipoOutorga, st.IdcGeracaoQualificada,
+      l.SigUFPrincipal, l.DscMuninicpios, e.NomEmpreendimento,
+      f.FK_DataOperacao, f.v1 AS MdaPotenciaOutorgadaKw,
+      f.v2 AS MdaPotenciaFiscalizadaKw, f.v3 AS MdaGarantiaFisicaKw,
+      1 AS QtdEmpreendimentos
+    FROM fact f
+    JOIN dim_g g ON f.SigTipoGeracao IS NOT DISTINCT FROM g.SigTipoGeracao
+      AND f.DscOrigemCombustivel IS NOT DISTINCT FROM g.DscOrigemCombustivel
+      AND f.DscFonteCombustivel IS NOT DISTINCT FROM g.DscFonteCombustivel
+    JOIN dim_s st ON f.DscFaseUsina IS NOT DISTINCT FROM st.DscFaseUsina
+      AND f.DscTipoOutorga IS NOT DISTINCT FROM st.DscTipoOutorga
+      AND f.IdcGeracaoQualificada IS NOT DISTINCT FROM st.IdcGeracaoQualificada
+    JOIN dim_l l ON f.SigUFPrincipal IS NOT DISTINCT FROM l.SigUFPrincipal
+      AND f.DscMuninicpios IS NOT DISTINCT FROM l.DscMuninicpios
+    LEFT JOIN dim_e e ON f.CodCEG = e.CodCEG
+    ORDER BY f.CodCEG, f.FK_DataOperacao, v1"""
+  }
 
   // ======================================================================
   // Extensions E5-E11: SQL-surface operators (SURVEY.md §2.4)
@@ -860,5 +956,6 @@ object Queries {
     ("sql_tpch_q3", sql_tpch_q3 _, sqlQ3),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
-    ("e11_session_window", e11_session_window _, e11wSql))
+    ("e11_session_window", e11_session_window _, e11wSql),
+    ("star_etl_e2e", star_etl_e2e _, starE2eSql))
 }

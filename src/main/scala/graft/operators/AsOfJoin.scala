@@ -28,28 +28,38 @@ object AsOfJoin {
   /** `left` must carry (keyCol, tsCol, ...); `right` (keyCol, tsCol,
     * rightVals...). Result = left columns + rightVals (null when no right
     * row precedes). All right value columns must not collide with left's.
+    *
+    * The right values travel as ONE struct through a single
+    * `last(ignoreNulls)` window, so the matched row's values arrive
+    * TOGETHER — including its NULLs (DuckDB ASOF semantics). Propagating
+    * each value column independently (round-1 formulation) silently mixed
+    * columns from different right rows whenever the latest right row had a
+    * NULL in one of them. One window pass instead of |rightVals| is also
+    * the cheaper plan.
     */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     val lTagged = left
       .withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__side")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .withColumn("__rv", lit(null).cast(rvType))
     val rTagged = right
       .withColumn("__side", lit(0))
       .select((leftCols.map(c =>
         if (c == keyCol || c == tsCol) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side")) ++
-        rightVals.map(col): _*)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side")) :+
+        struct(rightVals.map(col): _*).as("__rv"): _*)
     // right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
     // same-instant right row is visible to the left row (ts <= semantics).
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    lTagged.unionByName(rTagged)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col("__rv").getField(c).as(c)): _*)
   }
 }

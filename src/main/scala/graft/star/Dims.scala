@@ -3,7 +3,7 @@ package graft.star
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Dimension builders for the Kimball star schema
   * (`/root/reference/src/FullETLGenerator.java:80-122`).
@@ -38,10 +38,13 @@ object Dims {
     val spark = df.sparkSession
     val cols = attrs.map(col)
     val sorted = df.select(cols: _*).distinct().orderBy(cols: _*)
+    // SKs are LongType: an Int SK silently wraps past 2^31 distinct keys,
+    // which a 100 TB dimension can reach. (The reference's in-heap int
+    // counter could never get there — its SK domain is not a contract.)
     val schema = StructType(
-      StructField(skName, IntegerType, nullable = false) +: sorted.schema.fields)
+      StructField(skName, LongType, nullable = false) +: sorted.schema.fields)
     val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq((i + 1).toInt +: r.toSeq)
+      Row.fromSeq((i + 1) +: r.toSeq)
     }
     spark.createDataFrame(rows, schema)
   }

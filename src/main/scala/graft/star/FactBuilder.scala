@@ -25,14 +25,29 @@ object FactBuilder {
     * shared natural-key columns and replace the dim's SK by `-1` where the
     * probe missed. The dim's attribute columns are dropped — only the SK
     * survives, renamed to `fkName`.
+    *
+    * Keys join NULL-SAFELY (`<=>`): the reference probes a HashMap with
+    * string keys, so an empty attribute ("" after its CSV read) still
+    * matches the dim row built from the same value
+    * (FullETLGenerator.java:152-170). Spark's CSV reader surfaces empty
+    * fields as NULL; plain `=` would send every such row to the -1
+    * sentinel even though distinctDim emitted a matching NULL dim row.
+    * EqualNullSafe is a legal hash-join key, so this stays a broadcast
+    * hash join.
     */
   def resolveFk(fact: DataFrame, dim: DataFrame, sk: String,
                 naturalKey: Seq[String], fkName: String): DataFrame = {
-    val build = dim.select((sk +: naturalKey).map(col): _*)
-      .withColumnRenamed(sk, "__sk") // avoid clash when fkName == sk
-    fact.join(broadcast(build), naturalKey, "left")
-      .withColumn(fkName, coalesce(col("__sk"), lit(-1)))
+    val nkAlias = naturalKey.map(k => k -> s"__nk_$k").toMap
+    val build = naturalKey.foldLeft(
+      dim.select((sk +: naturalKey).map(col): _*)
+        .withColumnRenamed(sk, "__sk") // avoid clash when fkName == sk
+    )((d, k) => d.withColumnRenamed(k, nkAlias(k)))
+    val cond = naturalKey.map(k => fact(k) <=> build(nkAlias(k))).reduce(_ && _)
+    fact.join(broadcast(build), cond, "left")
+      // sentinel typed to the SK column so a long SK stays long
+      .withColumn(fkName, coalesce(col("__sk"), lit(-1).cast(dim.schema(sk).dataType)))
       .drop("__sk")
+      .drop(nkAlias.values.toSeq: _*)
   }
 
   /** Chain several FK resolutions: (dim, sk, naturalKey, fkName)*. */

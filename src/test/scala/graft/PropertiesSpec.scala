@@ -39,8 +39,8 @@ object PropertiesSpec extends Properties("graft") {
     Prop.forAll(Gen.listOfN(50, Gen.alphaStr.map(_.take(4)))) { vs =>
       vs.nonEmpty ==> {
         val dim = Dims.distinctDim(vs.toDF("v"), "sk", Seq("v"))
-        val sks = dim.select($"sk").as[Int].collect().sorted.toSeq
-        sks == (1 to vs.distinct.length).toSeq
+        val sks = dim.select($"sk").as[Long].collect().sorted.toSeq
+        sks == (1L to vs.distinct.length.toLong).toSeq
       }
     }
 

@@ -19,6 +19,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got("e3").isEmpty)        // nothing at or before 50
   }
 
+  test("as-of join returns the matched row's values TOGETHER, including its nulls") {
+    val left = Seq((1L, 300L, "e1")).toDF("k", "ms", "ev")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    // latest preceding right row has px=NULL, qty=7 — a true as-of join
+    // must NOT back-fill px from the older row
+    val right = Seq((1L, 100L, Some(10.0), 1L), (1L, 200L, None, 7L))
+      .toDF("k", "ms", "px", "qty")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = AsOfJoin.backward(left, right, "k", "ts", Seq("px", "qty"))
+      .select($"ev", $"px", $"qty").as[(String, Option[Double], Long)].collect()(0)
+    assert(got == (("e1", None, 7L)))
+  }
+
+  test("resolveFk matches NULL natural keys to their dim row (no spurious -1)") {
+    val fact = Seq((Some("a"), 1), (None, 2), (Some("zz"), 3)).toDF("attr", "m")
+    val dim = Seq((1, Some("a")), (2, None)).toDF("sk", "attr")
+    val got = star.FactBuilder.resolveFk(fact, dim, "sk", Seq("attr"), "fk")
+      .select($"m", $"fk").as[(Int, Int)].collect().toMap
+    assert(got == Map(1 -> 1, 2 -> 2, 3 -> -1))
+  }
+
   test("bucketed tables join without any exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")

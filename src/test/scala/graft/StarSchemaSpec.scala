@@ -40,8 +40,8 @@ class StarSchemaSpec extends SparkSpec {
     assert(star.dimGeracao.count() == 3)
     assert(star.dimStatus.count() == 3)
     assert(star.dimLocalizacao.count() == 3)
-    val sks = star.dimGeracao.select("ID_Geracao").as[Int].collect().sorted
-    assert(sks.toSeq == Seq(1, 2, 3))
+    val sks = star.dimGeracao.select("ID_Geracao").as[Long].collect().sorted
+    assert(sks.toSeq == Seq(1L, 2L, 3L))
   }
 
   test("empty IdcGeracaoQualificada becomes N/A in dim_status") {
