@@ -31,6 +31,40 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** E1 at 100 TB — exact dedup whose SHUFFLE never carries the payload.
+    * `exact` shuffles whole rows by the (possibly wide) key; here rows are
+    * keyed by a 128-bit content fingerprint (two independent xxhash64
+    * seeds — collision odds ~n²/2¹²⁸, negligible at any corpus size), the
+    * min-(order, id) survivor id is computed over (fp, order, id) ONLY,
+    * and survivors are recovered by a semi-join on the narrow id.
+    *
+    * Scale: the wide columns cross the wire at most once (the semi-join);
+    * store the table bucketed by `idCol` (graft.sources.Bucketing) and
+    * they never move at all — the winner-id side alone shuffles to the
+    * bucketing. `order` columns must be ascending; (order, id) defines
+    * the survivor deterministically.
+    *
+    * Not oracle-portable (xxhash64 is Spark-specific) — test-verified
+    * against `exact` instead.
+    */
+  def exactByFingerprint(df: DataFrame, key: Seq[String], order: Seq[Column],
+                         idCol: String): DataFrame = {
+    val fp = struct(
+      xxhash64(key.map(col): _*).as("h1"),
+      xxhash64(lit(0x9E3779B9L) +: key.map(col): _*).as("h2"))
+    // explicit field names: `order` may itself contain the id column
+    val ord = struct(order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+      col(idCol).as("__id"): _*)
+    val winners = df
+      .select(fp.as("__fp"), ord.as("__ord"))
+      .groupBy("__fp")
+      // struct min = lexicographic min over (order..., id): the same
+      // survivor as exact(df, key, order :+ id)
+      .agg(min(col("__ord")).as("__w"))
+      .select(col("__w").getField("__id").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Whitespace tokenization shared by the text-dedup family. */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -24,9 +24,27 @@ object StreamingOps {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(col(keyCol), window(col(tsCol), s"$minutes minutes"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col(valueCol)), 4).as("sum_value"))
+      // decimal sum, like the batch twin: double addition is association-
+      // order-dependent, and incremental state merge makes the order
+      // arbitrary by construction
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double"), 4).as("sum_value"))
       .select(col(keyCol), unix_millis(col("window.start")).as("w_start_ms"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup: first occurrence of each key survives; state
+    * is one entry per key seen within the watermark horizon, evicted as
+    * event time advances — the batch operator's semantics (Dedup.exact
+    * with arrival order) under bounded state. `keyCols` must not include
+    * the event-time column (the within-watermark variant treats close
+    * duplicates with differing timestamps as the same record).
+    */
+  def dedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+            watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   case class Event(key: Long, tsMs: Long, value: Double)
   case class SessionState(sessionId: Long, lastMs: Long, startMs: Long, n: Long)

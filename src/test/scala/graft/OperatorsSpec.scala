@@ -14,6 +14,42 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "x", "a"), (9L, "y", "z")))
   }
 
+  test("exactByFingerprint picks the same survivors as exact") {
+    val rnd = new scala.util.Random(3)
+    val texts = Seq("aa bb", "cc dd", "ee ff")
+    val df = (1 to 200).map { i =>
+      (i.toLong, texts(rnd.nextInt(3)), rnd.nextInt(4).toLong)
+    }.toDF("id", "text", "ord")
+    val viaFp = Dedup.exactByFingerprint(df, Seq("text"), Seq(col("ord")), "id")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val viaExact = Dedup.exact(df, Seq("text"), Seq(col("ord"), col("id")))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(viaFp == viaExact)
+    assert(viaFp.map(_._2).distinct.length == viaFp.length) // truly deduped
+  }
+
+  test("exactByFingerprint never shuffles the payload side when bucketed by id") {
+    val df = (1 to 500).map(i => (i.toLong, s"text ${i % 50}")).toDF("id", "text")
+    sources.Bucketing.writeBucketed(df, "dedup_bkt", "id", 4, sortCol = Some("id"))
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val t = sources.Bucketing.readTable(spark, "dedup_bkt")
+      val dd = Dedup.exactByFingerprint(t, Seq("text"), Seq(col("id")), "id")
+      assert(dd.count() == 50)
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val smj = dd.queryExecution.executedPlan
+        .collectFirst { case s: SortMergeJoinExec => s }
+      assert(smj.nonEmpty, s"expected a sort-merge semi join:\n${dd.queryExecution.executedPlan}")
+      val bigSideShuffles = smj.get.left.collect { case e: ShuffleExchangeExec => e }
+      assert(bigSideShuffles.isEmpty,
+        s"payload side must read in place:\n${smj.get.left}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("shingles: k=3 over tokens; short docs yield empty array") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(Dedup.shingles(Dedup.tokens($"text"), 3)).as[Seq[String]].collect()

@@ -31,6 +31,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps the first occurrence per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDF().toDF("id", "content", "ms")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val dd = StreamingOps.dedup(df, "ts", Seq("content"), watermark = "10 minutes")
+    val q = dd.writeStream.format("memory").queryName("ddup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a", base), (2L, "a", base + 1000), (3L, "b", base + 2000))
+      q.processAllAvailable()
+      // same content again in a later batch, still inside the watermark
+      input.addData((4L, "a", base + 3000), (5L, "c", base + 4000))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT content FROM ddup").as[String].collect().sorted
+      assert(got.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
