@@ -533,6 +533,78 @@ object Queries {
     cast(ceil(cast(length(replace(text, ' ', '')) as double) / 4.0) as bigint) AS n_bpeish
     FROM documents ORDER BY doc_id"""
 
+  /** E4 — sliding-window token chunking (window 32, stride 24): the
+    * context-length-bounded training-example generator. Narrow — no
+    * shuffle, one row per chunk.
+    */
+  def e4_chunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+      window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
+  val e4chSql = """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
+      len(string_split(text, ' ')) AS n FROM documents),
+    u AS (SELECT doc_id, n, tok, unnest(range(1, n + 1, 24)) AS st FROM t)
+    SELECT doc_id, cast((st - 1) / 24 as int) AS chunk_idx,
+      array_to_string(tok[st:st + 31], ' ') AS chunk,
+      cast(least(32, n - st + 1) as int) AS n_chunk_tokens
+    FROM u ORDER BY doc_id, chunk_idx"""
+
+  /** E4 — deterministic hash sampling (~10%): reproducible across engines
+    * and partitionings, unlike df.sample.
+    */
+  def e4_sample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(TextAnalysis.sampleByHash(col("doc_id").cast("string"), 10))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  val e4smSql = s"""SELECT doc_id, source FROM documents
+    WHERE list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(cast(doc_id as varchar), ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) % 100 < 10
+    ORDER BY doc_id"""
+
+  /** E4 — pattern redaction (PII-scrub shape): replace entity-like tokens,
+    * count the matches.
+    */
+  def e4_redact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redact(t(s, dir, "documents"), "doc_id", "text",
+      "\\b(customer|user|key)\\b", "<ENT>")
+      .orderBy("doc_id")
+
+  val e4rSql = """SELECT doc_id,
+    regexp_replace(text, '\b(customer|user|key)\b', '<ENT>', 'g') AS redacted,
+    cast(len(regexp_extract_all(text, '\b(customer|user|key)\b')) as int) AS n_matches
+    FROM documents ORDER BY doc_id"""
+
+  /** E8 — group-wise top-k curation: best 5 documents per source by
+    * quality score, ranked by the BoundedTopK aggregate (O(k) state per
+    * group, map-side partial — the curation filter that never funnels a
+    * group through one task).
+    */
+  def e8_grouped_topk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text",
+      carry = Seq("source"))
+      .groupBy("source")
+      .agg(graft.expressions.BoundedTopK.topK(col("quality"), col("doc_id"), 5).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("doc_id"), col("col.sim").as("quality"))
+      .orderBy("source", "rnk")
+
+  val e8gSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH q AS (SELECT doc_id, source,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents))
+    SELECT source, cast(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) as int) AS rnk,
+      doc_id, quality
+    FROM q QUALIFY rnk <= 5 ORDER BY source, rnk"""
+  }
+
   /** E4 — document fingerprint (portable rolling hash). */
   def e4_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -957,5 +1029,9 @@ object Queries {
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),
-    ("star_etl_e2e", star_etl_e2e _, starE2eSql))
+    ("star_etl_e2e", star_etl_e2e _, starE2eSql),
+    ("e4_chunks", e4_chunks _, e4chSql),
+    ("e4_sample", e4_sample _, e4smSql),
+    ("e4_redact", e4_redact _, e4rSql),
+    ("e8_grouped_topk", e8_grouped_topk _, e8gSql))
 }

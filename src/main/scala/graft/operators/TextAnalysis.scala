@@ -58,26 +58,28 @@ object TextAnalysis {
   /** Quality metrics: length, token counts, mean token length, stopword
     * ratio, uppercase ratio — the usual cheap corpus-filter features.
     */
-  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String,
+                     carry: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col(textCol))
     val nTok = size(toks)
     val stop = langScore(toks, langMarkers.toMap.apply("en"))
     df.select(
-      col(idCol),
+      (col(idCol) +: carry.map(col)) ++ Seq(
       length(col(textCol)).as("n_chars"),
       nTok.as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct"),
       ((length(col(textCol)) - nTok + 1).cast("double") / nTok).as("mean_token_len"),
       (stop.cast("double") / nTok).as("stopword_ratio"),
-      (size(array_distinct(toks)).cast("double") / nTok).as("distinct_ratio"))
+      (size(array_distinct(toks)).cast("double") / nTok).as("distinct_ratio")): _*)
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with
     * lexical diversity and a sane stopword rate. Deterministic arithmetic
     * only — oracle-reproducible.
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    qualityMetrics(df, idCol, textCol).withColumn("quality",
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   carry: Seq[String] = Nil): DataFrame =
+    qualityMetrics(df, idCol, textCol, carry).withColumn("quality",
       round(least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
         + col("distinct_ratio") * lit(0.3)
         + least(col("stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.2), 6))
@@ -86,6 +88,45 @@ object TextAnalysis {
     * the cheap exact-dup / shard-routing key (rolling hash over chars).
     */
   def fingerprint(text: Column): Column = portableStringHash(text)
+
+  /** Sliding-window token chunking — the context-length-bounded training
+    * example generator: windows of `window` tokens starting every `stride`
+    * tokens (trailing windows may be shorter; every token is covered).
+    * Completely narrow: no shuffle, one output row per chunk, and the
+    * token array is materialized in its own projection so the per-chunk
+    * lambda does not re-run the split (multi-reference aliases survive
+    * CollapseProject).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    df.select(col(idCol), tokens(col(textCol)).as("__tok"),
+        size(tokens(col(textCol))).as("__n"))
+      .select(col(idCol), col("__n"), posexplode(
+        transform(sequence(lit(1), col("__n"), lit(stride)),
+          st => concat_ws(" ", slice(col("__tok"), st, lit(window))))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col").as("chunk"),
+        least(lit(window), col("__n") - col("pos") * lit(stride)).as("n_chunk_tokens"))
+  }
+
+  /** Deterministic hash sampling: keep ~`pct`% of rows by the portable
+    * hash of a key expression — reproducible across engines and runs
+    * (unlike `df.sample`, whose outcome depends on partitioning), narrow,
+    * and stratifiable by hashing a composite key.
+    */
+  def sampleByHash(keyExpr: Column, pct: Int): Column =
+    pmod(portableStringHash(keyExpr), lit(100)) < pct
+
+  /** Pattern redaction for corpus scrubbing: replaces every match of
+    * `pattern` with `replacement` and reports the match count — the
+    * PII-removal shape (emails, ids, names), narrow and codegen'd.
+    */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+             pattern: String, replacement: String): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(col(textCol), pattern, replacement).as("redacted"),
+      regexp_count(col(textCol), lit(pattern)).as("n_matches"))
 
   /** Corpus term frequencies: one shuffle on token (map-side combined). */
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =

@@ -232,6 +232,26 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("chunking: stride overlap covers every token, trailing chunk shorter") {
+    val df = Seq((1L, (1 to 10).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk", "n_chunk_tokens")
+      .as[(Int, String, Int)].collect()
+    assert(got.length == 4) // starts at tokens 1, 4, 7, 10
+    assert(got(0) == ((0, "t1 t2 t3 t4", 4)))
+    assert(got(1) == ((1, "t4 t5 t6 t7", 4)))
+    assert(got(3) == ((3, "t10", 1)))
+  }
+
+  test("redact replaces all matches and counts them") {
+    val df = Seq((1L, "the customer saw the user and the customer left")).toDF("doc_id", "text")
+    val got = TextAnalysis.redact(df, "doc_id", "text", "\\b(customer|user)\\b", "<ENT>")
+      .as[(Long, String, Int)].collect()(0)
+    assert(got._2 == "the <ENT> saw the <ENT> and the <ENT> left")
+    assert(got._3 == 3)
+  }
+
   test("TF-IDF: token unique to one doc scores higher than a shared one") {
     val df = Seq((1L, "cat dog cat"), (2L, "dog bird")).toDF("doc_id", "text")
     val m = TextAnalysis.tfIdf(df, "doc_id", "text")
