@@ -628,7 +628,11 @@ object Queries {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id1", "id2")
 
-  val e2mSql: String = {
+  /** Shared CTE chain for the MinHash+LSH oracle: ends in `cand`
+    * (id1, id2, jaccard) — reused by e2_minhash and the connected-
+    * components clustering oracle.
+    */
+  private val e2mCtes: String = {
     val coeffs = Dedup.minhashCoeffs(16)
     val phash = (x: String) =>
       s"""list_reduce(list_concat([cast(7 as bigint)],
@@ -647,7 +651,7 @@ object Queries {
     }
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, sh, $b AS band, ${bandHash(b)} AS band_hash FROM sigs").mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     th AS (SELECT doc_id, list_transform(tk, t -> ${phash("t")}) AS th, len(tk) AS n FROM toks),
     sh AS (SELECT doc_id, list_distinct(list_transform(range(1, n - 1),
         i -> $shingleExpr)) AS sh
@@ -658,10 +662,42 @@ object Queries {
         cast(len(list_intersect(l.sh, r.sh)) as double) /
           (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard
       FROM banded l JOIN banded r ON l.band = r.band AND l.band_hash = r.band_hash
-        AND l.doc_id < r.doc_id)
+        AND l.doc_id < r.doc_id)"""
+  }
+
+  val e2mSql: String =
+    s"""WITH $e2mCtes
     SELECT id1, id2, round(jaccard, 6) AS jaccard FROM cand
     WHERE jaccard >= 0.4 ORDER BY id1, id2"""
+
+  /** E2 — near-dup CLUSTERS: connected components over the MinHash pair
+    * graph (duplicates are transitive — survivors are per component, not
+    * per pair). component = min doc_id in the cluster; singleton docs map
+    * to themselves.
+    */
+  def e2_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
+      .select("id1", "id2")
+    Components.minLabel(pairs, "id1", "id2", docs.select("doc_id"), "doc_id")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
   }
+
+  /** Oracle: recursive min-label reachability — min reachable id == min
+    * id of the connected component on an undirected graph.
+    */
+  val e2ccSql: String =
+    s"""WITH RECURSIVE $e2mCtes,
+    prs AS (SELECT id1, id2 FROM cand WHERE jaccard >= 0.4),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL SELECT id2, id1 FROM prs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS doc_id, min(lbl) AS component FROM reach
+    GROUP BY id ORDER BY doc_id"""
 
   /** E2 — SimHash signatures (24-bit, engine-portable). */
   def e2_simhash(s: SparkSession, dir: String): DataFrame =
@@ -1033,5 +1069,6 @@ object Queries {
     ("e4_chunks", e4_chunks _, e4chSql),
     ("e4_sample", e4_sample _, e4smSql),
     ("e4_redact", e4_redact _, e4rSql),
-    ("e8_grouped_topk", e8_grouped_topk _, e8gSql))
+    ("e8_grouped_topk", e8_grouped_topk _, e8gSql),
+    ("e2_dedup_clusters", e2_dedup_clusters _, e2ccSql))
 }

@@ -101,6 +101,16 @@ class OperatorsSpec extends SparkSpec {
     assert(leaked <= 1, s"expected at most the checkpointed result, got +$leaked")
   }
 
+  test("connected components: chain, triangle, singleton") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id")
+    val got = Components.minLabel(edges, "src", "dst", nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("simhash: identical docs equal, near docs close in hamming") {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val df = Seq(
