@@ -617,6 +617,70 @@ object Queries {
       (a, b) -> (a * 31 + b) % $HashPrime) AS fp
     FROM documents ORDER BY doc_id"""
 
+  /** E4 — benchmark decontamination: training docs sharing any hashed
+    * 5-gram with the eval corpus (sources src0/src1 here stand in for the
+    * held-out benchmark). The eval n-gram index is broadcast; the training
+    * side never shuffles for the probe.
+    */
+  def e4_decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalDocs = docs.filter(col("source").isin("src0", "src1"))
+    val trainDocs = docs.filter(!col("source").isin("src0", "src1"))
+    TextAnalysis.decontaminate(trainDocs, evalDocs, "doc_id", "text", n = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val e4dcSql: String = {
+    val phash = (x: String) =>
+      s"""list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split($x, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)"""
+    val gram5 = (0 until 5).foldLeft("cast(7 as bigint)")((acc, j) =>
+      s"(($acc * 31 + th[i + $j]) % $HashPrime)")
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+    th AS (SELECT doc_id, source, list_transform(tk, t -> ${phash("t")}) AS th,
+      len(tk) AS n FROM toks),
+    grams AS (SELECT doc_id, source,
+      list_distinct(list_transform(range(1, n - 3), i -> $gram5)) AS g FROM th),
+    ev AS (SELECT DISTINCT unnest(g) AS x FROM grams WHERE source IN ('src0', 'src1')),
+    tr AS (SELECT doc_id, g FROM grams WHERE source NOT IN ('src0', 'src1')),
+    hits AS (SELECT u.doc_id, count(*) AS h
+      FROM (SELECT doc_id, unnest(g) AS x FROM tr) u JOIN ev USING (x)
+      GROUP BY u.doc_id)
+    SELECT tr.doc_id, coalesce(h, 0) AS n_overlap,
+      cast(coalesce(h, 0) > 0 as int) AS contaminated
+    FROM tr LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""
+  }
+
+  /** E4/E3 — BM25 keyword retrieval (top 20 docs for a 3-term query).
+    * Narrow per-doc tf, one global stats row broadcast back, fixed-order
+    * score arithmetic (deterministic: no double-sum reordering anywhere).
+    */
+  def e4_bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("join", "spark", "vector"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  val e4bmSql: String = {
+    val terms = Seq("join", "spark", "vector")
+    val tfs = terms.map(tm =>
+      s"cast(len(list_filter(toks, x -> x = '$tm')) as double) AS tf_$tm").mkString(", ")
+    val dfs = terms.map(tm =>
+      s"cast(sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) as double) AS df_$tm").mkString(", ")
+    val score = terms.map(tm =>
+      s"""CASE WHEN tf_$tm > 0 THEN
+        ln((n_docs - df_$tm + 0.5) / (df_$tm + 0.5) + 1.0) * tf_$tm * (1.2 + 1.0)
+          / (tf_$tm + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        ELSE 0.0 END""").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, cast(len(toks) as double) AS dl, $tfs
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    s AS (SELECT cast(count(*) as double) AS n_docs, avg(dl) AS avgdl, $dfs FROM d)
+    SELECT doc_id, round($score, 6) AS score
+    FROM d, s ORDER BY score DESC, doc_id LIMIT 20"""
+  }
+
   // ======================================================================
   // E2/E3 — near-dup + similarity over documents/embeddings
   // ======================================================================
@@ -1070,5 +1134,7 @@ object Queries {
     ("e4_sample", e4_sample _, e4smSql),
     ("e4_redact", e4_redact _, e4rSql),
     ("e8_grouped_topk", e8_grouped_topk _, e8gSql),
-    ("e2_dedup_clusters", e2_dedup_clusters _, e2ccSql))
+    ("e2_dedup_clusters", e2_dedup_clusters _, e2ccSql),
+    ("e4_decontam", e4_decontam _, e4dcSql),
+    ("e4_bm25", e4_bm25 _, e4bmSql))
 }

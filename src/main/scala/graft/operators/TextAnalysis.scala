@@ -128,6 +128,74 @@ object TextAnalysis {
       regexp_replace(col(textCol), pattern, replacement).as("redacted"),
       regexp_count(col(textCol), lit(pattern)).as("n_matches"))
 
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one hashed n-gram with an evaluation corpus (the standard
+    * "remove eval overlap from pretraining data" check). Returns
+    * (id, n_overlap, contaminated 0/1) for every training doc — including
+    * those too short to have any n-gram (n_overlap = 0).
+    *
+    * Scale design: the eval side is a benchmark — thousands of docs, not
+    * terabytes — so its distinct n-gram index is BROADCAST and the
+    * training corpus never shuffles for the probe; exploded train grams
+    * hash-join the broadcast index map-side, and the per-doc overlap
+    * count is a map-side-combined aggregate (each doc's grams are
+    * colocated, so the shuffle carries ~1 row per contaminated doc).
+    * The n-gram hash is the portable polynomial fold (oracle-reproducible).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => portableStringHash(t)).as("__th"))
+      .select(col("id"), Dedup.hashedShinglesFromHashes(col("__th"), n).as("g"))
+    val evalIndex = grams(eval).select(explode(col("g")).as("x")).distinct()
+    val trainGrams = grams(train)
+    val hits = trainGrams.select(col("id"), explode(col("g")).as("x"))
+      .join(broadcast(evalIndex), "x")
+      .groupBy("id").agg(count(lit(1)).as("__hits")) // g is distinct per doc
+    trainGrams.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__hits"), lit(0L)).as("n_overlap"),
+        (coalesce(col("__hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  /** BM25 keyword retrieval over the corpus for a FIXED small term set
+    * (the standard k1/b formulation with Lucene's idf
+    * ln((N - df + 0.5)/(df + 0.5) + 1)).
+    *
+    * Formulated for determinism and scale: per-term tf is a NARROW
+    * higher-order count over the token array (no explode, no shuffle);
+    * the corpus statistics (N, avgdl, per-term df) reduce to ONE row in
+    * a single aggregate and come back as a broadcast — so the whole query
+    * is one narrow pass + one tiny global agg, and the score is a
+    * fixed-order arithmetic chain over exact integer aggregates (no
+    * association-order-dependent double summation).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(col(textCol))
+    def tfCol(t: String) = s"tf_$t"
+    val perDoc = df.select(
+      (col(idCol) +: size(toks).as("dl") +:
+        terms.map(t => size(filter(toks, x => x === lit(t))).as(tfCol(t)))): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (avg(col("dl")).as("avgdl") +:
+        terms.map(t => sum((col(tfCol(t)) > 0).cast("long")).cast("double")
+          .as(s"df_$t"))): _*)
+    val score = terms.map { t =>
+      val tf = col(tfCol(t)).cast("double")
+      val idf = log((col("n_docs") - col(s"df_$t") + lit(0.5))
+        / (col(s"df_$t") + lit(0.5)) + lit(1.0))
+      when(col(tfCol(t)) > 0,
+        idf * tf * lit(k1 + 1.0)
+          / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("score"))
+  }
+
   /** Corpus term frequencies: one shuffle on token (map-side combined). */
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))

@@ -262,6 +262,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got._3 == 3)
   }
 
+  test("decontaminate flags only train docs sharing an n-gram with eval") {
+    val evalDocs = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x a b c d e y"),   // contains eval 5-gram "a b c d e"
+      (2L, "p q r s t u v"),   // clean
+      (3L, "a b")              // too short for any 5-gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(train, evalDocs, "doc_id", "text", n = 5)
+      .orderBy("id").as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 0L, 0)))
+  }
+
+  test("BM25 ranks the term-dense doc first; docs without terms score 0") {
+    val df = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bm25(df, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) > m(2L))
+    assert(m(3L) == 0.0)
+  }
+
   test("TF-IDF: token unique to one doc scores higher than a shared one") {
     val df = Seq((1L, "cat dog cat"), (2L, "dog bird")).toDF("doc_id", "text")
     val m = TextAnalysis.tfIdf(df, "doc_id", "text")
