@@ -617,6 +617,67 @@ object Queries {
       (a, b) -> (a * 31 + b) % $HashPrime) AS fp
     FROM documents ORDER BY doc_id"""
 
+  /** E4 — stratified deterministic sampling: rebalance the corpus by
+    * downsampling the over-represented language (en -> 10%) while keeping
+    * the rest at 40%. Same portable hash gate as e4_sample, rate chosen
+    * per stratum.
+    */
+  def e4_stratified(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(TextAnalysis.stratifiedSampleByHash(col("doc_id").cast("string"),
+        col("lang"), Map("en" -> 10), defaultPct = 40))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  val e4stSql = s"""SELECT doc_id, lang, source FROM documents
+    WHERE list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(cast(doc_id as varchar), ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) % 100
+      < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+    ORDER BY doc_id"""
+
+  /** E10 — approximate distinct counts, tolerance-graded: the HLL++
+    * estimate (rsd 0.01) must land within 5% of the exact count; the
+    * graded row carries the exact counts plus the within-tolerance flags,
+    * so the oracle stays hash-exact while the approx path is genuinely
+    * exercised (sketches differ across engines — the flag is the portable
+    * contract).
+    */
+  def e10_approx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("__ap"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("__as"))
+      .select(col("exact_parts"), col("exact_supps"),
+        (abs(col("__ap") - col("exact_parts")).cast("double") / col("exact_parts")
+          <= 0.05).cast("int").as("parts_within_5pct"),
+        (abs(col("__as") - col("exact_supps")).cast("double") / col("exact_supps")
+          <= 0.05).cast("int").as("supps_within_5pct"))
+
+  val e10aSql = """SELECT count(DISTINCT l_partkey) AS exact_parts,
+    count(DISTINCT l_suppkey) AS exact_supps,
+    cast(1 as int) AS parts_within_5pct, cast(1 as int) AS supps_within_5pct
+    FROM lineitem"""
+
+  /** E10 — fixed-width-bin histogram (the profiling primitive): one
+    * map-side-combined aggregate over floor-division bins; decimal-exact
+    * per-bin sums.
+    */
+  def e10_histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / lit(25000.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("bin"), (col("bin") * lit(25000.0)).as("bin_lo"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("bin")
+
+  val e10hSql = s"""SELECT bin, bin * 25000.0 AS bin_lo, count(*) AS n_orders,
+    ${dsumSql("o_totalprice")} AS sum_price
+    FROM (SELECT cast(floor(o_totalprice / 25000.0) as bigint) AS bin, o_totalprice FROM orders)
+    GROUP BY bin ORDER BY bin"""
+
   /** E4 — benchmark decontamination: training docs sharing any hashed
     * 5-gram with the eval corpus (sources src0/src1 here stand in for the
     * held-out benchmark). The eval n-gram index is broadcast; the training
@@ -1136,5 +1197,8 @@ object Queries {
     ("e8_grouped_topk", e8_grouped_topk _, e8gSql),
     ("e2_dedup_clusters", e2_dedup_clusters _, e2ccSql),
     ("e4_decontam", e4_decontam _, e4dcSql),
-    ("e4_bm25", e4_bm25 _, e4bmSql))
+    ("e4_bm25", e4_bm25 _, e4bmSql),
+    ("e4_stratified", e4_stratified _, e4stSql),
+    ("e10_approx", e10_approx _, e10aSql),
+    ("e10_histogram", e10_histogram _, e10hSql))
 }

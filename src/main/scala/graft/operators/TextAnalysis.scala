@@ -118,6 +118,20 @@ object TextAnalysis {
   def sampleByHash(keyExpr: Column, pct: Int): Column =
     pmod(portableStringHash(keyExpr), lit(100)) < pct
 
+  /** Stratified deterministic sampling: per-stratum keep rates (percent),
+    * hash-gated like `sampleByHash` — the corpus-rebalancing shape
+    * (downsample the over-represented language/source, keep the rest).
+    * Narrow, reproducible, and consistent: a row's fate depends only on
+    * its key and stratum, never on partitioning or traversal order.
+    */
+  def stratifiedSampleByHash(keyExpr: Column, strata: Column,
+                             rates: Map[String, Int], defaultPct: Int): Column = {
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultPct): Column) {
+      case ((k, v), els) => when(strata === lit(k), lit(v)).otherwise(els)
+    }
+    pmod(portableStringHash(keyExpr), lit(100)) < rate
+  }
+
   /** Pattern redaction for corpus scrubbing: replaces every match of
     * `pattern` with `replacement` and reports the match count — the
     * PII-removal shape (emails, ids, names), narrow and codegen'd.
