@@ -678,6 +678,60 @@ object Queries {
     FROM (SELECT cast(floor(o_totalprice / 25000.0) as bigint) AS bin, o_totalprice FROM orders)
     GROUP BY bin ORDER BY bin"""
 
+  /** SCD2 — type-2 dimension from the orders change stream: per customer,
+    * one row per o_orderpriority regime with [valid_from, valid_to)
+    * validity, version, is_current. One shuffle total (both windows share
+    * the key partitioning).
+    */
+  def scd2_dim(s: SparkSession, dir: String): DataFrame =
+    Scd2.build(
+      t(s, dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+      nk = Seq("o_custkey"), ts = col("o_orderdate"),
+      tieBreak = Seq(col("o_orderkey")), attrs = Seq("o_orderpriority"))
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        col("valid_from").cast("date").as("valid_from"),
+        col("valid_to").cast("date").as("valid_to"),
+        col("version"), col("is_current"))
+      .orderBy("o_custkey", "version")
+
+  val scd2Sql = """WITH e AS (SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tb,
+      o_orderpriority AS attr FROM orders),
+    ch AS (SELECT o_custkey, ts, tb, attr FROM (
+        SELECT *, lag(attr) OVER (PARTITION BY o_custkey ORDER BY ts, tb) AS prev FROM e)
+      WHERE prev IS DISTINCT FROM attr)
+    SELECT o_custkey, attr AS priority, cast(ts as date) AS valid_from,
+      cast(lead(ts) OVER w as date) AS valid_to,
+      cast(row_number() OVER w as int) AS version,
+      cast((lead(ts) OVER w) IS NULL as int) AS is_current
+    FROM ch WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, tb)
+    ORDER BY o_custkey, version"""
+
+  /** MERGE — upsert + delete changeset applied to the orders snapshot
+    * (keys %7 updated, keys %13 deleted). No join: tagged union + one
+    * priority window, one shuffle.
+    */
+  def etl_merge(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val changes = orders
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .withColumn("op", when(col("o_orderkey") % 13 === 0, "D").otherwise("U"))
+    Merge.merge(orders, changes, Seq("o_orderkey")).orderBy("o_orderkey")
+  }
+
+  val mergeSql = """WITH ch AS (SELECT o_orderkey, o_custkey,
+      o_totalprice + 1000.0 AS o_totalprice, o_orderstatus,
+      CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op
+    FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0),
+    u AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'U' AS op, 0 AS src FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, op, 1 AS src FROM ch)
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM u
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) = 1 AND op <> 'D'
+    ORDER BY o_orderkey"""
+
   /** E4 — benchmark decontamination: training docs sharing any hashed
     * 5-gram with the eval corpus (sources src0/src1 here stand in for the
     * held-out benchmark). The eval n-gram index is broadcast; the training
@@ -1200,5 +1254,7 @@ object Queries {
     ("e4_bm25", e4_bm25 _, e4bmSql),
     ("e4_stratified", e4_stratified _, e4stSql),
     ("e10_approx", e10_approx _, e10aSql),
-    ("e10_histogram", e10_histogram _, e10hSql))
+    ("e10_histogram", e10_histogram _, e10hSql),
+    ("scd2_dim", scd2_dim _, scd2Sql),
+    ("etl_merge", etl_merge _, mergeSql))
 }

@@ -1,0 +1,51 @@
+package graft.star
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing dimension builder — the historization step the
+  * reference's star schema stops short of (its dims are snapshot-only;
+  * see /root/reference/src/FullETLGenerator.java:80-122 for the type-1
+  * first-wins build this generalizes).
+  *
+  * From a change-event stream (natural key, event time, attributes) it
+  * emits one row per attribute REGIME: consecutive events with unchanged
+  * attributes collapse, each surviving row carries
+  * [valid_from, valid_to) (valid_to NULL = open), a per-key version
+  * number, and an is_current flag.
+  *
+  * Scale design: ONE shuffle on the natural key — the change-collapse
+  * window and the validity/version window share the same partitioning
+  * and ordering, so Catalyst plans a single Exchange + sort and runs
+  * both window frames over it. Keys parallelize independently; nothing
+  * is driver-side.
+  */
+object Scd2 {
+
+  /** @param events   change stream, >= 1 row per (nk, ts)
+    * @param nk       natural-key columns
+    * @param ts       event-time column
+    * @param tieBreak extra ordering for same-timestamp events (last one
+    *                 in this order wins the regime boundary)
+    * @param attrs    tracked attribute columns
+    */
+  def build(events: DataFrame, nk: Seq[String], ts: Column,
+            tieBreak: Seq[Column], attrs: Seq[String]): DataFrame = {
+    val ord = (ts +: tieBreak).map(_.asc)
+    val w = Window.partitionBy(nk.map(col): _*).orderBy(ord: _*)
+    val attrStruct = struct(attrs.map(col): _*)
+    // keep only regime starts: first event per key, or attrs changed
+    // vs the previous event (null-safe: <=> handles the first row and
+    // NULL attribute values uniformly)
+    val changed = events
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .filter(!(attrStruct <=> col("__prev")))
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", ts)
+      .withColumn("valid_to", lead(ts, 1).over(w))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+}

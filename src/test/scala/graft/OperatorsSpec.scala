@@ -286,6 +286,44 @@ class OperatorsSpec extends SparkSpec {
     assert(m(3L) == 0.0)
   }
 
+  test("Merge applies upserts, deletes, inserts; untouched keys pass through") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "attr", "v")
+    val changes = Seq((2L, "b2", 25.0, "U"), (3L, "c", 30.0, "D"), (4L, "d", 40.0, "U"))
+      .toDF("k", "attr", "v", "op")
+    val got = operators.Merge.merge(base, changes, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (4L, "d", 40.0)))
+  }
+
+  test("Scd2 collapses unchanged regimes, versions and closes intervals") {
+    val ev = Seq(
+      (1L, "2020-01-01", 1L, "gold"),
+      (1L, "2020-02-01", 2L, "gold"),   // unchanged -> collapses
+      (1L, "2020-03-01", 3L, "silver"),
+      (1L, "2020-04-01", 4L, "gold"),   // back to gold -> NEW regime
+      (2L, "2020-01-15", 5L, "bronze")
+    ).toDF("nk", "d", "tb", "tier").withColumn("d", col("d").cast("date"))
+    val got = star.Scd2.build(ev, Seq("nk"), col("d"), Seq(col("tb")), Seq("tier"))
+      .select(col("nk"), col("tier"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("version"), col("is_current"))
+      .orderBy("nk", "version")
+      .as[(Long, String, String, String, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, "gold", "2020-01-01", "2020-03-01", 1, 0),
+      (1L, "silver", "2020-03-01", "2020-04-01", 2, 0),
+      (1L, "gold", "2020-04-01", null, 3, 1),
+      (2L, "bronze", "2020-01-15", null, 1, 1)))
+  }
+
+  test("Scd2 plans exactly one shuffle (both windows share the key partitioning)") {
+    val ev = (1 to 100).map(i => ((i % 10).toLong, i, s"a${i % 3}"))
+      .toDF("nk", "seq", "attr")
+    val plan = star.Scd2.build(ev, Seq("nk"), col("seq"), Nil, Seq("attr"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, s"expected 1 Exchange:\n$plan")
+  }
+
   test("TF-IDF: token unique to one doc scores higher than a shared one") {
     val df = Seq((1L, "cat dog cat"), (2L, "dog bird")).toDF("doc_id", "text")
     val m = TextAnalysis.tfIdf(df, "doc_id", "text")
