@@ -678,6 +678,38 @@ object Queries {
     FROM (SELECT cast(floor(o_totalprice / 25000.0) as bigint) AS bin, o_totalprice FROM orders)
     GROUP BY bin ORDER BY bin"""
 
+  /** E6 — z-score outlier detection per event_type, DETERMINISTIC: the
+    * group moments are exact decimal sums (sum x, sum x*x — the per-row
+    * square is a single IEEE multiply, identical in any engine; only
+    * SUM order varies, and decimal summation is order-free), and mean/
+    * sigma/z are then fixed-shape double arithmetic over those exact
+    * aggregates. The stats side is ~|event_type| rows -> broadcast back;
+    * the events side never shuffles.
+    */
+  def e6_zscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(col("value")).as("sx"),
+      dsum(col("value") * col("value")).as("sxx"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", round(
+        (col("value") - col("sx") / col("n"))
+          / sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))), 6))
+      .filter(abs(col("z")) > 3.0)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
+  val e6zSql = s"""WITH st AS (SELECT event_type, cast(count(*) as double) AS n,
+      ${dsumSql("value")} AS sx, ${dsumSql("value * value")} AS sxx
+    FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type, value,
+      round((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE abs(round((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6)) > 3.0
+    ORDER BY event_id"""
+
   /** SCD2 — type-2 dimension from the orders change stream: per customer,
     * one row per o_orderpriority regime with [valid_from, valid_to)
     * validity, version, is_current. One shuffle total (both windows share
@@ -1256,5 +1288,6 @@ object Queries {
     ("e10_approx", e10_approx _, e10aSql),
     ("e10_histogram", e10_histogram _, e10hSql),
     ("scd2_dim", scd2_dim _, scd2Sql),
-    ("etl_merge", etl_merge _, mergeSql))
+    ("etl_merge", etl_merge _, mergeSql),
+    ("e6_zscore", e6_zscore _, e6zSql))
 }
