@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's single JSON stdout line. sbt's default logger
+// decorates forked-run stdout as `[info] {...}` and appends `[success]`
+// after it, which broke the parse in rounds 1-2. StdoutOutput passes the
+// forked JVM's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

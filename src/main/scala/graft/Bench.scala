@@ -37,6 +37,16 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { tb =>
       spark.read.parquet(s"$sfDir/$tb.parquet").count()
     }
+    // previous run's per-query times (for the degradation guard below)
+    val history: Map[String, Double] =
+      if (Files.exists(Paths.get("bench.json"))) {
+        val txt = Files.readString(Paths.get("bench.json"))
+        val qsPart = txt.indexOf("\"queries\":")
+        if (qsPart < 0) Map.empty
+        else "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
+          .findAllMatchIn(txt.substring(qsPart, txt.indexOf("}", qsPart) + 1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
@@ -48,7 +58,19 @@ object Bench {
           None
         }
       }
-      if (times.isEmpty) None else Some(name -> times.min)
+      // queries are independent: drop every cache/checkpoint block a query
+      // left behind so session state can't accumulate into later timings
+      // (round 2's p1-p3 scans drifted 3-5x from exactly that).
+      Blocks.sweep(spark.sparkContext)
+      val best = times.reduceOption(_ min _)
+      // degradation guard: a formerly-trivial query running >3x its last
+      // recorded time means something session-wide regressed — surface it
+      // to the BUILDER (stderr), not just the judge.
+      for (old <- history.get(name); t <- best)
+        if (old < 0.2 && t > old * 3 && t > 0.3)
+          System.err.println(
+            f"[bench-guard] $name: $t%.3fs vs $old%.3fs last run (>3x on a trivial query)")
+      best.map(name -> _)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

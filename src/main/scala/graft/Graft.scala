@@ -21,6 +21,14 @@ object Graft {
     // (us) cannot hold; read the raw int64 and convert explicitly
     // (graft.Queries.events does `ts div 1e6` -> timestamp_millis).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // SQL-surface users on a tuned session get the native dot-product
+    // rewrite + function without configuring spark.sql.extensions
+    // (round-2 verdict item 7). Guarded: extraOptimizations is
+    // append-only state on a shared session.
+    if (!spark.experimental.extraOptimizations.contains(plans.NativeDotRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.NativeDotRewrite
+    GraftExtensions.register(spark)
     spark
   }
 }

@@ -34,8 +34,10 @@ object Components {
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
                nodes: DataFrame, idCol: String, maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // persist (not checkpoint): read every round, released on exit —
+    // Dataset.unpersist works for persists, so no block can leak.
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .persist()
     var labels = nodes.select(col(idCol).as("id"))
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -54,9 +56,16 @@ object Components {
         .join(labels.select(col("id"), col("comp").as("prev")), "id")
         .filter(col("comp") < col("prev"))
         .count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `changed` is computed — free them NOW, don't wait for GC
+      // (round 2 leaked one block per round per invocation).
+      graft.Blocks.free(labels)
       labels = next
       iter += 1
     }
+    sym.unpersist()
+    // the returned frame stays checkpoint-backed (its rounds of lineage
+    // are gone); callers that fully consume it can graft.Blocks.free it.
     labels
   }
 }

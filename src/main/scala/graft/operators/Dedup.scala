@@ -220,7 +220,10 @@ object Dedup {
     * the result is materialized via an eager localCheckpoint, which also
     * cuts the lineage so the released cache can never be recomputed into.
     * Round 1 leaked this persist across the whole bench session
-    * ("Block rdd_* already exists" warnings).
+    * ("Block rdd_* already exists" warnings). The returned frame is
+    * checkpoint-backed: callers that fully consume it can release its
+    * (small) blocks with graft.Blocks.free; harnesses sweep at query
+    * boundaries.
     */
   private def lshVerifiedPairs(baseUncached: DataFrame, bands: Int,
                                sigAggs: Seq[Column], bandHash: Int => Column,

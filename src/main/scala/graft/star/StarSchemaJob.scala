@@ -50,15 +50,28 @@ object StarSchemaJob {
       dimLocalizacao: DataFrame,
       dimEmpreendimento: DataFrame,
       dimTempo: DataFrame,
-      fato: DataFrame)
+      fato: DataFrame,
+      private val cachedSource: Option[DataFrame]) {
+    /** Release the cached source scan. Call once the star's tables are
+      * materialized (written, collected, or checkpointed) — leaving it to
+      * session end leaks the cache across every subsequent build
+      * (round-2 verdict item 2).
+      */
+    def release(): Unit = cachedSource.foreach(_.unpersist())
+  }
 
-  /** Build all six tables from the raw source DataFrame. */
-  def build(src: DataFrame): Star = {
-    // The probe side is scanned once for dims and once for the fact —
-    // cache it so Spark materializes a single physical read.
-    val s = src
+  /** Build all six tables from the raw source DataFrame.
+    *
+    * `cacheSource = true` (the default, right for real inputs) caches the
+    * normalized scan so dims and fact share one physical read; the caller
+    * MUST `star.release()` once the tables are materialized. Pass `false`
+    * for tiny or repeatedly-rebuilt inputs where a second scan is cheaper
+    * than a cache entry's lifetime.
+    */
+  def build(src: DataFrame, cacheSource: Boolean = true): Star = {
+    val normalized = src
       .withColumn("IdcGeracaoQualificada", naIfEmpty(col("IdcGeracaoQualificada")))
-      .cache()
+    val s = if (cacheSource) normalized.cache() else normalized
 
     val dimGeracao = Dims.distinctDim(s, "ID_Geracao",
       Seq("SigTipoGeracao", "DscOrigemCombustivel", "DscFonteCombustivel"))
@@ -97,7 +110,8 @@ object StarSchemaJob {
         parseBrDouble(col("MdaGarantiaFisicaKw")).as("MdaGarantiaFisicaKw"),
         lit(1).as("QtdEmpreendimentos"))
 
-    Star(dimGeracao, dimStatus, dimLocalizacao, dimEmpreendimento, dimTempo, fact)
+    Star(dimGeracao, dimStatus, dimLocalizacao, dimEmpreendimento, dimTempo, fact,
+      if (cacheSource) Some(s) else None)
   }
 
   /** F5 at the sink boundary: measures formatted %.2f with decimal comma
@@ -121,6 +135,7 @@ object StarSchemaJob {
     writeCsv(star.dimEmpreendimento, s"$outDir/dim_empreendimento")
     writeCsv(star.dimTempo, s"$outDir/dim_tempo")
     writeCsv(formatFactForCsv(star.fato), s"$outDir/fato_geracao")
+    star.release() // all six tables are on disk; the source cache is dead
     star
   }
 }

@@ -97,28 +97,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("NativeDotRewrite replaces the HOF dot-product pattern in the optimized plan") {
-    val prev = spark.experimental.extraOptimizations
-    try {
-      spark.experimental.extraOptimizations = prev :+ plans.NativeDotRewrite
-      // parquet source so constant folding can't collapse the projection
-      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      val df = e.select($"vec_id",
-        operators.Similarity.dotHof($"embedding", $"embedding").as("d"))
-      assert(df.queryExecution.optimizedPlan.toString.contains("float_vec_dot"),
-        s"rewrite missing in:\n${df.queryExecution.optimizedPlan}")
-      // rewritten result == native formulation, row for row
-      val native = e.select($"vec_id",
-        operators.Similarity.dot($"embedding", $"embedding").as("d"))
-      assert(df.orderBy("vec_id").as[(Long, Double)].collect().toSeq ==
-        native.orderBy("vec_id").as[(Long, Double)].collect().toSeq)
-      // double arrays must NOT be rewritten
-      val dbl = e.select(aggregate(
-        zip_with($"embedding".cast("array<double>"), $"embedding".cast("array<double>"),
-          (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v).as("d"))
-      assert(!dbl.queryExecution.optimizedPlan.toString.contains("float_vec_dot"))
-    } finally spark.experimental.extraOptimizations = prev
+  test("NativeDotRewrite is active on a Graft.tune'd session, no manual registration") {
+    // SparkSpec's shared session went through Graft.tune ONLY — no
+    // spark.sql.extensions config, no extraOptimizations append here.
+    // parquet source so constant folding can't collapse the projection
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = e.select($"vec_id",
+      operators.Similarity.dotHof($"embedding", $"embedding").as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("float_vec_dot"),
+      s"rewrite missing in:\n${df.queryExecution.optimizedPlan}")
+    // rewritten result == native formulation, row for row
+    val native = e.select($"vec_id",
+      operators.Similarity.dot($"embedding", $"embedding").as("d"))
+    assert(df.orderBy("vec_id").as[(Long, Double)].collect().toSeq ==
+      native.orderBy("vec_id").as[(Long, Double)].collect().toSeq)
+    // double arrays must NOT be rewritten
+    val dbl = e.select(aggregate(
+      zip_with($"embedding".cast("array<double>"), $"embedding".cast("array<double>"),
+        (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!dbl.queryExecution.optimizedPlan.toString.contains("float_vec_dot"))
   }
 
   test("bruteForceTopK broadcasts the QUERY side and ranks without a window") {
