@@ -924,17 +924,44 @@ object Queries {
       .select(col("doc_id"), Dedup.simhashFromHashes(col("th"), bits = 24).as("simhash"))
       .orderBy("doc_id")
 
-  val e2sSql: String = {
+  /** Shared 24-bit signature CTE for the SimHash oracles (mirrors
+    * Dedup.simhashFromHashes bit for bit).
+    */
+  private val e2sigCte: String = {
     val phash = s"""list_reduce(list_concat([cast(7 as bigint)],
       list_transform(string_split(t, ''), c -> cast(ascii(c) as bigint))),
       (a, b) -> (a * 31 + b) % $HashPrime)"""
-    s"""SELECT doc_id, cast(list_sum(list_transform(range(24), k ->
+    s"""sigs AS (SELECT doc_id, cast(list_sum(list_transform(range(24), k ->
         CASE WHEN list_sum(list_transform(hs, h ->
           (cast(floor(h / power(2, k)) as bigint) % 2) * 2 - 1)) > 0
-        THEN cast(power(2, k) as bigint) ELSE 0 END)) as bigint) AS simhash
-    FROM (SELECT doc_id, list_transform(string_split(text, ' '), t -> $phash) AS hs
-      FROM documents)
-    ORDER BY doc_id"""
+        THEN cast(power(2, k) as bigint) ELSE 0 END)) as bigint) AS s
+      FROM (SELECT doc_id, list_transform(string_split(text, ' '), t -> $phash) AS hs
+        FROM documents))"""
+  }
+
+  val e2sSql: String =
+    s"WITH $e2sigCte SELECT doc_id, s AS simhash FROM sigs ORDER BY doc_id"
+
+  /** E2 — SimHash near-dup PAIRS: banded Hamming self-join over the
+    * signatures; lossless for hamming <= 3 with 4 bands (pigeonhole).
+    */
+  def e2_simhash_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      bits = 24, bands = 4, maxHamming = 3)
+      .orderBy("id1", "id2")
+
+  val e2spSql: String = {
+    val bandRows = (0 until 4).map(b =>
+      s"""SELECT doc_id, s, $b AS band,
+        cast(floor(s / power(2, ${b * 6})) as bigint) % 64 AS bh FROM sigs""")
+      .mkString(" UNION ALL ")
+    s"""WITH $e2sigCte,
+    banded AS ($bandRows),
+    cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+        cast(bit_count(xor(l.s, r.s)) as int) AS hamming
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+        AND l.doc_id < r.doc_id)
+    SELECT id1, id2, hamming FROM cand WHERE hamming <= 3 ORDER BY id1, id2"""
   }
 
   /** E2 — n-gram Jaccard pairs, blocked by (source, token count). */
@@ -1263,6 +1290,7 @@ object Queries {
     ("e4_fingerprint", e4_fingerprint _, e4fSql),
     ("e2_minhash", e2_minhash _, e2mSql),
     ("e2_simhash", e2_simhash _, e2sSql),
+    ("e2_simhash_pairs", e2_simhash_pairs _, e2spSql),
     ("e2_ngram_jaccard", e2_ngram_jaccard _, e2nSql),
     ("e3_cosine_topk", e3_cosine_topk _, e3bSql),
     ("e3_lsh_topk", e3_lsh_topk _, e3lSql),

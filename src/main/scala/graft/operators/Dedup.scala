@@ -277,6 +277,54 @@ object Dedup {
         acc + when(bitSum > 0, pow2.cast("long")).otherwise(lit(0L))
       })
 
+  /** E2 — SimHash near-duplicate PAIRS: banded Hamming self-join over the
+    * `bits`-bit signatures (the pair-extraction step `simhash` alone
+    * lacks — the cheap-signature dedup path at corpus scale: one long per
+    * doc, no shingle sets to carry).
+    *
+    * Banding is LOSSLESS for the threshold by pigeonhole: split the
+    * signature into `bands` equal bit-bands; <= maxHamming differing bits
+    * can touch at most `maxHamming` bands, so with
+    * `bands >= maxHamming + 1` every qualifying pair shares at least one
+    * whole band — candidates are pairs sharing a band value, never all
+    * pairs. Every candidate is then verified with the exact popcount
+    * `bit_count(s1 XOR s2) <= maxHamming` (integer arithmetic, portable
+    * to any engine).
+    *
+    * Scale: the join carries (id, 1 long) rows keyed by (band, bandValue);
+    * at corpus scale use wider bands (more bits per band) so bucket
+    * populations stay bounded — recall for the chosen maxHamming is
+    * unaffected as long as `bands > maxHamming`.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 24, bands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    require(bands > maxHamming,
+      s"banding is lossless only for bands > maxHamming ($bands <= $maxHamming)")
+    val w = bits / bands
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => portableStringHash(t)).as("th"))
+      .select(col("id"), simhashFromHashes(col("th"), bits).as("sig"))
+    // band b = floor(sig / 2^(b*w)) mod 2^w — div/mod, not shifts, so the
+    // oracle SQL is the literally-identical expression
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        pmod(floor(col("sig") / pow(lit(2.0), lit(b * w))).cast("long"),
+          lit(1L << w))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
+    banded.select(col("band"), col("bh"), col("id").as("id1"), col("sig").as("s1"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id2"),
+        col("sig").as("s2")), Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Skew-salted equi-join: split each hot left key across `salt`
     * sub-partitions and replicate the right side per salt value. Use when
     * a key's row count dwarfs a task (AQE's skew-join handles sort-merge
@@ -302,32 +350,69 @@ object Dedup {
     * PREFIX token inside a block — never all block pairs. Round 1 joined
     * whole blocks: |B|^2 on a hot (source, n_tok) block, the slowest
     * graded query. Exact Jaccard still verifies every candidate, so the
-    * result set is IDENTICAL to the naive formulation (the oracle is
-    * unchanged). The token order here is lexicographic; a
-    * frequency-ascending order (rarest tokens in the prefix) would prune
-    * harder at equal correctness if a corpus-wide DF pass is affordable.
+    * result set is IDENTICAL to the naive formulation for ANY total token
+    * order (the oracle is unchanged).
+    *
+    * `rareFirst = true` (default) spends one corpus pass ranking tokens by
+    * document frequency and puts the RAREST tokens in each prefix: a
+    * prefix token then collides with far fewer other docs than under
+    * lexicographic order (where a common word in the prefix pairs the
+    * whole block), shrinking the candidate set at identical output.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        blockCols: Seq[Column], threshold: Double): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-      array_sort(array_distinct(tokens(col(textCol)))).as("tok"),
-      struct(blockCols: _*).as("block"))
-    val prefLen = (size(col("tok"))
-      - ceil(size(col("tok")) * lit(threshold)).cast("int") + lit(1))
-    val pref = base.select(col("block"), col("id"),
-      explode(slice(col("tok"), lit(1), prefLen)).as("ptok"))
-    val cand = pref.select(col("block"), col("ptok"), col("id").as("id1"))
-      .join(pref.select(col("block"), col("ptok"), col("id").as("id2")),
-        Seq("block", "ptok"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct()
-    cand
+                        blockCols: Seq[Column], threshold: Double,
+                        rareFirst: Boolean = true): DataFrame = {
+    val base = orderedTokenSets(docs, idCol, textCol, blockCols, rareFirst)
+    prefixCandidates(base, threshold)
       .join(base.select(col("id").as("id1"), col("tok").as("tok1")), "id1")
       .join(base.select(col("id").as("id2"), col("tok").as("tok2")), "id2")
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("tok1"), col("tok2"))).cast("double") /
           size(array_union(col("tok1"), col("tok2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** (id, tok, block) with each doc's distinct tokens under the chosen
+    * total order: (corpus document-frequency asc, token asc) when
+    * `rareFirst`, plain lexicographic otherwise. The order only steers the
+    * prefix filter's pruning; set arithmetic downstream ignores it.
+    */
+  private[graft] def orderedTokenSets(docs: DataFrame, idCol: String,
+                                      textCol: String, blockCols: Seq[Column],
+                                      rareFirst: Boolean): DataFrame = {
+    val lex = docs.select(col(idCol).as("id"),
+      array_sort(array_distinct(tokens(col(textCol)))).as("tok"),
+      struct(blockCols: _*).as("block"))
+    if (!rareFirst) lex
+    else {
+      // one corpus pass: document frequency per distinct token, then
+      // re-gather each doc's tokens sorted (freq, token) — two shuffles,
+      // both keyed narrowly (token; id), the scalable shape for this.
+      val ex = lex.select(col("id"), col("block"), explode(col("tok")).as("t"))
+      val freq = ex.groupBy("t").agg(count(lit(1)).as("freq"))
+      ex.join(freq, "t")
+        .groupBy("id", "block")
+        .agg(transform(
+          array_sort(collect_list(struct(col("freq"), col("t")))),
+          s => s.getField("t")).as("tok"))
+        .select(col("id"), col("tok"), col("block"))
+    }
+  }
+
+  /** Candidate pairs sharing a prefix token within a block (see
+    * ngramJaccardPairs). Exposed for the pruning-strength test.
+    */
+  private[graft] def prefixCandidates(base: DataFrame,
+                                      threshold: Double): DataFrame = {
+    val prefLen = (size(col("tok"))
+      - ceil(size(col("tok")) * lit(threshold)).cast("int") + lit(1))
+    val pref = base.select(col("block"), col("id"),
+      explode(slice(col("tok"), lit(1), prefLen)).as("ptok"))
+    pref.select(col("block"), col("ptok"), col("id").as("id1"))
+      .join(pref.select(col("block"), col("ptok"), col("id").as("id2")),
+        Seq("block", "ptok"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
   }
 }

@@ -125,6 +125,53 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("simhashPairs == brute-force hamming filter (banding is lossless)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base), // identical -> hamming 0
+      (3L, base.replace("kappa", "lambda")),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "totally unrelated words appear in this document only once"),
+      (6L, base.replace("theta", "xi").replace("kappa", "omicron")))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text",
+      bits = 24, bands = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val sigs = docs.select($"doc_id", Dedup.simhash(Dedup.tokens($"text"), 24).as("h"))
+      .as[(Long, Long)].collect()
+    val naive = (for {
+      (i1, h1) <- sigs; (i2, h2) <- sigs if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (i1, i2, d)).sorted.toSeq
+    assert(got == naive)
+    assert(naive.exists { case (a, b, d) => a == 1L && b == 2L && d == 0 })
+  }
+
+  test("rare-first prefix ordering prunes candidates; identical pair output") {
+    // every doc shares the lexicographically-FIRST token "aa" (document
+    // frequency = all docs) plus 5 unique tokens: the lexicographic prefix
+    // pairs the whole block through "aa", the rare-first prefix pairs
+    // nothing.
+    val docs = (1 to 30).map(i => (i.toLong, s"aa t$i u$i v$i w$i x$i"))
+      .toDF("doc_id", "text").withColumn("src", lit(0))
+    def candidates(rareFirst: Boolean): Long =
+      Dedup.prefixCandidates(
+        Dedup.orderedTokenSets(docs, "doc_id", "text", Seq(col("src")), rareFirst),
+        threshold = 0.4).count()
+    val lex = candidates(rareFirst = false)
+    val rare = candidates(rareFirst = true)
+    assert(lex == 30L * 29 / 2, s"lexicographic should pair the block: $lex")
+    assert(rare == 0, s"rare-first should prune everything here: $rare")
+    // and on a corpus WITH qualifying pairs, both orders return the same set
+    val withDups = docs.union(Seq((31L, "aa t1 u1 v1 w1 x1")).toDF("doc_id", "text")
+      .withColumn("src", lit(0)))
+    def pairs(rareFirst: Boolean) =
+      Dedup.ngramJaccardPairs(withDups, "doc_id", "text", Seq(col("src")), 0.4,
+        rareFirst).as[(Long, Long, Double)].collect().toSet
+    val p = pairs(rareFirst = true)
+    assert(p == pairs(rareFirst = false) && p.contains((1L, 31L, 1.0)))
+  }
+
   test("ngram Jaccard prefix filtering is lossless vs the naive block join") {
     val rnd = new scala.util.Random(5)
     val vocab = ('a' to 'p').map(_.toString)
