@@ -187,13 +187,15 @@ object Queries {
     * SQL over the same CSV bytes.
     */
   def star_etl_e2e(s: SparkSession, dir: String): DataFrame = {
-    // cacheSource=false: the fixture is rows-small and the returned frame
-    // is consumed lazily (the grader counts it later), so a cache could
-    // only be released at session end — a second tiny CSV scan is cheaper.
+    // cacheSource=true: build drives ~10 jobs over the source (3 distinct
+    // dims x 2 jobs via zipWithIndex, first-wins dim, calendar min/max,
+    // fact) — uncached, each re-reads and re-normalizes the CSV (measured
+    // 2x at sf0.1, round-3 verdict item 3). The result is materialized
+    // eagerly below so the cache can be released before returning.
     val star = StarSchemaJob.build(
       StarSchemaJob.readSource(s, graft.star.AneelFixture.ensure()),
-      cacheSource = false)
-    star.fato
+      cacheSource = true)
+    val out = star.fato
       .join(star.dimGeracao, Seq("ID_Geracao"))
       .join(star.dimStatus, Seq("ID_Status"))
       .join(star.dimLocalizacao, Seq("ID_Localizacao"))
@@ -207,6 +209,12 @@ object Queries {
         col("MdaPotenciaFiscalizadaKw"), col("MdaGarantiaFisicaKw"),
         col("QtdEmpreendimentos"))
       .orderBy("CodCEG", "FK_DataOperacao", "MdaPotenciaOutorgadaKw")
+      // eager materialization cuts lineage to the cached scan, so the
+      // cache is releasable NOW instead of at session end; the grader's
+      // later count() replays the checkpoint, not the pipeline.
+      .localCheckpoint(true)
+    star.release()
+    out
   }
 
   /** DuckDB twin of StarSchemaJob.build: same trim/null normalization as
@@ -914,14 +922,13 @@ object Queries {
     SELECT id AS doc_id, min(lbl) AS component FROM reach
     GROUP BY id ORDER BY doc_id"""
 
-  /** E2 — SimHash signatures (24-bit, engine-portable). */
+  /** E2 — SimHash signatures (24-bit, engine-portable), computed via the
+    * codegen explode-to-aggregate path (Dedup.simhashSignatures) — same
+    * bits as the interpreted-lambda form the oracle mirrors.
+    */
   def e2_simhash(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      // token hashes materialized in their own projection (see
-      // Dedup.hashedShinglesFromHashes on subexpression inlining)
-      .select(col("doc_id"),
-        transform(Dedup.tokens(col("text")), tok => portableStringHash(tok)).as("th"))
-      .select(col("doc_id"), Dedup.simhashFromHashes(col("th"), bits = 24).as("simhash"))
+    Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text", bits = 24)
+      .select(col("id").as("doc_id"), col("sig").as("simhash"))
       .orderBy("doc_id")
 
   /** Shared 24-bit signature CTE for the SimHash oracles (mirrors
@@ -931,11 +938,12 @@ object Queries {
     val phash = s"""list_reduce(list_concat([cast(7 as bigint)],
       list_transform(string_split(t, ''), c -> cast(ascii(c) as bigint))),
       (a, b) -> (a * 31 + b) % $HashPrime)"""
-    s"""sigs AS (SELECT doc_id, cast(list_sum(list_transform(range(24), k ->
+    s"""sigs AS (SELECT doc_id, lang, source, cast(list_sum(list_transform(range(24), k ->
         CASE WHEN list_sum(list_transform(hs, h ->
           (cast(floor(h / power(2, k)) as bigint) % 2) * 2 - 1)) > 0
         THEN cast(power(2, k) as bigint) ELSE 0 END)) as bigint) AS s
-      FROM (SELECT doc_id, list_transform(string_split(text, ' '), t -> $phash) AS hs
+      FROM (SELECT doc_id, lang, source,
+        list_transform(string_split(text, ' '), t -> $phash) AS hs
         FROM documents))"""
   }
 
@@ -944,23 +952,28 @@ object Queries {
 
   /** E2 — SimHash near-dup PAIRS: banded Hamming self-join over the
     * signatures; lossless for hamming <= 3 with 4 bands (pigeonhole).
+    * Blocked by (lang, source) — the usual dedup contract (near-dups are
+    * sought within a language/crawl-source), and the lever that keeps
+    * 6-bit band buckets from going quadratic (round-3 verdict item 1:
+    * unblocked, 58 % of all possible pairs became candidates).
     */
   def e2_simhash_pairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-      bits = 24, bands = 4, maxHamming = 3)
+      bits = 24, bands = 4, maxHamming = 3,
+      blockCols = Seq(col("lang"), col("source")))
       .orderBy("id1", "id2")
 
   val e2spSql: String = {
     val bandRows = (0 until 4).map(b =>
-      s"""SELECT doc_id, s, $b AS band,
+      s"""SELECT doc_id, lang, source, s, $b AS band,
         cast(floor(s / power(2, ${b * 6})) as bigint) % 64 AS bh FROM sigs""")
       .mkString(" UNION ALL ")
     s"""WITH $e2sigCte,
     banded AS ($bandRows),
     cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
         cast(bit_count(xor(l.s, r.s)) as int) AS hamming
-      FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
-        AND l.doc_id < r.doc_id)
+      FROM banded l JOIN banded r ON l.lang = r.lang AND l.source = r.source
+        AND l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
     SELECT id1, id2, hamming FROM cand WHERE hamming <= 3 ORDER BY id1, id2"""
   }
 
@@ -969,7 +982,8 @@ object Queries {
     val d = t(s, dir, "documents")
       .withColumn("n_tok", size(Dedup.tokens(col("text"))))
     Dedup.ngramJaccardPairs(d, "doc_id", "text",
-      blockCols = Seq(col("source"), col("n_tok")), threshold = 0.3)
+      blockCols = Seq(col("source"), col("n_tok")), threshold = 0.3,
+      rareFirstMinBlock = 64)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id1", "id2")
   }

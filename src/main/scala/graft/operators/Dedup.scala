@@ -277,6 +277,108 @@ object Dedup {
         acc + when(bitSum > 0, pow2.cast("long")).otherwise(lit(0L))
       })
 
+  /** SimHash signatures as a DataFrame transform with CODEGEN'd hot path:
+    * tokens exploded to rows, each bit's ±1 tally a plain conditional-sum
+    * hash aggregate (whole-stage codegen, map-side partial — one row per
+    * doc crosses the shuffle), signature assembled from the `bits` sums.
+    * Bit-identical to `simhashFromHashes` (same div/mod bit probe, so the
+    * SQL oracle is unchanged) but avoids its bits×tokens INTERPRETED
+    * lambda steps per document — the same explode-to-aggregate treatment
+    * the MinHash path got (see minhashLsh step 2).
+    *
+    * Returns (id, blk, sig); `blockCols` (attributes of `docs`, e.g. a
+    * language or source column) ride along into `blk` for callers that
+    * bucket downstream work per block — `lit(0)` when none.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 24,
+                        blockCols: Seq[Column] = Nil): DataFrame = {
+    val blk = if (blockCols.isEmpty) lit(0) else struct(blockCols: _*)
+    val ex = docs
+      .select(col(idCol).as("id"), blk.as("blk"),
+        explode_outer(tokens(col(textCol))).as("t"))
+      .select(col("id"), col("blk"), portableStringHash(col("t")).as("h"))
+    val bitSums = (0 until bits).map { i =>
+      val pow2 = pow(lit(2.0), lit(i.toDouble))
+      sum(when(col("h").isNull, lit(0L)).otherwise(
+        (floor(col("h") / pow2).cast("long") % lit(2L)) * lit(2L) - lit(1L)))
+        .as(s"b$i")
+    }
+    val sig = (0 until bits).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    ex.groupBy("id", "blk").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), col("blk"), sig.as("sig"))
+  }
+
+  /** 64-bit production twin of `simhashSignatures`: token hashes are
+    * xxhash64 (Spark-native, codegen'd), bit probes are shifts/masks —
+    * no modular arithmetic. NOT oracle-portable (xxhash64 exists only in
+    * Spark); test-verified against the portable family instead.
+    */
+  def simhashSignatures64(docs: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[Column] = Nil): DataFrame = {
+    val blk = if (blockCols.isEmpty) lit(0) else struct(blockCols: _*)
+    val ex = docs
+      .select(col(idCol).as("id"), blk.as("blk"),
+        explode_outer(tokens(col(textCol))).as("t"))
+      .select(col("id"), col("blk"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").isNull, lit(0L)).otherwise(
+        shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+        .as(s"b$i")
+    }
+    // Σ of distinct powers of two never overflows: bits 0..62 sum to at
+    // most Long.MaxValue, and adding bit 63 (= Long.MinValue) lands on
+    // the intended two's-complement pattern.
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    ex.groupBy("id", "blk").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), col("blk"), sig.as("sig"))
+  }
+
+  /** Shared SimHash-pairs tail: band the persisted signatures, self-join
+    * per (blk, band, bandValue) bucket, DISTINCT the (id1, id2) candidate
+    * space, THEN verify with the exact popcount — the hamming arithmetic
+    * and its downstream consumers see each pair once, not once per shared
+    * band. `sigs` must be (id, blk, sig).
+    */
+  private def simhashPairsFromSigs(sigsUncached: DataFrame, bands: Int,
+                                   maxHamming: Int,
+                                   bandValue: Int => Column): DataFrame = {
+    val sigs = sigsUncached.persist()
+    val cand = simhashCandidates(sigs, bands, bandValue)
+    val verified = cand
+      .join(sigs.select(col("id").as("id1"), col("sig").as("s1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sig").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    // materialize the (small) pair set, then release the signature cache
+    // (same persist/release discipline as lshVerifiedPairs)
+    val result = verified.localCheckpoint(true)
+    sigs.unpersist()
+    result
+  }
+
+  /** Distinct (id1, id2) candidates sharing any (blk, band, bandValue)
+    * bucket. Exposed for the bucket-population test comparing band widths.
+    */
+  private[graft] def simhashCandidates(sigs: DataFrame, bands: Int,
+                                       bandValue: Int => Column): DataFrame = {
+    val banded = sigs.select(col("id"), col("blk"),
+      posexplode(array((0 until bands).map(bandValue): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
+    banded.select(col("blk"), col("band"), col("bh"), col("id").as("id1"))
+      .join(banded.select(col("blk"), col("band"), col("bh"),
+        col("id").as("id2")), Seq("blk", "band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
   /** E2 — SimHash near-duplicate PAIRS: banded Hamming self-join over the
     * `bits`-bit signatures (the pair-extraction step `simhash` alone
     * lacks — the cheap-signature dedup path at corpus scale: one long per
@@ -291,38 +393,57 @@ object Dedup {
     * `bit_count(s1 XOR s2) <= maxHamming` (integer arithmetic, portable
     * to any engine).
     *
-    * Scale: the join carries (id, 1 long) rows keyed by (band, bandValue);
-    * at corpus scale use wider bands (more bits per band) so bucket
-    * populations stay bounded — recall for the chosen maxHamming is
-    * unaffected as long as `bands > maxHamming`.
+    * Bucket-population control (round-3 lesson: 24 bits / 4 bands means
+    * only 2⁶ = 64 values per band — measured 7.2 M candidate pairs from
+    * 5 k docs, an effectively quadratic join). Two levers bound it:
+    *   - `blockCols`: a cheap blocking key (language, source, …) composed
+    *     into the bucket — pairs are only sought within a block, which is
+    *     both the usual dedup contract and a hard cap on bucket size;
+    *   - `simhashPairsScalable`: the 64-bit twin whose 16-bit bands give
+    *     65,536 values per band — the default at corpus scale.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 24, bands: Int = 4,
-                   maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 24, bands: Int = 4, maxHamming: Int = 3,
+                   blockCols: Seq[Column] = Nil): DataFrame = {
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     require(bands > maxHamming,
       s"banding is lossless only for bands > maxHamming ($bands <= $maxHamming)")
+    val sigs = simhashSignatures(docs, idCol, textCol, bits, blockCols)
+    simhashPairsFromSigs(sigs, bands, maxHamming,
+      portableBandValue(bits, bands))
+  }
+
+  /** Band b of a portable signature = floor(sig / 2^(b*w)) mod 2^w —
+    * div/mod, not shifts, so the oracle SQL is the literally-identical
+    * expression.
+    */
+  private[graft] def portableBandValue(bits: Int, bands: Int)(b: Int): Column = {
     val w = bits / bands
-    val sigs = docs
-      .select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => portableStringHash(t)).as("th"))
-      .select(col("id"), simhashFromHashes(col("th"), bits).as("sig"))
-    // band b = floor(sig / 2^(b*w)) mod 2^w — div/mod, not shifts, so the
-    // oracle SQL is the literally-identical expression
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        pmod(floor(col("sig") / pow(lit(2.0), lit(b * w))).cast("long"),
-          lit(1L << w))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bh")
-    banded.select(col("band"), col("bh"), col("id").as("id1"), col("sig").as("s1"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("id2"),
-        col("sig").as("s2")), Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    pmod(floor(col("sig") / pow(lit(2.0), lit(b * w))).cast("long"), lit(1L << w))
+  }
+
+  /** Production-throughput SimHash pairs twin: 64-bit xxhash64
+    * signatures, 4×16-bit bands (65,536 bucket values per band vs the
+    * portable variant's 64), shift/mask band extraction. Same lossless
+    * pigeonhole guarantee for maxHamming < bands over ITS signature
+    * family. NOT oracle-portable; test-verified against the portable
+    * variant (both verify with exact popcount, so identical-text pairs
+    * are found by both; bucket populations are compared directly).
+    */
+  def simhashPairsScalable(docs: DataFrame, idCol: String, textCol: String,
+                           bands: Int = 4, maxHamming: Int = 3,
+                           blockCols: Seq[Column] = Nil): DataFrame = {
+    require(64 % bands == 0, s"64 bits must divide into bands=$bands")
+    require(bands > maxHamming,
+      s"banding is lossless only for bands > maxHamming ($bands <= $maxHamming)")
+    val sigs = simhashSignatures64(docs, idCol, textCol, blockCols)
+    simhashPairsFromSigs(sigs, bands, maxHamming, band64Value(bands))
+  }
+
+  /** Band b of a 64-bit signature, by unsigned shift + mask. */
+  private[graft] def band64Value(bands: Int)(b: Int): Column = {
+    val w = 64 / bands
+    shiftrightunsigned(col("sig"), b * w).bitwiseAND(lit((1L << w) - 1))
   }
 
   /** Skew-salted equi-join: split each hot left key across `salt`
@@ -358,11 +479,27 @@ object Dedup {
     * prefix token then collides with far fewer other docs than under
     * lexicographic order (where a common word in the prefix pairs the
     * whole block), shrinking the candidate set at identical output.
+    *
+    * `rareFirstMinBlock > 0` makes rare-first a MEASURED choice (round-3
+    * verdict item 7: the frequency pass doubled wall time on a corpus
+    * whose largest block was 9 docs): one cheap aggregate over the block
+    * columns finds the hottest block, and the frequency pass only runs
+    * when some block exceeds the gate — i.e. exactly when prefix
+    * collisions could go quadratic. Output is IDENTICAL either way (the
+    * prefix filter is lossless under any total token order), so the gate
+    * trades nothing but the pruning that small blocks don't need.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], threshold: Double,
-                        rareFirst: Boolean = true): DataFrame = {
-    val base = orderedTokenSets(docs, idCol, textCol, blockCols, rareFirst)
+                        rareFirst: Boolean = true,
+                        rareFirstMinBlock: Int = 0): DataFrame = {
+    val useRare = rareFirst && (rareFirstMinBlock <= 0 || {
+      // bounded driver scalar: max docs sharing one block value
+      val hot = docs.groupBy(blockCols: _*).count()
+        .agg(max(col("count"))).collect()(0)
+      !hot.isNullAt(0) && hot.getLong(0) >= rareFirstMinBlock
+    })
+    val base = orderedTokenSets(docs, idCol, textCol, blockCols, useRare)
     prefixCandidates(base, threshold)
       .join(base.select(col("id").as("id1"), col("tok").as("tok1")), "id1")
       .join(base.select(col("id").as("id2"), col("tok").as("tok2")), "id2")
@@ -388,14 +525,23 @@ object Dedup {
       // one corpus pass: document frequency per distinct token, then
       // re-gather each doc's tokens sorted (freq, token) — two shuffles,
       // both keyed narrowly (token; id), the scalable shape for this.
+      // `ex` feeds BOTH the frequency aggregate and the re-gather join, so
+      // it is persisted for the single materializing job below; the result
+      // is eagerly checkpointed because callers read it several times
+      // (prefix self-join + two verification joins) — uncheckpointed,
+      // each read re-ran this whole pipeline (round-3 verdict item 7:
+      // rare-first doubled e2_ngram_jaccard instead of shrinking it).
       val ex = lex.select(col("id"), col("block"), explode(col("tok")).as("t"))
-      val freq = ex.groupBy("t").agg(count(lit(1)).as("freq"))
-      ex.join(freq, "t")
+        .persist()
+      val out = ex.join(ex.groupBy("t").agg(count(lit(1)).as("freq")), "t")
         .groupBy("id", "block")
         .agg(transform(
           array_sort(collect_list(struct(col("freq"), col("t")))),
           s => s.getField("t")).as("tok"))
         .select(col("id"), col("tok"), col("block"))
+        .localCheckpoint(true)
+      ex.unpersist()
+      out
     }
   }
 
