@@ -15,10 +15,9 @@ import org.apache.spark.sql.functions._
   * aggregation (both hash-partitioned on id), and lineage is cut per
   * round with a localCheckpoint, so the plan stays flat at any iteration
   * count. Rounds needed = graph diameter — near-dup graphs are unions of
-  * small dense clusters, so this converges in a handful of rounds. (For
-  * adversarially long path graphs the two-phase large-star/small-star
-  * algorithm halves the diameter per round; the round structure below is
-  * the same and the swap is local.)
+  * small dense clusters, so this converges in a handful of rounds. For
+  * adversarially long path graphs use `largeStarSmallStar` below:
+  * O(log diameter) rounds, same per-round cost shape.
   *
   * The per-round driver `count()` is the convergence check of an
   * iterative algorithm, not a data collect — each round's work is fully
@@ -67,5 +66,90 @@ object Components {
     // the returned frame stays checkpoint-backed (its rounds of lineage
     // are gone); callers that fully consume it can graft.Blocks.free it.
     labels
+  }
+
+  /** Connected components by the alternating LARGE-STAR / SMALL-STAR
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14): min-label propagation needs O(diameter) rounds —
+    * fine for near-dup graphs (unions of small dense clusters), hopeless
+    * for adversarially long duplicate CHAINS (real in crawl data: A≈B≈C≈…
+    * with no direct A≈C edge). Each large-star/small-star round HALVES
+    * path lengths, so convergence is O(log diameter) rounds.
+    *
+    *   - large-star(u): m = min(Γ(u) ∪ {u}); link every LARGER neighbour
+    *     v > u to m.
+    *   - small-star(u), edges directed larger→smaller: m = min(Γ⁻(u) ∪
+    *     {u}); link u and its smaller neighbours to m.
+    *
+    * Both phases are one min-aggregation + one join keyed on the node id
+    * (map-side-combined, hash-partitioned — no neighbourhood is ever
+    * collected into one row, so a 10⁹-degree hub is fine). Fixpoint =
+    * every non-root points directly at its component minimum (a star);
+    * detected by an order-insensitive edge-set signature (count +
+    * xxhash64 sum) instead of a full EXCEPT. Per round the edge set is
+    * localCheckpoint'd (flat plan at any round count) and the superseded
+    * round's blocks are freed immediately.
+    *
+    * Returns (id, comp), comp = min id of the component; vertices in
+    * `nodes` without edges map to themselves.
+    */
+  def largeStarSmallStar(edges: DataFrame, srcCol: String, dstCol: String,
+                         nodes: DataFrame, idCol: String,
+                         maxIter: Int = 40): DataFrame = {
+    var cur = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))),
+        lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(cur)
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      // large-star over the symmetric closure: for each node u take
+      // m = min(neighbourhood ∪ self), link larger neighbours to m
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct()
+      // small-star over larger→smaller edges: link u and its smaller
+      // neighbours to the smallest of them
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(ssMin.select(col("u").as("a"), col("m").as("b")))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSig = signature(ss)
+      stable = nextSig == sig
+      sig = nextSig
+      graft.Blocks.free(cur)
+      cur = ss
+      iter += 1
+    }
+    // fixpoint edges form stars (u → component min); roots and isolated
+    // vertices label themselves
+    val parents = cur.select(col("u").as("id"), col("v").as("comp"))
+    val out = nodes.select(col(idCol).as("id"))
+      .join(parents, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .localCheckpoint(true)
+    graft.Blocks.free(cur)
+    out
   }
 }

@@ -107,10 +107,11 @@ object Similarity {
   }
 
   /** E3 — IVF-flavoured ANN: partition the corpus into K Voronoi cells
-    * around centroid vectors, search only the query's own cell. Here the
-    * centroids are K designated corpus vectors (deterministic; a
-    * production build would k-means a sample — the index/search shape is
-    * identical). Assignment and ranking use ROUNDED similarity with id
+    * around centroid vectors, search only the query's own cell. Train the
+    * centroids with `trainCentroids` (deterministic spherical k-means);
+    * the oracle-graded query designates corpus vectors instead so the
+    * index is expressible in portable SQL — the index/search shape is
+    * identical. Assignment and ranking use ROUNDED similarity with id
     * tie-breaks so results are engine-reproducible.
     *
     * Scale: the K centroids are collected once (K is small by the IVF
@@ -121,31 +122,124 @@ object Similarity {
     * corpus/K after one join on the cell id; store the corpus bucketed by
     * cell for a shuffle-free search side.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              k: Int, roundTo: Int = 6): DataFrame = {
-    // deliberate bounded collect: K centroid vectors, sorted for stable ids
-    val cents: Array[(Long, Array[Float])] = centroids
+  /** Bounded collect of a (id, vec) centroid frame — K vectors, the IVF
+    * index contract — sorted for stable ids.
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
+    centroids
       .select(col("id").cast("long"), col("vec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    require(cents.nonEmpty, "ivfTopK needs at least one centroid")
-    // argmax over K scored centroids as a pure expression: array_min of
-    // struct(-sim, cid) — struct ordering is lexicographic, so the min is
-    // the largest similarity with ties to the smallest centroid id
-    // (exactly the old window's `orderBy(d.desc, cid)`).
-    def cellOf(vec: Column): Column = {
-      val scored = array(cents.map { case (cid, v) =>
-        struct(negate(round(dot(vec, typedlit(v)), roundTo)).as("nd"),
-          lit(cid).as("cid"))
-      }: _*)
-      array_min(scored).getField("cid")
+
+  /** Per-row cell assignment over K centroid literals: argmax similarity
+    * as a pure expression — array_min of struct(-sim, cid); struct
+    * ordering is lexicographic, so the min is the largest similarity with
+    * ties to the smallest centroid id (exactly a window's
+    * `orderBy(d.desc, cid)` without the N×K shuffle). ONE narrow
+    * codegen'd projection per row.
+    */
+  private def scoredCells(cents: Array[(Long, Array[Float])], roundTo: Int)
+                         (vec: Column): Column =
+    array(cents.map { case (cid, v) =>
+      struct(negate(round(dot(vec, typedlit(v)), roundTo)).as("nd"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  private def cellExpr(cents: Array[(Long, Array[Float])], roundTo: Int)
+                      (vec: Column): Column =
+    array_min(scoredCells(cents, roundTo)(vec)).getField("cid")
+
+  /** The query's `p` best cells (by the same rounded-similarity order), for
+    * multi-probe search.
+    */
+  private def cellsExpr(cents: Array[(Long, Array[Float])], roundTo: Int,
+                        p: Int)(vec: Column): Column =
+    transform(slice(array_sort(scoredCells(cents, roundTo)(vec)), 1, p),
+      s => s.getField("cid"))
+
+  /** Deterministic spherical k-means for IVF centroids: a fixed-iteration
+    * Lloyd loop over a HASH-DETERMINISTIC sample, seeded by the k sample
+    * vectors with the smallest xxhash64(id) — no RNG anywhere, so the
+    * index is reproducible run to run. Centroids are L2-normalized each
+    * round, which makes `ivfTopK`'s dot-product assignment a true cosine
+    * argmax against them (spherical k-means).
+    *
+    * Scale: each iteration is one narrow assignment projection over the
+    * sample plus one (cell, component) mean aggregation; the only driver
+    * data is K×dim means per iteration (bounded by the IVF contract — the
+    * K centroids ARE the index). Empty cells keep their previous centroid.
+    * Training reads the sample `iters` times — persist or stage the
+    * sample at corpus scale; here it is persisted for the loop.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
+                     samplePct: Int = 25, roundTo: Int = 6): DataFrame = {
+    require(k > 0 && iters > 0)
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .filter(TextAnalysis.sampleByHash(col("id").cast("string"), samplePct))
+      .select(col("id"), col("vec"))
+      .persist()
+    def normalize(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val s = if (n == 0.0) 1.0 else n
+      v.map(x => (x / s).toFloat)
     }
-    def assign(df: DataFrame, idCol: String): DataFrame =
-      df.select(col("id").as(idCol), col("vec"), cellOf(col("vec")).as("cell"))
-    val c = assign(corpus, "cand_id")
+    // deterministic seeds: k sample vectors with the smallest hashed id
+    var cents: Array[(Long, Array[Float])] = sample
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong, normalize(r.getSeq[Float](1).toArray.map(_.toDouble)))
+      }
+    for (_ <- 1 to iters) {
+      // (cell, component) means of the assigned sample — one narrow
+      // projection + one codegen'd aggregation; K×dim rows come back
+      val means = sample
+        .select(cellExpr(cents, roundTo)(col("vec")).as("cell"),
+          posexplode(col("vec")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = cents.map { case (cid, prev) =>
+        (cid, means.get(cid).map(normalize).getOrElse(prev))
+      }
+    }
+    sample.unpersist()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.map { case (cid, v) => org.apache.spark.sql.Row(cid, v.toSeq) }
+        .toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, roundTo: Int = 6, nprobe: Int = 1): DataFrame = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "ivfTopK needs at least one centroid")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val c = corpus
+      .select(col("id").as("cand_id"), col("vec"),
+        cellExpr(cents, roundTo)(col("vec")).as("cell"))
       .select(col("cand_id"), col("vec").as("cv"), col("cell"), norm(col("vec")).as("cn"))
-    val q = assign(queries, "query_id")
+    // multi-probe: the query fans out to its nprobe best cells (recall vs
+    // probed-fraction is THE IVF dial — on cluster-free corpora recall
+    // tracks the probed fraction, on clustered ones nprobe=1 suffices).
+    // Cells partition the corpus, so probes never duplicate a candidate.
+    val q = queries
+      .select(col("id").as("query_id"), col("vec"),
+        explode(cellsExpr(cents, roundTo, nprobe)(col("vec"))).as("cell"))
       .select(col("query_id"), col("vec").as("qv"), col("cell"), norm(col("vec")).as("qn"))
     val sims = broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))

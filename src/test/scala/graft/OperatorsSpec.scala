@@ -111,6 +111,25 @@ class OperatorsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("large-star/small-star: chain, triangle, singleton — and a 400-node path") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id")
+    val got = Components.largeStarSmallStar(edges, "src", "dst", nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+    // a path graph of diameter 400: min-label needs ~400 rounds (its
+    // default budget is 50); the alternating algorithm converges in
+    // O(log diameter) — well inside maxIter = 40
+    val n = 400
+    val path = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val pathNodes = (0L to n.toLong).toDF("id")
+    val comps = Components.largeStarSmallStar(path, "src", "dst", pathNodes, "id")
+      .as[(Long, Long)].collect()
+    assert(comps.length == n + 1 && comps.forall(_._2 == 0L))
+  }
+
   test("simhash: identical docs equal, near docs close in hamming") {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val df = Seq(
@@ -313,6 +332,32 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got(1L) == got(2L))
     assert(got(1L) != got(3L))
+  }
+
+  test("trained IVF centroids reach recall >= 0.7 vs brute force (sf0.01)") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter($"id" < 20)
+    val cents = Similarity.trainCentroids(e, k = 4)
+    assert(cents.count() == 4)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id".cast("long"), $"cand_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val bf = hits(Similarity.bruteForceTopK(queries, e, k = 5))
+    // these embeddings are cluster-free (same-label mean cosine ~0.02),
+    // so IVF recall tracks the probed fraction: probe 3 of 4 cells
+    val ivf = hits(Similarity.ivfTopK(queries, e, cents, k = 5, nprobe = 3))
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.7, s"recall $recall (ivf=${ivf.size}, bf=${bf.size})")
+    // single-probe scans ~1/4 of the corpus and pays for it in recall —
+    // the dial works in both directions
+    val ivf1 = hits(Similarity.ivfTopK(queries, e, cents, k = 5, nprobe = 1))
+    assert(ivf1.intersect(bf).size < ivf.intersect(bf).size)
+    // training is deterministic: a second run reproduces the index exactly
+    val again = Similarity.trainCentroids(e, k = 4)
+      .orderBy("id").as[(Long, Seq[Float])].collect().toSeq
+    val first = cents.orderBy("id").as[(Long, Seq[Float])].collect().toSeq
+    assert(again == first)
   }
 
   test("language id picks max-marker language, und when no markers") {

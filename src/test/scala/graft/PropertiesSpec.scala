@@ -65,3 +65,47 @@ object PropertiesSpec extends Properties("graft") {
       k == 0 || (k >= 19700101 && k <= 20241231 && (k % 100) >= 1 && (k % 100) <= 31)
     }
 }
+
+/** Iterative-algorithm properties get their own (small) case budget: each
+  * case drives an O(log diameter) round loop of Spark jobs, so 100 cases
+  * would dominate the suite for no extra coverage.
+  */
+object ComponentsProperties extends Properties("components") {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(4)
+
+  property("large-star/small-star labels permuted paths beyond min-label's budget") =
+    Prop.forAll(Gen.chooseNum(150, 350), Gen.chooseNum(0L, Long.MaxValue)) {
+      (n, seed) =>
+        // a path over PERMUTED ids: the component minimum sits at an
+        // arbitrary position, diameter n >> minLabel's 50-round default
+        val rnd = new scala.util.Random(seed)
+        val ids = rnd.shuffle((0L to n.toLong).toVector)
+        val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("src", "dst")
+        val nodes = ids.toDF("id")
+        val got = operators.Components
+          .largeStarSmallStar(edges, "src", "dst", nodes, "id")
+          .as[(Long, Long)].collect()
+        got.length == n + 1 && got.forall(_._2 == 0L)
+    }
+
+  property("large-star/small-star == min-label on random sparse graphs") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(30)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("src", "dst")
+      val nodes = (0L until n.toLong).toDF("id")
+      val a = operators.Components
+        .largeStarSmallStar(edges, "src", "dst", nodes, "id")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val b = operators.Components
+        .minLabel(edges, "src", "dst", nodes, "id")
+        .as[(Long, Long)].collect().sorted.toSeq
+      a == b
+    }
+}

@@ -51,6 +51,99 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data: inside-watermark events count, outside-watermark events drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60000L
+    val base = 1700000400000L // multiple of 10 min: W0 = [base, base+10m)
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val agg = StreamingOps.tumbling(df, "user_id", "ts", "value", minutes = 10,
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      // in-order arrivals into W0
+      input.addData((1L, base + 1 * min, 1.0), (1L, base + 2 * min, 2.0))
+      q.processAllAvailable()
+      // jump ahead: max event time base+25m -> watermark base+15m; W0
+      // (end base+10m) closes and emits on the next batch
+      input.addData((1L, base + 25 * min, 3.0))
+      q.processAllAvailable()
+      // three late arrivals against watermark = base+15m. The drop rule
+      // is WINDOW-based: a late row is discarded iff its window is
+      // already finalized (window.end <= watermark), not merely because
+      // its event time trails the watermark:
+      //   base+16m — still-open W1 [10m,20m)                  -> counted
+      //   base+12m — below the watermark but W1 end 20m > 15m -> counted
+      //   base+ 3m — W0 end 10m <= 15m, finalized and emitted -> DROPPED
+      input.addData((1L, base + 16 * min, 4.0),
+        (1L, base + 3 * min, 5.0), (1L, base + 12 * min, 6.0))
+      q.processAllAvailable()
+      // push the watermark past W1 and W2 so they finalize
+      input.addData((1L, base + 70 * min, 7.0))
+      q.processAllAvailable()
+      input.addData((1L, base + 100 * min, 8.0))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT * FROM late ORDER BY w_start_ms")
+        .as[(Long, Long, Long, Double)].collect()
+        .filter(_._2 < base + 40 * min) // W0..W2; later windows may be open
+      // W0: the two in-order events ONLY (base+3m was dropped);
+      // W1: both late-but-open arrivals; W2: the watermark-advancing event
+      assert(emitted.map(r => (r._2, r._3, r._4)).toSeq == Seq(
+        (base, 2L, 3.0),
+        (base + 10 * min, 2L, 10.0),
+        (base + 20 * min, 1L, 3.0)))
+      // append-mode streaming over late data == batch over the ACCEPTED
+      // events: the dropped row is the only divergence
+      val accepted = Seq(
+        (1L, base + 1 * min, 1.0), (1L, base + 2 * min, 2.0),
+        (1L, base + 25 * min, 3.0), (1L, base + 16 * min, 4.0),
+        (1L, base + 12 * min, 6.0))
+        .toDF("user_id", "ms", "value")
+        .withColumn("ts", timestamp_millis($"ms"))
+      val batch = operators.Sessionize
+        .tumbling(accepted, "user_id", "ts", "value", minutes = 10)
+        .filter($"w_start_ms" < base + 40 * min)
+        .select($"user_id", $"w_start_ms", $"n_events", $"sum_value")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      assert(emitted.toSeq == batch)
+      // watermark-driven state EVICTION: 5 distinct windows were touched;
+      // finalized ones must have left the state store
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows < 5, s"expected evicted window state, got $stateRows rows")
+    } finally q.stop()
+  }
+
+  test("dedup state evicts past the watermark: re-arrival after horizon survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60000L
+    val base = 1700000000000L
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDF().toDF("id", "content", "ms")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val dd = StreamingOps.dedup(df, "ts", Seq("content"), watermark = "10 minutes")
+    val q = dd.writeStream.format("memory").queryName("ddlate")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a", base))
+      q.processAllAvailable()
+      // duplicate inside the horizon -> suppressed
+      input.addData((2L, "a", base + 5 * min))
+      q.processAllAvailable()
+      // advance event time far past the horizon, then repeat the content:
+      // its state entry was evicted, so the "duplicate" legitimately
+      // re-emits — within-watermark dedup semantics, bounded state
+      input.addData((3L, "z", base + 60 * min))
+      q.processAllAvailable()
+      input.addData((4L, "a", base + 61 * min))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM ddlate").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 3L, 4L),
+        s"expected re-emit after horizon, got ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
