@@ -40,6 +40,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Map(1 -> 1, 2 -> 2, 3 -> -1))
   }
 
+  test("JDBC round-trip via in-memory Derby: write, read, partitioned read, pushdown") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val rows = (1 to 500).map(i => (i.toLong, s"name$i", i * 1.5))
+    val df = rows.toDF("id", "name", "amount")
+    sources.Jdbc.write(df, url, "t_roundtrip")
+    val back = sources.Jdbc.read(spark, url, "t_roundtrip")
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(back == rows.sorted.toSeq)
+    // partitioned read: same rows, several range-bounded queries
+    val part = sources.Jdbc.readPartitioned(spark, url, "t_roundtrip",
+      "id", 1L, 500L, numPartitions = 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.as[(Long, String, Double)].collect().sorted.toSeq == back)
+    // filter + projection reach the generated SQL, not the Spark side
+    val pushed = part.filter($"id" <= 10).select($"id")
+    val scan = pushed.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:") && scan.contains("LessThanOrEqual"),
+      s"filter not pushed:\n$scan")
+    assert(pushed.as[Long].collect().sorted.toSeq == (1L to 10L))
+    // append lands next to the original
+    sources.Jdbc.write(df.filter($"id" <= 3), url, "t_roundtrip",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(sources.Jdbc.read(spark, url, "t_roundtrip").count() == 503)
+  }
+
   test("bucketed tables join without any exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
