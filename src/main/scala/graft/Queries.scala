@@ -495,6 +495,30 @@ object Queries {
     TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** E4 — intra-document repetition (boilerplate/template signal): share
+    * of word trigrams that repeat within the document. Pure per-row
+    * expressions — zero shuffles at any scale.
+    */
+  def e4_repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_distinct"),
+        col("rep_ratio"))
+      .orderBy("doc_id")
+
+  val e4repSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        THEN list_transform(range(1, len(tk) - 1),
+          i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
+        ELSE cast([] as varchar[]) END AS sh FROM toks)
+    SELECT doc_id, cast(len(sh) as int) AS n_grams,
+      cast(len(list_distinct(sh)) as int) AS n_distinct,
+      CASE WHEN len(sh) > 0
+        THEN round(1.0 - cast(len(list_distinct(sh)) as double) /
+          cast(len(sh) as double), 6)
+        ELSE 0.0 END AS rep_ratio
+    FROM sh ORDER BY doc_id"""
+
   val e4qSql: String = {
     val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
     s"""SELECT doc_id, cast(length(text) as int) AS n_chars,
@@ -922,6 +946,22 @@ object Queries {
     SELECT id AS doc_id, min(lbl) AS component FROM reach
     GROUP BY id ORDER BY doc_id"""
 
+  /** E2 — near-dup clusters via the alternating large-star/small-star
+    * algorithm: identical labels to e2_dedup_clusters (min doc_id per
+    * component) in O(log diameter) rounds instead of min-label's
+    * O(diameter) — graded against the SAME recursive-CTE oracle, so the
+    * equivalence is oracle-checked, not just test-asserted.
+    */
+  def e2_cc_largestar(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
+      .select("id1", "id2")
+    Components.largeStarSmallStar(pairs, "id1", "id2",
+      docs.select("doc_id"), "doc_id")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
   /** E2 — SimHash signatures (24-bit, engine-portable), computed via the
     * codegen explode-to-aggregate path (Dedup.simhashSignatures) — same
     * bits as the interpreted-lambda form the oracle mirrors.
@@ -1060,6 +1100,36 @@ object Queries {
     sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
       FROM v q JOIN cells qc ON q.vec_id = qc.vec_id AND q.vec_id < 8
+        JOIN cells cc ON qc.cell = cc.cell
+        JOIN v c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
+  /** E3 — IVF with multi-probe (nprobe = 2): the query searches its TWO
+    * best cells — the recall dial of a production IVF index, here graded
+    * exactly (the oracle mirrors the per-query top-2 cell choice).
+    */
+  def e3_ivf_probe2(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfTopK(e.filter(col("id") < 8), e, e.filter(col("id") < 8),
+      k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3i2Sql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, cid,
+        round(list_sum(list_transform(range(1, 65), i -> cast(v.e[i] as double) * cast(cents.ce[i] as double))), 6) AS d
+      FROM v CROSS JOIN cents),
+    cells AS (SELECT vec_id, cid AS cell FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1),
+    qcells AS (SELECT vec_id, cid AS cell FROM scored WHERE vec_id < 8
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) <= 2),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN qcells qc ON q.vec_id = qc.vec_id
         JOIN cells cc ON qc.cell = cc.cell
         JOIN v c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id)
     SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
@@ -1335,5 +1405,8 @@ object Queries {
     ("e10_histogram", e10_histogram _, e10hSql),
     ("scd2_dim", scd2_dim _, scd2Sql),
     ("etl_merge", etl_merge _, mergeSql),
-    ("e6_zscore", e6_zscore _, e6zSql))
+    ("e6_zscore", e6_zscore _, e6zSql),
+    ("e2_cc_largestar", e2_cc_largestar _, e2ccSql),
+    ("e3_ivf_probe2", e3_ivf_probe2 _, e3i2Sql),
+    ("e4_repetition", e4_repetition _, e4repSql))
 }

@@ -230,4 +230,27 @@ object TextAnalysis {
       .select(col("doc"), col("token"), col("tf"),
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
   }
+
+  /** Intra-document repetition: the share of word n-grams that are
+    * repeats of an earlier n-gram in the SAME document — the standard
+    * boilerplate/template filter signal (high ratio = nav bars, lorem
+    * loops, keyword stuffing). ZERO shuffles: everything is a per-row
+    * expression, so at 100 TB this is a pure map over the corpus.
+    *
+    * The n-gram array is materialized in its own projection and consumed
+    * by more than one (non-cheap) expression, which keeps CollapseProject
+    * from re-inlining the shingle lambda per consumer (see
+    * Dedup.hashedShinglesFromHashes for the measured trap).
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col("id"), Dedup.shingles(col("tk"), n).as("sh"))
+      .select(col("id"),
+        size(col("sh")).as("n_grams"),
+        size(array_distinct(col("sh"))).as("n_distinct"),
+        when(size(col("sh")) > 0,
+          round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+            size(col("sh")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
 }
