@@ -65,6 +65,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sources.Jdbc.read(spark, url, "t_roundtrip").count() == 503)
   }
 
+  test("JSONL and ORC round-trips preserve documents; ORC pushes filters down") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    // JSONL: write, read back with the EXPLICIT schema (no inference pass)
+    sources.Formats.writeJsonl(docs, s"$dir/docs_jsonl")
+    val viaJson = sources.Formats
+      .readJsonlStrict(spark, s"$dir/docs_jsonl", docs.schema)
+      .select(docs.columns.map(col): _*)
+    assert(viaJson.schema == docs.schema)
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .as[(Long, String, String, String, Long)].collect().sorted.toSeq
+    assert(key(viaJson) == key(docs))
+    // ORC: columnar twin with parquet-grade pushdown
+    sources.Formats.writeOrc(docs, s"$dir/docs_orc")
+    val viaOrc = sources.Formats.readOrc(spark, s"$dir/docs_orc")
+    assert(key(viaOrc) == key(docs))
+    val pushed = viaOrc.filter($"doc_id" < 10).select($"doc_id")
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"ORC scan did not push the filter:\n$plan")
+  }
+
   test("bucketed tables join without any exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
