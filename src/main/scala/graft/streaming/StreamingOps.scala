@@ -46,6 +46,32 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join (the attribution shape: click within
+    * `lagMinutes` after impression): pairs rows with equal `keyCol` and
+    * `r.ts in [l.ts, l.ts + lag)`. Twin of the batch
+    * `operators.RangeJoin.bucketed` — same pairing semantics, incremental
+    * execution.
+    *
+    * State design: BOTH inputs carry watermarks and the join predicate
+    * bounds event time in BOTH directions (`r >= l` and `r < l + lag`),
+    * which is exactly what Structured Streaming needs to compute each
+    * side's state horizon and EVICT buffered rows as the watermark
+    * advances — an unbounded-time join condition would buffer both
+    * streams forever. Inner join: matches emit as they arrive, no
+    * watermark wait. Timestamp columns must be named differently on the
+    * two sides; the right key column is dropped from the output.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, lagMinutes: Int,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+        s"l.$keyCol = r.$keyCol AND r.$rightTs >= l.$leftTs " +
+          s"AND r.$rightTs < l.$leftTs + interval $lagMinutes minutes"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   case class Event(key: Long, tsMs: Long, value: Double)
   case class SessionState(sessionId: Long, lastMs: Long, startMs: Long, n: Long)
   case class SessionOut(key: Long, session_id: Long, n_events: Long,

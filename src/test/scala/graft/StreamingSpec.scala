@@ -144,6 +144,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch bucketed range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60000L
+    val base = 1700000400000L
+    val imps = MemoryStream[(Long, Long)]
+    val clicks = MemoryStream[(Long, Long)]
+    val li = imps.toDF().toDF("k", "lms")
+      .withColumn("lts", timestamp_millis($"lms"))
+    val ri = clicks.toDF().toDF("k", "rms")
+      .withColumn("rts", timestamp_millis($"rms"))
+    val joined = StreamingOps.intervalJoin(li, ri, "k", "lts", "rts",
+      lagMinutes = 10)
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    val impRows = Seq((1L, base), (1L, base + 20 * min), (2L, base + min))
+    val clickRows = Seq(
+      (1L, base + 5 * min),  // attributes to imp@base only
+      (1L, base + 25 * min), // attributes to imp@+20m only
+      (2L, base + 12 * min), // 11m after imp@+1m -> outside the lag
+      (3L, base + 2 * min))  // no impression for key 3
+    try {
+      // impressions first, clicks across two later batches (out of order
+      // within the horizon — the buffered state must still match them)
+      input2(imps, impRows); q.processAllAvailable()
+      input2(clicks, clickRows.take(2)); q.processAllAvailable()
+      input2(clicks, clickRows.drop(2)); q.processAllAvailable()
+      val got = spark.sql("SELECT k, lms, rms FROM ivj")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val batch = operators.RangeJoin.bucketed(
+        impRows.toDF("k", "lms"), clickRows.toDF("k", "rms"),
+        "k", "lms", "rms", windowMs = 10 * min)
+        .select($"k", $"lms", $"rms")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got == batch)
+      assert(got == Seq((1L, base, base + 5 * min),
+        (1L, base + 20 * min, base + 25 * min)))
+    } finally q.stop()
+  }
+
+  private def input2(s: MemoryStream[(Long, Long)],
+                     rows: Seq[(Long, Long)]): Unit = { s.addData(rows); () }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
