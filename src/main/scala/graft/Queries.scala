@@ -907,7 +907,9 @@ object Queries {
     banded AS ($bandRows),
     cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
         cast(len(list_intersect(l.sh, r.sh)) as double) /
-          (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard
+          (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard,
+        cast(len(list_intersect(l.sh, r.sh)) as double) /
+          cast(least(len(l.sh), len(r.sh)) as double) AS containment
       FROM banded l JOIN banded r ON l.band = r.band AND l.band_hash = r.band_hash
         AND l.doc_id < r.doc_id)"""
   }
@@ -945,6 +947,21 @@ object Queries {
       SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
     SELECT id AS doc_id, min(lbl) AS component FROM reach
     GROUP BY id ORDER BY doc_id"""
+
+  /** E2 — near-CONTAINMENT pairs (short doc embedded in a longer one)
+    * over the same MinHash-LSH candidate machinery; |A∩B| / min(|A|,|B|)
+    * instead of Jaccard at the verification step.
+    */
+  def e2_containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      containmentThreshold = 0.8)
+      .select(col("id1"), col("id2"), round(col("containment"), 6).as("containment"))
+      .orderBy("id1", "id2")
+
+  val e2coSql: String =
+    s"""WITH $e2mCtes
+    SELECT id1, id2, round(containment, 6) AS containment FROM cand
+    WHERE containment >= 0.8 ORDER BY id1, id2"""
 
   /** E2 — near-dup clusters via the alternating large-star/small-star
     * algorithm: identical labels to e2_dedup_clusters (min doc_id per
@@ -1408,5 +1425,6 @@ object Queries {
     ("e6_zscore", e6_zscore _, e6zSql),
     ("e2_cc_largestar", e2_cc_largestar _, e2ccSql),
     ("e3_ivf_probe2", e3_ivf_probe2 _, e3i2Sql),
-    ("e4_repetition", e4_repetition _, e4repSql))
+    ("e4_repetition", e4_repetition _, e4repSql),
+    ("e2_containment", e2_containment _, e2coSql))
 }

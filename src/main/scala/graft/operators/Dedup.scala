@@ -157,7 +157,37 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-                 jaccardThreshold: Double = 0.5): DataFrame = {
+                 jaccardThreshold: Double = 0.5): DataFrame =
+    portableLsh(docs, idCol, textCol, k, bands, rowsPerBand,
+      jaccardThreshold, "jaccard", jaccardOf)
+
+  /** E2 — near-CONTAINMENT pairs over the same portable MinHash-LSH
+    * candidates: containment = |A∩B| / min(|A|,|B|) catches a short doc
+    * embedded in a longer one (quote farms, wrapper pages), which plain
+    * Jaccard under-scores (the union is dominated by the longer doc).
+    * Candidate RECALL is still Jaccard-banded — the standard LSH caveat:
+    * a tiny-in-huge containment pair may never share a band; at corpus
+    * scale pair this with the prefix-filtered `ngramJaccardPairs` family
+    * if directional containment recall matters more than throughput.
+    */
+  def minhashContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                              containmentThreshold: Double = 0.8): DataFrame =
+    portableLsh(docs, idCol, textCol, k, bands, rowsPerBand,
+      containmentThreshold, "containment", (a, b) =>
+        size(array_intersect(a, b)).cast("double") /
+          least(size(a), size(b)).cast("double"))
+
+  private def jaccardOf(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Portable (oracle-reproducible) LSH pipeline shared by the Jaccard
+    * and containment variants.
+    */
+  private def portableLsh(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, bands: Int, rowsPerBand: Int,
+                          threshold: Double, measureName: String,
+                          measure: (Column, Column) => Column): DataFrame = {
     val m = bands * rowsPerBand
     val base = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
@@ -179,7 +209,8 @@ object Dedup {
     def bandHash(b: Int): Column =
       (0 until rowsPerBand).foldLeft(lit(7L): Column)((acc, r) =>
         pmod(acc * lit(31L) + col(s"s${b * rowsPerBand + r}"), lit(HashPrime)))
-    lshVerifiedPairs(base, bands, sigAggs, bandHash, jaccardThreshold)
+    lshVerifiedPairs(base, bands, sigAggs, bandHash, threshold,
+      measureName, measure)
   }
 
   /** Production-throughput MinHash+LSH twin: identical pipeline shape to
@@ -227,7 +258,10 @@ object Dedup {
     */
   private def lshVerifiedPairs(baseUncached: DataFrame, bands: Int,
                                sigAggs: Seq[Column], bandHash: Int => Column,
-                               jaccardThreshold: Double): DataFrame = {
+                               threshold: Double,
+                               measureName: String = "jaccard",
+                               measure: (Column, Column) => Column = jaccardOf)
+      : DataFrame = {
     val base = baseUncached.persist()
     val expl = base.select(col("id"), explode(col("sh")).as("x"))
     val sigs = expl.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -235,7 +269,7 @@ object Dedup {
       posexplode(array((0 until bands).map(bandHash): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandHash")
-    // candidate pairs, dedup'd BEFORE the Jaccard arithmetic
+    // candidate pairs, dedup'd BEFORE the set arithmetic
     val pairs = banded.select(col("band"), col("bandHash"), col("id").as("id1"))
       .join(banded.select(col("band"), col("bandHash"), col("id").as("id2")),
         Seq("band", "bandHash"))
@@ -246,9 +280,8 @@ object Dedup {
       .join(base.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(base.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
+        measure(col("sh1"), col("sh2")).as(measureName))
+      .filter(col(measureName) >= threshold)
     // materialize the (small) pair set now, then release the shingle cache
     val result = verified.localCheckpoint(true)
     base.unpersist()

@@ -91,6 +91,41 @@ class OperatorsSpec extends SparkSpec {
       portable.get((a, b)).foreach(pj => assert(pj == j, s"pair ($a,$b)")) }
   }
 
+  test("containment pairs == brute-force containment over the shared candidate set") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, s"$base lambda mu nu"), // superset of 1/2: containment 1.0, J=8/11
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // 8x2 banding: higher candidate recall than the 4x4 default (per-band
+    // match needs only 2 shared minima), same verification math
+    val viaCont = Dedup.minhashContainmentPairs(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, containmentThreshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    // both variants band identically, so threshold=0 jaccard pairs ARE the
+    // full verified candidate set
+    val cands = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, jaccardThreshold = 0.0)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val sh = docs.select($"doc_id",
+      Dedup.hashedShingles(Dedup.tokens($"text"), 3).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val brute = for {
+      (i, si) <- sh.toSeq; (j, sj) <- sh.toSeq if i < j
+      c = si.toSet.intersect(sj.toSet).size.toDouble / math.min(si.size, sj.size)
+      if c >= 0.8 && cands((i, j))
+    } yield (i, j, c)
+    assert(viaCont == brute.toSet)
+    // the identical pair plus the contained-superset pair must be found,
+    // and the superset pair is exactly what Jaccard-at-0.8 misses
+    assert(viaCont.contains((1L, 2L, 1.0)) && viaCont.contains((1L, 3L, 1.0)))
+    val viaJac08 = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, jaccardThreshold = 0.8)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(!viaJac08((1L, 3L)))
+  }
+
   test("minhashLsh releases its shingle cache (no persist leak)") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.size
