@@ -325,6 +325,46 @@ object Queries {
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
+  /** E6 — explicit GROUPING SETS (the syntax rollup/cube sugar over):
+    * per-flag, per-status, and per-(flag,status) aggregates in one pass.
+    * Rows from each set are distinguished by which group column is NULL
+    * (the data columns themselves are never null in lineitem).
+    */
+  def e6_gsets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(e6gSql)
+  }
+
+  val e6gSql = s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+    ${dsumSql("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  /** E7 — ranking family: dense_rank, ntile, percent_rank, cume_dist over
+    * one shared window (single shuffle on the partition key).
+    */
+  def e7_ranks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      dense_rank().over(w).as("drank"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("prank"),
+      round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val e7rSql = """SELECT o_custkey, o_orderkey,
+    cast(dense_rank() OVER w as int) AS drank,
+    cast(ntile(4) OVER w as int) AS quartile,
+    round(percent_rank() OVER w, 6) AS prank,
+    round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""
+
   /** E7 — ranking, lag, and running totals (exact decimal running sum). */
   def e7_window(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1426,5 +1466,7 @@ object Queries {
     ("e2_cc_largestar", e2_cc_largestar _, e2ccSql),
     ("e3_ivf_probe2", e3_ivf_probe2 _, e3i2Sql),
     ("e4_repetition", e4_repetition _, e4repSql),
-    ("e2_containment", e2_containment _, e2coSql))
+    ("e2_containment", e2_containment _, e2coSql),
+    ("e6_gsets", e6_gsets _, e6gSql),
+    ("e7_ranks", e7_ranks _, e7rSql))
 }
