@@ -186,6 +186,49 @@ class StreamingSpec extends SparkSpec {
   private def input2(s: MemoryStream[(Long, Long)],
                      rows: Seq[(Long, Long)]): Unit = { s.addData(rows); () }
 
+  test("windowed state survives a query restart via the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60000L
+    val base = 1700000400000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[(Long, Long, Double)]
+    val agg = StreamingOps.tumbling(
+      input.toDF().toDF("user_id", "ms", "value")
+        .withColumn("ts", timestamp_millis($"ms")),
+      "user_id", "ts", "value", minutes = 10, watermark = "10 minutes")
+    def start() = agg.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      // W0 and an OPEN W1 live in state; then W0 is flushed out
+      input.addData((1L, base + 1 * min, 1.0), (1L, base + 11 * min, 2.0))
+      q1.processAllAvailable()
+      input.addData((1L, base + 25 * min, 3.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart against the SAME checkpoint: the open W1/W2 state and the
+    // watermark must come back; a second W1 event merges into the
+    // RECOVERED bucket, then everything is flushed
+    val q2 = start()
+    try {
+      input.addData((1L, base + 12 * min, 4.0))
+      q2.processAllAvailable()
+      input.addData((1L, base + 60 * min, 9.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .select($"w_start_ms", $"n_events", $"sum_value")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    // W1 n=2 proves the pre-restart event was recovered, not lost or
+    // double-counted; exactly-once: no window appears twice
+    assert(rows == Seq(
+      (base, 1L, 1.0),
+      (base + 10 * min, 2L, 6.0),
+      (base + 20 * min, 1L, 3.0)))
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
