@@ -67,6 +67,76 @@ object Multimodal {
     }(enc)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_ts_ms", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** STUB frame bytes: 16 deterministic bytes from the payload fold and
+    * the frame index — a real build replaces this with the codec's frame
+    * grab at `frame_ts_ms`; row shape and iteration stay identical.
+    */
+  def frameStub(payload: Array[Byte], idx: Int): Array[Byte] = {
+    val h = payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % HashPrime)
+    val seed = h * 31 + idx
+    Array.tabulate(16)(j => ((seed >> ((j % 8) * 8)) & 0xff).toByte)
+  }
+
+  /** Frame sampling: one output row per `everyMs` of video duration — the
+    * UDTF-shaped stage of a video pipeline (rows OUT exceed rows IN).
+    * Runs as a per-partition flatMap: frames of one video are produced by
+    * one task, streamed, never buffered whole; non-video rows emit
+    * nothing. Duration comes from the (stubbed) decode, frame bytes from
+    * `frameStub` — swap both for a codec and the plan is unchanged.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame = {
+    require(everyMs > 0)
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val kind = if (r.isNullAt(1)) "" else r.getString(1)
+        if (kind != "video" || r.isNullAt(2)) Iterator.empty
+        else {
+          val payload = r.getAs[Array[Byte]](2)
+          val (_, _, durMs) = decodeStub(kind, payload)
+          val nFrames = (durMs / everyMs).toInt
+          (0 until nFrames).iterator.map { i =>
+            Row(r.getLong(0), i, i * everyMs, frameStub(payload, i))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize: image payloads are replaced by a `w*h`-byte deterministic
+    * stub (a real build decodes, scales, re-encodes); audio/video/other
+    * rows pass through untouched. Same schema in and out, so the stage
+    * composes anywhere in a media pipeline; payload bytes still never
+    * shuffle — the transform is per-partition.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "kind", "payload").mapPartitions { it =>
+      it.map { r =>
+        val kind = if (r.isNullAt(1)) null else r.getString(1)
+        if (kind != "image" || r.isNullAt(2)) r
+        else {
+          val payload = r.getAs[Array[Byte]](2)
+          val hash = payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % HashPrime)
+          val out = Array.tabulate(w * h)(j =>
+            ((hash * 31 + j) % 251).toByte) // deterministic fake raster
+          Row(r.getLong(0), kind, out)
+        }
+      }
+    }(enc)
+  }
+
   /** Expression-only twin of `extractMetadata` for ASCII payloads (byte ==
     * codepoint, so the byte fold equals portableStringHash of the string
     * form). Identical output, pure Catalyst — this is what the graded

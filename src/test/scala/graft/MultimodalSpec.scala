@@ -32,6 +32,36 @@ class MultimodalSpec extends SparkSpec {
     assert(audio.getAs[Long]("duration_ms") == 16 * 8L)
   }
 
+  test("frame sampling: one row per interval of stub duration, videos only") {
+    // video payload "frames" = 6 bytes -> stub duration 48 ms
+    val frames = Multimodal.sampleFrames(media, everyMs = 10L)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(frames.forall(_.getAs[Long]("media_id") == 3L)) // only the video
+    assert(frames.length == 4) // floor(48 / 10)
+    assert(frames.map(_.getAs[Long]("frame_ts_ms")).toSeq == Seq(0L, 10L, 20L, 30L))
+    assert(frames.map(_.getAs[Array[Byte]]("frame").toSeq).distinct.length == 4,
+      "frame stubs must differ per index")
+    // deterministic: a second run produces identical bytes
+    val again = Multimodal.sampleFrames(media, everyMs = 10L)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(again.map(_.getAs[Array[Byte]]("frame").toSeq).toSeq ==
+      frames.map(_.getAs[Array[Byte]]("frame").toSeq).toSeq)
+  }
+
+  test("resize replaces image payloads with w*h stub bytes, passes others through") {
+    val out = Multimodal.resizeImages(media, w = 8, h = 4)
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Array[Byte]]("payload").length == 32) // the image
+    assert(out(1).getAs[Array[Byte]]("payload").toSeq ==
+      "some audio bytes".getBytes("UTF-8").toSeq) // audio untouched
+    assert(out.map(_.getAs[String]("kind")).toSeq ==
+      Seq("image", "audio", "video", "other"))
+    // composes: metadata extraction over resized media sees the new size
+    val meta = Multimodal.extractMetadata(
+      Multimodal.resizeImages(media, 8, 4)).orderBy("media_id").collect()
+    assert(meta(0).getAs[Long]("n_bytes") == 32L)
+  }
+
   test("null payload handled as zero-byte media") {
     val withNull = Seq((9L, "image")).toDF("media_id", "kind")
       .withColumn("payload", lit(null).cast("binary"))
