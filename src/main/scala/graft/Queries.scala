@@ -1193,6 +1193,25 @@ object Queries {
       cand_id, sim FROM sims
     QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** E3 — kNN self-join: every vector's 3 nearest bucket-mates; the
+    * no-broadcast corpus-vs-corpus shape (see Similarity.knnJoin).
+    */
+  def e3_knn_join(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.knnJoin(e, k = 3, bits = 8)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3kSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")})
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
   /** E2 (embedding flavour) — near-dup pairs by cosine within LSH bucket. */
   def e2_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -1468,5 +1487,6 @@ object Queries {
     ("e4_repetition", e4_repetition _, e4repSql),
     ("e2_containment", e2_containment _, e2coSql),
     ("e6_gsets", e6_gsets _, e6gSql),
-    ("e7_ranks", e7_ranks _, e7rSql))
+    ("e7_ranks", e7_ranks _, e7rSql),
+    ("e3_knn_join", e3_knn_join _, e3kSql))
 }

@@ -248,6 +248,31 @@ object Similarity {
     topKPerQuery(sims, k, corpus.schema("id").dataType)
   }
 
+  /** kNN SELF-join: every corpus vector gets its k nearest neighbours —
+    * the corpus-vs-corpus shape where NEITHER side fits a broadcast
+    * (bruteForceTopK/lshTopK broadcast the query set; here the query set
+    * IS the corpus). Both sides hash-partition on the sign-bucket and
+    * join co-partitioned — one shuffle each, candidates bounded to
+    * N²/2^bits per bucket, ranking via the BoundedTopK aggregate (O(k)
+    * state, map-side partial). Store the corpus bucketed by `bucket`
+    * (graft.sources.Bucketing) and neither side moves at all.
+    * Vectors alone in their bucket yield no row (no candidates).
+    */
+  def knnJoin(corpus: DataFrame, k: Int, bits: Int = 8,
+              roundTo: Int = 6): DataFrame = {
+    val b = corpus.select(col("id"), col("vec"),
+      signBucket(col("vec"), bits).as("bucket"), norm(col("vec")).as("nrm"))
+    val l = b.select(col("bucket"), col("id").as("query_id"),
+      col("vec").as("qv"), col("nrm").as("qn"))
+    val r = b.select(col("bucket"), col("id").as("cand_id"),
+      col("vec").as("cv"), col("nrm").as("cn"))
+    val sims = l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("sim"))
+    topKPerQuery(sims, k, corpus.schema("id").dataType)
+  }
+
   /** E2 (embedding flavour) — near-duplicate pairs by cosine >= threshold,
     * blocked by shared LSH bucket so the self-join never goes quadratic.
     */

@@ -105,6 +105,25 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"window repartitioned the data:\n$plan")
   }
 
+  test("e3_knn_join: sort-merge on the bucket, one exchange per side, no broadcast") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at test scale AQE would legitimately broadcast the tiny side;
+      // disable to observe the at-scale (neither-side-fits) plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Queries.e3_knn_join(spark, sf)
+      val plan = executed(df)
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge bucket join:\n$plan")
+      val sideExchanges = smj.head.children.map(_.collect {
+        case e: ShuffleExchangeExec => e
+      }.size)
+      assert(sideExchanges.forall(_ <= 1),
+        s"each side should shuffle once on the bucket:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("e3_cosine_topk: query side broadcasts, corpus side reads in place") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val df = Queries.e3_cosine_topk(spark, sf)
