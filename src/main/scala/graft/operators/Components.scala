@@ -117,13 +117,15 @@ object Components {
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct here: duplicate edges don't change small-star's min
+      // aggregation, and small-star's own distinct bounds the round's
+      // output — one less shuffle per round
       val ls = sym.join(lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
-        .distinct()
       // small-star over larger→smaller edges: link u and its smaller
       // neighbours to the smallest of them
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
