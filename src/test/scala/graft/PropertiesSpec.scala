@@ -109,3 +109,58 @@ object ComponentsProperties extends Properties("components") {
       a == b
     }
 }
+
+/** Dedup-family laws over RANDOM corpora — each case drives several Spark
+  * jobs, so the budget is small (the deterministic fixtures in
+  * OperatorsSpec cover the specific shapes; these cover the theorems).
+  */
+object DedupProperties extends Properties("dedup") {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(4)
+
+  private def randomDocs(seed: Long, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = ('a' to 'j').map(_.toString)
+    (1 to n).map { i =>
+      val len = 6 + rnd.nextInt(5)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  property("simhash banding finds EXACTLY the brute-force hamming pairs") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { seed =>
+      // pigeonhole losslessness: bands=4 > maxHamming=3, so the banded
+      // self-join must equal the all-pairs popcount filter
+      val docs = randomDocs(seed, 20).toDF("doc_id", "text")
+      val got = operators.Dedup
+        .simhashPairs(docs, "doc_id", "text", bits = 24, bands = 4, maxHamming = 3)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val sigs = operators.Dedup
+        .simhashSignatures(docs, "doc_id", "text", bits = 24)
+        .select($"id", $"sig").as[(Long, Long)].collect()
+      val naive = (for {
+        (i1, h1) <- sigs; (i2, h2) <- sigs if i1 < i2
+        d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+      } yield (i1, i2, d)).sorted.toSeq
+      got == naive
+    }
+
+  property("exactByFingerprint == exact for any key/order data") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val df = (1 to 80).map { i =>
+        (i.toLong, s"k${rnd.nextInt(10)}", rnd.nextInt(5).toLong)
+      }.toDF("id", "key", "ord")
+      val viaFp = operators.Dedup
+        .exactByFingerprint(df, Seq("key"), Seq(col("ord")), "id")
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      val viaExact = operators.Dedup
+        .exact(df, Seq("key"), Seq(col("ord"), col("id")))
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      viaFp == viaExact
+    }
+}
