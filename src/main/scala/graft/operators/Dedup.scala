@@ -553,7 +553,9 @@ object Dedup {
     val lex = docs.select(col(idCol).as("id"),
       array_sort(array_distinct(tokens(col(textCol)))).as("tok"),
       struct(blockCols: _*).as("block"))
-    if (!rareFirst) lex
+    // both paths are read ~4x downstream (prefix self-join + two verify
+    // joins) — materialize once either way
+    if (!rareFirst) lex.localCheckpoint(true)
     else {
       // one corpus pass: document frequency per distinct token, then
       // re-gather each doc's tokens sorted (freq, token) — two shuffles,
