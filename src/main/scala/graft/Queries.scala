@@ -1069,7 +1069,9 @@ object Queries {
     banded AS ($bandRows),
     cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
         cast(bit_count(xor(l.s, r.s)) as int) AS hamming
-      FROM banded l JOIN banded r ON l.lang = r.lang AND l.source = r.source
+      FROM banded l JOIN banded r
+        ON l.lang IS NOT DISTINCT FROM r.lang
+        AND l.source IS NOT DISTINCT FROM r.source
         AND l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
     SELECT id1, id2, hamming FROM cand WHERE hamming <= 3 ORDER BY id1, id2"""
   }

@@ -194,6 +194,9 @@ object Similarity {
       .map { case (r, i) =>
         (i.toLong, normalize(r.getSeq[Float](1).toArray.map(_.toDouble)))
       }
+    require(cents.length == k,
+      s"sample yielded ${cents.length} < k=$k seed vectors — raise samplePct " +
+        s"(=$samplePct) or lower k")
     for (_ <- 1 to iters) {
       // (cell, component) means of the assigned sample — one narrow
       // projection + one codegen'd aggregation; K×dim rows come back

@@ -50,8 +50,9 @@ object Jdbc {
             batchSize: Int = 10000,
             props: Map[String, String] = Map.empty): Unit = {
     val p = new Properties()
-    p.setProperty("batchsize", batchSize.toString)
     props.foreach { case (k, v) => p.setProperty(k, v) }
+    // after props: the explicit parameter wins over a stray map entry
+    p.setProperty("batchsize", batchSize.toString)
     df.write.mode(mode).jdbc(url, table, p)
   }
 }

@@ -21,12 +21,31 @@ class PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def executed(df: DataFrame): SparkPlan = {
-    df.count() // finalize AQE
+    // collect() runs THIS dataset's own QueryExecution (count() would
+    // build a separate aggregate query and leave this plan un-executed),
+    // so AQE has finalized the adaptive plan by the time we read it
+    df.collect()
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
   }
+
+  /** Pre-order flatten that DESCENDS INTO AQE query stages: QueryStageExec
+    * is a leaf to TreeNode.collect, so a plain plan.collect on a finalized
+    * adaptive plan silently sees only the top stage.
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  private def collectDeep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    flatten(p).collect(pf)
 
   /** A join child is the BUILD side iff a broadcast exchange sits at its
     * root (possibly behind codegen/stage wrappers); the other child is
@@ -51,7 +70,7 @@ class PlanSpec extends SparkSpec {
     val plan = executed(df)
     // per-row operator: the ONLY exchange allowed is the final orderBy's
     // range partitioning (presentation, not computation)
-    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    val shuffles = collectDeep(plan) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 1, s"expected only the orderBy exchange:\n$plan")
     val scan = plan.toString.linesIterator
       .find(_.contains("ReadSchema")).getOrElse("")
@@ -86,13 +105,12 @@ class PlanSpec extends SparkSpec {
   test("sql_tpch_q3: dimension sides broadcast; lineitem is never exchanged") {
     val df = Queries.sql_tpch_q3(spark, sf)
     val plan = executed(df)
-    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val bhj = collectDeep(plan) { case j: BroadcastHashJoinExec => j }
     assert(bhj.size >= 2, s"expected customer and orders broadcasts:\n$plan")
     // the big (lineitem) side must flow scan -> join without a shuffle;
     // remaining exchanges belong to the aggregate/sort tail only
-    val preJoinShuffles = bhj.flatMap(streamedSides).flatMap(_.collect {
-      case e: ShuffleExchangeExec => e
-    })
+    val preJoinShuffles = bhj.flatMap(streamedSides).flatMap(s =>
+      collectDeep(s) { case e: ShuffleExchangeExec => e })
     assert(preJoinShuffles.isEmpty,
       s"fact side shuffled before a broadcast join:\n$plan")
   }
@@ -100,7 +118,7 @@ class PlanSpec extends SparkSpec {
   test("e1_exact_dedup: exactly one shuffle (the dedup key), window reuses it") {
     val df = Queries.e1_exact_dedup(spark, sf)
     val plan = executed(df)
-    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    val shuffles = collectDeep(plan) { case e: ShuffleExchangeExec => e }
     // one exchange for the key partitioning + at most the final orderBy
     assert(shuffles.size <= 2, s"window repartitioned the data:\n$plan")
   }
@@ -114,11 +132,10 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = Queries.e3_knn_join(spark, sf)
       val plan = executed(df)
-      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      val smj = collectDeep(plan) { case j: SortMergeJoinExec => j }
       assert(smj.nonEmpty, s"expected a sort-merge bucket join:\n$plan")
-      val sideExchanges = smj.head.children.map(_.collect {
-        case e: ShuffleExchangeExec => e
-      }.size)
+      val sideExchanges = smj.head.children.map(c =>
+        collectDeep(c) { case e: ShuffleExchangeExec => e }.size)
       assert(sideExchanges.forall(_ <= 1),
         s"each side should shuffle once on the bucket:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -128,16 +145,15 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val df = Queries.e3_cosine_topk(spark, sf)
     val plan = executed(df)
-    val bcastJoins = plan.collect {
+    val bcastJoins = collectDeep(plan) {
       case j: BroadcastNestedLoopJoinExec => j
       case j: BroadcastHashJoinExec => j
     }
     assert(bcastJoins.nonEmpty, s"expected a broadcast join:\n$plan")
     // the streamed (corpus) side must be scan -> join with no exchange:
     // the whole point of broadcasting the query set
-    val corpusShuffles = bcastJoins.flatMap(streamedSides).flatMap(_.collect {
-      case e: ShuffleExchangeExec => e
-    })
+    val corpusShuffles = bcastJoins.flatMap(streamedSides).flatMap(s =>
+      collectDeep(s) { case e: ShuffleExchangeExec => e })
     assert(corpusShuffles.isEmpty, s"corpus side was shuffled:\n$plan")
   }
 }
