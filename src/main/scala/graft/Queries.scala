@@ -712,6 +712,24 @@ object Queries {
       < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
     ORDER BY doc_id"""
 
+  /** E4 — exact-count per-stratum sample: exactly 3 docs per language,
+    * hash-ordered (the eval-split contract — see
+    * TextAnalysis.sampleNPerStratum vs the rate-based variant above).
+    */
+  def e4_group_sample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sampleNPerStratum(t(s, dir, "documents"),
+      Seq(col("lang")), col("doc_id").cast("string"), n = 3)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val e4gsSql = s"""SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        ORDER BY list_reduce(list_concat([cast(7 as bigint)],
+          list_transform(string_split(cast(doc_id as varchar), ''), c -> cast(ascii(c) as bigint))),
+          (a, b) -> (a * 31 + b) % $HashPrime), cast(doc_id as varchar)) AS rn
+      FROM documents)
+    WHERE rn <= 3 ORDER BY doc_id"""
+
   /** E10 — approximate distinct counts, tolerance-graded: the HLL++
     * estimate (rsd 0.01) must land within 5% of the exact count; the
     * graded row carries the exact counts plus the within-tolerance flags,
@@ -1490,5 +1508,6 @@ object Queries {
     ("e2_containment", e2_containment _, e2coSql),
     ("e6_gsets", e6_gsets _, e6gSql),
     ("e7_ranks", e7_ranks _, e7rSql),
-    ("e3_knn_join", e3_knn_join _, e3kSql))
+    ("e3_knn_join", e3_knn_join _, e3kSql),
+    ("e4_group_sample", e4_group_sample _, e4gsSql))
 }

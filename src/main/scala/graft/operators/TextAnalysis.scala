@@ -231,6 +231,24 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
   }
 
+  /** Fixed-COUNT per-stratum deterministic sample: exactly
+    * min(n, |stratum|) rows per stratum, chosen by portable-hash order
+    * with the key as tie-break. `stratifiedSampleByHash` is narrow but
+    * draws binomial counts; eval-split contracts ("exactly 500 docs per
+    * language") need this window form — one shuffle on the strata,
+    * per-stratum parallel, and the selection depends only on (key,
+    * stratum), never on partitioning.
+    */
+  def sampleNPerStratum(df: DataFrame, strata: Seq[Column], keyExpr: Column,
+                        n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*)
+      .orderBy(portableStringHash(keyExpr), keyExpr)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Intra-document repetition: the share of word n-grams that are
     * repeats of an earlier n-gram in the SAME document — the standard
     * boilerplate/template filter signal (high ratio = nav bars, lorem
