@@ -38,11 +38,17 @@ object Multimodal {
     * A real build replaces this body with an image/audio codec; signature
     * and batch shape stay identical.
     */
+  /** Deterministic payload fingerprint shared by every stub: the same
+    * polynomial fold as graft.functions.portableStringHash over the raw
+    * bytes.
+    */
+  private def payloadHash(payload: Array[Byte]): Long =
+    if (payload == null) 7L
+    else payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % HashPrime)
+
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Long) = {
     val n = if (payload == null) 0 else payload.length
-    val h =
-      if (payload == null) 7L
-      else payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % HashPrime)
+    val h = payloadHash(payload)
     kind match {
       case "image"           => (((h % 1024) + 1).toInt, ((h / 1024 % 1024) + 1).toInt, 0L)
       case "audio" | "video" => (0, 0, n.toLong * 8)
@@ -78,8 +84,7 @@ object Multimodal {
     * grab at `frame_ts_ms`; row shape and iteration stay identical.
     */
   def frameStub(payload: Array[Byte], idx: Int): Array[Byte] = {
-    val h = payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % HashPrime)
-    val seed = h * 31 + idx
+    val seed = payloadHash(payload) * 31 + idx
     Array.tabulate(16)(j => ((seed >> ((j % 8) * 8)) & 0xff).toByte)
   }
 
@@ -127,8 +132,7 @@ object Multimodal {
         val kind = if (r.isNullAt(1)) null else r.getString(1)
         if (kind != "image" || r.isNullAt(2)) r
         else {
-          val payload = r.getAs[Array[Byte]](2)
-          val hash = payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % HashPrime)
+          val hash = payloadHash(r.getAs[Array[Byte]](2))
           val out = Array.tabulate(w * h)(j =>
             ((hash * 31 + j) % 251).toByte) // deterministic fake raster
           Row(r.getLong(0), kind, out)

@@ -325,24 +325,12 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         bits: Int = 24,
-                        blockCols: Seq[Column] = Nil): DataFrame = {
-    val blk = if (blockCols.isEmpty) lit(0) else struct(blockCols: _*)
-    val ex = docs
-      .select(col(idCol).as("id"), blk.as("blk"),
-        explode_outer(tokens(col(textCol))).as("t"))
-      .select(col("id"), col("blk"), portableStringHash(col("t")).as("h"))
-    val bitSums = (0 until bits).map { i =>
-      val pow2 = pow(lit(2.0), lit(i.toDouble))
-      sum(when(col("h").isNull, lit(0L)).otherwise(
-        (floor(col("h") / pow2).cast("long") % lit(2L)) * lit(2L) - lit(1L)))
-        .as(s"b$i")
-    }
-    val sig = (0 until bits).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    ex.groupBy("id", "blk").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), col("blk"), sig.as("sig"))
-  }
+                        blockCols: Seq[Column] = Nil): DataFrame =
+    // div/mod bit probe, literally the oracle SQL's expression
+    simhashSigCore(docs, idCol, textCol, bits, blockCols,
+      t => portableStringHash(t),
+      (h, i) => (floor(h / pow(lit(2.0), lit(i.toDouble))).cast("long")
+        % lit(2L)))
 
   /** 64-bit production twin of `simhashSignatures`: token hashes are
     * xxhash64 (Spark-native, codegen'd), bit probes are shifts/masks —
@@ -350,21 +338,34 @@ object Dedup {
     * Spark); test-verified against the portable family instead.
     */
   def simhashSignatures64(docs: DataFrame, idCol: String, textCol: String,
-                          blockCols: Seq[Column] = Nil): DataFrame = {
+                          blockCols: Seq[Column] = Nil): DataFrame =
+    simhashSigCore(docs, idCol, textCol, 64, blockCols,
+      t => xxhash64(t),
+      (h, i) => shiftright(h, i).bitwiseAND(lit(1L)))
+
+  /** Shared signature pipeline: (explode tokens -> hash -> per-bit ±1
+    * conditional-sum aggregates -> assemble sig). `bitOf(h, i)` must
+    * yield bit i of the hash as 0/1.
+    *
+    * For bits = 64 the assembly never overflows: Σ of distinct powers of
+    * two over bits 0..62 is at most Long.MaxValue, and adding bit 63
+    * (= Long.MinValue) lands on the intended two's-complement pattern.
+    */
+  private def simhashSigCore(docs: DataFrame, idCol: String, textCol: String,
+                             bits: Int, blockCols: Seq[Column],
+                             tokenHash: Column => Column,
+                             bitOf: (Column, Int) => Column): DataFrame = {
     val blk = if (blockCols.isEmpty) lit(0) else struct(blockCols: _*)
     val ex = docs
       .select(col(idCol).as("id"), blk.as("blk"),
         explode_outer(tokens(col(textCol))).as("t"))
-      .select(col("id"), col("blk"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { i =>
+      .select(col("id"), col("blk"), tokenHash(col("t")).as("h"))
+    val bitSums = (0 until bits).map { i =>
       sum(when(col("h").isNull, lit(0L)).otherwise(
-        shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+        bitOf(col("h"), i) * lit(2L) - lit(1L)))
         .as(s"b$i")
     }
-    // Σ of distinct powers of two never overflows: bits 0..62 sum to at
-    // most Long.MaxValue, and adding bit 63 (= Long.MinValue) lands on
-    // the intended two's-complement pattern.
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until bits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     ex.groupBy("id", "blk").agg(bitSums.head, bitSums.tail: _*)
