@@ -88,6 +88,31 @@ class ScaleOpsSpec extends SparkSpec {
       s"ORC scan did not push the filter:\n$plan")
   }
 
+  test("JSONL corrupt-line contract: permissive nulls the row, strict fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id": 1, "t": "ok"}
+        |{"id": 2 "t": "missing comma"}
+        |{"id": 3, "t": "also ok"}
+        |""".stripMargin)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("t", org.apache.spark.sql.types.StringType)
+    val permissive = sources.Formats.readJsonl(spark, s"$dir/in.json", schema)
+      .as[(Option[Long], Option[String])].collect().toSet
+    assert(permissive == Set(
+      (Some(1L), Some("ok")), (None, None), (Some(3L), Some("also ok"))))
+    val ex = intercept[Exception] {
+      sources.Formats.readJsonlStrict(spark, s"$dir/in.json", schema).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("FAILFAST") || m.contains("Malformed")), ex.toString)
+  }
+
   test("bucketed tables join without any exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
