@@ -46,6 +46,27 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-duplicate dedup: first doc per SimHash signature
+    * survives within the watermark horizon. The signature is the pure
+    * per-row Column form (`Dedup.simhash` — interpreted lambdas, but per
+    * row with no aggregation, exactly what a streaming map stage can
+    * host), so the whole operator is watermark + signature projection +
+    * `dropDuplicatesWithinWatermark` — bounded state, one entry per
+    * distinct signature in the horizon. Catches reposts/boilerplate whose
+    * token multiset sign-pattern matches (hamming-0 twins); batch-side
+    * `Dedup.simhashPairs` remains the tool for hamming > 0.
+    */
+  def nearDupDedup(docs: DataFrame, tsCol: String, textCol: String,
+                   bits: Int = 24,
+                   watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withColumn("__sig",
+        graft.operators.Dedup.simhash(
+          graft.operators.Dedup.tokens(col(textCol)), bits))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** Stream-stream interval join (the attribution shape: click within
     * `lagMinutes` after impression): pairs rows with equal `keyCol` and
     * `r.ts in [l.ts, l.ts + lag)`. Twin of the batch

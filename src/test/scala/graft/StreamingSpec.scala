@@ -186,6 +186,29 @@ class StreamingSpec extends SparkSpec {
   private def input2(s: MemoryStream[(Long, Long)],
                      rows: Seq[(Long, Long)]): Unit = { s.addData(rows); () }
 
+  test("streaming near-dup dedup: same-signature docs suppressed within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000400000L
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDF().toDF("id", "text", "ms")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val dd = StreamingOps.nearDupDedup(df, "ts", "text", watermark = "10 minutes")
+    val q = dd.writeStream.format("memory").queryName("nddup")
+      .outputMode("append").start()
+    try {
+      val a = "alpha beta gamma delta epsilon zeta"
+      input.addData((1L, a, base), (2L, "one two three four five six", base + 1000))
+      q.processAllAvailable()
+      // identical token multiset -> identical signature -> suppressed;
+      // genuinely different text survives
+      input.addData((3L, a, base + 2000),
+        (4L, "seven eight nine ten eleven twelve", base + 3000))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM nddup").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("windowed state survives a query restart via the checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val min = 60000L
