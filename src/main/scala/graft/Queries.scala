@@ -937,7 +937,14 @@ object Queries {
     * (id1, id2, jaccard) — reused by e2_minhash and the connected-
     * components clustering oracle.
     */
-  private val e2mCtes: String = {
+  private val e2mCtes: String = e2mCtesFrom("documents")
+
+  /** The MinHash-LSH candidate CTE chain over an arbitrary (doc_id, text)
+    * source CTE/table — shared by the standalone near-dup queries (over
+    * `documents`) and the composed curation pipeline (over its
+    * already-filtered survivor set).
+    */
+  private def e2mCtesFrom(table: String): String = {
     val coeffs = Dedup.minhashCoeffs(16)
     val phash = (x: String) =>
       s"""list_reduce(list_concat([cast(7 as bigint)],
@@ -956,7 +963,7 @@ object Queries {
     }
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, sh, $b AS band, ${bandHash(b)} AS band_hash FROM sigs").mkString(" UNION ALL ")
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $table),
     th AS (SELECT doc_id, list_transform(tk, t -> ${phash("t")}) AS th, len(tk) AS n FROM toks),
     sh AS (SELECT doc_id, list_distinct(list_transform(range(1, n - 1),
         i -> $shingleExpr)) AS sh
@@ -1035,6 +1042,45 @@ object Queries {
       docs.select("doc_id"), "doc_id")
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
+  }
+
+  /** Composed LLM-curation pipeline, graded END TO END: quality gate →
+    * exact dedup (min-id survivor) → near-dup clusters → one survivor per
+    * cluster. The oracle mirrors every stage over the same filtered
+    * intermediate sets, so the stage interactions are hash-checked.
+    */
+  def llm_curate(s: SparkSession, dir: String): DataFrame =
+    Pipelines.curate(t(s, dir, "documents"), "doc_id", "text",
+      minQuality = 0.3, jaccardThreshold = 0.4, carry = Seq("lang"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val curateSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH RECURSIVE scored AS (
+      SELECT doc_id, text, lang,
+        round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+          + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+          + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents)),
+    exact AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+          row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.3)
+      WHERE rn = 1),
+    ${e2mCtesFrom("exact")},
+    prs AS (SELECT id1, id2 FROM cand WHERE jaccard >= 0.4),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL SELECT id2, id1 FROM prs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM exact
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT e.doc_id, e.lang FROM exact e
+    JOIN comp c ON c.id = e.doc_id AND c.component = e.doc_id
+    ORDER BY doc_id"""
   }
 
   /** E2 — SimHash signatures (24-bit, engine-portable), computed via the
@@ -1509,5 +1555,6 @@ object Queries {
     ("e6_gsets", e6_gsets _, e6gSql),
     ("e7_ranks", e7_ranks _, e7rSql),
     ("e3_knn_join", e3_knn_join _, e3kSql),
-    ("e4_group_sample", e4_group_sample _, e4gsSql))
+    ("e4_group_sample", e4_group_sample _, e4gsSql),
+    ("llm_curate", llm_curate _, curateSql))
 }

@@ -126,6 +126,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!viaJac08((1L, 3L)))
   }
 
+  test("curate pipeline: quality gate, exact dups collapse, near-dup cluster keeps min id") {
+    val good = "the quick brown fox jumps over the lazy dog again and again ok"
+    val docs = Seq(
+      (1L, good, "en"),
+      (2L, good, "en"),                              // exact dup of 1 -> dropped
+      (3L, good.replace("dog", "cat"), "en"),        // near-dup of 1 -> clustered, dropped
+      (4L, "completely different words appear here nothing shared at all ever", "en"),
+      (5L, "a a a a a a a a a a a a", "en"))         // degenerate: distinct_ratio ~0
+      .toDF("doc_id", "text", "lang")
+    val got = Pipelines.curate(docs, "doc_id", "text",
+      minQuality = 0.3, jaccardThreshold = 0.3, carry = Seq("lang"))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 4L), s"got $got")
+  }
+
   test("minhashLsh releases its shingle cache (no persist leak)") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.size
