@@ -141,6 +141,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(1L, 4L), s"got $got")
   }
 
+  test("composite operators tolerate an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashLsh(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashContainmentPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairsScalable(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty.withColumn("src", lit(0)),
+      "doc_id", "text", Seq(col("src")), 0.5, rareFirstMinBlock = 8).count() == 0)
+    assert(Pipelines.curate(empty, "doc_id", "text").count() == 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val noNodes = Seq.empty[Long].toDF("id")
+    assert(Components.largeStarSmallStar(noEdges, "src", "dst", noNodes, "id")
+      .count() == 0)
+    assert(Components.minLabel(noEdges, "src", "dst", noNodes, "id").count() == 0)
+  }
+
   test("minhashLsh releases its shingle cache (no persist leak)") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.size
