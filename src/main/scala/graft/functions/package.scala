@@ -119,7 +119,10 @@ package object functions {
   /** Portable string hash: left-fold `acc*31 + codepoint(ch) mod p` over
     * the characters of `c`. Expressible identically in any engine with a
     * list-reduce (DuckDB `list_reduce`, Trino `reduce`). Pure higher-order
-    * Column expression — distributed, codegen'd, no UDF.
+    * Column expression — distributed, codegen'd, no UDF. Unicode-safe:
+    * Spark's `ascii()` and DuckDB's `ascii()` both return the full
+    * CODEPOINT for multibyte characters (spot-verified on accented latin,
+    * CJK, and the euro sign), so non-ASCII corpora hash identically.
     */
   def portableStringHash(c: Column): Column =
     aggregate(
