@@ -157,6 +157,17 @@ class OperatorsSpec extends SparkSpec {
     assert(Components.minLabel(noEdges, "src", "dst", noNodes, "id").count() == 0)
   }
 
+  test("curate is idempotent: a second pass removes nothing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    val once = Pipelines.curate(docs, "doc_id", "text", carry = Seq("lang"))
+      .localCheckpoint(true)
+    val twice = Pipelines.curate(once, "doc_id", "text", carry = Seq("lang"))
+    val a = once.select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = twice.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("minhashLsh releases its shingle cache (no persist leak)") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.size
