@@ -1486,6 +1486,170 @@ object Queries {
     ORDER BY revenue DESC, l_orderkey LIMIT 20"""
 
   // ======================================================================
+  // Round-5 additions: packing, mixing, passage dedup, semantic dedup,
+  // unpivot, time-range frames, grouped quantiles
+  // ======================================================================
+
+  /** E4 — sequence packing: deterministic doc -> context-window (bin)
+    * assignment for GPT-style pack-then-chunk batching, shard-local per
+    * source (no global total order — see TextAnalysis.packSequences).
+    */
+  def e4_seq_pack(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+      groupCol = "source", ctx = 256)
+      .orderBy("source", "doc_id")
+
+  val e4pkSql = """WITH tt AS (SELECT source, doc_id,
+      cast(len(string_split(text, ' ')) as bigint) AS n_tokens FROM documents),
+    o AS (SELECT source, doc_id, n_tokens,
+      cast(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS st
+      FROM tt)
+    SELECT source, doc_id, n_tokens,
+      cast(floor(st / 256.0) as bigint) AS bin, cast(st % 256 as int) AS bin_off
+    FROM o ORDER BY source, doc_id"""
+
+  /** E4 — sqrt-temperature mixture sampling: rebalance the corpus across
+    * sources with keep probability sqrt(min_n / n_s) (expected kept count
+    * ∝ sqrt(n_s)); hash-gated, so reproducible across engines/partitionings.
+    */
+  def e4_mixture(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureSample(t(s, dir, "documents"), "doc_id", "lang")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val e4mxSql = s"""WITH st AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    mn AS (SELECT min(n_s) AS min_n FROM st),
+    r AS (SELECT lang, cast(floor(sqrt(cast(min_n as double) / cast(n_s as double)) * 1000) as bigint) AS permille
+      FROM st CROSS JOIN mn)
+    SELECT doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+    WHERE (list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(cast(doc_id as varchar), ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) * 2654435761 + 97) % $HashPrime % 1000 < permille
+    ORDER BY doc_id"""
+
+  /** E2 — cross-document shared-passage removal (boilerplate strip):
+    * disjoint 32-token chunks, portable fingerprints, chunks held by >= 2
+    * distinct docs removed, docs reassembled from surviving chunks.
+    */
+  def e2_passage_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripSharedPassages(t(s, dir, "documents"), "doc_id", "text",
+      window = 32, minDocs = 2)
+      .orderBy("doc_id")
+
+  val e2pdSql = s"""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS tok,
+      len(string_split(text, ' ')) AS n FROM documents),
+    u AS (SELECT doc_id, n, tok, unnest(range(1, n + 1, 32)) AS st FROM tt),
+    c AS (SELECT doc_id, cast((st - 1) / 32 as int) AS chunk_idx,
+      array_to_string(tok[st:st + 31], ' ') AS chunk FROM u),
+    f AS (SELECT doc_id, chunk_idx, chunk,
+      list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(chunk, ''), ch -> cast(ascii(ch) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) AS fp FROM c),
+    b AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+    k AS (SELECT doc_id, chunk_idx, chunk FROM f WHERE fp NOT IN (SELECT fp FROM b)),
+    r AS (SELECT doc_id, count(*) AS n_removed FROM f WHERE fp IN (SELECT fp FROM b) GROUP BY doc_id),
+    cl AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text FROM k GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(cl.clean_text, '') AS clean_text,
+      coalesce(r.n_removed, 0) AS n_removed
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      LEFT JOIN r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id"""
+
+  /** E2/E3 — SemDeDup-shaped semantic dedup over embeddings: sign-LSH
+    * cluster -> within-cluster cosine pairs -> connected components;
+    * output = one row per component with its survivor (min id) and size.
+    */
+  def e2_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.semanticDedup(e, threshold = 0.35, bits = 8)
+      .groupBy(col("comp").as("survivor_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("survivor_id")
+  }
+
+  val e2sdSql: String =
+    s"""WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    prs AS (SELECT q.vec_id AS id1, c.vec_id AS id2
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}
+      WHERE round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) >= 0.35),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL SELECT id2, id1 FROM prs),
+    reach AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+      UNION SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+    SELECT comp AS survivor_id, count(*) AS n_members FROM comp
+    GROUP BY comp ORDER BY survivor_id"""
+
+  /** E6 — unpivot/melt: wide measure columns to long (metric, value)
+    * form, then a per-metric profile. The unpivot itself is narrow (each
+    * row fans out to 4 in place); one aggregation shuffle on 4 keys.
+    */
+  def e6_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("metric")
+
+  val e6uSql = s"""WITH m AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+    SELECT metric, count(*) AS n, ${dsumSql("value")} AS sum_value
+    FROM m GROUP BY metric ORDER BY metric"""
+
+  /** E7 — time-RANGE window frames: per-customer rolling 7-day revenue
+    * (frame bounded by event-time distance, not row count — peers at the
+    * same timestamp share the frame, so the result is deterministic).
+    */
+  def e7_range_frames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast to
+      // instant-typed TIMESTAMP preserves the value for unix_millis.
+      .orderBy(unix_millis(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-604800000L, Window.currentRow)
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+        .cast("double").as("roll7"),
+      count(lit(1)).over(w).as("n7"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val e7rfSql = """SELECT o_custkey, o_orderkey,
+    cast(sum(cast(o_totalprice as decimal(18,2))) OVER w as double) AS roll7,
+    count(*) OVER w AS n7
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+      RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** E10 — exact per-group interpolated percentiles (both engines use
+    * linear interpolation over the sorted group).
+    */
+  def e10_group_quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+      round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+      round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+      count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val e10gqSql = """SELECT l_returnflag,
+    round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+    round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+    round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+    count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -1556,5 +1720,12 @@ object Queries {
     ("e7_ranks", e7_ranks _, e7rSql),
     ("e3_knn_join", e3_knn_join _, e3kSql),
     ("e4_group_sample", e4_group_sample _, e4gsSql),
-    ("llm_curate", llm_curate _, curateSql))
+    ("llm_curate", llm_curate _, curateSql),
+    ("e4_seq_pack", e4_seq_pack _, e4pkSql),
+    ("e4_mixture", e4_mixture _, e4mxSql),
+    ("e2_passage_dedup", e2_passage_dedup _, e2pdSql),
+    ("e2_semantic_dedup", e2_semantic_dedup _, e2sdSql),
+    ("e6_unpivot", e6_unpivot _, e6uSql),
+    ("e7_range_frames", e7_range_frames _, e7rfSql),
+    ("e10_group_quantiles", e10_group_quantiles _, e10gqSql))
 }

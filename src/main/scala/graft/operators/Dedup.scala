@@ -581,6 +581,49 @@ object Dedup {
     }
   }
 
+  /** Cross-document shared-passage removal (boilerplate strip — the
+    * CCNet/Dolma-style "remove lines repeated across the corpus" pass at
+    * passage granularity): cut each document into DISJOINT `window`-token
+    * chunks, fingerprint each chunk with the portable hash, mark any
+    * fingerprint held by >= `minDocs` DISTINCT documents as boilerplate,
+    * and reassemble every document from its surviving chunks in order
+    * (docs reduced to nothing come back with empty text, not dropped —
+    * the caller decides their fate).
+    *
+    * Scale design: chunking is narrow (one row per chunk, no shuffle);
+    * the boilerplate set is one map-side-combined aggregate on the
+    * fingerprint; membership filtering is a semi/anti join on the SAME
+    * fingerprint partitioning (payloads cross the wire once, as chunk
+    * text into the per-doc reassembly — and that shuffle is keyed by doc
+    * id, so reassembly parallelism is per-document). Nothing is driver-
+    * side; the boilerplate frame is small by construction (shared
+    * passages are the rare case) and AQE broadcasts it when it fits.
+    */
+  def stripSharedPassages(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 32, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (a passage is shared across docs)")
+    val chunks = TextAnalysis.chunk(df, idCol, textCol, window, window)
+      .select(col(idCol), col("chunk_idx"), col("chunk"),
+        portableStringHash(col("chunk")).as("__fp"))
+    val boiler = chunks.groupBy("__fp")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__fp")
+    val kept = chunks.join(boiler, Seq("__fp"), "left_anti")
+    val removed = chunks.join(boiler, Seq("__fp"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_removed"))
+    val clean = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+    df.select(col(idCol))
+      .join(clean, Seq(idCol), "left")
+      .join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Candidate pairs sharing a prefix token within a block (see
     * ngramJaccardPairs). Exposed for the pruning-strength test.
     */

@@ -279,6 +279,26 @@ object Similarity {
   /** E2 (embedding flavour) — near-duplicate pairs by cosine >= threshold,
     * blocked by shared LSH bucket so the self-join never goes quadratic.
     */
+  /** SemDeDup-shaped semantic deduplication over an embedding corpus:
+    * (1) cluster by sign-LSH bucket (the cheap stand-in for the k-means
+    * cluster step — same pipeline shape, oracle-expressible), (2) emit
+    * within-cluster pairs at cosine >= `threshold` via [[nearDupPairs]],
+    * (3) connected components over the pair graph (duplicates are
+    * transitive), survivor = min id per component. Returns (id, comp) for
+    * EVERY corpus row — singletons are their own component — so the
+    * caller can keep survivors (id == comp) or aggregate cluster sizes.
+    *
+    * Scale design: inherits nearDupPairs' bucket-join (never all-pairs —
+    * O(N²/2^bits) candidate work, hash-partitioned by bucket) and
+    * largeStarSmallStar's O(log diameter) rounds; nothing driver-side.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    bits: Int = 8): DataFrame = {
+    val pairs = nearDupPairs(corpus, threshold, bits).select("id1", "id2")
+    Components.largeStarSmallStar(pairs, "id1", "id2",
+      corpus.select("id"), "id")
+  }
+
   def nearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 8,
                    roundTo: Int = 6): DataFrame = {
     val b = corpus.select(col("id"), col("vec"),

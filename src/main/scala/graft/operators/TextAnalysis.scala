@@ -249,6 +249,65 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Sequence packing — the training-example assembler: documents are
+    * concatenated in a deterministic order and cut into fixed
+    * `ctx`-token context windows ("bins"); each document reports the bin
+    * its first token lands in and the offset inside that bin. This is the
+    * bookkeeping half of GPT-style pack-then-chunk batching (the actual
+    * token concatenation happens downstream at tensorization; what the
+    * data engine owns is the deterministic doc -> bin assignment).
+    *
+    * Scale design: packing is per-`groupCol` (shard-local), so the
+    * running-offset window partitions by the shard key — NO global total
+    * order, no single-task funnel. At 100 TB the shard key is whatever
+    * unit downstream loaders consume (source, file, curriculum bucket);
+    * parallelism = number of shards, one shuffle on the shard key.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, ctx: Int): DataFrame = {
+    require(ctx > 0, "ctx must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    df.select(col(groupCol), col(idCol),
+        wordCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(groupCol), col(idCol), col("n_tokens"),
+        floor(col("__start") / lit(ctx.toDouble)).cast("long").as("bin"),
+        pmod(col("__start"), lit(ctx.toLong)).cast("int").as("bin_off"))
+  }
+
+  /** Temperature-based mixture rebalancing — the multi-source sampling
+    * step of a pretraining data recipe: per-stratum keep probability
+    * p_s = sqrt(min_n / n_s), so the expected kept count is
+    * sqrt(min_n * n_s) ∝ sqrt(n_s) (alpha = 0.5 temperature flattening:
+    * big sources are downsampled, the smallest is kept whole). The gate
+    * is the portable hash, so a row's fate depends only on (key), never
+    * on partitioning — reproducible across engines and runs.
+    *
+    * Scale design: the stats side is |strata| rows — broadcast back; the
+    * corpus never shuffles (one narrow filter pass). sqrt is IEEE
+    * correctly-rounded, so floor(sqrt(ratio) * 1000) is bit-identical in
+    * any engine and the permille gate is oracle-reproducible.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String): DataFrame = {
+    val stats = df.groupBy(strataCol).agg(count(lit(1)).as("__n_s"))
+    val minN = stats.agg(min(col("__n_s")).as("__min_n"))
+    val rates = stats.crossJoin(broadcast(minN))
+      .select(col(strataCol),
+        floor(sqrt(col("__min_n").cast("double") / col("__n_s").cast("double"))
+          * lit(1000.0)).cast("long").as("__permille"))
+    // The raw polynomial hash is linear in the last characters, so
+    // consecutive numeric keys land in runs mod 1000 (measured 59% kept
+    // at a 33% gate). One affine mix over the full hash disperses the
+    // runs (same construction is portable to any SQL oracle; no 64-bit
+    // overflow: p * a < 2^63).
+    df.join(broadcast(rates), strataCol)
+      .filter(pmod(affineHash(portableStringHash(col(idCol).cast("string")),
+        2654435761L, 97L), lit(1000L)) < col("__permille"))
+      .drop("__permille")
+  }
+
   /** Intra-document repetition: the share of word n-grams that are
     * repeats of an earlier n-gram in the SAME document — the standard
     * boilerplate/template filter signal (high ratio = nav bars, lorem

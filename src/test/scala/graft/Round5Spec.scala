@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Round-5 operators: sequence packing, mixture sampling, shared-passage
+  * removal, semantic dedup.
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------- packing
+
+  private val packCorpus = Seq(
+    // source A: 3 docs of 100 tokens each; ctx=128
+    ("A", 1L, Seq.fill(100)("w").mkString(" ")),
+    ("A", 2L, Seq.fill(100)("w").mkString(" ")),
+    ("A", 3L, Seq.fill(100)("w").mkString(" ")),
+    // source B: one long doc spanning several bins
+    ("B", 4L, Seq.fill(300)("w").mkString(" "))
+  ).toDF("source", "doc_id", "text")
+
+  test("packSequences: bins advance by cumulative token count, per shard") {
+    val got = TextAnalysis.packSequences(packCorpus, "doc_id", "text", "source", ctx = 128)
+      .select($"doc_id", $"n_tokens", $"bin", $"bin_off")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    // A: offsets 0, 100, 200 -> bins 0, 0, 1; offsets within bin 0, 100, 72
+    assert(got(0) == ((1L, 100L, 0L, 0)))
+    assert(got(1) == ((2L, 100L, 0L, 100)))
+    assert(got(2) == ((3L, 100L, 1L, 72)))
+    // B restarts at offset 0 in its own shard
+    assert(got(3) == ((4L, 300L, 0L, 0)))
+  }
+
+  test("packSequences: bin_off is always inside the context window") {
+    val got = TextAnalysis.packSequences(packCorpus, "doc_id", "text", "source", ctx = 64)
+    assert(got.filter($"bin_off" < 0 || $"bin_off" >= 64).count() == 0)
+  }
+
+  // -------------------------------------------------------------- mixture
+
+  test("mixtureSample: smallest stratum kept whole, larger flattened toward sqrt") {
+    // 'small' has 40 docs, 'big' has 360 -> p_big = sqrt(40/360) = 1/3
+    val docs = ((1 to 40).map(i => (i.toLong, "small")) ++
+      (41 to 400).map(i => (i.toLong, "big"))).toDF("doc_id", "stratum")
+    val kept = TextAnalysis.mixtureSample(docs, "doc_id", "stratum")
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 40) // permille 1000: the whole stratum survives
+    // affine-mixed hash gate at permille 333: expected ~120 of 360
+    assert(kept("big") > 80 && kept("big") < 170,
+      s"big stratum kept ${kept("big")}, expected ~120")
+  }
+
+  test("mixtureSample is idempotent on its own output's strata rates only " +
+    "when rates are recomputed — a kept row's hash gate is stable") {
+    val docs = (1 to 100).map(i => (i.toLong, if (i <= 20) "s" else "b"))
+      .toDF("doc_id", "stratum")
+    val once = TextAnalysis.mixtureSample(docs, "doc_id", "stratum")
+    // the same (key, permille) gate re-applied keeps exactly the same rows
+    val twiceSame = once.join(
+      TextAnalysis.mixtureSample(docs, "doc_id", "stratum"), Seq("doc_id", "stratum"))
+    assert(once.count() == twiceSame.count())
+  }
+
+  // ------------------------------------------------------ shared passages
+
+  private val shared32 = (1 to 32).map(i => s"boiler$i").mkString(" ")
+
+  test("stripSharedPassages removes cross-doc chunks and reassembles in order") {
+    val uniqueA = (1 to 32).map(i => s"a$i").mkString(" ")
+    val uniqueB = (1 to 32).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$uniqueA $shared32"),      // unique chunk then boilerplate
+      (2L, s"$shared32 $uniqueB"),      // boilerplate then unique chunk
+      (3L, uniqueB)                     // appears once per doc -> chunk is
+    ).toDF("doc_id", "text")            //   shared across docs 2 and 3
+    val got = Dedup.stripSharedPassages(docs, "doc_id", "text", window = 32)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, uniqueA, 1L)))
+    assert(got(1) == ((2L, "", 2L))) // both its chunks were shared
+    assert(got(2) == ((3L, "", 1L)))
+  }
+
+  test("stripSharedPassages keeps a corpus with no shared passages intact") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"x$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.stripSharedPassages(docs, "doc_id", "text", window = 32)
+    assert(got.filter($"n_removed" > 0).count() == 0)
+    // reassembly is the identity when nothing is removed
+    val joined = got.join(docs, "doc_id")
+      .filter($"clean_text" =!= $"text")
+    assert(joined.count() == 0)
+  }
+
+  // -------------------------------------------------------- semantic dedup
+
+  test("semanticDedup groups transitive near-identical vectors, min-id survivor") {
+    def vec(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val corpus = Seq(
+      (10L, vec(1f, 0.00f)),   // A ~ B ~ C chain (cosine near 1)
+      (11L, vec(1f, 0.01f)),
+      (12L, vec(1f, 0.02f)),
+      (20L, vec(0f, 1f))       // orthogonal singleton
+    ).toDF("id", "vec")
+    val comp = Similarity.semanticDedup(corpus, threshold = 0.9, bits = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(10L) == 10L && comp(11L) == 10L && comp(12L) == 10L)
+    assert(comp(20L) == 20L)
+    // survivors = ids that label their own component
+    assert(comp.values.toSet == Set(10L, 20L))
+  }
+
+  test("semanticDedup: components partition the corpus (sizes sum to N)") {
+    val corpus = (1 to 50).map { i =>
+      (i.toLong, Array(math.cos(i / 8.0).toFloat, math.sin(i / 8.0).toFloat, 0f, 0f))
+    }.toDF("id", "vec")
+    val cc = Similarity.semanticDedup(corpus, threshold = 0.98, bits = 2)
+    assert(cc.count() == 50)
+    assert(cc.groupBy("comp").count().agg(sum("count")).as[Long].head() == 50L)
+    // every component label is a member of its own component
+    val labels = cc.select($"comp".as("lbl")).distinct()
+    val selfLabeled = cc.filter($"id" === $"comp").select($"id".as("slbl"))
+    assert(labels.join(selfLabeled, $"lbl" === $"slbl", "left_anti").count() == 0)
+  }
+}
