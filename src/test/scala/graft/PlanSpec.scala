@@ -156,4 +156,41 @@ class PlanSpec extends SparkSpec {
       collectDeep(s) { case e: ShuffleExchangeExec => e })
     assert(corpusShuffles.isEmpty, s"corpus side was shuffled:\n$plan")
   }
+
+  test("e4_seq_pack: one shard-key shuffle feeds the window; scan prunes") {
+    val df = Queries.e4_seq_pack(spark, sf)
+    val plan = executed(df)
+    // one exchange for the (source) partitioning + the final orderBy —
+    // packing must NOT impose a global total order on the corpus
+    val shuffles = collectDeep(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"expected shard shuffle + orderBy only:\n$plan")
+    val scan = plan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("doc_id") && scan.contains("text") && scan.contains("source")
+        && !scan.contains("lang"),
+      s"scan should prune to (doc_id, text, source): $scan")
+  }
+
+  test("e4_mixture: rates broadcast back; the corpus is never shuffled") {
+    val df = Queries.e4_mixture(spark, sf)
+    val plan = executed(df)
+    val bcastJoins = collectDeep(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bcastJoins.nonEmpty, s"expected the rate table to broadcast:\n$plan")
+    // the corpus (streamed) side must reach the join without an exchange;
+    // only the tiny stats side and the final orderBy may shuffle
+    val corpusShuffles = bcastJoins.flatMap(streamedSides).flatMap(s =>
+      collectDeep(s) { case e: ShuffleExchangeExec => e })
+    assert(corpusShuffles.isEmpty, s"corpus side was shuffled:\n$plan")
+  }
+
+  test("e6_unpivot: id columns prune out of the scan entirely") {
+    val df = Queries.e6_unpivot(spark, sf)
+    val plan = executed(df)
+    val scan = plan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // the per-metric profile never references the unpivot ids — a scan
+    // that still reads them would ship dead columns through Expand
+    assert(scan.contains("l_quantity") && !scan.contains("l_orderkey"),
+      s"scan should prune the unpivot id columns: $scan")
+  }
 }
