@@ -1649,6 +1649,75 @@ object Queries {
     count(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** E4 — inverted index: per token, document frequency, collection
+    * frequency, and the sorted posting list (string-joined so the
+    * artifact is portable and hash-comparable).
+    */
+  def e4_inverted_index(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("token")
+
+  val e4iiSql = """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    cf AS (SELECT token, count(*) AS cf FROM ex GROUP BY token),
+    dd AS (SELECT DISTINCT token, doc_id FROM ex),
+    pl AS (SELECT token, count(*) AS df,
+      string_agg(cast(doc_id as varchar), ',' ORDER BY doc_id) AS postings
+      FROM dd GROUP BY token)
+    SELECT pl.token, df, cf, postings FROM pl JOIN cf ON pl.token = cf.token
+    ORDER BY pl.token"""
+
+  /** E4 — vocabulary coverage (1 - OOV rate) against the corpus' own
+    * top-100 tokens: the tokenizer-fit / junk-detection signal.
+    */
+  def e4_vocab_coverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
+      vocabSize = 100)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("coverage"))
+      .orderBy("doc_id")
+
+  val e4vcSql = """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT token, count(*) AS tf FROM ex GROUP BY token),
+    vocab AS (SELECT token FROM tf
+      QUALIFY row_number() OVER (ORDER BY tf DESC, token) <= 100),
+    hits AS (SELECT doc_id, count(*) AS n_iv FROM ex
+      WHERE token IN (SELECT token FROM vocab) GROUP BY doc_id)
+    SELECT d.doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+      round(cast(coalesce(n_iv, 0) as double) / len(string_split(text, ' ')), 6) AS coverage
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    ORDER BY d.doc_id"""
+
+  /** E6 — per-group winsorization: clip values to the group's
+    * [p05, p95] band (thresholds rounded to 6 dp so the clip comparisons
+    * are engine-identical), report clip counts and the exact-decimal sum
+    * of the winsorized series. Stats side is |groups| rows -> broadcast
+    * back; the events side never shuffles before its final aggregate.
+    */
+  def e6_winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val qs = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.05)"), 6).as("p05"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95"))
+    ev.join(broadcast(qs), "event_type")
+      .withColumn("__v", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum((col("value") < col("p05")).cast("long")).as("n_lo"),
+        sum((col("value") > col("p95")).cast("long")).as("n_hi"),
+        dsum(col("__v")).as("sum_winsorized"))
+      .orderBy("event_type")
+  }
+
+  val e6wSql = """WITH st AS (SELECT event_type,
+      round(quantile_cont(value, 0.05), 6) AS p05,
+      round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type)
+    SELECT e.event_type, count(*) AS n,
+      cast(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) as bigint) AS n_lo,
+      cast(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) as bigint) AS n_hi,
+      cast(sum(cast(least(greatest(value, p05), p95) as decimal(18,2))) as double) AS sum_winsorized
+    FROM events e JOIN st USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1727,5 +1796,8 @@ object Queries {
     ("e2_semantic_dedup", e2_semantic_dedup _, e2sdSql),
     ("e6_unpivot", e6_unpivot _, e6uSql),
     ("e7_range_frames", e7_range_frames _, e7rfSql),
-    ("e10_group_quantiles", e10_group_quantiles _, e10gqSql))
+    ("e10_group_quantiles", e10_group_quantiles _, e10gqSql),
+    ("e4_inverted_index", e4_inverted_index _, e4iiSql),
+    ("e4_vocab_coverage", e4_vocab_coverage _, e4vcSql),
+    ("e6_winsorize", e6_winsorize _, e6wSql))
 }

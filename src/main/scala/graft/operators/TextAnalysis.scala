@@ -210,6 +210,55 @@ object TextAnalysis {
       .select(col(idCol), round(score, 6).as("score"))
   }
 
+  /** Inverted index (token -> posting list): the retrieval-side artifact
+    * of a corpus — per token, the document frequency, the collection
+    * frequency, and the sorted posting list (joined to a string so the
+    * artifact is engine-portable and hash-comparable).
+    *
+    * Scale design: one shuffle on the token with map-side partial
+    * aggregation; posting lists build per-token in parallel. At 100 TB
+    * posting lists for stop-word-grade tokens are the skew risk — cap or
+    * drop ultra-high-df tokens upstream (they carry no retrieval signal),
+    * or shard the posting list by doc-id range.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("doc")).as("df"),
+        count(lit(1)).as("cf"),
+        array_join(transform(sort_array(collect_set(col("doc"))),
+          d => d.cast("string")), ",").as("postings"))
+
+  /** Per-document vocabulary coverage (1 - OOV rate) against the corpus'
+    * own top-`vocabSize` tokens — the cheap tokenizer-fit signal: docs
+    * whose tokens mostly fall outside the vocabulary are noise, code, or
+    * the wrong language.
+    *
+    * Scale design: the vocabulary is built from the DISTINCT-token table
+    * (orders of magnitude smaller than the corpus) and broadcast; the
+    * probe is a map-side semi join, the corpus never shuffles for it.
+    * The top-k selection windows over that small token table — at true
+    * scale swap in an approximate heavy-hitters sketch; the broadcast
+    * probe shape is unchanged.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    val vocab = termFrequencies(df, textCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= vocabSize)
+      .select("token")
+    val ex = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    val hits = ex.join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_invocab"))
+    df.select(col(idCol).as("id"), wordCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        round(coalesce(col("n_invocab"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("coverage"))
+  }
+
   /** Corpus term frequencies: one shuffle on token (map-side combined). */
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))

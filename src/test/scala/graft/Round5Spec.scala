@@ -93,6 +93,36 @@ class Round5Spec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  // ------------------------------------------------------- inverted index
+
+  test("invertedIndex: postings sorted, df counts distinct docs, cf total") {
+    val docs = Seq(
+      (3L, "b a b"),
+      (1L, "a c"),
+      (2L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == (("a", 3L, 3L, "1,2,3")))
+    assert(got(1) == (("b", 1L, 2L, "3"))) // cf counts the repeat, df doesn't
+    assert(got(2) == (("c", 1L, 1L, "1")))
+  }
+
+  // ------------------------------------------------------ vocab coverage
+
+  test("vocabCoverage: in-vocab fraction per doc, OOV docs score zero") {
+    // vocab of size 2 -> {x (5 hits), y (3)}; z is out-of-vocab
+    val docs = Seq(
+      (1L, "x x y z"),   // 3 of 4 in vocab
+      (2L, "x y y x x"), // all in vocab
+      (3L, "z z")        // none
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 0.75)))
+    assert(got(1) == ((2L, 5L, 1.0)))
+    assert(got(2) == ((3L, 2L, 0.0)))
+  }
+
   // -------------------------------------------------------- semantic dedup
 
   test("semanticDedup groups transitive near-identical vectors, min-id survivor") {
