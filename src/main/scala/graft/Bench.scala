@@ -62,6 +62,12 @@ object Bench {
       // left behind so session state can't accumulate into later timings
       // (round 2's p1-p3 scans drifted 3-5x from exactly that).
       Blocks.sweep(spark.sparkContext)
+      // iterative operators (connected components) leave dead broadcast
+      // and checkpoint references that only the ContextCleaner can reap —
+      // and it only wakes on GC. One untimed GC per query boundary keeps
+      // that garbage from taxing the NEXT query's timing (round 3 measured
+      // 3-8x drift on trivial queries from exactly this).
+      System.gc()
       val best = times.reduceOption(_ min _)
       // degradation guard: a formerly-trivial query running >3x its last
       // recorded time means something session-wide regressed — surface it

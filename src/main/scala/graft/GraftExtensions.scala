@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.FloatVecDot
+import graft.expressions.{FloatVecDot, PortablePolyHash}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to pure-SQL users.
@@ -25,14 +25,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "float_vec_dot takes 2 arguments")
         FloatVecDot(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("portable_hash"),
+      new ExpressionInfo(classOf[PortablePolyHash].getName, "portable_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "portable_hash takes 1 argument")
+        PortablePolyHash(children(0))
+      }))
   }
 }
 
 object GraftExtensions {
   /** Runtime registration for an existing session (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vec_dot",
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "portable_hash",
+      (children: Seq[Expression]) => PortablePolyHash(children(0)),
+      "scala_udf")
+  }
 }

@@ -117,14 +117,25 @@ package object functions {
   val HashPrime = 1000000007L
 
   /** Portable string hash: left-fold `acc*31 + codepoint(ch) mod p` over
-    * the characters of `c`. Expressible identically in any engine with a
-    * list-reduce (DuckDB `list_reduce`, Trino `reduce`). Pure higher-order
-    * Column expression — distributed, codegen'd, no UDF. Unicode-safe:
+    * the codepoints of `c`. Expressible identically in any engine with a
+    * list-reduce (DuckDB `list_reduce`, Trino `reduce`). Unicode-safe:
     * Spark's `ascii()` and DuckDB's `ascii()` both return the full
     * CODEPOINT for multibyte characters (spot-verified on accented latin,
     * CJK, and the euro sign), so non-ASCII corpora hash identically.
+    *
+    * Evaluates via the native codegen'd expression
+    * (graft.expressions.PortablePolyHash — one primitive loop, zero
+    * allocation); [[portableStringHashHof]] is the built-in-only
+    * reference twin the oracles mirror, test-pinned equal.
     */
   def portableStringHash(c: Column): Column =
+    graft.expressions.PortablePolyHash(c)
+
+  /** Reference higher-order formulation of [[portableStringHash]] (what
+    * the DuckDB `list_reduce` oracles mirror): interpreted lambda per
+    * character — correct, but ~orders slower in hot loops.
+    */
+  def portableStringHashHof(c: Column): Column =
     aggregate(
       // Spark's split-on-empty-regex emits a trailing "" (Pattern.split
       // with limit -1); strip it so the fold sees exactly the characters.

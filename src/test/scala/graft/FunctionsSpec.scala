@@ -70,4 +70,26 @@ class FunctionsSpec extends SparkSpec {
     val got = words.toDF("w").select(portableStringHash($"w")).as[Long].collect()
     assert(got.toSeq == words.map(ref))
   }
+
+  test("native portable hash == HOF twin, including non-BMP codepoints") {
+    // ascii/latin/CJK/astral (surrogate pair), empty, and the chars the
+    // corpus actually uses — the native codegen loop and the split("")
+    // + aggregate formulation must agree codepoint for codepoint
+    val words = Seq("spark", "", "café", "päö", "中文字", "€5", "a😀b", "😀",
+      "doc 42; x", "1234567890")
+    val rows = words.toDF("w")
+      .select(portableStringHash($"w").as("native"),
+        portableStringHashHof($"w").as("hof"))
+      .as[(Long, Long)].collect()
+    rows.zip(words).foreach { case ((n, h), w) =>
+      assert(n == h, s"mismatch on '$w': native=$n hof=$h")
+    }
+  }
+
+  test("native portable hash: null in, null out; SQL surface registered") {
+    GraftExtensions.register(spark)
+    val got = Seq(Some("x"), None).toDF("w")
+      .selectExpr("portable_hash(w)").as[Option[Long]].collect()
+    assert(got(0).isDefined && got(1).isEmpty)
+  }
 }
