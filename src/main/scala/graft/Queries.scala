@@ -1718,6 +1718,76 @@ object Queries {
     FROM events e JOIN st USING (event_type)
     GROUP BY e.event_type ORDER BY e.event_type"""
 
+  /** E11 — time-series resampling with forward fill: per user, one row
+    * per DAY between that user's first and last event; days with no
+    * event carry the last observed value forward (the feature-pipeline
+    * gap-fill). Survivor within a day is deterministic (latest ts,
+    * event_id tie-break). The day grid is generated per user with
+    * `sequence` (the G1 calendar-generator shape applied per key);
+    * forward fill is one `last(ignoreNulls)` running window — both
+    * shuffle only on user_id, which also carries the join.
+    */
+  def e11_resample(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val wDay = Window.partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev
+      .withColumn("__rn", row_number().over(wDay))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value").as("v"))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val wFill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("v"), ignoreNulls = true).over(wFill).as("value_ffill"),
+        col("v").isNotNull.cast("int").as("observed"))
+      .orderBy("user_id", "day")
+  }
+
+  val e11rsSql = """WITH daily AS (
+      SELECT user_id, day, value AS v FROM (
+        SELECT user_id, cast(ts as date) AS day, value,
+          row_number() OVER (PARTITION BY user_id, cast(ts as date)
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)),
+    -- forward fill == as-of join of each grid day to the latest daily row
+    ff AS (SELECT g.user_id, g.day, d.v AS value_ffill, d.day AS obs_day
+      FROM grid g ASOF LEFT JOIN daily d
+        ON g.user_id = d.user_id AND g.day >= d.day)
+    SELECT user_id, cast(day as date) AS day, value_ffill,
+      CASE WHEN obs_day = day THEN 1 ELSE 0 END AS observed
+    FROM ff ORDER BY user_id, day"""
+
+  /** Full-outer join: the per-customer order rollup joined both ways —
+    * customers with no orders AND order keys with no customer row both
+    * survive with nulls/zero defaults.
+    */
+  def j_full_outer(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val o = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("sum_price"))
+      .orderBy("custkey")
+  }
+
+  val jfoSql = """WITH o AS (SELECT o_custkey, count(*) AS n_orders,
+      cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+    FROM orders GROUP BY o_custkey)
+    SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+      coalesce(n_orders, 0) AS n_orders, sum_price
+    FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+    ORDER BY custkey"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1799,5 +1869,7 @@ object Queries {
     ("e10_group_quantiles", e10_group_quantiles _, e10gqSql),
     ("e4_inverted_index", e4_inverted_index _, e4iiSql),
     ("e4_vocab_coverage", e4_vocab_coverage _, e4vcSql),
-    ("e6_winsorize", e6_winsorize _, e6wSql))
+    ("e6_winsorize", e6_winsorize _, e6wSql),
+    ("e11_resample", e11_resample _, e11rsSql),
+    ("j_full_outer", j_full_outer _, jfoSql))
 }
