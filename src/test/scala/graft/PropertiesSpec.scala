@@ -163,4 +163,75 @@ object DedupProperties extends Properties("dedup") {
         .as[(Long, String, Long)].collect().sorted.toSeq
       viaFp == viaExact
     }
+
+  property("native portable hash == HOF twin on arbitrary unicode strings") =
+    Prop.forAll(Gen.listOfN(30, Gen.listOf(Gen.frequency(
+      8 -> Gen.asciiPrintableChar,
+      2 -> Gen.choose('¡', '퟿'))).map(_.mkString))) { ss =>
+      ss.isEmpty || {
+        val rows = ss.toDF("s")
+          .select(portableStringHash($"s"), portableStringHashHof($"s"))
+          .as[(Long, Long)].collect()
+        rows.forall { case (a, b) => a == b }
+      }
+    }
+
+  property("packSequences: bin * ctx + bin_off == exact running token offset") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(8, 64)) { (seed, ctx) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to 40).map { i =>
+        (i.toLong, s"g${rnd.nextInt(3)}",
+          List.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+      }
+      val got = operators.TextAnalysis
+        .packSequences(docs.toDF("doc_id", "grp", "text"), "doc_id", "text", "grp", ctx)
+        .select($"grp", $"doc_id", $"n_tokens", $"bin", $"bin_off")
+        .as[(String, Long, Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2))
+      got.forall { case (_, rows) =>
+        var off = 0L
+        rows.forall { case (_, _, n, bin, binOff) =>
+          val ok = bin == off / ctx && binOff == off % ctx
+          off += n
+          ok
+        }
+      }
+    }
+
+  property("mixtureSample: output is the hash-gated subset, smallest stratum whole") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to 120).map(i => (i.toLong, s"s${rnd.nextInt(4)}"))
+      val df = docs.toDF("doc_id", "st")
+      val kept = operators.TextAnalysis.mixtureSample(df, "doc_id", "st")
+        .select($"doc_id").as[Long].collect().toSet
+      val counts = docs.groupBy(_._2).view.mapValues(_.size).toMap
+      val minN = counts.values.min
+      def permille(n: Int) = math.floor(math.sqrt(minN.toDouble / n) * 1000).toLong
+      def gate(id: Long): Boolean = {
+        val h = id.toString.foldLeft(7L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+        (h * 2654435761L + 97L) % 1000000007L % 1000 < permille(counts(docs(id.toInt - 1)._2))
+      }
+      docs.forall { case (id, st) =>
+        kept.contains(id) == gate(id) &&
+          (counts(st) != minN || !kept.contains(id) == !gate(id))
+      }
+    }
+
+  property("invertedIndex: df <= cf, postings length == df, cf sums to corpus tokens") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to 25).map { i =>
+        (i.toLong, List.fill(1 + rnd.nextInt(20))(s"t${rnd.nextInt(8)}").mkString(" "))
+      }
+      val rows = operators.TextAnalysis
+        .invertedIndex(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(String, Long, Long, String)].collect()
+      val totalTokens = docs.map(_._2.split(" ").length).sum
+      rows.forall { case (_, df_, cf, postings) =>
+        df_ <= cf && postings.split(",").length == df_ &&
+          postings.split(",").map(_.toLong).sorted.sameElements(
+            postings.split(",").map(_.toLong))
+      } && rows.map(_._3).sum == totalTokens
+    }
 }
