@@ -93,6 +93,44 @@ object StreamingOps {
       .drop(col(s"r.$keyCol"))
   }
 
+  /** Streaming CDC upsert (the incremental-dimension pattern): each
+    * micro-batch of change rows is compacted to one change per key
+    * (latest by `orderCol`, the CDC-compaction contract Merge requires)
+    * and MERGEd into the parquet snapshot at `snapshotPath` via
+    * foreachBatch — the standard composition that turns the batch Merge
+    * operator into a continuously-maintained table.
+    *
+    * Scale design: per micro-batch cost is one window over the (small)
+    * changeset plus Merge's single union-window shuffle against the
+    * snapshot; the snapshot is rewritten atomically (temp dir + rename).
+    * At warehouse scale the rewrite step is what table formats with
+    * transactional commit replace — the streaming-side contract
+    * (compacted keyed changes, idempotent per batch) is identical.
+    */
+  def cdcUpsert(changes: DataFrame, snapshotPath: String, key: Seq[String],
+                orderCol: String, opCol: String = "op",
+                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val compacted = graft.operators.Dedup.exact(
+          batch.toDF(), key, Seq(col(orderCol).desc))
+        val base = spark.read.parquet(snapshotPath)
+        val merged = graft.operators.Merge.merge(
+          base, compacted.drop(orderCol), key, opCol)
+        val tmp = snapshotPath.stripSuffix("/") + ".merge-tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(snapshotPath), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(snapshotPath))
+        ()
+      }
+      .start()
+
   case class Event(key: Long, tsMs: Long, value: Double)
   case class SessionState(sessionId: Long, lastMs: Long, startMs: Long, n: Long)
   case class SessionOut(key: Long, session_id: Long, n_events: Long,

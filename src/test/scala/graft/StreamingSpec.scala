@@ -252,6 +252,32 @@ class StreamingSpec extends SparkSpec {
       (base + 20 * min, 1L, 3.0)))
   }
 
+  test("streaming CDC upsert maintains the parquet snapshot across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("graft-cdc").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toFile.getAbsolutePath
+    // initial snapshot: keys 1..3
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr")
+      .write.mode("overwrite").parquet(snap)
+    val input = MemoryStream[(Long, String, Long, String)]
+    val changes = input.toDF().toDF("k", "attr", "seq", "op")
+    val q = StreamingOps.cdcUpsert(changes, snap, key = Seq("k"),
+      orderCol = "seq", checkpoint = ckpt)
+    try {
+      // batch 1: update k=2 twice (later seq wins), insert k=4, delete k=3
+      input.addData((2L, "b1", 1L, "U"), (2L, "b2", 2L, "U"),
+        (4L, "d", 1L, "U"), (3L, "x", 1L, "D"))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(snap).as[(Long, String)].collect().sorted.toSeq
+      assert(s1 == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+      // batch 2: re-insert a deleted key, update the batch-1 insert
+      input.addData((3L, "c2", 3L, "U"), (4L, "d2", 4L, "U"))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(snap).as[(Long, String)].collect().sorted.toSeq
+      assert(s2 == Seq((1L, "a"), (2L, "b2"), (3L, "c2"), (4L, "d2")))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
