@@ -1788,6 +1788,54 @@ object Queries {
     FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
     ORDER BY custkey"""
 
+  /** E4 — unigram LM score (perplexity proxy): avg log p(token) under
+    * the corpus' own unigram distribution; order-free via 6-dp decimal
+    * quantization of per-token log-probs.
+    */
+  def e4_unigram_logprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"))
+      .orderBy("doc_id")
+
+  val e4ulSql = """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT token, count(*) AS tf FROM ex GROUP BY token),
+    tot AS (SELECT cast(count(*) as double) AS n_total FROM ex)
+    SELECT doc_id, count(*) AS n_tokens,
+      round(cast(sum(cast(round(ln(cast(tf as double) / n_total), 6) as decimal(18,6))) as double)
+        / count(*), 6) AS avg_logprob
+    FROM ex JOIN tf USING (token) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  /** E4 — C4-style rule-chain filter: per-rule 0/1 flags + conjunction,
+    * one narrow pass (no shuffle).
+    */
+  def e4_c4_filter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.c4FilterFlags(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val e4c4Sql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk, length(text) AS nc FROM documents),
+    sx AS (SELECT doc_id, tk, nc, CASE WHEN len(tk) >= 3
+        THEN list_transform(range(1, len(tk) - 1),
+          i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
+        ELSE cast([] as varchar[]) END AS sh FROM b)
+    SELECT doc_id,
+      cast(len(tk) >= 20 as int) AS r_len,
+      cast(cast(nc - len(tk) + 1 as double) / len(tk) <= 12.0 as int) AS r_mtl,
+      cast(len(list_filter(tk, t -> t IN ($en))) > 0 as int) AS r_stop,
+      cast((CASE WHEN len(sh) > 0
+        THEN 1.0 - cast(len(list_distinct(sh)) as double) / len(sh)
+        ELSE 0.0 END) <= 0.2 as int) AS r_rep,
+      cast(len(tk) >= 20
+        AND cast(nc - len(tk) + 1 as double) / len(tk) <= 12.0
+        AND len(list_filter(tk, t -> t IN ($en))) > 0
+        AND (CASE WHEN len(sh) > 0
+          THEN 1.0 - cast(len(list_distinct(sh)) as double) / len(sh)
+          ELSE 0.0 END) <= 0.2 as int) AS kept
+    FROM sx ORDER BY doc_id"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1871,5 +1919,7 @@ object Queries {
     ("e4_vocab_coverage", e4_vocab_coverage _, e4vcSql),
     ("e6_winsorize", e6_winsorize _, e6wSql),
     ("e11_resample", e11_resample _, e11rsSql),
-    ("j_full_outer", j_full_outer _, jfoSql))
+    ("j_full_outer", j_full_outer _, jfoSql),
+    ("e4_unigram_logprob", e4_unigram_logprob _, e4ulSql),
+    ("e4_c4_filter", e4_c4_filter _, e4c4Sql))
 }

@@ -259,6 +259,63 @@ object TextAnalysis {
           / col("n_tokens"), 6).as("coverage"))
   }
 
+  /** Unigram language-model score — avg log p(token) under the corpus'
+    * own unigram distribution: the cheap perplexity proxy used to rank
+    * documents by "naturalness" before an expensive LM pass. Per-token
+    * log-probs are quantized to 6 dp and summed as exact decimals, so
+    * the per-document aggregate is association-order-free and
+    * oracle-reproducible despite being a float reduction.
+    *
+    * Scale design: explode + one token-keyed aggregate builds the vocab
+    * frequency table (Zipf-bounded — orders of magnitude smaller than
+    * the corpus); the probe join is token-keyed against the same
+    * explode, AQE broadcasts the vocab when it fits; corpus total is a
+    * broadcast 1-row frame, never a driver count.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    val tf = ex.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = ex.agg(count(lit(1)).cast("double").as("n_total"))
+    ex.join(tf, "token")
+      .crossJoin(broadcast(total))
+      .select(col("id"), round(log(col("tf").cast("double") / col("n_total")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("lp")).cast("double") / count(lit(1))), 6).as("avg_logprob"))
+  }
+
+  /** C4-style rule-chain document filter: the classic cheap cleaning
+    * rules as independent 0/1 flags plus the conjunction — so the
+    * pipeline can report per-rule rejection rates, not just a verdict.
+    * Rules: enough tokens, sane mean token length, contains at least one
+    * stopword, low intra-document repetition. ZERO shuffles — one narrow
+    * pass over the corpus.
+    */
+  def c4FilterFlags(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 20, maxMeanTokenLen: Double = 12.0,
+                    maxRepetition: Double = 0.2): DataFrame = {
+    val en = langMarkers.toMap.apply("en")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("tk"),
+      length(col(textCol)).as("nc"))
+    val withSh = base.select(col(idCol), col("tk"), col("nc"),
+      Dedup.shingles(col("tk"), 3).as("sh"))
+    val nTok = size(col("tk"))
+    val rLen = nTok >= minTokens
+    val rMtl = (col("nc") - nTok + 1).cast("double") / nTok <= maxMeanTokenLen
+    val rStop = size(filter(col("tk"), t => t.isInCollection(en))) > 0
+    val repRatio = when(size(col("sh")) > 0,
+      lit(1.0) - size(array_distinct(col("sh"))).cast("double") / size(col("sh")))
+      .otherwise(lit(0.0))
+    val rRep = repRatio <= maxRepetition
+    withSh.select(col(idCol),
+      rLen.cast("int").as("r_len"),
+      rMtl.cast("int").as("r_mtl"),
+      rStop.cast("int").as("r_stop"),
+      rRep.cast("int").as("r_rep"),
+      (rLen && rMtl && rStop && rRep).cast("int").as("kept"))
+  }
+
   /** Corpus term frequencies: one shuffle on token (map-side combined). */
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))

@@ -123,6 +123,40 @@ class Round5Spec extends SparkSpec {
     assert(got(2) == ((3L, 2L, 0.0)))
   }
 
+  // -------------------------------------------------- unigram LM scoring
+
+  test("unigramLogProb: repeated-token docs score higher than rare-token docs") {
+    val docs = Seq(
+      (1L, "a a a a"),       // all tokens common -> high (less negative)
+      (2L, "q r s t")        // all singletons -> low
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0)._3 > got(1)._3)
+    // doc 1: p(a) = 4/8 -> avg log = ln(0.5)
+    assert(math.abs(got(0)._3 - math.log(0.5)) < 1e-5)
+    // doc 2: each p = 1/8
+    assert(math.abs(got(1)._3 - math.log(0.125)) < 1e-5)
+  }
+
+  // ------------------------------------------------------ C4 rule filter
+
+  test("c4FilterFlags: each rule rejects its own pathology") {
+    val good = (1 to 30).map(i => s"the w$i").mkString(" ") // 60 tokens, stopwords, varied
+    val docs = Seq(
+      (1L, good),
+      (2L, "the short doc"),                              // r_len fails
+      (3L, (1 to 30).map(_ => "supercalifragilistic").mkString(" ")), // r_mtl + r_rep fail
+      (4L, (1 to 30).map(i => s"w$i x$i").mkString(" "))  // no stopword -> r_stop fails
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4FilterFlags(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1, 1, 1, 1, 1)))
+    assert(got(1)._2 == 0 && got(1)._6 == 0)              // too short
+    assert(got(2)._3 == 0 && got(2)._5 == 0 && got(2)._6 == 0) // long tokens, repetitive
+    assert(got(3)._4 == 0 && got(3)._6 == 0)              // no stopword
+  }
+
   // -------------------------------------------------------- semantic dedup
 
   test("semanticDedup groups transitive near-identical vectors, min-id survivor") {
