@@ -1836,6 +1836,33 @@ object Queries {
     FROM sx ORDER BY doc_id"""
   }
 
+  /** E4 — heavy hitters: exact top-5 corpus tokens (both engines), with
+    * the Spark side ALSO running the Misra-Gries sketch (k=50) and
+    * checking it covers them — the e10_approx tolerance-flag pattern: the
+    * oracle pins the exact ranking and a literal 1, so the row only
+    * hash-matches if the sketch's survivor guarantee actually held.
+    */
+  def e4_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Window.orderBy(col("tf").desc, col("token"))
+    val top = TextAnalysis.termFrequencies(docs, "text")
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 5)
+    val sketch = TextAnalysis.heavyHitterTokens(docs, "text", k = 50)
+      .select(col("token").as("sk_token"))
+    top.join(broadcast(sketch), col("token") === col("sk_token"), "left")
+      .select(col("rnk"), col("token"), col("tf"),
+        col("sk_token").isNotNull.cast("int").as("in_sketch"))
+      .orderBy("rnk")
+  }
+
+  val e4hhSql = """WITH tfq AS (SELECT token, count(*) AS tf
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token)
+    SELECT cast(row_number() OVER (ORDER BY tf DESC, token) as int) AS rnk,
+      token, tf, cast(1 as int) AS in_sketch
+    FROM tfq QUALIFY rnk <= 5 ORDER BY rnk"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1921,5 +1948,6 @@ object Queries {
     ("e11_resample", e11_resample _, e11rsSql),
     ("j_full_outer", j_full_outer _, jfoSql),
     ("e4_unigram_logprob", e4_unigram_logprob _, e4ulSql),
-    ("e4_c4_filter", e4_c4_filter _, e4c4Sql))
+    ("e4_c4_filter", e4_c4_filter _, e4c4Sql),
+    ("e4_heavy_hitters", e4_heavy_hitters _, e4hhSql))
 }

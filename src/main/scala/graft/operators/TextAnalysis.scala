@@ -316,6 +316,20 @@ object TextAnalysis {
       (rLen && rMtl && rStop && rRep).cast("int").as("kept"))
   }
 
+  /** Approximate heavy-hitter tokens via the Misra-Gries sketch
+    * (expressions.FrequentItems): O(k) state per partition and k rows
+    * per map task through the shuffle, regardless of the token universe
+    * — the scale path where exact [[termFrequencies]] would shuffle one
+    * row per distinct token. Guarantee: every token with frequency
+    * > n/(k+1) appears; estimates undercount by at most n/(k+1).
+    */
+  def heavyHitterTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .agg(graft.expressions.FrequentItems.sketch(col("token"), k).as("__hh"))
+      .select(posexplode(col("__hh")))
+      .select((col("pos") + 1).cast("int").as("rnk"),
+        col("col.item").as("token"), col("col.est").as("est"))
+
   /** Corpus term frequencies: one shuffle on token (map-side combined). */
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))

@@ -123,6 +123,40 @@ class Round5Spec extends SparkSpec {
     assert(got(2) == ((3L, 2L, 0.0)))
   }
 
+  // ------------------------------------------------- Misra-Gries sketch
+
+  test("frequent-items sketch: heavy hitters survive, undercount bounded") {
+    val k = 10
+    // 3 heavy tokens (600/300/150 of n=1550) + 500 singletons
+    val stream = Seq.fill(600)("hot1") ++ Seq.fill(300)("hot2") ++
+      Seq.fill(150)("hot3") ++ (1 to 500).map(i => s"tail$i")
+    val n = stream.length
+    val df = scala.util.Random.shuffle(stream).map(t => Tuple1(t)).toDF("text")
+      .repartition(8) // force partial sketches + merge
+    val got = TextAnalysis.heavyHitterTokens(df, "text", k)
+      .as[(Int, String, Long)].collect()
+    val est = got.map(r => r._2 -> r._3).toMap
+    val bound = n / (k + 1)
+    // survivor guarantee: freq > n/(k+1) => present
+    Seq("hot1" -> 600, "hot2" -> 300, "hot3" -> 150).foreach { case (t, f) =>
+      assert(f <= bound || est.contains(t), s"$t (freq $f) missing from $est")
+      // undercount bound (error adds across the merge tree; 2x slack)
+      est.get(t).foreach(e =>
+        assert(e <= f && e >= f - 2 * bound, s"$t est $e vs true $f"))
+    }
+    assert(got.length <= k)
+  }
+
+  test("frequent-items sketch merges partials without losing dominant items") {
+    // dominant item spread across many partitions, tail items local to each
+    val rows = (1 to 2000).map(i =>
+      if (i % 2 == 0) "dom" else s"t${i % 97}")
+    val got = TextAnalysis.heavyHitterTokens(
+      rows.map(Tuple1(_)).toDF("text").repartition(16), "text", 5)
+      .as[(Int, String, Long)].collect()
+    assert(got.head._2 == "dom", s"dominant item not first: ${got.toSeq}")
+  }
+
   // -------------------------------------------------- unigram LM scoring
 
   test("unigramLogProb: repeated-token docs score higher than rare-token docs") {
