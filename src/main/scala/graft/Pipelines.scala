@@ -43,4 +43,32 @@ object Pipelines {
       comps.filter(col("id") === col("comp")).select(col("id").as(idCol)),
       idCol)
   }
+
+  /** Pretraining-batch assembly: C4-style rule filter → cross-document
+    * shared-passage removal (drop docs stripped to nothing) →
+    * sqrt-temperature language rebalancing → per-source sequence
+    * packing. The output is the training-loader contract: every
+    * surviving document with the context-window bin its first token
+    * lands in.
+    *
+    * Scale shape: the filter is narrow; passage stripping is the
+    * fingerprint aggregate + keyed reassembly; mixture stats are
+    * |langs| rows broadcast back; packing windows per source shard.
+    * Stage interactions that matter (and that the end-to-end oracle
+    * pins): mixture rates are computed on the CLEANED corpus, not the
+    * raw one, and packing offsets count CLEANED tokens.
+    */
+  def pretrainPack(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, sourceCol: String,
+                   window: Int = 32, ctx: Int = 256): DataFrame = {
+    val keptIds = TextAnalysis.c4FilterFlags(docs, idCol, textCol)
+      .filter(col("kept") === 1).select(idCol)
+    val cleaned = Dedup.stripSharedPassages(
+        docs.join(keptIds, Seq(idCol), "left_semi"), idCol, textCol, window)
+      .filter(length(col("clean_text")) > 0)
+      .join(docs.select(idCol, langCol, sourceCol), Seq(idCol))
+      .localCheckpoint(true)
+    val rebalanced = TextAnalysis.mixtureSample(cleaned, idCol, langCol)
+    TextAnalysis.packSequences(rebalanced, idCol, "clean_text", sourceCol, ctx)
+  }
 }

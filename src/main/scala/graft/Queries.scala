@@ -1863,6 +1863,64 @@ object Queries {
       token, tf, cast(1 as int) AS in_sketch
     FROM tfq QUALIFY rnk <= 5 ORDER BY rnk"""
 
+  /** Composed pretraining-batch assembly, graded END TO END: C4 rule
+    * filter → shared-passage strip (drop emptied docs) → sqrt-temperature
+    * language rebalance → per-source sequence packing. The oracle mirrors
+    * every stage over the same intermediates, so the interactions the
+    * stages must get right (mixture rates over the CLEANED corpus,
+    * packing offsets over CLEANED tokens) are hash-checked.
+    */
+  def llm_pretrain_pack(s: SparkSession, dir: String): DataFrame =
+    Pipelines.pretrainPack(t(s, dir, "documents"), "doc_id", "text",
+      langCol = "lang", sourceCol = "source")
+      .orderBy("source", "doc_id")
+
+  val pretrainSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    val phash = (c: String) =>
+      s"""list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split($c, ''), ch -> cast(ascii(ch) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)"""
+    s"""WITH bq AS (SELECT doc_id, string_split(text, ' ') AS tk, length(text) AS nc FROM documents),
+    sxq AS (SELECT doc_id, tk, nc, CASE WHEN len(tk) >= 3
+        THEN list_transform(range(1, len(tk) - 1),
+          i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
+        ELSE cast([] as varchar[]) END AS sh FROM bq),
+    keepq AS (SELECT doc_id FROM sxq WHERE len(tk) >= 20
+      AND cast(nc - len(tk) + 1 as double) / len(tk) <= 12.0
+      AND len(list_filter(tk, t -> t IN ($en))) > 0
+      AND (CASE WHEN len(sh) > 0
+        THEN 1.0 - cast(len(list_distinct(sh)) as double) / len(sh)
+        ELSE 0.0 END) <= 0.2),
+    tt AS (SELECT d.doc_id, string_split(d.text, ' ') AS tok,
+      len(string_split(d.text, ' ')) AS n FROM documents d JOIN keepq USING (doc_id)),
+    u AS (SELECT doc_id, n, tok, unnest(range(1, n + 1, 32)) AS st FROM tt),
+    c AS (SELECT doc_id, cast((st - 1) / 32 as int) AS chunk_idx,
+      array_to_string(tok[st:st + 31], ' ') AS chunk FROM u),
+    f AS (SELECT doc_id, chunk_idx, chunk, ${phash("chunk")} AS fp FROM c),
+    bo AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+    k2 AS (SELECT doc_id, chunk_idx, chunk FROM f WHERE fp NOT IN (SELECT fp FROM bo)),
+    cl AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+      FROM k2 GROUP BY doc_id),
+    cleaned AS (SELECT d.doc_id, d.lang, d.source, cl.clean_text
+      FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+      WHERE length(cl.clean_text) > 0),
+    st2 AS (SELECT lang, count(*) AS n_s FROM cleaned GROUP BY lang),
+    mn2 AS (SELECT min(n_s) AS min_n FROM st2),
+    r2 AS (SELECT lang, cast(floor(sqrt(cast(min_n as double) / cast(n_s as double)) * 1000) as bigint) AS permille
+      FROM st2 CROSS JOIN mn2),
+    mix AS (SELECT c3.doc_id, c3.source, c3.clean_text FROM cleaned c3 JOIN r2 USING (lang)
+      WHERE (${phash("cast(doc_id as varchar)")} * 2654435761 + 97) % $HashPrime % 1000 < permille),
+    tt2 AS (SELECT source, doc_id,
+      cast(len(string_split(clean_text, ' ')) as bigint) AS n_tokens FROM mix),
+    o2 AS (SELECT source, doc_id, n_tokens,
+      cast(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS st3 FROM tt2)
+    SELECT source, doc_id, n_tokens,
+      cast(floor(st3 / 256.0) as bigint) AS bin, cast(st3 % 256 as int) AS bin_off
+    FROM o2 ORDER BY source, doc_id"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1949,5 +2007,6 @@ object Queries {
     ("j_full_outer", j_full_outer _, jfoSql),
     ("e4_unigram_logprob", e4_unigram_logprob _, e4ulSql),
     ("e4_c4_filter", e4_c4_filter _, e4c4Sql),
-    ("e4_heavy_hitters", e4_heavy_hitters _, e4hhSql))
+    ("e4_heavy_hitters", e4_heavy_hitters _, e4hhSql),
+    ("llm_pretrain_pack", llm_pretrain_pack _, pretrainSql))
 }
