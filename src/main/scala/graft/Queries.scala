@@ -1731,7 +1731,11 @@ object Queries {
     val ev = events(s, dir)
     val wDay = Window.partitionBy(col("user_id"), to_date(col("ts")))
       .orderBy(col("ts").desc, col("event_id").desc)
+    // null-valued events are "no observation" — BOTH sides must agree, or
+    // the oracle's ASOF join would call the day observed while ignoreNulls
+    // skips it (fixture has no null values; don't rely on that)
     val daily = ev
+      .filter(col("value").isNotNull)
       .withColumn("__rn", row_number().over(wDay))
       .filter(col("__rn") === 1)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("value").as("v"))
@@ -1753,7 +1757,7 @@ object Queries {
         SELECT user_id, cast(ts as date) AS day, value,
           row_number() OVER (PARTITION BY user_id, cast(ts as date)
             ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events) WHERE rn = 1),
+        FROM events WHERE value IS NOT NULL) WHERE rn = 1),
     grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
       FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)),
     -- forward fill == as-of join of each grid day to the latest daily row

@@ -17,7 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * materialized per-character string array. The hash gates sampling,
   * fingerprints chunks, and keys the minhash token stream, so at corpus
   * scale it runs per token of every document. This expression emits one
-  * tight primitive loop into whole-stage codegen with zero allocation.
+  * tight primitive loop into whole-stage codegen; the only per-value
+  * cost left is the single UTF8String -> String decode feeding the
+  * codepoint walk (vs one allocated string + lambda frame per CHARACTER
+  * in the HOF form).
   *
   * Semantics are IDENTICAL to the HOF twin (test-pinned, including
   * non-BMP input): Java's empty-regex split advances by codepoints

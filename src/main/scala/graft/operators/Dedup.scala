@@ -590,14 +590,15 @@ object Dedup {
     * (docs reduced to nothing come back with empty text, not dropped —
     * the caller decides their fate).
     *
-    * Scale design: chunking is narrow (one row per chunk, no shuffle);
-    * the boilerplate set is one map-side-combined aggregate on the
-    * fingerprint; membership filtering is a semi/anti join on the SAME
-    * fingerprint partitioning (payloads cross the wire once, as chunk
-    * text into the per-doc reassembly — and that shuffle is keyed by doc
-    * id, so reassembly parallelism is per-document). Nothing is driver-
-    * side; the boilerplate frame is small by construction (shared
-    * passages are the rare case) and AQE broadcasts it when it fits.
+    * Scale design: the corpus is tokenized + fingerprinted ONCE — the
+    * chunk frame is persisted across its two consumers (the boilerplate
+    * aggregate and the flagged reassembly) and released once the result
+    * is materialized, the lshVerifiedPairs hygiene pattern. The
+    * boilerplate set is one map-side-combined aggregate on the
+    * fingerprint (small by construction — shared passages are the rare
+    * case — so AQE broadcasts the membership join); reassembly is ONE
+    * doc-keyed aggregation computing the kept text and the removed count
+    * together, so chunk payloads cross the wire once.
     */
   def stripSharedPassages(df: DataFrame, idCol: String, textCol: String,
                           window: Int = 32, minDocs: Int = 2): DataFrame = {
@@ -605,23 +606,31 @@ object Dedup {
     val chunks = TextAnalysis.chunk(df, idCol, textCol, window, window)
       .select(col(idCol), col("chunk_idx"), col("chunk"),
         portableStringHash(col("chunk")).as("__fp"))
+      .persist()
     val boiler = chunks.groupBy("__fp")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
-      .select("__fp")
-    val kept = chunks.join(boiler, Seq("__fp"), "left_anti")
-    val removed = chunks.join(boiler, Seq("__fp"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_removed"))
-    val clean = kept.groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
-          s => s.getField("chunk")), " ").as("clean_text"))
-    df.select(col(idCol))
-      .join(clean, Seq(idCol), "left")
-      .join(removed, Seq(idCol), "left")
+      .select(col("__fp"), lit(1).as("__b"))
+    // one pass: flag each chunk, then compute kept text AND removed
+    // count in a single doc-keyed aggregation (collect_list skips the
+    // nulls the `when` leaves for boilerplate chunks)
+    val perDoc = chunks.join(boiler, Seq("__fp"), "left")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__b").isNull, struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")), " ").as("clean_text"),
+        sum(when(col("__b").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+    val out = df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .localCheckpoint(true)
+    chunks.unpersist()
+    out
   }
 
   /** Candidate pairs sharing a prefix token within a block (see

@@ -276,9 +276,6 @@ object Similarity {
     topKPerQuery(sims, k, corpus.schema("id").dataType)
   }
 
-  /** E2 (embedding flavour) — near-duplicate pairs by cosine >= threshold,
-    * blocked by shared LSH bucket so the self-join never goes quadratic.
-    */
   /** SemDeDup-shaped semantic deduplication over an embedding corpus:
     * (1) cluster by sign-LSH bucket (the cheap stand-in for the k-means
     * cluster step — same pipeline shape, oracle-expressible), (2) emit
@@ -299,6 +296,9 @@ object Similarity {
       corpus.select("id"), "id")
   }
 
+  /** E2 (embedding flavour) — near-duplicate pairs by cosine >= threshold,
+    * blocked by shared LSH bucket so the self-join never goes quadratic.
+    */
   def nearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 8,
                    roundTo: Int = 6): DataFrame = {
     val b = corpus.select(col("id"), col("vec"),

@@ -275,7 +275,9 @@ object TextAnalysis {
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
     val tf = ex.groupBy("token").agg(count(lit(1)).as("tf"))
-    val total = ex.agg(count(lit(1)).cast("double").as("n_total"))
+    // corpus token total = sum over the (vocab-sized) frequency table —
+    // NOT a third full-corpus explode
+    val total = tf.agg(sum(col("tf")).cast("double").as("n_total"))
     ex.join(tf, "token")
       .crossJoin(broadcast(total))
       .select(col("id"), round(log(col("tf").cast("double") / col("n_total")), 6)

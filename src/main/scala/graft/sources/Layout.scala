@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Replace directory `dst` with `tmp` via two renames instead of
+    * delete-then-rename: dst -> dst.old (atomic), tmp -> dst (atomic),
+    * delete dst.old. A crash between the renames leaves the data intact
+    * at dst.old, and [[recoverSwap]] (called before reading) rolls it
+    * back — so no crash point loses the table, unlike a delete window.
+    * True single-operation atomicity needs a transactional table format;
+    * this is the strongest contract a plain filesystem offers.
+    */
+  private[graft] def swapInto(spark: SparkSession, tmp: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val oldP = new org.apache.hadoop.fs.Path(dst.stripSuffix("/") + ".old")
+    fs.delete(oldP, true)
+    if (fs.exists(dstP)) fs.rename(dstP, oldP)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dstP)
+    fs.delete(oldP, true)
+  }
+
+  /** Roll back a swap interrupted between its two renames: if `dst` is
+    * missing but `dst.old` survives, restore it. Idempotent.
+    */
+  private[graft] def recoverSwap(spark: SparkSession, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dst), conf)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val oldP = new org.apache.hadoop.fs.Path(dst.stripSuffix("/") + ".old")
+    if (!fs.exists(dstP) && fs.exists(oldP)) fs.rename(oldP, dstP)
+  }
+
   /** Compact a parquet directory to ~`targetFiles` files. Streaming
     * ingestion and fine-grained partitioning both shred tables into
     * thousands of KB-sized files; every later scan then pays one task +
@@ -24,6 +54,7 @@ object Layout {
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
               sortCols: Seq[String] = Nil): Unit = {
+    recoverSwap(spark, path)
     val df = spark.read.parquet(path)
     val out =
       if (sortCols.nonEmpty)
@@ -34,11 +65,7 @@ object Layout {
     // running job, so an in-place overwrite would delete what it reads
     val tmp = path.stripSuffix("/") + ".compact-tmp"
     out.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    swapInto(spark, tmp, path)
   }
 
   /** Bit-interleaved (Z-order / Morton) key over two non-negative int

@@ -102,9 +102,10 @@ object StreamingOps {
     *
     * Scale design: per micro-batch cost is one window over the (small)
     * changeset plus Merge's single union-window shuffle against the
-    * snapshot; the snapshot is rewritten atomically (temp dir + rename).
-    * At warehouse scale the rewrite step is what table formats with
-    * transactional commit replace — the streaming-side contract
+    * snapshot; the snapshot is replaced via the two-rename swap
+    * (sources.Layout.swapInto) with crash recovery on replay — no crash
+    * point loses the table, though only a transactional table format
+    * makes the swap a single atomic commit. The streaming-side contract
     * (compacted keyed changes, idempotent per batch) is identical.
     */
   def cdcUpsert(changes: DataFrame, snapshotPath: String, key: Seq[String],
@@ -115,6 +116,9 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        // a replayed batch after a crash mid-swap finds the snapshot at
+        // its .old name — roll it back before reading
+        graft.sources.Layout.recoverSwap(spark, snapshotPath)
         val compacted = graft.operators.Dedup.exact(
           batch.toDF(), key, Seq(col(orderCol).desc))
         val base = spark.read.parquet(snapshotPath)
@@ -122,11 +126,7 @@ object StreamingOps {
           base, compacted.drop(orderCol), key, opCol)
         val tmp = snapshotPath.stripSuffix("/") + ".merge-tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(snapshotPath), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(snapshotPath))
+        graft.sources.Layout.swapInto(spark, tmp, snapshotPath)
         ()
       }
       .start()
