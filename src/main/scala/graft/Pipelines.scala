@@ -61,7 +61,13 @@ object Pipelines {
   def pretrainPack(docs: DataFrame, idCol: String, textCol: String,
                    langCol: String, sourceCol: String,
                    window: Int = 32, ctx: Int = 256): DataFrame = {
+    // the checkpoint is a PUSHDOWN BARRIER, not caching: filtering the
+    // lazy flags frame lets PushDownPredicate inline the interpreted
+    // shingle lambdas into the predicate (and every downstream stage
+    // re-derives it) — measured 80x on this stage. The flags frame is
+    // |docs| rows of six ints; materializing it is cheap at any scale.
     val keptIds = TextAnalysis.c4FilterFlags(docs, idCol, textCol)
+      .localCheckpoint(true)
       .filter(col("kept") === 1).select(idCol)
     val cleaned = Dedup.stripSharedPassages(
         docs.join(keptIds, Seq(idCol), "left_semi"), idCol, textCol, window)

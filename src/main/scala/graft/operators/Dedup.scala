@@ -590,15 +590,17 @@ object Dedup {
     * (docs reduced to nothing come back with empty text, not dropped —
     * the caller decides their fate).
     *
-    * Scale design: the corpus is tokenized + fingerprinted ONCE — the
-    * chunk frame is persisted across its two consumers (the boilerplate
-    * aggregate and the flagged reassembly) and released once the result
-    * is materialized, the lshVerifiedPairs hygiene pattern. The
-    * boilerplate set is one map-side-combined aggregate on the
-    * fingerprint (small by construction — shared passages are the rare
-    * case — so AQE broadcasts the membership join); reassembly is ONE
-    * doc-keyed aggregation computing the kept text and the removed count
-    * together, so chunk payloads cross the wire once.
+    * Scale design: the chunk frame feeds exactly two consumers — the
+    * boilerplate aggregate and the flagged reassembly — so the corpus is
+    * tokenized + fingerprinted at most twice, lazily (measured cheaper
+    * here than eagerly materializing the chunk frame; a caller whose
+    * tokenize dominates can `.persist()` the INPUT df to trade memory
+    * for the second pass). The boilerplate set is one map-side-combined
+    * aggregate on the fingerprint (small by construction — shared
+    * passages are the rare case — so AQE broadcasts the membership
+    * join); reassembly is ONE doc-keyed aggregation computing the kept
+    * text and the removed count together, so chunk payloads cross the
+    * wire once.
     */
   def stripSharedPassages(df: DataFrame, idCol: String, textCol: String,
                           window: Int = 32, minDocs: Int = 2): DataFrame = {
@@ -606,7 +608,6 @@ object Dedup {
     val chunks = TextAnalysis.chunk(df, idCol, textCol, window, window)
       .select(col(idCol), col("chunk_idx"), col("chunk"),
         portableStringHash(col("chunk")).as("__fp"))
-      .persist()
     val boiler = chunks.groupBy("__fp")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -623,14 +624,11 @@ object Dedup {
               when(col("__b").isNull, struct(col("chunk_idx"), col("chunk"))))),
             s => s.getField("chunk")), " ").as("clean_text"),
         sum(when(col("__b").isNotNull, 1L).otherwise(0L)).as("n_removed"))
-    val out = df.select(col(idCol))
+    df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
-      .localCheckpoint(true)
-    chunks.unpersist()
-    out
   }
 
   /** Candidate pairs sharing a prefix token within a block (see
