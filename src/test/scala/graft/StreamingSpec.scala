@@ -278,6 +278,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frequent-items sketch aggregates incrementally over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("token")
+      .agg(graft.expressions.FrequentItems.sketch(col("token"), 5).as("hh"))
+      .select(posexplode(col("hh")))
+      .select(col("col.item").as("item"), col("col.est").as("est"))
+    val q = agg.writeStream.format("memory").queryName("hhs")
+      .outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(50)("dom") ++ (1 to 30).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(40)("dom") ++ (31 to 60).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      val top = spark.sql("SELECT item, est FROM hhs ORDER BY est DESC")
+        .as[(String, Long)].collect()
+      // the dominant item survives incremental state merge across batches
+      assert(top.head._1 == "dom" && top.head._2 >= 50, s"got ${top.toSeq}")
+      assert(top.length <= 5)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
