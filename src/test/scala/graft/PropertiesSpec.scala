@@ -218,6 +218,33 @@ object DedupProperties extends Properties("dedup") {
       }
     }
 
+  property("stripSharedPassages: chunk accounting balances; unshared corpora intact") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      // half the docs share one 8-token passage, half are unique
+      val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+      val docs = (1 to 20).map { i =>
+        val own = List.fill(8 + rnd.nextInt(16))(s"w${i}_${rnd.nextInt(9)}").mkString(" ")
+        (i.toLong, if (i % 2 == 0) s"$shared $own" else own)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = operators.Dedup.stripSharedPassages(df, "doc_id", "text", window = 8)
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val nChunks = docs.map { case (_, t) =>
+        math.ceil(t.split(" ").length / 8.0).toLong }.sum
+      val keptChunks = got.map(r =>
+        if (r._2.isEmpty) 0L else math.ceil(r._2.split(" ").length / 8.0).toLong).sum
+      // kept + removed == total chunks (trailing short chunks stay short,
+      // so re-chunking the kept text at the same window is only an upper
+      // bound — compare via the removal count instead)
+      got.map(_._3).sum + keptChunks >= nChunks &&
+        got.forall(r => r._3 >= 0) &&
+        // every odd doc (never shares its passage) survives verbatim
+        got.filter(_._1 % 2 == 1).forall { r =>
+          docs.find(_._1 == r._1).get._2 == r._2 && r._3 == 0L
+        }
+    }
+
   property("invertedIndex: df <= cf, postings length == df, cf sums to corpus tokens") =
     Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { seed =>
       val rnd = new scala.util.Random(seed)
