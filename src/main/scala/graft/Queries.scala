@@ -1925,6 +1925,32 @@ object Queries {
     FROM o2 ORDER BY source, doc_id"""
   }
 
+  /** Incremental aggregate-view maintenance, graded END TO END against a
+    * full recompute: the orders fact is split into history (80%) and a
+    * delta batch; the snapshot built on history is refreshed with the
+    * delta's partial aggregates (Merge.refreshAgg) and must hash-equal
+    * the oracle's one-shot aggregation of everything. Measures stay
+    * exact decimal until the final presentation cast, so refresh order
+    * cannot perturb the result.
+    */
+  def etl_incr_agg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"))
+    val snapshot = partial(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0))
+    val delta = partial(o.filter(pmod(col("o_orderkey"), lit(5)) === 0))
+    Merge.refreshAgg(snapshot, delta, Seq("o_custkey"), Seq("n_orders", "sum_price"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
+  val incrSql = """SELECT o_custkey, count(*) AS n_orders,
+    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2012,5 +2038,6 @@ object Queries {
     ("e4_unigram_logprob", e4_unigram_logprob _, e4ulSql),
     ("e4_c4_filter", e4_c4_filter _, e4c4Sql),
     ("e4_heavy_hitters", e4_heavy_hitters _, e4hhSql),
-    ("llm_pretrain_pack", llm_pretrain_pack _, pretrainSql))
+    ("llm_pretrain_pack", llm_pretrain_pack _, pretrainSql),
+    ("etl_incr_agg", etl_incr_agg _, incrSql))
 }

@@ -35,4 +35,26 @@ object Merge {
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .select(cols.map(col): _*)
   }
+
+  /** Incremental aggregate-view maintenance: fold a micro-batch's partial
+    * aggregates into an existing snapshot of the same shape. `addCols`
+    * are the ADDITIVE measures (counts, sums — anything where
+    * total = snapshot + delta); both inputs must carry exactly
+    * (key ++ addCols). This is the materialized-view refresh primitive:
+    * the alternative — re-aggregating all history per batch — rescans
+    * the full fact table, while this touches |snapshot| + |delta| rows.
+    *
+    * Scale shape: one union + one re-aggregation keyed like the
+    * snapshot; with the snapshot stored bucketed by `key` the exchange
+    * disappears and only the delta moves. Keep measures in exact types
+    * (decimal, long) until presentation: each key folds at most one
+    * snapshot row and one delta row here, but chained refreshes make
+    * the addition order arbitrary — exact types make it order-free.
+    */
+  def refreshAgg(snapshot: DataFrame, deltaAgg: DataFrame, key: Seq[String],
+                 addCols: Seq[String]): DataFrame =
+    snapshot.unionByName(deltaAgg)
+      .groupBy(key.map(col): _*)
+      .agg(sum(col(addCols.head)).as(addCols.head),
+        addCols.tail.map(c => sum(col(c)).as(c)): _*)
 }

@@ -123,6 +123,24 @@ class Round5Spec extends SparkSpec {
     assert(got(2) == ((3L, 2L, 0.0)))
   }
 
+  // ------------------------------------------- incremental agg refresh
+
+  test("refreshAgg: chained incremental refreshes == one-shot aggregation") {
+    import org.apache.spark.sql.DataFrame
+    val rows = (1 to 300).map(i => (i.toLong % 7, i.toLong, (i % 13).toLong))
+      .toDF("k", "id", "v")
+    def agg(df: DataFrame) = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+    // three micro-batches folded one at a time
+    val b = Seq(rows.filter($"id" % 3 === 0), rows.filter($"id" % 3 === 1),
+      rows.filter($"id" % 3 === 2)).map(agg)
+    val incremental = b.reduce(
+      operators.Merge.refreshAgg(_, _, Seq("k"), Seq("n", "sum_v")))
+    val oneShot = agg(rows)
+    assert(incremental.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+      oneShot.orderBy("k").as[(Long, Long, Long)].collect().toSeq)
+  }
+
   // ------------------------------------------------- Misra-Gries sketch
 
   test("frequent-items sketch: heavy hitters survive, undercount bounded") {
