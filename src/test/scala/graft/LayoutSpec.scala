@@ -40,6 +40,22 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("bloom runtime filter: no false negatives, strong pruning of non-matches") {
+    import graft.sources.RuntimeFilter
+    val build = (0L until 100L).map(Tuple1(_)).toDF("k")
+    val probe = (0L until 20000L).map(Tuple1(_)).toDF("k")
+    val pruned = RuntimeFilter.semiPrune(probe, "k", build, "k",
+      expectedItems = 100, numBits = 8192)
+    val kept = pruned.as[Long].collect().toSet
+    // soundness: every real match survives
+    assert((0L until 100L).forall(kept.contains), "false negative!")
+    // effectiveness: the 19900 non-matching keys are mostly gone
+    assert(kept.size < 100 + 1000, s"pruning too weak: kept ${kept.size}")
+    // the pruned side joins to the same result as the unpruned join
+    val joined = pruned.join(build.withColumnRenamed("k", "bk"), $"k" === $"bk")
+    assert(joined.count() == 100)
+  }
+
   test("recoverSwap restores a snapshot stranded mid-swap at its .old name") {
     val dir = Files.createTempDirectory("graft-swap").toFile.getAbsolutePath + "/snap"
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
