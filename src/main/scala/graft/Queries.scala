@@ -1951,6 +1951,138 @@ object Queries {
     cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
     FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
 
+  /** E3 — product-quantization ANN with ADC scoring: corpus compressed
+    * to 4 subspace codes against an 8-vector designated codebook (train
+    * with Similarity.trainCentroids at scale), search = distance-table
+    * lookups over the codes, never the raw vectors. The oracle mirrors
+    * encode, table build, and the exact-decimal ADC sum.
+    */
+  def e3_pq_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.pqTopK(e.filter(col("id") < 8), e, e.filter(col("id") < 8),
+      k = 3, m = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3pqSql: String = {
+    // |a-b|^2 over subspace m via the same three-dot identity as the
+    // Spark side: a.a - 2*a.b + b.b, each dot a sequential double sum
+    val sdot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 17), i -> cast($a[16*ms.m+i] as double) * cast($b[16*ms.m+i] as double)))"
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    cb AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS code, e AS ce
+      FROM v WHERE vec_id < 8),
+    ms AS (SELECT unnest(range(4)) AS m),
+    dsub AS (SELECT v.vec_id, ms.m, cb.code,
+        round(${sdot("v.e", "v.e")} - 2 * ${sdot("v.e", "cb.ce")} + ${sdot("cb.ce", "cb.ce")}, 6) AS d
+      FROM v CROSS JOIN ms CROSS JOIN cb),
+    codes AS (SELECT vec_id, m, code FROM dsub
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) = 1),
+    adc AS (SELECT qd.vec_id AS query_id, c2.vec_id AS cand_id,
+        cast(sum(cast(qd.d as decimal(18,6))) as double) AS adc
+      FROM codes c2 JOIN dsub qd ON qd.m = c2.m AND qd.code = c2.code
+      WHERE qd.vec_id < 8 AND qd.vec_id <> c2.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) as int) AS rnk,
+      cand_id, adc FROM adc
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+  }
+
+  /** E11 — peak concurrency per event type (sweep-line over +1/-1
+    * points; each event holds for 5 minutes).
+    */
+  def e11_concurrency(s: SparkSession, dir: String): DataFrame =
+    Sessionize.maxConcurrency(events(s, dir), "event_type", "ts",
+      holdMs = 300000L)
+      .orderBy("event_type")
+
+  val e11ccSql = """WITH pts AS (
+      SELECT event_type, epoch_ms(ts) AS t_ms, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, epoch_ms(ts) + 300000 AS t_ms, -1 AS delta FROM events),
+    c AS (SELECT event_type, t_ms,
+        cast(sum(delta) OVER (PARTITION BY event_type ORDER BY t_ms) as bigint) AS concurrent
+      FROM pts)
+    SELECT event_type, concurrent AS max_concurrent, t_ms AS peak_at_ms FROM c
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY concurrent DESC, t_ms) = 1
+    ORDER BY event_type"""
+
+  /** E4 — lexical diversity: types, type-token ratio, hapax count per
+    * document (zero-shuffle sorted-array formulation).
+    */
+  def e4_type_token(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typeTokenStats(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("ttr"))
+      .orderBy("doc_id")
+
+  val e4ttSql = """WITH s AS (SELECT doc_id,
+      list_sort(string_split(text, ' ')) AS st,
+      cast(len(string_split(text, ' ')) as int) AS n FROM documents),
+    u AS (SELECT doc_id, n,
+      cast(len(list_filter(range(1, n + 1),
+        i -> i = 1 OR st[i] <> st[i-1])) as int) AS n_types,
+      cast(len(list_filter(range(1, n + 1),
+        i -> (i = 1 OR st[i] <> st[i-1]) AND (i = n OR st[i] <> st[i+1]))) as int) AS n_hapax
+      FROM s)
+    SELECT doc_id, n AS n_tokens, n_types, n_hapax,
+      round(cast(n_types as double) / n, 6) AS ttr
+    FROM u ORDER BY doc_id"""
+
+  /** E4 — bigram LM score: avg log p(w_i | w_{i-1}) under the corpus'
+    * own bigram distribution (docs with < 2 tokens have no bigrams and
+    * drop out — both engines agree).
+    */
+  def e4_bigram_logprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logprob"))
+      .orderBy("doc_id")
+
+  val e4bgSql = """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    ex AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        THEN list_transform(range(1, len(tk)), i -> concat_ws(' ', tk[i], tk[i+1]))
+        ELSE cast([] as varchar[]) END) AS bg FROM tk),
+    tf2 AS (SELECT bg, count(*) AS tf2 FROM ex GROUP BY bg),
+    ctx AS (SELECT string_split(bg, ' ')[1] AS w1, cast(sum(tf2) as bigint) AS c1
+      FROM tf2 GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+      round(cast(sum(cast(round(ln(cast(tf2 as double) / cast(c1 as double)), 6) as decimal(18,6))) as double)
+        / count(*), 6) AS avg_logprob
+    FROM ex JOIN tf2 USING (bg) JOIN ctx ON string_split(bg, ' ')[1] = ctx.w1
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  /** E4 — epoch schedule: every source upsampled to the largest source's
+    * token count, fractional epochs resolved per doc by the portable
+    * hash gate; one row per (doc, epoch). Integer permille math end to
+    * end, so the weights are exact in both engines.
+    */
+  def e4_epochs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.epochSchedule(t(s, dir, "documents"), "doc_id", "text",
+      "source")
+      .select(col("source"), col("id").as("doc_id"), col("n_tokens"),
+        col("repeats"), col("epoch"))
+      .orderBy("source", "doc_id", "epoch")
+
+  val e4epSql: String = {
+    val phash = s"""list_reduce(list_concat([cast(7 as bigint)],
+      list_transform(string_split(cast(doc_id as varchar), ''), ch -> cast(ascii(ch) as bigint))),
+      (a, b) -> (a * 31 + b) % $HashPrime)"""
+    s"""WITH tt AS (SELECT source, doc_id,
+      cast(len(string_split(text, ' ')) as bigint) AS n_tokens FROM documents),
+    st AS (SELECT source, sum(n_tokens) AS src_tokens FROM tt GROUP BY source),
+    tg AS (SELECT max(src_tokens) AS target FROM st),
+    r AS (SELECT source, (target * 1000) // src_tokens AS wpm FROM st CROSS JOIN tg),
+    rep AS (SELECT t.source, t.doc_id, t.n_tokens,
+        cast(least(8, wpm // 1000 + CASE
+          WHEN ($phash * 2654435761 + 97) % $HashPrime % 1000 < wpm % 1000
+          THEN 1 ELSE 0 END) as int) AS repeats
+      FROM tt t JOIN r USING (source))
+    SELECT source, doc_id, n_tokens, repeats,
+      cast(unnest(range(repeats)) as int) AS epoch
+    FROM rep ORDER BY source, doc_id, epoch"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2039,5 +2171,10 @@ object Queries {
     ("e4_c4_filter", e4_c4_filter _, e4c4Sql),
     ("e4_heavy_hitters", e4_heavy_hitters _, e4hhSql),
     ("llm_pretrain_pack", llm_pretrain_pack _, pretrainSql),
-    ("etl_incr_agg", etl_incr_agg _, incrSql))
+    ("etl_incr_agg", etl_incr_agg _, incrSql),
+    ("e3_pq_topk", e3_pq_topk _, e3pqSql),
+    ("e11_concurrency", e11_concurrency _, e11ccSql),
+    ("e4_type_token", e4_type_token _, e4ttSql),
+    ("e4_bigram_logprob", e4_bigram_logprob _, e4bgSql),
+    ("e4_epochs", e4_epochs _, e4epSql))
 }

@@ -53,4 +53,41 @@ object Sessionize {
         unix_millis(min(col(tsCol))).as("start_ms"),
         unix_millis(max(col(tsCol))).as("end_ms"))
   }
+
+  /** Peak concurrency per key via the sweep-line: each event holds a
+    * resource for `holdMs` after its timestamp, and the question is the
+    * maximum number simultaneously held (the capacity-planning /
+    * rate-limit-sizing query). Intervals are half-open [t, t+holdMs):
+    * an end and a start at the same instant cancel.
+    *
+    * Every interval becomes a +1 point at its start and a −1 at its end;
+    * the running sum ordered by time IS the concurrency curve. The
+    * cumulative window uses the default RANGE frame, so all points at
+    * the same millisecond land in one frame — the curve is only observed
+    * BETWEEN distinct instants, never mid-tie, which makes the max
+    * independent of intra-tie row order (no groupBy needed for
+    * determinism). Time is exported as epoch ms (the Sessionize
+    * convention) and end points are start+holdMs in the ms domain, so
+    * engines with ns vs us native precision agree exactly.
+    *
+    * Scale: ONE shuffle — both windows partition by the key, the second
+    * reuses the first's exchange; the union doubles rows but each point
+    * is (key, long, long).
+    */
+  def maxConcurrency(events: DataFrame, keyCol: String, tsCol: String,
+                     holdMs: Long): DataFrame = {
+    val starts = events.select(col(keyCol),
+      unix_millis(col(tsCol)).as("t_ms"), lit(1L).as("__delta"))
+    val ends = events.select(col(keyCol),
+      (unix_millis(col(tsCol)) + holdMs).as("t_ms"), lit(-1L).as("__delta"))
+    val byT = Window.partitionBy(col(keyCol)).orderBy(col("t_ms"))
+    val curve = starts.unionAll(ends)
+      .withColumn("concurrent", sum(col("__delta")).over(byT))
+    curve
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col("concurrent").desc, col("t_ms"))))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("concurrent").as("max_concurrent"),
+        col("t_ms").as("peak_at_ms"))
+  }
 }

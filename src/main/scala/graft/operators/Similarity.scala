@@ -251,6 +251,74 @@ object Similarity {
     topKPerQuery(sims, k, corpus.schema("id").dataType)
   }
 
+  /** E3 — product-quantization ANN with asymmetric distance computation
+    * (ADC), the memory-bound scale path: each corpus vector is encoded
+    * once as `m` small codes (the code of its best codeword per
+    * subspace), and search never touches the raw vectors again — a
+    * query precomputes one `m × ksub` distance table and scores every
+    * candidate with `m` array lookups. With ksub codewords the index is
+    * m·log2(ksub) bits per vector (vs 64 floats = 2048 bits here), which
+    * is what makes exhaustive scan of a 100 TB corpus feasible: the
+    * compressed codes fit in memory three orders of magnitude below the
+    * raw embeddings.
+    *
+    * `codebook` is a designated (id, vec) frame (collected once — K
+    * vectors, the PQ contract; train with [[trainCentroids]] at scale);
+    * codes are POSITIONS in the id-sorted codebook. Distances are
+    * squared L2 per subspace via the three-dot identity
+    * |a−b|² = a·a − 2·a·b + b·b (each dot the native codegen'd
+    * [[dot]], so both encode and table build stay in whole-stage
+    * codegen), rounded to `roundTo` so argmin ties and ADC sums are
+    * engine-reproducible; per-subspace table entries sum as exact
+    * decimals. Ranking: (adc asc, cand_id asc).
+    *
+    * Scale design: encode is ONE narrow projection over the corpus (at
+    * 100 TB: write the code columns next to the data — that IS the
+    * index); the query side (id + m distance tables) is broadcast; the
+    * scan is a cross join against m ints per row, no corpus shuffle, no
+    * vector ever crossing the wire.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+             k: Int, m: Int = 4, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = collectCentroids(codebook)
+    require(cents.nonEmpty, "pqTopK needs a non-empty codebook")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    def sv(v: Column, i: Int): Column = slice(v, i * sub + 1, sub)
+    // |a - w|^2 over subspace i, rounded — w inlined as a literal so the
+    // whole thing folds into one codegen'd projection
+    def d2(v: Column, w: Array[Float], i: Int): Column = {
+      val wl = typedlit(w.slice(i * sub, i * sub + sub))
+      round(dot(sv(v, i), sv(v, i)) - lit(2.0) * dot(sv(v, i), wl) + dot(wl, wl),
+        roundTo)
+    }
+    // corpus -> m codes: argmin codeword per subspace (ties -> smallest
+    // position), via the array_min-over-struct argmax idiom
+    val codeCols = (0 until m).map { i =>
+      array_min(array(cents.zipWithIndex.map { case ((_, w), c) =>
+        struct(d2(col("vec"), w, i).as("d"), lit(c).as("code"))
+      }: _*)).getField("code").as(s"__c$i")
+    }
+    val c = corpus.select(col("id").as("cand_id") +: codeCols: _*)
+    // query -> m distance tables (ksub entries each), position-indexed
+    val dtCols = (0 until m).map { i =>
+      array(cents.map { case (_, w) => d2(col("vec"), w, i) }: _*).as(s"__dt$i")
+    }
+    val q = queries.select(col("id").as("query_id") +: dtCols: _*)
+    val adc = (0 until m)
+      .map(i => element_at(col(s"__dt$i"), col(s"__c$i") + 1)
+        .cast(DecimalType(18, 6)))
+      .reduce(_ + _).cast("double")
+    val sims = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), negate(adc).as("sim"))
+    topKPerQuery(sims, k, corpus.schema("id").dataType)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        negate(col("sim")).as("adc"))
+  }
+
   /** kNN SELF-join: every corpus vector gets its k nearest neighbours —
     * the corpus-vs-corpus shape where NEITHER side fits a broadcast
     * (bruteForceTopK/lshTopK broadcast the query set; here the query set

@@ -452,4 +452,101 @@ object TextAnalysis {
           round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
             size(col("sh")).cast("double"), 6))
           .otherwise(lit(0.0)).as("rep_ratio"))
+
+  /** Lexical-diversity stats per document: token count, type count
+    * (distinct tokens), type-token ratio, and hapax count (tokens that
+    * occur exactly once IN the document) — the classic diversity signals
+    * for template/boilerplate detection (low TTR) and OCR-noise
+    * detection (high hapax share).
+    *
+    * ZERO shuffles: sort the token array once per row, then types and
+    * hapaxes are neighbour comparisons over the sorted array — a pure
+    * map over the corpus, the right 100 TB shape (the explode +
+    * two-keyed-aggregation formulation would shuffle every token twice).
+    * Boundary probes are guarded with lazy `when`s: `element_at` past
+    * either end would throw under ANSI semantics.
+    */
+  def typeTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      sort_array(tokens(col(textCol))).as("__st"))
+      .select(col("id"), col("__st"), size(col("__st")).as("n_tokens"))
+    def neq(i: Column, j: Column): Column =
+      element_at(col("__st"), i) =!= element_at(col("__st"), j)
+    def firstOfRun(i: Column): Column =
+      when(i === 1, lit(true)).otherwise(neq(i, i - 1))
+    def lastOfRun(i: Column): Column =
+      when(i === col("n_tokens"), lit(true)).otherwise(neq(i, i + 1))
+    base.select(col("id"), col("n_tokens"),
+        size(filter(sequence(lit(1), col("n_tokens")), firstOfRun(_))).as("n_types"),
+        size(filter(sequence(lit(1), col("n_tokens")),
+          i => firstOfRun(i) && lastOfRun(i))).as("n_hapax"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Bigram LM score: avg log p(w_i | w_{i-1}) under the corpus' own
+    * (unsmoothed) bigram distribution — the next step up from
+    * [[unigramLogProb]] in quality-scoring fidelity. Context counts come
+    * from the bigram table itself (c(w1) = Σ_w2 c(w1,w2)), so every
+    * probability is well-defined and Σ p(·|w1) = 1. Documents with < 2
+    * tokens have no bigrams and drop out.
+    *
+    * Same determinism contract as unigram: per-bigram log-probs quantize
+    * to 6 dp and sum as exact decimals. Scale: one explode + one
+    * bigram-keyed aggregate builds the (Zipf-bounded) bigram table; the
+    * context table folds from IT (vocab-sized, never re-reads the
+    * corpus); both probe joins are key-joins AQE can broadcast.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(Dedup.shingles(tokens(col(textCol)), 2)).as("bg"))
+    val tf2 = ex.groupBy("bg").agg(count(lit(1)).as("tf2"))
+    val ctx = tf2.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("tf2")).as("c1"))
+    ex.join(tf2, "bg")
+      .join(ctx, split(col("bg"), " ").getItem(0) === ctx("w1"))
+      .select(col("id"),
+        round(log(col("tf2").cast("double") / col("c1").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  /** Epoch schedule for multi-source token equalization — the upsampling
+    * half of a mixture recipe ([[mixtureSample]] is the downsampling
+    * half): every source is brought up to the LARGEST source's token
+    * count by repeating documents, w = target/source_tokens epochs each,
+    * fractional epochs resolved per document by the portable hash gate
+    * (so expected upsampled tokens hit the target and a document's fate
+    * depends only on its id). Emits one row per (document, epoch).
+    *
+    * All weights are integer permille arithmetic (`div`/`%` on longs —
+    * exact in any engine at any corpus size, where a double ratio would
+    * drift past 2^53). `maxRepeats` caps the blowup a degenerate tiny
+    * source would cause (real recipes cap epochs anyway — heavily
+    * repeated data stops helping). Scale: stats are |sources| rows
+    * broadcast back; the explode multiplies rows but data volume is the
+    * OUTPUT volume (unavoidable); one shuffle for the stats aggregate.
+    */
+  def epochSchedule(df: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, maxRepeats: Int = 8): DataFrame = {
+    require(maxRepeats >= 1)
+    val tt = df.select(col(sourceCol).as("source"), col(idCol).as("id"),
+      wordCount(col(textCol)).cast("long").as("n_tokens"))
+    val stats = tt.groupBy("source").agg(sum(col("n_tokens")).as("__src_tokens"))
+    val target = stats.agg(max(col("__src_tokens")).as("__target"))
+    val rates = stats.crossJoin(broadcast(target))
+      .select(col("source"),
+        expr("(__target * 1000) div __src_tokens").as("__wpm"))
+    tt.join(broadcast(rates), "source")
+      .withColumn("repeats",
+        least(lit(maxRepeats.toLong),
+          expr("__wpm div 1000") +
+            when(pmod(affineHash(portableStringHash(col("id").cast("string")),
+              2654435761L, 97L), lit(1000L)) < pmod(col("__wpm"), lit(1000L)),
+              lit(1L)).otherwise(lit(0L))).cast("int"))
+      .select(col("source"), col("id"), col("n_tokens"), col("repeats"),
+        explode(sequence(lit(0), col("repeats") - 1)).as("epoch"))
+  }
 }
