@@ -2083,6 +2083,136 @@ object Queries {
     FROM rep ORDER BY source, doc_id, epoch"""
   }
 
+  /** E6 — per-group correlation / covariance / OLS line from EXACT
+    * decimal moments: built-in corr()/covar_samp() are double
+    * aggregations whose result depends on partition order, so instead
+    * the five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    * decimals (inputs have 2 dp — products are exact at 4 dp) and the
+    * statistics combine in ONE fixed double expression both engines
+    * evaluate identically. One map-side-combined shuffle; moments are
+    * mergeable, so this is the 100 TB shape too.
+    */
+  def e6_corr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    val m = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val n = col("n_rows").cast("double")
+    val cov = col("sxy") - col("sx") * col("sy") / n
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    m.select(col("l_returnflag"), col("n_rows"),
+        round(cov / (n - 1), 4).as("covar_samp"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+            sqrt(n * col("syy") - col("sy") * col("sy"))), 6).as("corr"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / n, 4).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  val e6corrSql = """WITH m AS (SELECT l_returnflag, count(*) AS n_rows,
+      cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+      cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+      cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS sxy,
+      cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double) AS sxx,
+      cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS syy
+    FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n_rows,
+      round((sxy - sx * sy / cast(n_rows as double)) / (cast(n_rows as double) - 1), 4) AS covar_samp,
+      round((cast(n_rows as double) * sxy - sx * sy) /
+        (sqrt(cast(n_rows as double) * sxx - sx * sx) * sqrt(cast(n_rows as double) * syy - sy * sy)), 6) AS corr,
+      round((cast(n_rows as double) * sxy - sx * sy) / (cast(n_rows as double) * sxx - sx * sx), 6) AS slope,
+      round((sy - (cast(n_rows as double) * sxy - sx * sy) / (cast(n_rows as double) * sxx - sx * sx) * sx)
+        / cast(n_rows as double), 4) AS intercept
+    FROM m ORDER BY l_returnflag"""
+
+  /** E6 — robust location/scale per group: exact interpolated median
+    * plus MAD (median absolute deviation), the outlier-resistant
+    * counterpart of e6_zscore's mean/stddev. Two grouped exact
+    * percentiles with the |group|-row median frame broadcast back
+    * between them — events never shuffle twice.
+    */
+  def e6_mad(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("median"))
+    ev.join(broadcast(med), "event_type")
+      .withColumn("__dev", round(abs(col("value") - col("median")), 6))
+      .groupBy("event_type")
+      .agg(first(col("median")).as("median"),
+        round(expr("percentile(__dev, 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val e6madSql = """WITH m AS (SELECT event_type,
+      round(quantile_cont(value, 0.5), 6) AS median FROM events GROUP BY event_type),
+    d AS (SELECT e.event_type, m.median, round(abs(e.value - m.median), 6) AS dev
+      FROM events e JOIN m USING (event_type))
+    SELECT event_type, any_value(median) AS median,
+      round(quantile_cont(dev, 0.5), 6) AS mad, count(*) AS n
+    FROM d GROUP BY event_type ORDER BY event_type"""
+
+  /** E4 — text normalization: lowercase, strip non-alphanumerics,
+    * collapse runs of whitespace — the canonicalization pass ahead of
+    * exact dedup so near-identical casings/punctuations collapse. Pure
+    * narrow map (zero shuffles).
+    */
+  def e4_normalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .withColumn("n_tokens", size(split(col("norm_text"), " ")))
+      .orderBy("doc_id")
+
+  val e4nmSql = """SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+    cast(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) as int) AS n_tokens
+    FROM documents ORDER BY doc_id"""
+
+  /** E10 — mergeable HLL sketches (Apache DataSketches via Spark's
+    * hll_sketch_agg family): per-group distinct users estimated two
+    * ways — one whole-group sketch, and two half-group sketches
+    * union-merged — plus the exact count. Graded via the e10_approx
+    * literal-flag pattern: the oracle pins the exact counts and two
+    * literal 1s, so the row only hash-matches if (a) the estimate is
+    * within 5% and (b) the merged estimate EQUALS the whole-group one
+    * (HLL registers are max-merged, so sketching partitions and
+    * unioning must be lossless — the property that makes incremental /
+    * distributed distinct counts work at 100 TB: store per-partition
+    * sketch bytes, merge at query time, never recount).
+    */
+  def e10_hll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val whole = ev.groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("__est"))
+    val merged = ev.withColumn("__half", pmod(col("user_id"), lit(2L)))
+      .groupBy("event_type", "__half")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("__sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk, true))").as("__est2"))
+    whole.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__est") - col("exact_users")).cast("double") / col("exact_users")
+          <= 0.05).cast("int").as("within_5pct"),
+        (col("__est") === col("__est2")).cast("int").as("merge_consistent"))
+      .orderBy("event_type")
+  }
+
+  val e10hllSql = """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+    cast(1 as int) AS within_5pct, cast(1 as int) AS merge_consistent
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2176,5 +2306,9 @@ object Queries {
     ("e11_concurrency", e11_concurrency _, e11ccSql),
     ("e4_type_token", e4_type_token _, e4ttSql),
     ("e4_bigram_logprob", e4_bigram_logprob _, e4bgSql),
-    ("e4_epochs", e4_epochs _, e4epSql))
+    ("e4_epochs", e4_epochs _, e4epSql),
+    ("e6_corr", e6_corr _, e6corrSql),
+    ("e6_mad", e6_mad _, e6madSql),
+    ("e4_normalize", e4_normalize _, e4nmSql),
+    ("e10_hll", e10_hll _, e10hllSql))
 }

@@ -286,27 +286,34 @@ object Similarity {
     val dim = cents.head._2.length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
-    def sv(v: Column, i: Int): Column = slice(v, i * sub + 1, sub)
-    // |a - w|^2 over subspace i, rounded — w inlined as a literal so the
-    // whole thing folds into one codegen'd projection
-    def d2(v: Column, w: Array[Float], i: Int): Column = {
+    // Stage subvector slices and their self-dots in their own projection
+    // so each is computed ONCE per row, not once per codeword (ksub×
+    // fewer dots; Catalyst won't collapse multi-referenced non-cheap
+    // expressions back in). w·w folds to a constant at optimization.
+    def staged(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("id").as(idAs) +:
+        (0 until m).map(i => slice(col("vec"), i * sub + 1, sub).as(s"__s$i")): _*)
+        .select(col(idAs) +: ((0 until m).map(i => col(s"__s$i")) ++
+          (0 until m).map(i => dot(col(s"__s$i"), col(s"__s$i")).as(s"__daa$i"))): _*)
+    // |a - w|^2 over subspace i via a·a − 2·a·w + w·w, rounded
+    def d2(w: Array[Float], i: Int): Column = {
       val wl = typedlit(w.slice(i * sub, i * sub + sub))
-      round(dot(sv(v, i), sv(v, i)) - lit(2.0) * dot(sv(v, i), wl) + dot(wl, wl),
+      round(col(s"__daa$i") - lit(2.0) * dot(col(s"__s$i"), wl) + dot(wl, wl),
         roundTo)
     }
     // corpus -> m codes: argmin codeword per subspace (ties -> smallest
     // position), via the array_min-over-struct argmax idiom
     val codeCols = (0 until m).map { i =>
       array_min(array(cents.zipWithIndex.map { case ((_, w), c) =>
-        struct(d2(col("vec"), w, i).as("d"), lit(c).as("code"))
+        struct(d2(w, i).as("d"), lit(c).as("code"))
       }: _*)).getField("code").as(s"__c$i")
     }
-    val c = corpus.select(col("id").as("cand_id") +: codeCols: _*)
+    val c = staged(corpus, "cand_id").select(col("cand_id") +: codeCols: _*)
     // query -> m distance tables (ksub entries each), position-indexed
     val dtCols = (0 until m).map { i =>
-      array(cents.map { case (_, w) => d2(col("vec"), w, i) }: _*).as(s"__dt$i")
+      array(cents.map { case (_, w) => d2(w, i) }: _*).as(s"__dt$i")
     }
-    val q = queries.select(col("id").as("query_id") +: dtCols: _*)
+    val q = staged(queries, "query_id").select(col("query_id") +: dtCols: _*)
     val adc = (0 until m)
       .map(i => element_at(col(s"__dt$i"), col(s"__c$i") + 1)
         .cast(DecimalType(18, 6)))

@@ -93,6 +93,19 @@ object StreamingOps {
       .drop(col(s"r.$keyCol"))
   }
 
+  /** Stream-static enrichment: every micro-batch left-joins the static
+    * dimension (the lookup-table shape — enrich a firehose with slowly-
+    * changing reference data). The dimension is explicitly broadcast so
+    * each micro-batch is a stateless map-side join: no streaming state,
+    * no shuffle of the stream, and the static side is re-resolvable per
+    * batch (Spark re-reads file-based static sides, so a refreshed dim
+    * parquet is picked up without restarting the query). Left join keeps
+    * stream rows with no dimension match (nulls), matching the batch
+    * −1-sentinel FK pattern upstream of the fact builder.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
+
   /** Streaming CDC upsert (the incremental-dimension pattern): each
     * micro-batch of change rows is compacted to one change per key
     * (latest by `orderCol`, the CDC-compaction contract Merge requires)

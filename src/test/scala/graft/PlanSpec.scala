@@ -183,6 +183,40 @@ class PlanSpec extends SparkSpec {
     assert(corpusShuffles.isEmpty, s"corpus side was shuffled:\n$plan")
   }
 
+  test("e3_pq_topk: queries broadcast; the corpus encodes in place, no shuffle") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = Queries.e3_pq_topk(spark, sf)
+    val plan = executed(df)
+    val bcastJoins = collectDeep(plan) {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bcastJoins.nonEmpty, s"expected the query tables to broadcast:\n$plan")
+    // the corpus must flow scan -> encode projection -> join untouched:
+    // PQ's whole point is scoring codes where the data lies
+    val corpusShuffles = bcastJoins.flatMap(streamedSides).flatMap(s =>
+      collectDeep(s) { case e: ShuffleExchangeExec => e })
+    assert(corpusShuffles.isEmpty, s"corpus side was shuffled:\n$plan")
+  }
+
+  test("e11_concurrency: both windows and the rank share ONE key exchange") {
+    val df = Queries.e11_concurrency(spark, sf)
+    val plan = executed(df)
+    // sweep-line = union -> cumulative window -> rank window, all
+    // partitioned by the key: one exchange + the presentation orderBy
+    val shuffles = collectDeep(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"windows re-partitioned instead of sharing the key exchange:\n$plan")
+  }
+
+  test("e4_type_token / e4_normalize: pure per-row passes, zero compute shuffles") {
+    Seq(Queries.e4_type_token _, Queries.e4_normalize _).foreach { q =>
+      val plan = executed(q(spark, sf))
+      val shuffles = collectDeep(plan) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 1, s"expected only the orderBy exchange:\n$plan")
+    }
+  }
+
   test("e6_unpivot: id columns prune out of the scan entirely") {
     val df = Queries.e6_unpivot(spark, sf)
     val plan = executed(df)

@@ -51,6 +51,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrich: per-batch broadcast lookup, unmatched keys keep nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val df = input.toDF().toDF("event_id", "cust_id")
+    val q = StreamingOps.enrich(df, dim, "cust_id")
+      .writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, 1L), (11L, 3L)) // 3 has no dim row
+      q.processAllAvailable()
+      input.addData((12L, 2L)) // the join works across batches too
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, tier FROM enr ORDER BY event_id")
+        .as[(Long, Option[String])].collect().toSeq
+      assert(got == Seq((10L, Some("gold")), (11L, None), (12L, Some("silver"))))
+    } finally q.stop()
+  }
+
   test("late data: inside-watermark events count, outside-watermark events drop") {
     implicit val sqlCtx = spark.sqlContext
     val min = 60000L
