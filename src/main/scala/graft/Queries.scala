@@ -2213,6 +2213,113 @@ object Queries {
     cast(1 as int) AS within_5pct, cast(1 as int) AS merge_consistent
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** J — point-in-time join: every order picks up the SCD2 attribute
+    * regime VALID AT its own date — the temporal-correctness composition
+    * (training-data pipelines use exactly this to avoid feature leakage:
+    * enrich events with dimension state as-of the event, never the
+    * current state). The dim is first compacted to one regime per (key,
+    * day) — the last version wins, since within-day order is the change
+    * order — which restores AsOfJoin's one-row-per-(key, ts) contract;
+    * then the PIT lookup IS a backward as-of join to valid_from. One key
+    * shuffle for the dim windows + the as-of union's key shuffle; no
+    * range explosion.
+    */
+  def j_pit(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val dim = Scd2.build(
+      orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+      nk = Seq("o_custkey"), ts = col("o_orderdate"),
+      tieBreak = Seq(col("o_orderkey")), attrs = Seq("o_orderpriority"))
+    // day-grain compaction: last regime starting that day is the one in
+    // force at day granularity
+    val wDay = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("version").desc)
+    val dimDay = dim
+      .withColumn("__rn", row_number().over(wDay))
+      .filter(col("__rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority").as("pit_priority"),
+        col("version").as("pit_version"))
+    AsOfJoin.backward(
+      orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+      dimDay, keyCol = "o_custkey", tsCol = "o_orderdate",
+      rightVals = Seq("pit_priority", "pit_version"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        col("pit_priority"), col("pit_version"))
+      .orderBy("o_orderkey")
+  }
+
+  val jpitSql = """WITH e AS (SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tb,
+      o_orderpriority AS attr FROM orders),
+    ch AS (SELECT o_custkey, ts, tb, attr FROM (
+        SELECT *, lag(attr) OVER (PARTITION BY o_custkey ORDER BY ts, tb) AS prev FROM e)
+      WHERE prev IS DISTINCT FROM attr),
+    d AS (SELECT o_custkey, ts, attr,
+        cast(row_number() OVER (PARTITION BY o_custkey ORDER BY ts, tb) as int) AS version
+      FROM ch),
+    dd AS (SELECT o_custkey, ts, attr, version FROM d
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, ts ORDER BY version DESC) = 1)
+    SELECT o.o_orderkey, o.o_custkey, cast(o.o_orderdate as date) AS o_date,
+      dd.attr AS pit_priority, dd.version AS pit_version
+    FROM orders o ASOF LEFT JOIN dd
+      ON o.o_custkey = dd.o_custkey AND o.o_orderdate >= dd.ts
+    ORDER BY o_orderkey"""
+
+  /** E7 — distribution window functions: percent_rank / cume_dist / ntile
+    * per group over a TOTAL order (tie-broken to the row), completing
+    * the ranking-family parity.
+    */
+  def e7_dist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+  }
+
+  val e7dSql = """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+    round(percent_rank() OVER w, 6) AS pct_rank,
+    round(cume_dist() OVER w, 6) AS cume,
+    cast(ntile(4) OVER w as int) AS quartile
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber"""
+
+  /** E10 — quantile discretization (the feature-binning primitive):
+    * per-group exact quartile cuts broadcast back, each value assigned
+    * its bucket. The stats frame is |groups| rows; events never shuffle.
+    */
+  def e10_discretize(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cuts = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.25)"), 6).as("q1"),
+      round(expr("percentile(value, 0.5)"), 6).as("q2"),
+      round(expr("percentile(value, 0.75)"), 6).as("q3"))
+    ev.join(broadcast(cuts), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("value") <= col("q1"), 1)
+          .when(col("value") <= col("q2"), 2)
+          .when(col("value") <= col("q3"), 3)
+          .otherwise(4).as("bin"))
+      .orderBy("event_id")
+  }
+
+  val e10dSql = """WITH c AS (SELECT event_type,
+      round(quantile_cont(value, 0.25), 6) AS q1,
+      round(quantile_cont(value, 0.5), 6) AS q2,
+      round(quantile_cont(value, 0.75), 6) AS q3
+    FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type, value,
+      CASE WHEN value <= q1 THEN 1 WHEN value <= q2 THEN 2
+        WHEN value <= q3 THEN 3 ELSE 4 END AS bin
+    FROM events e JOIN c ON e.event_type = c.event_type
+    ORDER BY event_id"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2310,5 +2417,8 @@ object Queries {
     ("e6_corr", e6_corr _, e6corrSql),
     ("e6_mad", e6_mad _, e6madSql),
     ("e4_normalize", e4_normalize _, e4nmSql),
-    ("e10_hll", e10_hll _, e10hllSql))
+    ("e10_hll", e10_hll _, e10hllSql),
+    ("j_pit", j_pit _, jpitSql),
+    ("e7_dist", e7_dist _, e7dSql),
+    ("e10_discretize", e10_discretize _, e10dSql))
 }

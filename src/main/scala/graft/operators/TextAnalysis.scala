@@ -495,19 +495,29 @@ object TextAnalysis {
     * to 6 dp and sum as exact decimals. Scale: one explode + one
     * bigram-keyed aggregate builds the (Zipf-bounded) bigram table; the
     * context table folds from IT (vocab-sized, never re-reads the
-    * corpus); both probe joins are key-joins AQE can broadcast.
+    * corpus); each DISTINCT bigram's log-prob is computed once on the
+    * bigram table and the exploded corpus probes that finished table in
+    * ONE key-join (probing tf2 and ctx separately would run the log and
+    * the context-key split once per OCCURRENCE).
+    *
+    * The token array is STAGED in its own projection before the shingle
+    * lambda: inlined, every interpreted `element_at(split(text), i)`
+    * step re-splits the whole document — one full tokenization per
+    * bigram, measured 6× on the explode alone at sf0.1 (the
+    * CollapseProject trap Dedup.hashedShinglesFromHashes documents).
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
-      explode(Dedup.shingles(tokens(col(textCol)), 2)).as("bg"))
+    val ex = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col("id"), explode(Dedup.shingles(col("__tk"), 2)).as("bg"))
     val tf2 = ex.groupBy("bg").agg(count(lit(1)).as("tf2"))
     val ctx = tf2.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("tf2")).as("c1"))
-    ex.join(tf2, "bg")
+    val lpByBigram = tf2
       .join(ctx, split(col("bg"), " ").getItem(0) === ctx("w1"))
-      .select(col("id"),
+      .select(col("bg"),
         round(log(col("tf2").cast("double") / col("c1").cast("double")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+    ex.join(lpByBigram, "bg")
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
