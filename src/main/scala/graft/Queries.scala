@@ -2320,6 +2320,58 @@ object Queries {
     FROM events e JOIN c ON e.event_type = c.event_type
     ORDER BY event_id"""
 
+  /** E4 — weighted sampling: 5 docs per source, probability ∝ token
+    * count, via the deterministic Efraimidis–Spirakis race (see
+    * TextAnalysis.weightedSample). The oracle mirrors the race key
+    * exactly, so the sampled SET (not just its size) is hash-checked.
+    */
+  def e4_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.wordCount(col("text")).cast("long").as("n_tokens"))
+    TextAnalysis.weightedSample(docs, "doc_id", "source",
+      col("n_tokens").cast("double"), k = 5)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_tokens"))
+      .orderBy("source", "rnk")
+  }
+
+  val e4wsSql: String = {
+    val phash = s"""list_reduce(list_concat([cast(7 as bigint)],
+      list_transform(string_split(cast(doc_id as varchar), ''), ch -> cast(ascii(ch) as bigint))),
+      (a, b) -> (a * 31 + b) % $HashPrime)"""
+    s"""WITH tt AS (SELECT source, doc_id,
+      cast(len(string_split(text, ' ')) as bigint) AS n_tokens FROM documents),
+    u AS (SELECT source, doc_id, n_tokens,
+      cast(($phash * 2654435761 + 97) % $HashPrime + 1 as double) / $HashPrime.0 AS uu
+      FROM tt),
+    r AS (SELECT source, doc_id, n_tokens,
+      round(ln(uu) / cast(n_tokens as double), 9) AS race FROM u)
+    SELECT source, cast(row_number() OVER (PARTITION BY source ORDER BY race DESC, doc_id) as int) AS rnk,
+      doc_id, n_tokens FROM r
+    QUALIFY rnk <= 5 ORDER BY source, rnk"""
+  }
+
+  /** E5 — VARIANT path: parse once to the binary VARIANT encoding, then
+    * typed `variant_get` extraction — the semi-structured scale shape
+    * (parse cost paid once per row, every later access is a cheap
+    * binary probe; with many extractions per row this beats re-parsing
+    * via get_json_object per field).
+    */
+  def e5_variant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("__v"))
+      .select(col("event_id"),
+        expr("variant_get(__v, '$.k', 'int')").as("k"),
+        expr("variant_get(__v, '$.k', 'string')").as("k_str"),
+        expr("variant_get(__v, '$.missing', 'int')").as("absent"))
+      .orderBy("event_id")
+
+  val e5vSql = """SELECT event_id,
+    cast(json_extract_string(props, '$.k') as int) AS k,
+    json_extract_string(props, '$.k') AS k_str,
+    cast(NULL as int) AS absent
+    FROM events ORDER BY event_id"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2420,5 +2472,7 @@ object Queries {
     ("e10_hll", e10_hll _, e10hllSql),
     ("j_pit", j_pit _, jpitSql),
     ("e7_dist", e7_dist _, e7dSql),
-    ("e10_discretize", e10_discretize _, e10dSql))
+    ("e10_discretize", e10_discretize _, e10dSql),
+    ("e4_weighted_sample", e4_weighted_sample _, e4wsSql),
+    ("e5_variant", e5_variant _, e5vSql))
 }

@@ -278,6 +278,80 @@ object Similarity {
     * scan is a cross join against m ints per row, no corpus shuffle, no
     * vector ever crossing the wire.
     */
+  /** Train a PQ codebook: INDEPENDENT k-means per subspace (the PQ
+    * contract — each subspace quantizes its own marginal distribution,
+    * which is what lets m·log2(ksub) bits approximate the full vector),
+    * stored as `ksub` full-dim rows whose i-th slice is subspace i's
+    * j-th centroid — exactly the layout [[pqTopK]] slices back apart.
+    * Deterministic like [[trainCentroids]]: hash-picked sample, smallest-
+    * hash seeds, fixed Lloyd iterations, rounded-distance argmin with
+    * position tie-breaks, no RNG. Plain (un-normalized) k-means on
+    * squared L2 — PQ quantizes distances, not directions.
+    *
+    * Scale: the sample persists across the loop; each (subspace,
+    * iteration) is one narrow argmin projection + one (cell, pos) mean
+    * aggregate returning ≤ ksub×sub rows — driver data stays bounded by
+    * the codebook size (which IS the index). m×iters passes over the
+    * sample; empty cells keep their previous codeword.
+    */
+  def trainPqCodebook(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 5,
+                      samplePct: Int = 50, roundTo: Int = 6): DataFrame = {
+    require(m > 0 && ksub > 0 && iters > 0)
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .filter(TextAnalysis.sampleByHash(col("id").cast("string"), samplePct))
+      .select(col("id"), col("vec"))
+      .persist()
+    val seeds = sample
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.length == ksub,
+      s"sample yielded ${seeds.length} < ksub=$ksub seeds — raise samplePct")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    // cb(i)(j) = subspace i's j-th codeword (sub floats)
+    var cb: Array[Array[Array[Float]]] = (0 until m).toArray.map(i =>
+      seeds.map(_.slice(i * sub, i * sub + sub)))
+    def l2(sv: Column, w: Array[Float]): Column = {
+      val wl = typedlit(w)
+      round(dot(sv, sv) - lit(2.0) * dot(sv, wl) + dot(wl, wl), roundTo)
+    }
+    for (_ <- 1 to iters) {
+      cb = (0 until m).toArray.map { i =>
+        val sv = slice(col("vec"), i * sub + 1, sub)
+        val cell = array_min(array(cb(i).zipWithIndex.map { case (w, j) =>
+          struct(l2(sv, w).as("d"), lit(j).as("j"))
+        }: _*)).getField("j")
+        val means = sample
+          .select(cell.as("cell"), posexplode(sv))
+          .groupBy("cell", "pos")
+          .agg(avg(col("col").cast("double")).as("mu"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+          }
+        cb(i).zipWithIndex.map { case (prev, j) => means.getOrElse(j, prev) }
+      }
+    }
+    sample.unpersist()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      (0 until ksub).map { j =>
+        org.apache.spark.sql.Row(j.toLong,
+          (0 until m).flatMap(i => cb(i)(j)).toSeq)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+  }
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
              k: Int, m: Int = 4, roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -539,6 +539,35 @@ object TextAnalysis {
     * broadcast back; the explode multiplies rows but data volume is the
     * OUTPUT volume (unavoidable); one shuffle for the stats aggregate.
     */
+  /** Weighted sampling without replacement, k per stratum — the
+    * Efraimidis–Spirakis A-Res scheme made DETERMINISTIC: each row's
+    * exponential race key is ln(u)/w (the log-monotone form of u^(1/w))
+    * with u a hash-uniform in (0, 1] derived from the row id, so the
+    * winners depend only on (id, weight), never on partitioning or RNG
+    * state — reproducible across engines and runs. Heavier rows race
+    * with keys closer to zero and win the per-stratum top-k.
+    *
+    * Scale: one narrow pass computes the key; one window shuffle on the
+    * stratum ranks it. At 100 TB replace the window with
+    * BoundedTopK.topK keyed by stratum (O(k) state, map-side partial) —
+    * kept as the window here so the ranking is oracle-expressible.
+    */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    require(k > 0)
+    // u in (0, 1]: affine-mixed portable hash over [0, P) shifted to
+    // [1, P] then divided by P — exact small-integer-over-P rationals
+    // both engines evaluate identically in double
+    val u = (affineHash(portableStringHash(col(idCol).cast("string")),
+      2654435761L, 97L) + lit(1L)).cast("double") / lit(HashPrime.toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__race").desc, col(idCol))
+    df.withColumn("__race", round(log(u) / weight, 9))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .drop("__race")
+  }
+
   def epochSchedule(df: DataFrame, idCol: String, textCol: String,
                     sourceCol: String, maxRepeats: Int = 8): DataFrame = {
     require(maxRepeats >= 1)

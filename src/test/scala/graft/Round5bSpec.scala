@@ -51,6 +51,36 @@ class Round5bSpec extends SparkSpec {
     }
   }
 
+  test("trainPqCodebook: per-subspace k-means converges to the cluster means") {
+    // subspace 0 clusters at (0,0)/(10,10); subspace 1 at (5,5)/(-5,-5) —
+    // independent per-subspace structure full-vector k-means can't see
+    def v(a: Float, b: Float) = Array(a, a, b, b)
+    val corpus = (0 until 40).map { i =>
+      val eps = (i % 5) * 0.1f
+      (i.toLong, v(if (i % 2 == 0) 0f + eps else 10f + eps,
+        if (i % 3 == 0) 5f + eps else -5f + eps))
+    }.toDF("id", "vec")
+    val cb = Similarity.trainPqCodebook(corpus, m = 2, ksub = 2, iters = 4,
+      samplePct = 100)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(cb.length == 2)
+    val slices = cb.flatMap { case (_, vec) =>
+      Seq((0, vec.slice(0, 2)), (1, vec.slice(2, 4)))
+    }
+    def near(s: Seq[Float], c: Float) = s.forall(x => math.abs(x - c) < 1.0)
+    // each subspace's two codewords sit on its own two clusters
+    Seq(0 -> Seq(0f, 10f), 1 -> Seq(5f, -5f)).foreach { case (i, cents) =>
+      val mine = slices.filter(_._1 == i).map(_._2)
+      cents.foreach(c => assert(mine.exists(near(_, c)),
+        s"subspace $i: no codeword near $c: ${mine.map(_.toSeq).toSeq}"))
+    }
+    // and pqTopK consumes the trained codebook directly
+    val got = Similarity.pqTopK(corpus.filter($"id" < 2), corpus,
+      Similarity.trainPqCodebook(corpus, m = 2, ksub = 2, iters = 2, samplePct = 100),
+      k = 3, m = 2)
+    assert(got.count() == 6)
+  }
+
   // ---------------------------------------------------------- concurrency
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
@@ -129,5 +159,20 @@ class Round5bSpec extends SparkSpec {
       maxRepeats = 1)
     assert(got.filter($"repeats" =!= 1).count() == 0)
     assert(got.count() == 4)
+  }
+
+  // ------------------------------------------------------ weighted sample
+
+  test("weightedSample: k per stratum, dominant weight always wins, stable") {
+    val docs = ((1 to 9).map(i => (i.toLong, "s", 1.0)) :+ (10L, "s", 1e9))
+      .toDF("doc_id", "stratum", "w")
+    def run() = TextAnalysis.weightedSample(docs, "doc_id", "stratum",
+      col("w"), k = 3)
+      .select($"rnk", $"doc_id").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    val got = run()
+    assert(got.size == 3)
+    // ln(u)/1e9 ~ 0 beats every unit-weight row's ln(u)
+    assert(got.head == ((1, 10L)), s"dominant row not rank 1: $got")
+    assert(got == run()) // hash race keys: no RNG, no partitioning effects
   }
 }
