@@ -2372,6 +2372,105 @@ object Queries {
     cast(NULL as int) AS absent
     FROM events ORDER BY event_id"""
 
+  /** E2 — bounded edit-distance near-dup pairs over NORMALIZED 80-char
+    * prefixes (normalization maps to ASCII, where Spark's codepoint
+    * levenshtein and DuckDB's byte levenshtein agree). Blocking is a
+    * band join on the FULL normalized length — |len(a)−len(b)| ≤ k is a
+    * necessary condition for whole-document edit distance ≤ k, and full
+    * lengths spread across many buckets where the capped prefix length
+    * would pile everything into one (the simhash-pairs lesson): docs
+    * bucket by floor(len/k), each probes its own ± adjacent bucket,
+    * candidates ≈ N²·3/B. At corpus scale you put an LSH candidate
+    * stage in front (Dedup.minhashLsh) and keep this as the VERIFY
+    * metric; the Spark side already uses the thresholded levenshtein
+    * (O(k·n) early-exit band algorithm, returns −1 past the bound).
+    */
+  def e2_edit_pairs(s: SparkSession, dir: String): DataFrame = {
+    val k = 40
+    val norm = t(s, dir, "documents").select(col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " ")).as("full"))
+      .select(col("doc_id"), substring(col("full"), 1, 80).as("p"),
+        length(col("full")).as("len"))
+    val nb = norm.withColumn("lb", floor(col("len") / k).cast("long"))
+    val probes = nb.select(col("doc_id").as("id1"), col("p").as("p1"),
+      col("len").as("len1"),
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("probe"))
+    val build = nb.select(col("doc_id").as("id2"), col("p").as("p2"),
+      col("len").as("len2"), col("lb"))
+    probes.join(build, col("probe") === col("lb") && col("id1") < col("id2"))
+      .filter(abs(col("len1") - col("len2")) <= k)
+      .withColumn("edit_dist", levenshtein(col("p1"), col("p2"), k))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= k)
+      .select(col("id1"), col("id2"), col("edit_dist"))
+      .orderBy("id1", "id2")
+  }
+
+  val e2epSql = """WITH n0 AS (SELECT doc_id,
+      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS f
+      FROM documents),
+    nb AS (SELECT doc_id, f[1:80] AS p, length(f) AS len,
+      cast(floor(length(f) / 40) as bigint) AS lb FROM n0),
+    pr AS (SELECT doc_id, p, len, unnest([lb - 1, lb, lb + 1]) AS probe FROM nb)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+      cast(levenshtein(a.p, b.p) as int) AS edit_dist
+    FROM pr a JOIN nb b ON a.probe = b.lb AND a.doc_id < b.doc_id
+    WHERE abs(a.len - b.len) <= 40 AND levenshtein(a.p, b.p) <= 40
+    ORDER BY id1, id2"""
+
+  /** E4 — Shannon token entropy per document (the information-density
+    * quality signal: low entropy = repeated boilerplate, high = diverse
+    * text). H = ln(n) − (Σ c·ln c)/n over within-doc token counts —
+    * the algebraic form whose only aggregate is Σ c·ln c, quantized to
+    * 6 dp decimals so the sum is order-free and oracle-exact.
+    */
+  def e4_entropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 6)
+          .cast(DecimalType(18, 6))).as("__scln"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__scln").cast("double") / col("n_tokens"), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  val e4enSql = """WITH c AS (SELECT doc_id, token, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token),
+    a AS (SELECT doc_id, sum(c) AS n_tokens,
+      sum(cast(round(cast(c as double) * ln(cast(c as double)), 6) as decimal(18,6))) AS scln
+      FROM c GROUP BY doc_id)
+    SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+      round(ln(cast(n_tokens as double)) - cast(scln as double) / n_tokens, 6) AS entropy
+    FROM a ORDER BY doc_id"""
+
+  /** E11 — sliding event-time windows (10-minute width, 5-minute slide):
+    * every event lands in width/slide = 2 overlapping buckets — the
+    * smoothed-rate view tumbling can't give. The oracle enumerates each
+    * event's two window starts explicitly.
+    */
+  def e11_sliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"),
+        window(col("ts"), "10 minutes", "5 minutes").getField("start").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 4)
+          .as("sum_value"))
+      .select(col("user_id"), unix_millis(col("w")).as("w_start_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "w_start_ms")
+
+  val e11slSql = """WITH x AS (SELECT user_id, value, epoch_ms(ts) AS tm FROM events),
+    w AS (SELECT user_id, value,
+      unnest([tm - tm % 300000 - 300000, tm - tm % 300000]) AS w_start_ms FROM x)
+    SELECT user_id, w_start_ms, count(*) AS n_events,
+      round(cast(sum(cast(value as decimal(18,2))) as double), 4) AS sum_value
+    FROM w GROUP BY user_id, w_start_ms ORDER BY user_id, w_start_ms"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2474,5 +2573,8 @@ object Queries {
     ("e7_dist", e7_dist _, e7dSql),
     ("e10_discretize", e10_discretize _, e10dSql),
     ("e4_weighted_sample", e4_weighted_sample _, e4wsSql),
-    ("e5_variant", e5_variant _, e5vSql))
+    ("e5_variant", e5_variant _, e5vSql),
+    ("e2_edit_pairs", e2_edit_pairs _, e2epSql),
+    ("e4_entropy", e4_entropy _, e4enSql),
+    ("e11_sliding", e11_sliding _, e11slSql))
 }

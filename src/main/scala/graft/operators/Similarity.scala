@@ -276,7 +276,11 @@ object Similarity {
     * 100 TB: write the code columns next to the data — that IS the
     * index); the query side (id + m distance tables) is broadcast; the
     * scan is a cross join against m ints per row, no corpus shuffle, no
-    * vector ever crossing the wire.
+    * vector ever crossing the wire. Note the encode stays inside
+    * whole-stage codegen (plan-asserted); the visible small-scale cost
+    * is DRIVER-side optimization of the m×ksub inlined-literal tree
+    * (~1 s), a fixed overhead that amortizes away at corpus scale —
+    * and disappears entirely when codes are precomputed at write time.
     */
   /** Train a PQ codebook: INDEPENDENT k-means per subspace (the PQ
     * contract — each subspace quantizes its own marginal distribution,
