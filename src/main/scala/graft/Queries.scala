@@ -28,7 +28,7 @@ object Queries {
     * TimestampType. Integer `div` (not double division — ns epochs exceed
     * 2^53) matches DuckDB's epoch_ms() floor exactly.
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", timestamp_millis(expr("ts div 1000000")))
 
   /** Exact sum of a double column: decimal(18,2) in, double out —
@@ -2471,6 +2471,356 @@ object Queries {
       round(cast(sum(cast(value as decimal(18,2))) as double), 4) AS sum_value
     FROM w GROUP BY user_id, w_start_ms ORDER BY user_id, w_start_ms"""
 
+  /** E11 — ordered conversion funnel (view → click → purchase): each
+    * stage's entry time is the earliest event of that type STRICTLY AFTER
+    * the previous stage's entry (a click before the first view doesn't
+    * count). Three unordered window aggregates chain over the same
+    * user-hash partitioning, so Spark plans ONE exchange for all of them
+    * plus the final per-user collapse — events cross the wire once. All
+    * comparisons happen on millisecond epochs so Spark's ms-truncated
+    * timestamps and DuckDB's nanosecond ones can't disagree about
+    * strict inequality within a millisecond.
+    */
+  def e11_funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tm"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tm"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("tm") > col("t1"),
+          col("tm"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("tm") > col("t2"),
+          col("tm"))).over(w))
+    staged.groupBy("user_id")
+      .agg(max(col("t1")).as("t_view_ms"), max(col("t2")).as("t_click_ms"),
+        max(col("t3")).as("t_purchase_ms"))
+      .select(col("user_id"),
+        (col("t_view_ms").isNotNull.cast("int") +
+          col("t_click_ms").isNotNull.cast("int") +
+          col("t_purchase_ms").isNotNull.cast("int")).as("stage"),
+        col("t_view_ms"), col("t_click_ms"), col("t_purchase_ms"))
+      .orderBy("user_id")
+  }
+
+  val e11fnSql = """WITH x AS (SELECT user_id, event_type, epoch_ms(ts) AS tm FROM events),
+    a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tm END)
+      OVER (PARTITION BY user_id) AS t1 FROM x),
+    b AS (SELECT *, min(CASE WHEN event_type = 'click' AND tm > t1 THEN tm END)
+      OVER (PARTITION BY user_id) AS t2 FROM a),
+    c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tm > t2 THEN tm END)
+      OVER (PARTITION BY user_id) AS t3 FROM b),
+    g AS (SELECT user_id, max(t1) AS t_view_ms, max(t2) AS t_click_ms,
+      max(t3) AS t_purchase_ms FROM c GROUP BY user_id)
+    SELECT user_id,
+      (CASE WHEN t_view_ms IS NULL THEN 0 ELSE 1 END +
+       CASE WHEN t_click_ms IS NULL THEN 0 ELSE 1 END +
+       CASE WHEN t_purchase_ms IS NULL THEN 0 ELSE 1 END) AS stage,
+      t_view_ms, t_click_ms, t_purchase_ms
+    FROM g ORDER BY user_id"""
+
+  /** E11 — weekly cohort retention: users grouped by the ISO week of
+    * their FIRST event; each later active week lands at its offset from
+    * the cohort week. Both engines truncate weeks to Monday, and both
+    * sides of the offset are week-truncated dates, so the day-difference
+    * is an exact multiple of 7. The (user, week) activity grid is
+    * distinct-compressed BEFORE the cohort join — at 100 TB the join and
+    * final rollup see |users|×|weeks| rows, not raw events.
+    */
+  def e11_cohort(s: SparkSession, dir: String): DataFrame = {
+    val wk = events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    wk.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / lit(7)).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val e11chSql = """WITH wk AS (SELECT DISTINCT user_id,
+      cast(date_trunc('week', ts) as date) AS wk FROM events),
+    cohort AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT cohort_week,
+      cast(date_diff('day', cohort_week, wk) // 7 as int) AS week_offset,
+      count(*) AS n_users
+    FROM wk JOIN cohort USING (user_id)
+    GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"""
+
+  /** ETL — snapshot diff (CDC between two table versions): two order
+    * snapshots derived deterministically from the same base (keys
+    * divisible by 97 are "new" rows absent from A; keys ≡ 3 mod 89 were
+    * deleted from B; open orders with key ≡ 0 mod 11 changed status),
+    * then a key-partitioned FULL OUTER join classifies every key as
+    * insert / delete / update and drops unchanged rows. This is the
+    * change-data-feed primitive for incremental downstream refresh: one
+    * sort-merge exchange per side, no broadcasts (both snapshots are
+    * table-sized), output bounded by the churn rate.
+    */
+  def etl_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val a = base.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status_a"))
+    val b = base.filter(col("o_orderkey") % 89 =!= 3)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderstatus") === "O" && col("o_orderkey") % 11 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("status_b"))
+    a.join(b, Seq("key"), "full_outer")
+      .withColumn("change_type",
+        when(col("status_a").isNull, lit("insert"))
+          .when(col("status_b").isNull, lit("delete"))
+          .when(col("status_a") =!= col("status_b"), lit("update"))
+          .otherwise(lit("same")))
+      .filter(col("change_type") =!= "same")
+      .select(col("key"), col("change_type"), col("status_a"), col("status_b"))
+      .orderBy("key")
+  }
+
+  val snapDiffSql = """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    a AS (SELECT o_orderkey AS key, o_orderstatus AS status_a FROM base
+      WHERE o_orderkey % 97 <> 0),
+    b AS (SELECT o_orderkey AS key,
+        CASE WHEN o_orderstatus = 'O' AND o_orderkey % 11 = 0 THEN 'X'
+             ELSE o_orderstatus END AS status_b
+      FROM base WHERE o_orderkey % 89 <> 3),
+    d AS (SELECT coalesce(a.key, b.key) AS key, status_a, status_b,
+        CASE WHEN status_a IS NULL THEN 'insert'
+             WHEN status_b IS NULL THEN 'delete'
+             WHEN status_a <> status_b THEN 'update'
+             ELSE 'same' END AS change_type
+      FROM a FULL OUTER JOIN b ON a.key = b.key)
+    SELECT key, change_type, status_a, status_b FROM d
+    WHERE change_type <> 'same' ORDER BY key"""
+
+  /** E6 — per-group mode (most frequent value) with a deterministic
+    * lexicographic tie-break: the imputation/canonicalization primitive.
+    * Two-level shape: the (group, value) count compresses the data to at
+    * most |groups|×|domain| rows BEFORE the window pass, so the
+    * row_number sees a tiny frame no matter how many raw events exist —
+    * the same partial-aggregate-first discipline as every other rollup
+    * here.
+    */
+  def e6_mode(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+      .orderBy("user_id")
+  }
+
+  val e6mdSql = """WITH c AS (SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY n DESC, event_type) AS rn FROM c)
+    SELECT user_id, event_type AS mode_event, n FROM r WHERE rn = 1
+    ORDER BY user_id"""
+
+  /** ETL — single-pass column profiling (the data-quality summary a
+    * pipeline runs before trusting a new drop): per column, null count,
+    * exact distinct count, and min/max rendered portably (numerics via
+    * decimal(18,2) so both engines print identical text). ONE aggregate
+    * over the table computes every metric (Spark expands the multi-column
+    * distinct internally), then a 5-row explode reshapes wide→long —
+    * the table is scanned exactly once regardless of column count.
+    */
+  def etl_profile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def d2s(c: Column): Column = c.cast(DecimalType(18, 2)).cast("string")
+    val a = o.agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("c_key"), countDistinct(col("o_orderkey")).as("d_key"),
+      min(col("o_orderkey")).cast("string").as("mn_key"), max(col("o_orderkey")).cast("string").as("mx_key"),
+      count(col("o_custkey")).as("c_cust"), countDistinct(col("o_custkey")).as("d_cust"),
+      min(col("o_custkey")).cast("string").as("mn_cust"), max(col("o_custkey")).cast("string").as("mx_cust"),
+      count(col("o_orderstatus")).as("c_st"), countDistinct(col("o_orderstatus")).as("d_st"),
+      min(col("o_orderstatus")).as("mn_st"), max(col("o_orderstatus")).as("mx_st"),
+      count(col("o_totalprice")).as("c_pr"), countDistinct(col("o_totalprice")).as("d_pr"),
+      d2s(min(col("o_totalprice"))).as("mn_pr"), d2s(max(col("o_totalprice"))).as("mx_pr"),
+      count(col("o_orderpriority")).as("c_pri"), countDistinct(col("o_orderpriority")).as("d_pri"),
+      min(col("o_orderpriority")).as("mn_pri"), max(col("o_orderpriority")).as("mx_pri"))
+    a.select(explode(array(
+        struct(lit("o_orderkey").as("col_name"), (col("n") - col("c_key")).as("n_nulls"),
+          col("d_key").as("n_distinct"), col("mn_key").as("min_s"), col("mx_key").as("max_s")),
+        struct(lit("o_custkey").as("col_name"), (col("n") - col("c_cust")).as("n_nulls"),
+          col("d_cust").as("n_distinct"), col("mn_cust").as("min_s"), col("mx_cust").as("max_s")),
+        struct(lit("o_orderstatus").as("col_name"), (col("n") - col("c_st")).as("n_nulls"),
+          col("d_st").as("n_distinct"), col("mn_st").as("min_s"), col("mx_st").as("max_s")),
+        struct(lit("o_totalprice").as("col_name"), (col("n") - col("c_pr")).as("n_nulls"),
+          col("d_pr").as("n_distinct"), col("mn_pr").as("min_s"), col("mx_pr").as("max_s")),
+        struct(lit("o_orderpriority").as("col_name"), (col("n") - col("c_pri")).as("n_nulls"),
+          col("d_pri").as("n_distinct"), col("mn_pri").as("min_s"), col("mx_pri").as("max_s"))
+      )).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_s"), col("p.max_s"))
+      .orderBy("col_name")
+  }
+
+  val profileSql = """WITH a AS (SELECT count(*) AS n,
+      count(o_orderkey) AS c_key, count(DISTINCT o_orderkey) AS d_key,
+      cast(min(o_orderkey) as varchar) AS mn_key, cast(max(o_orderkey) as varchar) AS mx_key,
+      count(o_custkey) AS c_cust, count(DISTINCT o_custkey) AS d_cust,
+      cast(min(o_custkey) as varchar) AS mn_cust, cast(max(o_custkey) as varchar) AS mx_cust,
+      count(o_orderstatus) AS c_st, count(DISTINCT o_orderstatus) AS d_st,
+      min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+      count(o_totalprice) AS c_pr, count(DISTINCT o_totalprice) AS d_pr,
+      cast(cast(min(o_totalprice) as decimal(18,2)) as varchar) AS mn_pr,
+      cast(cast(max(o_totalprice) as decimal(18,2)) as varchar) AS mx_pr,
+      count(o_orderpriority) AS c_pri, count(DISTINCT o_orderpriority) AS d_pri,
+      min(o_orderpriority) AS mn_pri, max(o_orderpriority) AS mx_pri
+      FROM orders)
+    SELECT col_name, n_nulls, n_distinct, min_s, max_s FROM (
+      SELECT 'o_orderkey' AS col_name, n - c_key AS n_nulls, d_key AS n_distinct,
+        mn_key AS min_s, mx_key AS max_s FROM a
+      UNION ALL SELECT 'o_custkey', n - c_cust, d_cust, mn_cust, mx_cust FROM a
+      UNION ALL SELECT 'o_orderstatus', n - c_st, d_st, mn_st, mx_st FROM a
+      UNION ALL SELECT 'o_totalprice', n - c_pr, d_pr, mn_pr, mx_pr FROM a
+      UNION ALL SELECT 'o_orderpriority', n - c_pri, d_pri, mn_pri, mx_pri FROM a)
+    ORDER BY col_name"""
+
+  /** ETL — declarative data-quality expectations (the "assert before
+    * ingest" gate): one row per rule with its violation count — primary
+    * key uniqueness, referential integrity both directions of the
+    * orders⇄customer/lineitem star, domain membership, and range checks.
+    * Each rule is an independent aggregate; the RI rules are anti-joins
+    * that broadcast whichever side is small and degrade to sort-merge at
+    * scale — no rule ever collects data to the driver.
+    */
+  def etl_expectations(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val l = t(s, dir, "lineitem")
+    def rule(name: String, viol: DataFrame): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    rule("lineitem_fk_orders",
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti"))
+      .unionAll(rule("lineitem_qty_range",
+        l.filter(!col("l_quantity").between(1, 50) || col("l_quantity").isNull)))
+      .unionAll(rule("orders_fk_customer",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+      .unionAll(rule("orders_pk_unique",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("k"))
+          .filter(col("k") > 1)))
+      .unionAll(rule("orders_price_positive",
+        o.filter(col("o_totalprice") <= 0 || col("o_totalprice").isNull)))
+      .unionAll(rule("orders_status_domain",
+        o.filter(!col("o_orderstatus").isin("O", "F", "P") ||
+          col("o_orderstatus").isNull)))
+      .orderBy("rule")
+  }
+
+  val expectSql = """SELECT rule, n_violations FROM (
+      SELECT 'lineitem_fk_orders' AS rule, count(*) AS n_violations
+        FROM lineitem WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      UNION ALL SELECT 'lineitem_qty_range', count(*) FROM lineitem
+        WHERE l_quantity NOT BETWEEN 1 AND 50 OR l_quantity IS NULL
+      UNION ALL SELECT 'orders_fk_customer', count(*) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      UNION ALL SELECT 'orders_pk_unique', count(*) FROM
+        (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+      UNION ALL SELECT 'orders_price_positive', count(*) FROM orders
+        WHERE o_totalprice <= 0 OR o_totalprice IS NULL
+      UNION ALL SELECT 'orders_status_domain', count(*) FROM orders
+        WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL)
+    ORDER BY rule"""
+
+  /** E2 — PageRank centrality over the near-dup graph (fixed 4
+    * iterations): inside a duplicate cluster the highest-rank member is
+    * the natural canonical survivor. All arithmetic is integer (ranks in
+    * 1e-9 units, `div` everywhere), so the result is hash-stable across
+    * engines — the oracle unrolls the same four iterations as chained
+    * CTEs with `//` division.
+    */
+  def e2_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
+      .select("id1", "id2")
+    Components.pageRank(pairs, "id1", "id2", docs.select("doc_id"), "doc_id",
+      iters = 4)
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy("doc_id")
+  }
+
+  val e2prSql: String = {
+    val iters = 4
+    val prCtes = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n.id, p.base + (85 * coalesce(c.cs, 0)) // 100 AS pr
+      FROM nodes n CROSS JOIN params p LEFT JOIN
+        (SELECT e.dst AS id, sum(q.pr // d.deg) AS cs
+         FROM edges e JOIN deg d ON e.src = d.src
+         JOIN pr${i - 1} q ON q.id = e.src GROUP BY e.dst) c ON c.id = n.id)"""
+    }.mkString(",\n    ")
+    s"""WITH $e2mCtes,
+    prs AS (SELECT id1, id2 FROM cand WHERE jaccard >= 0.4),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL SELECT id2, id1 FROM prs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT doc_id AS id FROM documents),
+    params AS (SELECT 1000000000 // count(*) AS init,
+      (15 * (1000000000 // count(*))) // 100 AS base FROM documents),
+    pr0 AS (SELECT id, init AS pr FROM nodes CROSS JOIN params),
+    $prCtes
+    SELECT id AS doc_id, cast(pr as bigint) AS pr FROM pr$iters ORDER BY doc_id"""
+  }
+
+  /** E5 — array higher-order functions (the Spark lambda surface:
+    * transform / filter / aggregate / array_sort / array_distinct) over
+    * the tokenized documents, mirrored by DuckDB's list_* family. Pure
+    * per-row compute — zero shuffles before the presentation sort; at
+    * 100 TB this is a narrow codegen'd pass.
+    */
+  def e5_arrays(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        size(filter(col("tk"), x => length(x) > lit(4))).as("n_long"),
+        aggregate(col("tk"), lit(0L), (acc, x) => acc + length(x))
+          .as("total_chars"),
+        array_max(transform(col("tk"), x => length(x))).as("max_len"),
+        element_at(array_sort(col("tk")), 1).as("first_token"),
+        size(array_distinct(col("tk"))).as("n_distinct"))
+      .orderBy("doc_id")
+
+  val e5arSql = """SELECT doc_id,
+      cast(len(tk) as int) AS n_tokens,
+      cast(len(list_filter(tk, x -> length(x) > 4)) as int) AS n_long,
+      cast(list_sum(list_transform(tk, x -> length(x))) as bigint) AS total_chars,
+      cast(list_max(list_transform(tk, x -> length(x))) as int) AS max_len,
+      list_sort(tk)[1] AS first_token,
+      cast(len(list_distinct(tk)) as int) AS n_distinct
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    ORDER BY doc_id"""
+
+  /** J — skew-salted join, graded for RESULT INVARIANCE: the salted
+    * rollup must hash-match the plain-join oracle exactly (salting is a
+    * physical rewrite, not a semantic one). The salt splits each hot
+    * order key across 8 sub-partitions and replicates the probe side per
+    * salt value — the manual control for skew that AQE can't fix (e.g.
+    * pre-aggregation fan-in on a power-law key).
+    */
+  def j_salted(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Dedup.saltedJoin(l, o, "l_orderkey", salt = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val jsltSql = s"""SELECT o_orderpriority, count(*) AS n_items,
+      ${dsumSql("l_extendedprice")} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2576,5 +2926,14 @@ object Queries {
     ("e5_variant", e5_variant _, e5vSql),
     ("e2_edit_pairs", e2_edit_pairs _, e2epSql),
     ("e4_entropy", e4_entropy _, e4enSql),
-    ("e11_sliding", e11_sliding _, e11slSql))
+    ("e11_sliding", e11_sliding _, e11slSql),
+    ("e11_funnel", e11_funnel _, e11fnSql),
+    ("e11_cohort", e11_cohort _, e11chSql),
+    ("etl_snapshot_diff", etl_snapshot_diff _, snapDiffSql),
+    ("e6_mode", e6_mode _, e6mdSql),
+    ("etl_profile", etl_profile _, profileSql),
+    ("etl_expectations", etl_expectations _, expectSql),
+    ("e2_pagerank", e2_pagerank _, e2prSql),
+    ("e5_arrays", e5_arrays _, e5arSql),
+    ("j_salted", j_salted _, jsltSql))
 }

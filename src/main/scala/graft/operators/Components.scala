@@ -154,4 +154,51 @@ object Components {
     graft.Blocks.free(cur)
     out
   }
+
+  /** Fixed-iteration PageRank over an undirected pair list — the
+    * centrality step after near-dup clustering: inside a duplicate
+    * cluster, the highest-rank member is the natural canonical survivor
+    * (most-connected ≈ most-duplicated ≈ most canonical).
+    *
+    * All arithmetic is INTEGER: ranks live in units of 1e-9 (init
+    * = 1e9 div N), each neighbour contribution is `pr div deg`, and the
+    * damping update is `base + (85 * Σcontrib) div 100`. Integer division
+    * is bit-identical in every engine, so a fixed iteration count yields
+    * a hash-stable result — no float summation order, no decimal scale
+    * rules. Dangling-node mass is dropped (standard simplification);
+    * determinism is unaffected.
+    *
+    * Scale shape: per iteration one join of the (replicated-undirected)
+    * edge list against the rank vector — both hash-partitioned on the
+    * node id — and one map-side-combined sum. Lineage is cut per round
+    * and superseded checkpoint blocks are freed immediately, exactly as
+    * in `minLabel`. The only driver-side value is N (a scalar count).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               nodes: DataFrame, idCol: String, iters: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = nodes.count()
+    val init = 1000000000L / n
+    val base = (15L * init) / 100L
+    var pr = nodes.select(col(idCol).as("id"), lit(init).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(deg, "src")
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("pr div deg")).as("cs"))
+      val next = nodes.select(col(idCol).as("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(cs, 0)) div 100")).as("pr"))
+        .localCheckpoint(true)
+      graft.Blocks.free(pr)
+      pr = next
+    }
+    sym.unpersist()
+    pr
+  }
 }

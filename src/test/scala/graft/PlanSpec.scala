@@ -217,6 +217,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e11_funnel: three chained windows + collapse share ONE key exchange") {
+    val plan = executed(Queries.e11_funnel(spark, sf))
+    // the t1→t2→t3 windows and the per-user max all partition by user_id:
+    // one hash exchange, plus the presentation orderBy
+    val shuffles = collectDeep(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"funnel stages re-partitioned instead of sharing the user exchange:\n$plan")
+  }
+
+  test("etl_profile: every column metric comes from ONE scan of orders") {
+    val plan = executed(Queries.etl_profile(spark, sf))
+    val scans = collectDeep(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"profiling must not rescan the table per column:\n$plan")
+  }
+
   test("e6_unpivot: id columns prune out of the scan entirely") {
     val df = Queries.e6_unpivot(spark, sf)
     val plan = executed(df)
