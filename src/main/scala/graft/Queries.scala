@@ -2374,49 +2374,50 @@ object Queries {
 
   /** E2 — bounded edit-distance near-dup pairs over NORMALIZED 80-char
     * prefixes (normalization maps to ASCII, where Spark's codepoint
-    * levenshtein and DuckDB's byte levenshtein agree). Blocking is a
-    * band join on the FULL normalized length — |len(a)−len(b)| ≤ k is a
-    * necessary condition for whole-document edit distance ≤ k, and full
-    * lengths spread across many buckets where the capped prefix length
-    * would pile everything into one (the simhash-pairs lesson): docs
-    * bucket by floor(len/k), each probes its own ± adjacent bucket,
-    * candidates ≈ N²·3/B. At corpus scale you put an LSH candidate
-    * stage in front (Dedup.minhashLsh) and keep this as the VERIFY
-    * metric; the Spark side already uses the thresholded levenshtein
-    * (O(k·n) early-exit band algorithm, returns −1 past the bound).
+    * levenshtein and DuckDB's byte levenshtein agree), in the COMPOSED
+    * production shape: MinHash-LSH generates the candidate pairs, the
+    * thresholded levenshtein (O(k·n) early-exit band algorithm, −1 past
+    * the bound) verifies them. Candidate count is bounded by LSH bucket
+    * collisions, never by N².
+    *
+    * The round-5 first cut blocked on a length-band self-join instead —
+    * |len(a)−len(b)| ≤ k is a necessary condition, but on a corpus whose
+    * lengths CLUSTER (this one: most docs land in a handful of
+    * floor(len/40) bands) it degenerates to ≈ 3·N²/bands candidates and
+    * took 138 s of the sf0.1 bench single-handedly — the simhash-pairs
+    * lesson re-learned on a different key: a blocking key is only as
+    * good as its VALUE DISPERSION on the actual corpus, and length is
+    * low-entropy here. LSH bucket keys are content hashes — dispersion
+    * by construction.
     */
   def e2_edit_pairs(s: SparkSession, dir: String): DataFrame = {
     val k = 40
-    val norm = t(s, dir, "documents").select(col("doc_id"),
-      trim(regexp_replace(
+    val docs = t(s, dir, "documents")
+    val cand = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.2)
+      .select("id1", "id2")
+    val norm = docs.select(col("doc_id"),
+      substring(trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-        " +", " ")).as("full"))
-      .select(col("doc_id"), substring(col("full"), 1, 80).as("p"),
-        length(col("full")).as("len"))
-    val nb = norm.withColumn("lb", floor(col("len") / k).cast("long"))
-    val probes = nb.select(col("doc_id").as("id1"), col("p").as("p1"),
-      col("len").as("len1"),
-      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("probe"))
-    val build = nb.select(col("doc_id").as("id2"), col("p").as("p2"),
-      col("len").as("len2"), col("lb"))
-    probes.join(build, col("probe") === col("lb") && col("id1") < col("id2"))
-      .filter(abs(col("len1") - col("len2")) <= k)
+        " +", " ")), 1, 80).as("p"))
+    cand
+      .join(norm.select(col("doc_id").as("id1"), col("p").as("p1")), Seq("id1"))
+      .join(norm.select(col("doc_id").as("id2"), col("p").as("p2")), Seq("id2"))
       .withColumn("edit_dist", levenshtein(col("p1"), col("p2"), k))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= k)
       .select(col("id1"), col("id2"), col("edit_dist"))
       .orderBy("id1", "id2")
   }
 
-  val e2epSql = """WITH n0 AS (SELECT doc_id,
+  val e2epSql: String =
+    s"""WITH $e2mCtes,
+    prs AS (SELECT id1, id2 FROM cand WHERE jaccard >= 0.2),
+    n0 AS (SELECT doc_id,
       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS f
       FROM documents),
-    nb AS (SELECT doc_id, f[1:80] AS p, length(f) AS len,
-      cast(floor(length(f) / 40) as bigint) AS lb FROM n0),
-    pr AS (SELECT doc_id, p, len, unnest([lb - 1, lb, lb + 1]) AS probe FROM nb)
-    SELECT a.doc_id AS id1, b.doc_id AS id2,
-      cast(levenshtein(a.p, b.p) as int) AS edit_dist
-    FROM pr a JOIN nb b ON a.probe = b.lb AND a.doc_id < b.doc_id
-    WHERE abs(a.len - b.len) <= 40 AND levenshtein(a.p, b.p) <= 40
+    np AS (SELECT doc_id, f[1:80] AS p FROM n0)
+    SELECT id1, id2, cast(levenshtein(a.p, b.p) as int) AS edit_dist
+    FROM prs JOIN np a ON a.doc_id = id1 JOIN np b ON b.doc_id = id2
+    WHERE levenshtein(a.p, b.p) <= 40
     ORDER BY id1, id2"""
 
   /** E4 — Shannon token entropy per document (the information-density
@@ -2821,6 +2822,276 @@ object Queries {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** SQL surface — TPC-H Q1 (pricing summary report), the canonical
+    * scan-heavy aggregation: ONE SQL text runs verbatim in both engines.
+    * Every money expression is exact decimal (products at scale 6 fit
+    * decimal(28,6) with no rounding at all); averages divide the exact
+    * decimal sum by the count in double — identical IEEE operands,
+    * identical result. At scale this is the map-side-combine showcase:
+    * four sums + a count collapse per (flag, status) before the 6-row
+    * shuffle.
+    */
+  def sql_tpch_q1(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(sqlQ1)
+  }
+
+  val sqlQ1 = """SELECT l_returnflag, l_linestatus,
+      cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+      cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+      cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+        (1 - cast(l_discount as decimal(18,2))) as decimal(28,4))) as double) AS sum_disc_price,
+      cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+        (1 - cast(l_discount as decimal(18,2))) *
+        (1 + cast(l_tax as decimal(18,2))) as decimal(28,6))) as double) AS sum_charge,
+      cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty,
+      cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*) AS avg_price,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE cast(l_shipdate as date) <= date '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** E9 — MULTISET set operations (INTERSECT ALL / EXCEPT ALL): bag
+    * semantics keep duplicate multiplicity — the dedup-aware complement
+    * of the distinct set ops in e9_setops. Spark's intersectAll/exceptAll
+    * plan as aggregates of per-side counts (no row explosion); the output
+    * compresses each side to (key, multiplicity) so the multiplicity
+    * arithmetic itself is what's graded.
+    */
+  def e9_multiset(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_quantity") < 25).select(col("l_partkey").as("pk"))
+    val b = li.filter(col("l_quantity") > 10).select(col("l_partkey").as("pk"))
+    a.exceptAll(b).groupBy("pk").agg(count(lit(1)).as("n"))
+      .withColumn("side", lit("except_all"))
+      .unionByName(
+        a.intersectAll(b).groupBy("pk").agg(count(lit(1)).as("n"))
+          .withColumn("side", lit("intersect_all")))
+      .select("side", "pk", "n")
+      .orderBy("side", "pk")
+  }
+
+  val e9msSql = """WITH a AS (SELECT l_partkey AS pk FROM lineitem WHERE l_quantity < 25),
+    b AS (SELECT l_partkey AS pk FROM lineitem WHERE l_quantity > 10),
+    e AS (SELECT pk FROM a EXCEPT ALL SELECT pk FROM b),
+    i AS (SELECT pk FROM a INTERSECT ALL SELECT pk FROM b)
+    SELECT side, pk, n FROM (
+      SELECT 'except_all' AS side, pk, count(*) AS n FROM e GROUP BY pk
+      UNION ALL
+      SELECT 'intersect_all', pk, count(*) FROM i GROUP BY pk)
+    ORDER BY side, pk"""
+
+  /** E7 — navigation window functions (first_value / last_value /
+    * nth_value over the full partition frame): each order sees its
+    * customer's first, last, and second order price in one windowed pass
+    * over a single custkey exchange. The frame must be explicit — the
+    * default RANGE frame would make last_value see only a prefix.
+    */
+  def e7_navigation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val e7nvSql = """SELECT o_custkey, o_orderkey,
+      first_value(o_totalprice) OVER w AS first_price,
+      last_value(o_totalprice) OVER w AS last_price,
+      nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey"""
+
+  /** E3 — ANN recall EVALUATION: per query vector, the fraction of the
+    * exact (brute-force) top-3 that the LSH-bucketed search recovered —
+    * the measurement loop a production ANN deployment runs before turning
+    * the recall dial. Both arms are the already-graded operators; what's
+    * new (and graded) is the evaluation join itself: a left-semi hit
+    * count against the exact set, with zero-recall queries preserved via
+    * the left join back to the query list.
+    */
+  def e3_recall_eval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 8)
+    val exact = Similarity.bruteForceTopK(q, e, k = 3).select("query_id", "cand_id")
+    val approx = Similarity.lshTopK(q, e, k = 3, bits = 8).select("query_id", "cand_id")
+    val hits = exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(3.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  val e3reSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+    ex AS (SELECT query_id, cand_id FROM sims
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 3),
+    simsb AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    ap AS (SELECT query_id, cand_id FROM simsb
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 3),
+    hits AS (SELECT query_id, count(*) AS n_hits
+      FROM ex JOIN ap USING (query_id, cand_id) GROUP BY query_id)
+    SELECT qv.vec_id AS query_id, coalesce(h.n_hits, 0) AS n_hits,
+      round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall
+    FROM (SELECT vec_id FROM v WHERE vec_id < 8) qv
+    LEFT JOIN hits h ON h.query_id = qv.vec_id
+    ORDER BY query_id"""
+
+  /** E4 — per-source dedup observability (the corpus health report a
+    * curation pipeline publishes each run): document count, exact-dup
+    * count (non-first copies of an identical text), and near-dup count
+    * (members of a >1 MinHash cluster) per source. Clusters are computed
+    * GLOBALLY and then attributed to sources — cross-source duplication
+    * is precisely what the report exists to surface. Marker left-joins +
+    * one rollup; the non-null count trick keeps the flags shuffle-light.
+    */
+  def e4_dedup_summary(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    val exactDup = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col("doc_id"), lit(1).as("ed"))
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
+      .select("id1", "id2")
+    val comp = Components.minLabel(pairs, "id1", "id2",
+      docs.select("doc_id"), "doc_id")
+    val csize = comp.groupBy("comp").agg(count(lit(1)).as("csz"))
+    val nearDup = comp.join(csize, "comp").filter(col("csz") > 1)
+      .select(col("id").as("doc_id"), lit(1).as("nd"))
+    docs.select("doc_id", "source")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("ed")).as("n_exact_dups"),
+        count(col("nd")).as("n_neardup_docs"))
+      .orderBy("source")
+  }
+
+  val e4ddSql: String =
+    s"""WITH RECURSIVE $e2mCtes,
+    prs AS (SELECT id1, id2 FROM cand WHERE jaccard >= 0.4),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL SELECT id2, id1 FROM prs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    compx AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+    csz AS (SELECT comp, count(*) AS n FROM compx GROUP BY comp),
+    nd AS (SELECT id AS doc_id FROM compx JOIN csz USING (comp) WHERE n > 1),
+    ed AS (SELECT doc_id FROM documents
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1)
+    SELECT d.source, count(*) AS n_docs,
+      count(ed.doc_id) AS n_exact_dups,
+      count(nd.doc_id) AS n_neardup_docs
+    FROM documents d
+    LEFT JOIN ed ON ed.doc_id = d.doc_id
+    LEFT JOIN nd ON nd.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source"""
+
+  /** E10 — sketch-based set INTERSECTION cardinality by inclusion-
+    * exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B)): how many users both
+    * viewed AND purchased, without ever materializing either user set —
+    * the composable-sketch answer to audience-overlap questions at
+    * 100 TB. Graded by the literal-flag pattern: the exact overlap is
+    * SQL-checkable, and the sketch estimate must land within 10 % (at
+    * this cardinality and lgk=12 the HLL is effectively exact, so the
+    * flag is stable).
+    */
+  def e10_hll_intersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+    val est = ev.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END, 12))").as("ea"),
+      expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END, 12))").as("eb"),
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("eab"))
+    val exact = ev.groupBy("user_id")
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("ha"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("hb"))
+      .agg(sum(expr("ha * hb")).as("exact_both"))
+    exact.crossJoin(est)
+      .select(col("exact_both"),
+        (abs(col("ea") + col("eb") - col("eab") - col("exact_both"))
+          / col("exact_both") <= 0.1).cast("int").as("within_10pct"))
+  }
+
+  val e10hiSql = """SELECT cast(count(*) as bigint) AS exact_both, 1 AS within_10pct
+    FROM (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')"""
+
+  /** E11 — gaps and islands: maximal runs of CONSECUTIVE active days per
+    * user (the activity-streak / outage-detection primitive). The
+    * classic constant-group trick: day − row_number(day) is constant
+    * within a consecutive run, so islands fall out of one groupBy — no
+    * self-join, no iteration. The (user, day) grid distinct-compresses
+    * raw events first, and the window + rollup share one user-hash
+    * exchange.
+    */
+  def e11_gaps(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days.withColumn("__grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "__grp")
+      .agg(min(col("day")).as("island_start"), max(col("day")).as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "island_start", "island_end", "n_days")
+      .orderBy("user_id", "island_start")
+  }
+
+  val e11gpSql = """WITH days AS (SELECT DISTINCT user_id, cast(ts as date) AS day
+      FROM events),
+    g AS (SELECT user_id, day,
+      day - cast(row_number() OVER (PARTITION BY user_id ORDER BY day) as int) AS grp
+      FROM days)
+    SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+      count(*) AS n_days
+    FROM g GROUP BY user_id, grp ORDER BY user_id, island_start"""
+
+  /** E6 — ratio-to-report (share of the group total): each order's share
+    * of its status's total revenue via a full-partition window sum. The
+    * numerator and denominator are both exact decimals; the single
+    * division happens on identical operands in both engines. At scale
+    * this is one exchange on the report key, with the window aggregate
+    * map-side-combined by Spark's WindowExec buffer.
+    */
+  def e6_ratio(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .withColumn("share",
+        round(col("p").cast("double") /
+          sum(col("p")).over(w).cast("double"), 9))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("share"))
+      .orderBy("o_orderkey")
+  }
+
+  val e6rtSql = """SELECT o_orderkey, o_orderstatus,
+      round(cast(cast(o_totalprice as decimal(18,2)) as double) /
+        cast(sum(cast(o_totalprice as decimal(18,2)))
+          OVER (PARTITION BY o_orderstatus) as double), 9) AS share
+    FROM orders ORDER BY o_orderkey"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2935,5 +3206,13 @@ object Queries {
     ("etl_expectations", etl_expectations _, expectSql),
     ("e2_pagerank", e2_pagerank _, e2prSql),
     ("e5_arrays", e5_arrays _, e5arSql),
-    ("j_salted", j_salted _, jsltSql))
+    ("j_salted", j_salted _, jsltSql),
+    ("sql_tpch_q1", sql_tpch_q1 _, sqlQ1),
+    ("e9_multiset", e9_multiset _, e9msSql),
+    ("e7_navigation", e7_navigation _, e7nvSql),
+    ("e3_recall_eval", e3_recall_eval _, e3reSql),
+    ("e4_dedup_summary", e4_dedup_summary _, e4ddSql),
+    ("e10_hll_intersect", e10_hll_intersect _, e10hiSql),
+    ("e11_gaps", e11_gaps _, e11gpSql),
+    ("e6_ratio", e6_ratio _, e6rtSql))
 }

@@ -173,6 +173,178 @@ class Round5cSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  // ------------------------------------------------- q1 / multiset / nav
+
+  test("sql_tpch_q1: internal consistency of the pricing summary") {
+    val rows = Queries.sql_tpch_q1(spark, sf)
+      .as[(String, String, Double, Double, Double, Double, Double, Double, Long)]
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 6) // |returnflag| x |linestatus|
+    rows.foreach { case (_, _, sumQty, sumBase, sumDisc, sumCharge, avgQty, avgPrice, n) =>
+      assert(sumDisc <= sumBase) // discounts only reduce
+      assert(sumCharge >= sumDisc) // tax only adds
+      assert(math.abs(avgQty - sumQty / n) < 1e-9)
+      assert(math.abs(avgPrice - sumBase / n) < 1e-9)
+    }
+  }
+
+  test("e9_multiset: bag semantics follow the multiplicity laws") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cntA = li.filter($"l_quantity" < 25).groupBy($"l_partkey".as("pk"))
+      .count().as[(Long, Long)].collect().toMap
+    val cntB = li.filter($"l_quantity" > 10).groupBy($"l_partkey".as("pk"))
+      .count().as[(Long, Long)].collect().toMap
+    val out = Queries.e9_multiset(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(r => r._2 -> r._3).toMap }
+    // EXCEPT ALL: max(0, a-b) copies; INTERSECT ALL: min(a, b) copies
+    cntA.foreach { case (pk, a) =>
+      val b = cntB.getOrElse(pk, 0L)
+      assert(out("except_all").getOrElse(pk, 0L) == math.max(0L, a - b))
+      assert(out("intersect_all").getOrElse(pk, 0L) == math.min(a, b))
+    }
+  }
+
+  test("e7_navigation: first/second/last match the sorted group directly") {
+    val out = Queries.e7_navigation(spark, sf)
+      .as[(Long, Long, Double, Double, Option[Double])].collect()
+    val byCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate".cast("string"), $"o_totalprice")
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).map { case (c, rs) =>
+        c -> rs.sortBy(r => (r._3, r._2)).map(_._4).toSeq }
+    out.foreach { case (cust, _, fp, lp, sp) =>
+      val prices = byCust(cust)
+      assert(fp == prices.head && lp == prices.last)
+      assert(sp == prices.drop(1).headOption)
+    }
+  }
+
+  // --------------------------------------------------------- AQE skew
+
+  test("AQE splits a skewed sort-merge join at runtime (the 100 TB guard)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // shrink the thresholds so local fixture sizes trip the optimizer
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // one pathological key carrying 50k rows vs a uniform right side
+      val left = spark.range(50000).select(
+        when($"id" % 100 =!= 0, lit(0L)).otherwise($"id").as("k"),
+        $"id".as("payload"))
+      val right = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      // no keyed aggregate downstream: splitting a skewed partition must
+      // not violate any required distribution, or AQE (correctly) declines
+      val joined = left.join(right, "k").select($"payload" + $"v")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  // ------------------------------------------- recall / dedup observability
+
+  test("e3_recall_eval: recall is |exact∩approx|/k and stays in [0,1]") {
+    import graft.operators.Similarity
+    val out = Queries.e3_recall_eval(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 8) // one row per query vector, zero-recall included
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = e.filter($"id" < 8)
+    val exact = Similarity.bruteForceTopK(q, e, k = 3)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, e, k = 3, bits = 8)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    out.foreach { case (qid, nHits, recall) =>
+      assert(nHits == (exact & approx).count(_._1 == qid))
+      assert(recall == math.round(nHits / 3.0 * 1e6) / 1e6)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
+  test("e4_dedup_summary: per-source counts reconcile with direct computation") {
+    val out = Queries.e4_dedup_summary(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.map(_._2).sum == docs.count())
+    // exact dups: every non-first copy of an identical text, globally
+    val dupTotal = docs.groupBy("text").count()
+      .agg(sum($"count" - 1)).as[Long].head()
+    assert(out.map(_._3).sum == dupTotal)
+    out.foreach { case (_, nDocs, nExact, nNear) =>
+      assert(nExact <= nDocs && nNear <= nDocs)
+    }
+  }
+
+  test("e10_hll_intersect: sketch overlap estimate lands within the flag") {
+    val (exactBoth, flag) = Queries.e10_hll_intersect(spark, sf)
+      .as[(Long, Int)].head()
+    val ev = Queries.events(spark, sf)
+    val viewers = ev.filter($"event_type" === "view")
+      .select("user_id").distinct().as[Long].collect().toSet
+    val buyers = ev.filter($"event_type" === "purchase")
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(exactBoth == (viewers & buyers).size)
+    assert(flag == 1)
+  }
+
+  test("e2_edit_pairs: every LSH candidate within the bound appears exactly once") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Queries.e2_edit_pairs(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    assert(out.forall { case (a, b, d) => a < b && d >= 0 && d <= 40 })
+    assert(out.map(p => (p._1, p._2)).distinct.length == out.length)
+    // the verify stage only FILTERS the LSH candidate set
+    val cand = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.2)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(out.forall(p => cand.contains((p._1, p._2))))
+  }
+
+  test("e11_gaps: islands are maximal, disjoint, and cover all active days") {
+    val out = Queries.e11_gaps(spark, sf)
+      .as[(Long, java.sql.Date, java.sql.Date, Long)].collect()
+    val dayMs = 86400000L
+    out.groupBy(_._1).foreach { case (_, islands) =>
+      val sorted = islands.sortBy(_._2.getTime)
+      sorted.foreach { case (_, s0, e0, n) =>
+        assert((e0.getTime - s0.getTime) / dayMs + 1 == n) // dense run
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e0, _), (_, s1, _, _)) =>
+          assert(s1.getTime - e0.getTime > dayMs) // maximality: a real gap
+        case _ =>
+      }
+    }
+    val totalDays = Queries.events(spark, sf)
+      .select($"user_id", to_date($"ts")).distinct().count()
+    assert(out.map(_._4).sum == totalDays) // islands partition the activity
+  }
+
+  test("e6_ratio: shares are positive and sum to 1 within each status") {
+    val out = Queries.e6_ratio(spark, sf)
+      .as[(Long, String, Double)].collect()
+    assert(out.forall(_._3 > 0))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-5)
+    }
+  }
+
   test("e6_mode: the mode is the group's true argmax with lexicographic ties") {
     val counts = Queries.events(spark, sf)
       .groupBy("user_id", "event_type").count()
