@@ -3092,6 +3092,95 @@ object Queries {
           OVER (PARTITION BY o_orderstatus) as double), 9) AS share
     FROM orders ORDER BY o_orderkey"""
 
+  /** E4 — n-gram NOVELTY scoring: per document, the fraction of its
+    * distinct 3-gram shingles whose FIRST corpus occurrence (min doc_id)
+    * is this document — the ordered-ingest signal behind "skip documents
+    * that add nothing new". One explode → one shingle-key aggregate →
+    * one join back; the shingle hash is the same portable polynomial
+    * fold the MinHash path uses (staged token-hash projection, never an
+    * inlined lambda — the round-5 interpreted-HOF lesson).
+    */
+  def e4_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
+    val th = t(s, dir, "documents").select(col("doc_id"),
+      transform(Dedup.tokens(col("text")), tk => portableStringHash(tk)).as("th"))
+    val sh = th.select(col("doc_id"),
+      explode(Dedup.hashedShinglesFromHashes(col("th"), 3)).as("sh"))
+    val firstSeen = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0)).as("__novel"))
+      .select(col("doc_id"), col("n_shingles"),
+        round(col("__novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val e4nvSql: String =
+    s"""WITH $e2mCtes,
+    u AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    fs AS (SELECT s, min(doc_id) AS first_doc FROM u GROUP BY s)
+    SELECT u.doc_id, count(*) AS n_shingles,
+      round(cast(sum(CASE WHEN fs.first_doc = u.doc_id THEN 1 ELSE 0 END) as double)
+        / count(*), 6) AS novelty
+    FROM u JOIN fs ON fs.s = u.s
+    GROUP BY u.doc_id ORDER BY u.doc_id"""
+
+  /** J — interval-overlap aggregation: per user, total milliseconds their
+    * daily activity envelope [first event, last event] intersects the
+    * day's 12:00–14:00 UTC peak window, plus the number of days that
+    * touch it. The least/greatest clamp is the interval-intersection
+    * primitive under billing, SLA attribution, and contention analysis;
+    * everything is integer epoch-ms arithmetic.
+    */
+  def j_interval_overlap(s: SparkSession, dir: String): DataFrame = {
+    val env = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_millis(col("ts")).as("tm"))
+      .groupBy("user_id", "day")
+      .agg(min(col("tm")).as("lo"), max(col("tm")).as("hi"))
+    env
+      .withColumn("__mid", unix_millis(col("day").cast("timestamp")))
+      .select(col("user_id"),
+        greatest(lit(0L),
+          least(col("hi"), col("__mid") + lit(50400000L)) -
+            greatest(col("lo"), col("__mid") + lit(43200000L))).as("ov"))
+      .groupBy("user_id")
+      .agg(sum(col("ov")).as("overlap_ms"),
+        sum((col("ov") > 0).cast("int")).as("n_peak_days"))
+      .orderBy("user_id")
+  }
+
+  val jioSql = """WITH e AS (SELECT user_id, cast(ts as date) AS day,
+      epoch_ms(ts) AS tm FROM events),
+    env AS (SELECT user_id, day, min(tm) AS lo, max(tm) AS hi
+      FROM e GROUP BY user_id, day),
+    o AS (SELECT user_id, greatest(0,
+        least(hi, epoch_ms(cast(day as timestamp)) + 50400000) -
+        greatest(lo, epoch_ms(cast(day as timestamp)) + 43200000)) AS ov
+      FROM env)
+    SELECT user_id, cast(sum(ov) as bigint) AS overlap_ms,
+      cast(sum(CASE WHEN ov > 0 THEN 1 ELSE 0 END) as bigint) AS n_peak_days
+    FROM o GROUP BY user_id ORDER BY user_id"""
+
+  /** E6 — grouping_id over a cube: the bitmask that tells report
+    * consumers WHICH aggregation level each row belongs to (0 = cell,
+    * 3 = grand total here) — without it, cube output is ambiguous when
+    * the dimension itself contains nulls. Same ANSI bit convention in
+    * both engines.
+    */
+  def e6_grouping_id(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val e6giSql = """SELECT l_returnflag, l_linestatus,
+      cast(grouping(l_returnflag, l_linestatus) as bigint) AS gid, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3214,5 +3303,8 @@ object Queries {
     ("e4_dedup_summary", e4_dedup_summary _, e4ddSql),
     ("e10_hll_intersect", e10_hll_intersect _, e10hiSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
-    ("e6_ratio", e6_ratio _, e6rtSql))
+    ("e6_ratio", e6_ratio _, e6rtSql),
+    ("e4_ngram_novelty", e4_ngram_novelty _, e4nvSql),
+    ("j_interval_overlap", j_interval_overlap _, jioSql),
+    ("e6_grouping_id", e6_grouping_id _, e6giSql))
 }

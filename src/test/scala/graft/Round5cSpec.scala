@@ -345,6 +345,50 @@ class Round5cSpec extends SparkSpec {
     }
   }
 
+  test("e4_ngram_novelty: first doc is all-novel, an exact dup is zero-novel") {
+    val out = Queries.e4_ngram_novelty(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    assert(out.minBy(_._1)._3 == 1.0) // nothing precedes the first doc
+    // every non-first copy of an identical text repeats all its shingles
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dupLater = docs.groupBy("text")
+      .agg(min($"doc_id").as("first"), max($"doc_id").as("last"), count(lit(1)).as("n"))
+      .filter($"n" > 1).select($"last").as[Long].collect().toSet
+    if (dupLater.nonEmpty) {
+      val byId = out.map(r => r._1 -> r._3).toMap
+      dupLater.foreach(id => assert(byId(id) == 0.0, s"dup doc $id"))
+    }
+  }
+
+  test("j_interval_overlap: per-day clamp bounds and flag consistency") {
+    val out = Queries.j_interval_overlap(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val nDays = Queries.events(spark, sf)
+      .select($"user_id", to_date($"ts")).distinct()
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    out.foreach { case (u, ms, days) =>
+      assert(ms >= 0 && days >= 0)
+      assert((ms == 0) == (days == 0)) // the flag and the sum agree
+      assert(days <= nDays(u))
+      assert(ms <= days * 7200000L) // no day contributes more than 2 h
+    }
+  }
+
+  test("e6_grouping_id: the bitmask identifies each aggregation level") {
+    val out = Queries.e6_grouping_id(spark, sf)
+      .as[(Option[String], Option[String], Long, Long)].collect()
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(out.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+    // bit set <=> that dimension is aggregated away at this row
+    out.foreach { case (rf, ls, gid, _) =>
+      assert(((gid & 2L) != 0) == rf.isEmpty)
+      assert(((gid & 1L) != 0) == ls.isEmpty)
+    }
+    assert(out.filter(_._3 == 3L).map(_._4).sum == total) // grand total
+    assert(out.filter(_._3 == 0L).map(_._4).sum == total) // cells partition
+  }
+
   test("e6_mode: the mode is the group's true argmax with lexicographic ties") {
     val counts = Queries.events(spark, sf)
       .groupBy("user_id", "event_type").count()
