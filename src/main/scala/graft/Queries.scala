@@ -3181,6 +3181,53 @@ object Queries {
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
+  /** E4 — regex-rule tokenization (the BPE-style PRE-tokenizer split:
+    * letter runs, digit runs, punctuation runs, each with optional
+    * leading space — the GPT-2 pattern family restricted to constructs
+    * RE2 and Java regex interpret identically). Counting these is the
+    * budgeting estimate one step above chars/4 (e4_token_counts); a real
+    * BPE vocab would then merge within each pre-token.
+    */
+  def e4_regex_tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(expr(
+          "regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"))
+          .as("n_pretokens"))
+      .orderBy("doc_id")
+
+  val e4rtSql = """SELECT doc_id,
+      cast(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+        as int) AS n_pretokens
+    FROM documents ORDER BY doc_id"""
+
+  /** E5 — fault-tolerant semi-structured parsing: a deterministic ~1/7 of
+    * the JSON payloads are truncated (trailing brace dropped), and the
+    * pipeline must degrade per-row — null value + ok-flag — instead of
+    * failing the job. This is the permissive-mode contract every 100 TB
+    * ingest needs: bad records quarantine as rows, never as exceptions.
+    */
+  def e5_try_parse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("__raw",
+        when(col("event_id") % 7 === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .otherwise(col("props")))
+      .select(col("event_id"),
+        get_json_object(col("__raw"), "$.k").cast("int").as("k"),
+        get_json_object(col("__raw"), "$.k").isNotNull.cast("int").as("parse_ok"))
+      .orderBy("event_id")
+
+  val e5tpSql = """WITH r AS (SELECT event_id,
+      CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 1)
+           ELSE props END AS raw FROM events)
+    SELECT event_id,
+      CASE WHEN json_valid(raw)
+           THEN cast(json_extract_string(raw, '$.k') as int) END AS k,
+      CASE WHEN json_valid(raw) AND json_extract_string(raw, '$.k') IS NOT NULL
+           THEN 1 ELSE 0 END AS parse_ok
+    FROM r ORDER BY event_id"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3306,5 +3353,7 @@ object Queries {
     ("e6_ratio", e6_ratio _, e6rtSql),
     ("e4_ngram_novelty", e4_ngram_novelty _, e4nvSql),
     ("j_interval_overlap", j_interval_overlap _, jioSql),
-    ("e6_grouping_id", e6_grouping_id _, e6giSql))
+    ("e6_grouping_id", e6_grouping_id _, e6giSql),
+    ("e4_regex_tokens", e4_regex_tokens _, e4rtSql),
+    ("e5_try_parse", e5_try_parse _, e5tpSql))
 }

@@ -389,6 +389,34 @@ class Round5cSpec extends SparkSpec {
     assert(out.filter(_._3 == 0L).map(_._4).sum == total) // cells partition
   }
 
+  test("e4_regex_tokens: pre-token count matches the word count on a word corpus") {
+    // this corpus is purely lowercase words + single spaces, so the
+    // letter-run pre-tokenizer must agree with whitespace splitting
+    val out = Queries.e4_regex_tokens(spark, sf).as[(Long, Int)].collect().toMap
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .foreach { case (id, text) =>
+        assert(out(id) == text.split(" ", -1).count(_.nonEmpty))
+      }
+    // and on mixed content the runs split as designed
+    val mixed = Seq((1L, "abc12 x!y", "en", "t", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("retok").toString
+    mixed.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // abc | 12 | ' x' | ! | y  ->  5 pre-tokens
+    assert(Queries.e4_regex_tokens(spark, dir).as[(Long, Int)].head()._2 == 5)
+  }
+
+  test("e5_try_parse: corrupted rows degrade to null + flag, never an error") {
+    val out = Queries.e5_try_parse(spark, sf)
+      .as[(Long, Option[Int], Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, k, ok) =>
+      if (id % 7 == 0) assert(k.isEmpty && ok == 0) // truncated payload
+      else assert(k.isDefined && ok == 1)
+    }
+  }
+
   test("e6_mode: the mode is the group's true argmax with lexicographic ties") {
     val counts = Queries.events(spark, sf)
       .groupBy("user_id", "event_type").count()
