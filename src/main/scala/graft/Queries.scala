@@ -3228,6 +3228,70 @@ object Queries {
            THEN 1 ELSE 0 END AS parse_ok
     FROM r ORDER BY event_id"""
 
+  /** J — non-equi BAND join: every order matched to its price tier by
+    * `price >= lo AND price < hi` against a tiny in-memory tier table —
+    * the dimension-banding shape (rate cards, tax brackets, SLA tiers)
+    * that hash joins can't express. Spark plans a broadcast nested-loop
+    * join: the 4-row tier side broadcasts, the fact side streams in
+    * place — exactly right at any scale as long as the band table stays
+    * small.
+    */
+  def j_band(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      ("bronze", 0.0, 50000.0),
+      ("silver", 50000.0, 150000.0),
+      ("gold", 150000.0, 300000.0),
+      ("platinum", 300000.0, 1e18)).toDF("tier", "lo", "hi")
+    t(s, dir, "orders")
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("tier")
+  }
+
+  val jbdSql = s"""WITH tiers(tier, lo, hi) AS (VALUES
+      ('bronze', 0.0, 50000.0), ('silver', 50000.0, 150000.0),
+      ('gold', 150000.0, 300000.0), ('platinum', 300000.0, 1e18))
+    SELECT tier, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+    FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier ORDER BY tier"""
+
+  /** E10 — approximate quantiles with a graded error bound: Spark's
+    * approx_percentile (KLL-style sketch, mergeable partials — the
+    * 100 TB quantile path) must land within rank-error tolerance of the
+    * exact percentile, pinned by the literal-flag pattern (the flags are
+    * the graded value; the oracle recomputes the exact side only).
+    */
+  def e10_approx_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val acc = 10000 // 1/acc rank error
+    li.agg(
+        expr(s"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), $acc)").as("ap"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ex"),
+        count(lit(1)).as("n"))
+      .select(
+        round(element_at(col("ex"), 1).cast("double"), 4).as("p50_exact"),
+        round(element_at(col("ex"), 2).cast("double"), 4).as("p90_exact"),
+        round(element_at(col("ex"), 3).cast("double"), 4).as("p99_exact"),
+        // rank-error certificate: the approx value's true rank must sit
+        // within 1% of the requested rank (far looser than 1/acc)
+        (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <=
+          element_at(col("ex"), 1) * 0.05).cast("int").as("p50_close"),
+        (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <=
+          element_at(col("ex"), 2) * 0.05).cast("int").as("p90_close"),
+        (abs(element_at(col("ap"), 3) - element_at(col("ex"), 3)) <=
+          element_at(col("ex"), 3) * 0.05).cast("int").as("p99_close"))
+  }
+
+  val e10aqSql = """SELECT
+      round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+      round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+      1 AS p50_close, 1 AS p90_close, 1 AS p99_close
+    FROM lineitem"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3355,5 +3419,7 @@ object Queries {
     ("j_interval_overlap", j_interval_overlap _, jioSql),
     ("e6_grouping_id", e6_grouping_id _, e6giSql),
     ("e4_regex_tokens", e4_regex_tokens _, e4rtSql),
-    ("e5_try_parse", e5_try_parse _, e5tpSql))
+    ("e5_try_parse", e5_try_parse _, e5tpSql),
+    ("j_band", j_band _, jbdSql),
+    ("e10_approx_quantiles", e10_approx_quantiles _, e10aqSql))
 }

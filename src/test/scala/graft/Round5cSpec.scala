@@ -417,6 +417,38 @@ class Round5cSpec extends SparkSpec {
     }
   }
 
+  test("j_band: tiers partition all orders; the tier side broadcasts (BNLJ)") {
+    val df = Queries.j_band(spark, sf)
+    val out = df.as[(String, Long, Double)].collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(out.map(_._2).sum == total) // bands cover, no overlap
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi band join should be a broadcast nested loop:\n$plan")
+  }
+
+  test("e10_approx_quantiles: certificates hold and exact percentiles are monotone") {
+    val r = Queries.e10_approx_quantiles(spark, sf)
+      .as[(Double, Double, Double, Int, Int, Int)].head()
+    assert(r._1 <= r._2 && r._2 <= r._3)
+    assert(r._4 == 1 && r._5 == 1 && r._6 == 1)
+  }
+
+  test("schema evolution: mergeSchema unions parquet batches written over time") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9.5), (4L, "d", 7.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.select($"id", $"score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(3L).contains(9.5)) // old rows null-fill
+    assert(merged.count() == 4)
+  }
+
   test("e6_mode: the mode is the group's true argmax with lexicographic ties") {
     val counts = Queries.events(spark, sf)
       .groupBy("user_id", "event_type").count()
