@@ -3292,6 +3292,27 @@ object Queries {
       1 AS p50_close, 1 AS p90_close, 1 AS p99_close
     FROM lineitem"""
 
+  /** J — the NATIVE-PLAN as-of join: identical semantics (and identical
+    * DuckDB ASOF oracle) to j_asof, but planned as the custom
+    * `AsOfJoinExec` physical operator — logical node + optimizer rule +
+    * planner strategy + streaming-merge exec, the whole-operator
+    * Catalyst extension tier. Grading both formulations against the same
+    * oracle makes the operator swap oracle-checked, not just
+    * test-asserted.
+    */
+  def j_asof_native(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("asof_price"))
+    AsOfJoin.nativeBackward(ev, orders, "user_id", "ts",
+      Seq("asof_orderkey", "asof_price"))
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("asof_orderkey"), col("asof_price"))
+      .orderBy("event_id")
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3421,5 +3442,6 @@ object Queries {
     ("e4_regex_tokens", e4_regex_tokens _, e4rtSql),
     ("e5_try_parse", e5_try_parse _, e5tpSql),
     ("j_band", j_band _, jbdSql),
-    ("e10_approx_quantiles", e10_approx_quantiles _, e10aqSql))
+    ("e10_approx_quantiles", e10_approx_quantiles _, e10aqSql),
+    ("j_asof_native", j_asof_native _, jasSql))
 }

@@ -37,6 +37,25 @@ object AsOfJoin {
     * NULL in one of them. One window pass instead of |rightVals| is also
     * the cheaper plan.
     */
+  /** Native-plan variant of [[backward]]: same contract and results, but
+    * planned as `graft.plans.AsOfJoinExec` — a streaming merge over
+    * key-clustered (key, ts)-sorted children, O(|L|+|R|) per partition
+    * with a single retained candidate row instead of window buffers.
+    * Registers the strategy/rule/marker function idempotently on the
+    * session, so it works without `spark.sql.extensions` config.
+    */
+  def nativeBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsCol: String, rightVals: Seq[String]): DataFrame = {
+    graft.plans.AsOfJoinPlan.ensureRegistered(left.sparkSession)
+    val r2 = right.select(
+      col(keyCol).as("__rk") +:
+        col(tsCol).cast(left.schema(tsCol).dataType).as("__rt") +:
+        rightVals.map(col): _*)
+    left.join(r2, expr(s"graft_asof(`$keyCol`, __rk, `$tsCol`, __rt)"),
+        "left_outer")
+      .drop("__rk", "__rt")
+  }
+
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** The custom-plan as-of join: semantics pinned against the union+window
+  * formulation (itself oracle-graded against DuckDB ASOF), the physical
+  * plan pinned to the streaming-merge exec.
+  */
+class NativeAsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    (1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 50L, "l0"),
+    (2L, 100L, "l3"), (3L, 500L, "l4")
+  ).toDF("k", "t", "lv")
+
+  private def rightDf = Seq(
+    (1L, 100L, 10.0), (1L, 150L, 15.0), // exact-tie at 100 matches (<=)
+    (2L, 999L, 99.0), // after every left row for key 2 -> null
+    (4L, 1L, 4.0) // key with no left rows
+  ).toDF("k", "t", "rv")
+
+  test("nativeBackward == backward on a hand-built edge-case fixture") {
+    val nat = AsOfJoin.nativeBackward(leftDf, rightDf, "k", "t", Seq("rv"))
+      .orderBy("k", "t").as[(Long, Long, String, Option[Double])].collect().toSeq
+    val ref = AsOfJoin.backward(leftDf, rightDf, "k", "t", Seq("rv"))
+      .orderBy("k", "t").as[(Long, Long, String, Option[Double])].collect().toSeq
+    assert(nat == ref)
+    // spot-check the semantics directly
+    val byRow = nat.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byRow((1L, 50L)).isEmpty) // before any right row
+    assert(byRow((1L, 100L)).contains(10.0)) // same-instant row visible
+    assert(byRow((1L, 200L)).contains(15.0)) // latest preceding
+    assert(byRow((2L, 100L)).isEmpty) // right row exists but only later
+    assert(byRow((3L, 500L)).isEmpty) // no right rows for the key at all
+  }
+
+  test("nativeBackward == backward on randomized keys/times (dense collisions)") {
+    val rnd = new scala.util.Random(42)
+    val l = Seq.fill(400)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "t", "lid")
+    // unique (k, t) on the right — the operator's documented contract
+    val r = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong))
+      .distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+      .toDF("k", "t", "rv")
+    val nat = AsOfJoin.nativeBackward(l, r, "k", "t", Seq("rv"))
+      .orderBy("lid").as[(Long, Long, Long, Option[Long])].collect().toSeq
+    val ref = AsOfJoin.backward(l, r, "k", "t", Seq("rv"))
+      .orderBy("lid").as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(nat == ref)
+    assert(nat.exists(_._4.isDefined) && nat.exists(_._4.isEmpty))
+  }
+
+  test("the plan is AsOfJoinExec fed by exactly one exchange per side") {
+    val df = AsOfJoin.nativeBackward(leftDf, rightDf, "k", "t", Seq("rv"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val str = plan.toString
+    // the node renders by nodeName ("AsOfJoin" + both key columns); AQE
+    // nests the sorted+exchanged children under query stages
+    assert(str.contains("AsOfJoin"), s"expected the custom exec:\n$str")
+    assert(str.split("Exchange hashpartitioning").length - 1 <= 2)
+    assert(!str.contains("SortMergeJoin") && !str.contains("BroadcastHashJoin"),
+      s"the marker join must never fall back to a builtin join:\n$str")
+  }
+
+  test("j_asof_native matches j_asof row for row on the test fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val nat = Queries.j_asof_native(spark, sf)
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect().toSeq
+    val ref = Queries.j_asof(spark, sf)
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect().toSeq
+    assert(nat == ref && nat.nonEmpty)
+  }
+}
