@@ -3313,6 +3313,40 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** E8 — DIVERSIFIED top-k: the best 50 documents by quality score with
+    * AT MOST 3 per source — the anti-monoculture constraint every
+    * curation ranking applies so one prolific source can't flood the
+    * selection. Per-source rank first (bounded window over the tiny
+    * per-source frame), then the global top-k over survivors; ties break
+    * on doc_id for a total order.
+    */
+  def e8_diversified(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(
+        t(s, dir, "documents"), "doc_id", "text", carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"))
+    val perSrc = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("__r", row_number().over(perSrc))
+      .filter(col("__r") <= 3)
+      .orderBy(col("quality").desc, col("doc_id"))
+      .limit(50)
+      .select("doc_id", "source", "quality")
+  }
+
+  val e8dvSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH scored AS (SELECT doc_id, source,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+    ranked AS (SELECT doc_id, source, quality,
+        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS r
+      FROM scored)
+    SELECT doc_id, source, quality FROM ranked WHERE r <= 3
+    ORDER BY quality DESC, doc_id LIMIT 50"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3443,5 +3477,6 @@ object Queries {
     ("e5_try_parse", e5_try_parse _, e5tpSql),
     ("j_band", j_band _, jbdSql),
     ("e10_approx_quantiles", e10_approx_quantiles _, e10aqSql),
-    ("j_asof_native", j_asof_native _, jasSql))
+    ("j_asof_native", j_asof_native _, jasSql),
+    ("e8_diversified", e8_diversified _, e8dvSql))
 }

@@ -449,6 +449,31 @@ class Round5cSpec extends SparkSpec {
     assert(merged.count() == 4)
   }
 
+  test("e8_diversified: per-source cap holds and exclusions are justified") {
+    import graft.operators.TextAnalysis
+    val sel = Queries.e8_diversified(spark, sf)
+      .as[(Long, String, Double)].collect()
+    assert(sel.length == 50)
+    val bySource = sel.groupBy(_._2)
+    assert(bySource.values.forall(_.length <= 3)) // diversity constraint
+    // every non-selected doc is either worse than the worst selected, or
+    // its source already contributed 3 docs at least as good
+    val all = TextAnalysis.qualityScore(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+        carry = Seq("source"))
+      .select($"doc_id", $"source", $"quality")
+      .as[(Long, String, Double)].collect()
+    val selIds = sel.map(_._1).toSet
+    val weakest = sel.minBy(r => (r._3, -r._1)) // the last pick in rank order
+    all.filterNot(r => selIds.contains(r._1)).foreach { case (id, src, q) =>
+      val worse = q < weakest._3 || (q == weakest._3 && id > weakest._1)
+      val better = all.filter(a => a._2 == src &&
+        (a._3 > q || (a._3 == q && a._1 < id)))
+      assert(worse || better.length >= 3,
+        s"doc $id (q=$q, $src) was excluded without cause")
+    }
+  }
+
   test("e6_mode: the mode is the group's true argmax with lexicographic ties") {
     val counts = Queries.events(spark, sf)
       .groupBy("user_id", "event_type").count()
