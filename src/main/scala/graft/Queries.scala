@@ -3347,6 +3347,40 @@ object Queries {
     ORDER BY quality DESC, doc_id LIMIT 50"""
   }
 
+  /** J — FORWARD as-of through the native exec: every error event
+    * matched to the user's next purchase at-or-after it ("time to next
+    * conversion after a failure" — the mirrored direction DuckDB's ASOF
+    * verifies with `l.ts <= r.ts`). The right side reduces to one row
+    * per (user, ts) with the purchase time carried as a value column so
+    * the gap is computable after the join.
+    */
+  def j_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("next_purchase_id"),
+        max(unix_millis(col("ts"))).as("pts_ms"))
+    AsOfJoin.nativeForward(errors, purchases, "user_id", "ts",
+      Seq("next_purchase_id", "pts_ms"))
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("next_purchase_id"),
+        (col("pts_ms") - unix_millis(col("ts"))).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  val jafSql = """WITH p AS (
+      SELECT user_id, epoch_ms(ts) AS pts,
+        max(event_id) AS next_purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    l AS (SELECT event_id, user_id, epoch_ms(ts) AS tm FROM events
+      WHERE event_type = 'error')
+    SELECT l.event_id, l.user_id, l.tm AS ts_ms,
+      p.next_purchase_id, p.pts - l.tm AS gap_ms
+    FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.tm <= p.pts
+    ORDER BY event_id"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3478,5 +3512,6 @@ object Queries {
     ("j_band", j_band _, jbdSql),
     ("e10_approx_quantiles", e10_approx_quantiles _, e10aqSql),
     ("j_asof_native", j_asof_native _, jasSql),
-    ("e8_diversified", e8_diversified _, e8dvSql))
+    ("e8_diversified", e8_diversified _, e8dvSql),
+    ("j_asof_forward", j_asof_forward _, jafSql))
 }

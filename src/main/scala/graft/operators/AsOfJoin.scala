@@ -45,13 +45,27 @@ object AsOfJoin {
     * session, so it works without `spark.sql.extensions` config.
     */
   def nativeBackward(left: DataFrame, right: DataFrame, keyCol: String,
-                     tsCol: String, rightVals: Seq[String]): DataFrame = {
+                     tsCol: String, rightVals: Seq[String]): DataFrame =
+    native(left, right, keyCol, tsCol, rightVals, forward = false)
+
+  /** Forward as-of: EARLIEST right row with `right.ts >= left.ts` per
+    * key — "the next event after": time-to-next-purchase, next
+    * maintenance after a failure. Same native plan, mirrored merge.
+    */
+  def nativeForward(left: DataFrame, right: DataFrame, keyCol: String,
+                    tsCol: String, rightVals: Seq[String]): DataFrame =
+    native(left, right, keyCol, tsCol, rightVals, forward = true)
+
+  private def native(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsCol: String, rightVals: Seq[String],
+                     forward: Boolean): DataFrame = {
     graft.plans.AsOfJoinPlan.ensureRegistered(left.sparkSession)
+    val fn = if (forward) "graft_asof_fwd" else "graft_asof"
     val r2 = right.select(
       col(keyCol).as("__rk") +:
         col(tsCol).cast(left.schema(tsCol).dataType).as("__rt") +:
         rightVals.map(col): _*)
-    left.join(r2, expr(s"graft_asof(`$keyCol`, __rk, `$tsCol`, __rt)"),
+    left.join(r2, expr(s"$fn(`$keyCol`, __rk, `$tsCol`, __rt)"),
         "left_outer")
       .drop("__rk", "__rt")
   }

@@ -42,9 +42,13 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   */
 object AsOfJoinPlan {
 
-  /** Inert join-condition carrier. Unevaluable on purpose. */
+  /** Inert join-condition carrier. Unevaluable on purpose. `forward`
+    * rides along as a non-child field (it's a planning directive, not an
+    * expression), surviving every tree copy.
+    */
   case class AsOfMarker(leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        forward: Boolean = false)
       extends Expression with Unevaluable {
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = false
@@ -58,7 +62,8 @@ object AsOfJoinPlan {
   /** Dedicated logical operator (right side nullable: left-outer). */
   case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                           leftKey: Expression, rightKey: Expression,
-                          leftTime: Expression, rightTime: Expression)
+                          leftTime: Expression, rightTime: Expression,
+                          forward: Boolean)
       extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -71,17 +76,18 @@ object AsOfJoinPlan {
   object AsOfMarkerRewrite extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case Join(l, r, LeftOuter, Some(m: AsOfMarker), _) =>
-        AsOfJoinNode(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime)
+        AsOfJoinNode(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime,
+          m.forward)
     }
   }
 
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, fwd) =>
+        AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
       case Join(l, r, LeftOuter, Some(m: AsOfMarker), _) =>
         AsOfJoinExec(m.leftKey, m.rightKey, m.leftTime, m.rightTime,
-          planLater(l), planLater(r)) :: Nil
+          m.forward, planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
   }
@@ -104,14 +110,30 @@ object AsOfJoinPlan {
         AsOfMarker(children(0), children(1), children(2), children(3))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_asof_fwd",
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "graft_asof_fwd(lk, rk, lt, rt)")
+        AsOfMarker(children(0), children(1), children(2), children(3),
+          forward = true)
+      },
+      "scala_udf")
   }
 }
 
 /** Streaming-merge as-of join: children arrive clustered on the key and
-  * sorted by (key, time); each partition is one forward pass.
+  * sorted by (key, time); each partition is one merge pass.
+  *
+  * `forward = false` (backward): latest right row with rt <= lt — one
+  * retained candidate row, consumed rows never revisited.
+  * `forward = true`: EARLIEST right row with rt >= lt — no candidate at
+  * all: strictly-useless rows (smaller key, or same key with rt < lt —
+  * useless for every later left row too, since left times only grow
+  * within a key) are consumed, and the match is the un-consumed head.
   */
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
+                        forward: Boolean,
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
@@ -152,28 +174,50 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // the single retained right row: latest with candKey, time <= left's
-      var candKey: InternalRow = null
-      var candRow: InternalRow = null
-      lIter.map { lRow =>
-        val lKey = lkProj(lRow)
-        // consume right rows that are now or never useful: smaller keys,
-        // or same key with time <= this left row's time (left times only
-        // grow within a key, so "latest consumed" stays the candidate)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val c = keyOrd.compare(rkProj(head), lKey)
-          if (c < 0 || (c == 0 && timeOrd.compare(rtProj(head), ltProj(lRow)) <= 0)) {
-            val rRow = rBuf.next()
-            if (c == 0) { candRow = rRow.copy(); candKey = lKey.copy() }
-            else { candRow = null; candKey = null }
-          } else advancing = false
+      if (forward) {
+        lIter.map { lRow =>
+          val lKey = lkProj(lRow)
+          // drop rows useless for this AND all later left rows
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val c = keyOrd.compare(rkProj(head), lKey)
+            if (c < 0 || (c == 0 &&
+                timeOrd.compare(rtProj(head), ltProj(lRow)) < 0)) rBuf.next()
+            else advancing = false
+          }
+          // the head (NOT consumed — later left rows may match it too) is
+          // the earliest remaining row; a key match means rt >= lt holds
+          val matched =
+            if (rBuf.hasNext && keyOrd.compare(rkProj(rBuf.head), lKey) == 0)
+              rBuf.head
+            else null
+          outProj(joined(lRow, if (matched == null) nullRight else matched))
         }
-        val matched =
-          if (candKey != null && keyOrd.compare(candKey, lKey) == 0) candRow
-          else null
-        outProj(joined(lRow, if (matched == null) nullRight else matched))
+      } else {
+        // the single retained right row: latest with candKey, time <= left's
+        var candKey: InternalRow = null
+        var candRow: InternalRow = null
+        lIter.map { lRow =>
+          val lKey = lkProj(lRow)
+          // consume right rows that are now or never useful: smaller keys,
+          // or same key with time <= this left row's time (left times only
+          // grow within a key, so "latest consumed" stays the candidate)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val c = keyOrd.compare(rkProj(head), lKey)
+            if (c < 0 || (c == 0 && timeOrd.compare(rtProj(head), ltProj(lRow)) <= 0)) {
+              val rRow = rBuf.next()
+              if (c == 0) { candRow = rRow.copy(); candKey = lKey.copy() }
+              else { candRow = null; candKey = null }
+            } else advancing = false
+          }
+          val matched =
+            if (candKey != null && keyOrd.compare(candKey, lKey) == 0) candRow
+            else null
+          outProj(joined(lRow, if (matched == null) nullRight else matched))
+        }
       }
     }
   }

@@ -70,6 +70,34 @@ class NativeAsOfSpec extends SparkSpec {
       s"the marker join must never fall back to a builtin join:\n$str")
   }
 
+  test("nativeForward: earliest at-or-after match, inclusive ties, null past end") {
+    val nat = AsOfJoin.nativeForward(leftDf, rightDf, "k", "t", Seq("rv"))
+      .orderBy("k", "t").as[(Long, Long, String, Option[Double])].collect()
+    val byRow = nat.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byRow((1L, 50L)).contains(10.0)) // earliest following, not latest
+    assert(byRow((1L, 100L)).contains(10.0)) // same-instant inclusive
+    assert(byRow((1L, 200L)).isEmpty) // nothing at or after 200
+    assert(byRow((2L, 100L)).contains(99.0)) // later right row now matches
+    assert(byRow((3L, 500L)).isEmpty)
+  }
+
+  test("nativeForward == brute force on randomized keys/times") {
+    val rnd = new scala.util.Random(7)
+    val lRows = Seq.fill(300)((rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val rRows = Seq.fill(200)((rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+      .distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+    val nat = AsOfJoin.nativeForward(
+        lRows.toDF("k", "t", "lid"), rRows.toDF("k", "t", "rv"), "k", "t", Seq("rv"))
+      .orderBy("lid").as[(Long, Long, Long, Option[Long])].collect()
+    val byKey = rRows.groupBy(_._1)
+    nat.foreach { case (k, t, _, rv) =>
+      val expect = byKey.getOrElse(k, Nil).filter(_._2 >= t)
+        .sortBy(_._2).headOption.map(_._3)
+      assert(rv == expect, s"key $k t $t")
+    }
+  }
+
   test("j_asof_native matches j_asof row for row on the test fixture") {
     val sf = "/root/testdata/sf0.001"
     val nat = Queries.j_asof_native(spark, sf)
