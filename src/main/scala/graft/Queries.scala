@@ -3381,6 +3381,91 @@ object Queries {
     FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.tm <= p.pts
     ORDER BY event_id"""
 
+  /** E6 — higher-moment statistics (skewness, excess kurtosis) from
+    * EXACT mergeable decimal moments: inputs are 2-dp decimals, so x²/x³/
+    * x⁴ are exact at 4/6/8 dp (with one intermediate downcast that loses
+    * nothing because quantities are small), the per-group sums are exact
+    * decimals, and the moment combine is one fixed double expression
+    * both engines evaluate identically. Spark's builtin skewness() is
+    * partition-order-dependent on doubles — this formulation is not, and
+    * the four moments merge associatively at any scale.
+    */
+  def e6_moments(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val x2 = (x * x).cast(DecimalType(18, 4)) // exact: qty² < 10^14
+    val m = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_rows"),
+      sum(x).cast("double").as("s1"),
+      sum(x * x).cast("double").as("s2"),
+      sum(x2 * x).cast("double").as("s3"),
+      sum(x2 * x2).cast("double").as("s4"))
+    val n = col("n_rows").cast("double")
+    val mean = col("s1") / n
+    val v = col("s2") / n - mean * mean
+    val skew = (col("s3") / n - lit(3.0) * mean * (col("s2") / n) +
+      lit(2.0) * mean * mean * mean) / pow(v, 1.5)
+    val kurt = (col("s4") / n - lit(4.0) * mean * (col("s3") / n) +
+      lit(6.0) * mean * mean * (col("s2") / n) -
+      lit(3.0) * mean * mean * mean * mean) / (v * v) - lit(3.0)
+    m.select(col("l_returnflag"), col("n_rows"),
+        round(mean, 6).as("mean"), round(v, 6).as("variance_pop"),
+        round(skew, 6).as("skewness"), round(kurt, 6).as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  val e6mmSql = """WITH m AS (SELECT l_returnflag, count(*) AS n_rows,
+      cast(sum(cast(l_quantity as decimal(18,2))) as double) AS s1,
+      cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double) AS s2,
+      cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2)) as decimal(18,4))
+        * cast(l_quantity as decimal(18,2))) as double) AS s3,
+      cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2)) as decimal(18,4))
+        * cast(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2)) as decimal(18,4))) as double) AS s4
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n_rows,
+      round(s1 / n_rows, 6) AS mean,
+      round(s2 / n_rows - (s1 / n_rows) * (s1 / n_rows), 6) AS variance_pop,
+      round((s3 / n_rows - 3.0 * (s1 / n_rows) * (s2 / n_rows)
+          + 2.0 * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows))
+        / pow(s2 / n_rows - (s1 / n_rows) * (s1 / n_rows), 1.5), 6) AS skewness,
+      round((s4 / n_rows - 4.0 * (s1 / n_rows) * (s3 / n_rows)
+          + 6.0 * (s1 / n_rows) * (s1 / n_rows) * (s2 / n_rows)
+          - 3.0 * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows))
+        / ((s2 / n_rows - (s1 / n_rows) * (s1 / n_rows))
+          * (s2 / n_rows - (s1 / n_rows) * (s1 / n_rows))) - 3.0, 6) AS kurtosis_excess
+    FROM m ORDER BY l_returnflag"""
+
+  /** E11 — behavior transition matrix: P(next event type | current) over
+    * per-user timelines — the Markov-chain view of a clickstream. One
+    * lag window and one rollup, both on the user/prev keys; ordering is
+    * pinned to (epoch-ms, event_id) on BOTH engines so sub-millisecond
+    * timestamp differences can't flip a tie.
+    */
+  def e11_transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tm"), col("event_id"))
+    val wp = Window.partitionBy("prev")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tm"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(wp).cast("double"), 6))
+      .orderBy("prev", "next")
+  }
+
+  val e11trSql = """WITH x AS (SELECT user_id, event_id, event_type,
+      epoch_ms(ts) AS tm FROM events),
+    lagged AS (SELECT event_type AS next,
+      lag(event_type) OVER (PARTITION BY user_id ORDER BY tm, event_id) AS prev
+      FROM x),
+    c AS (SELECT prev, next, count(*) AS n FROM lagged
+      WHERE prev IS NOT NULL GROUP BY prev, next)
+    SELECT prev, next, n,
+      round(cast(n as double) / cast(sum(n) OVER (PARTITION BY prev) as double), 6) AS p
+    FROM c ORDER BY prev, next"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3513,5 +3598,7 @@ object Queries {
     ("e10_approx_quantiles", e10_approx_quantiles _, e10aqSql),
     ("j_asof_native", j_asof_native _, jasSql),
     ("e8_diversified", e8_diversified _, e8dvSql),
-    ("j_asof_forward", j_asof_forward _, jafSql))
+    ("j_asof_forward", j_asof_forward _, jafSql),
+    ("e6_moments", e6_moments _, e6mmSql),
+    ("e11_transitions", e11_transitions _, e11trSql))
 }

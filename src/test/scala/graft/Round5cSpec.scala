@@ -474,6 +474,36 @@ class Round5cSpec extends SparkSpec {
     }
   }
 
+  test("e6_moments: exact-moment skew/kurtosis match a direct computation") {
+    val out = Queries.e6_moments(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    val byFlag = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)].collect()
+      .groupBy(_._1)
+    assert(out.map(_._1).toSet == byFlag.keySet)
+    out.foreach { case (flag, n, mean, v, skew, kurt) =>
+      val xs = byFlag(flag).map(_._2)
+      assert(n == xs.length && v >= 0)
+      val m = xs.sum / n
+      val cen = xs.map(_ - m)
+      val vv = cen.map(c => c * c).sum / n
+      assert(math.abs(mean - m) < 1e-4)
+      assert(math.abs(skew - cen.map(c => c * c * c).sum / n / math.pow(vv, 1.5)) < 1e-4)
+      assert(math.abs(kurt - (cen.map(c => c * c * c * c).sum / n / (vv * vv) - 3)) < 1e-4)
+    }
+  }
+
+  test("e11_transitions: rows are probabilities; counts cover every adjacency") {
+    val out = Queries.e11_transitions(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4) // each row of the matrix
+    }
+    val ev = Queries.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.map(_._3).sum == expected) // one transition per adjacent pair
+  }
+
   test("e6_mode: the mode is the group's true argmax with lexicographic ties") {
     val counts = Queries.events(spark, sf)
       .groupBy("user_id", "event_type").count()
