@@ -18,6 +18,28 @@ import graft.expressions.{FloatVecDot, PortablePolyHash}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
+    // native as-of join: marker rewrite + planner strategy + the SQL
+    // constructors for both directions
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPlan.AsOfMarkerRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinPlan.AsOfJoinStrategy)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(
+        graft.plans.AsOfJoinPlan.AsOfMarker.getClass.getName, "graft_asof"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "graft_asof(lk, rk, lt, rt)")
+        graft.plans.AsOfJoinPlan.AsOfMarker(
+          children(0), children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_asof_fwd"),
+      new ExpressionInfo(
+        graft.plans.AsOfJoinPlan.AsOfMarker.getClass.getName, "graft_asof_fwd"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "graft_asof_fwd(lk, rk, lt, rt)")
+        graft.plans.AsOfJoinPlan.AsOfMarker(
+          children(0), children(1), children(2), children(3), forward = true)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
