@@ -3466,6 +3466,31 @@ object Queries {
       round(cast(n as double) / cast(sum(n) OVER (PARTITION BY prev) as double), 6) AS p
     FROM c ORDER BY prev, next"""
 
+  /** ETL — INCREMENTAL SCD2 maintenance graded against the full-rebuild
+    * oracle: the dimension is built from pre-1999 orders, then the 1999+
+    * batch is applied with `Scd2.applyChanges` — anti-join pass-through
+    * for unchurned keys, regime replay only for affected ones. The
+    * oracle is the SAME full-history SQL as scd2_dim, so
+    * "incremental == rebuild" is hash-checked end to end (the etl_incr_agg
+    * discipline applied to historization).
+    */
+  def etl_scd2_apply(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "orders")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+    val cutoff = to_date(col("o_orderdate")) < lit("1999-01-01")
+    val prior = Scd2.build(ev.filter(cutoff),
+      nk = Seq("o_custkey"), ts = col("o_orderdate"),
+      tieBreak = Seq(col("o_orderkey")), attrs = Seq("o_orderpriority"))
+    Scd2.applyChanges(prior, ev.filter(!cutoff),
+      nk = Seq("o_custkey"), ts = col("o_orderdate"),
+      tieBreak = Seq(col("o_orderkey")), attrs = Seq("o_orderpriority"))
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        col("valid_from").cast("date").as("valid_from"),
+        col("valid_to").cast("date").as("valid_to"),
+        col("version"), col("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3600,5 +3625,6 @@ object Queries {
     ("e8_diversified", e8_diversified _, e8dvSql),
     ("j_asof_forward", j_asof_forward _, jafSql),
     ("e6_moments", e6_moments _, e6mmSql),
-    ("e11_transitions", e11_transitions _, e11trSql))
+    ("e11_transitions", e11_transitions _, e11trSql),
+    ("etl_scd2_apply", etl_scd2_apply _, scd2Sql))
 }

@@ -504,6 +504,32 @@ class Round5cSpec extends SparkSpec {
     assert(out.map(_._3).sum == expected) // one transition per adjacent pair
   }
 
+  test("Scd2.applyChanges == full rebuild; empty batch is identity") {
+    import graft.star.Scd2
+    val ev = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority",
+        $"valid_from".cast("string"), $"valid_to".cast("string"),
+        $"version", $"is_current")
+      .as[(Long, Long, String, String, Option[String], Int, Int)]
+      .collect().sortBy(r => (r._1, r._6))
+    val full = Scd2.build(ev, Seq("o_custkey"), col("o_orderdate"),
+      Seq(col("o_orderkey")), Seq("o_orderpriority"))
+    val cutoff = to_date($"o_orderdate") < lit("1999-01-01")
+    val prior = Scd2.build(ev.filter(cutoff), Seq("o_custkey"),
+      col("o_orderdate"), Seq(col("o_orderkey")), Seq("o_orderpriority"))
+    val applied = Scd2.applyChanges(prior, ev.filter(!cutoff),
+      Seq("o_custkey"), col("o_orderdate"), Seq(col("o_orderkey")),
+      Seq("o_orderpriority"))
+    assert(key(applied).toSeq == key(full).toSeq)
+    // identity: an empty change batch must leave the dimension untouched
+    val idem = Scd2.applyChanges(prior, ev.filter(lit(false)),
+      Seq("o_custkey"), col("o_orderdate"), Seq(col("o_orderkey")),
+      Seq("o_orderpriority"))
+    assert(key(idem).toSeq == key(prior).toSeq)
+  }
+
   test("e6_mode: the mode is the group's true argmax with lexicographic ties") {
     val counts = Queries.events(spark, sf)
       .groupBy("user_id", "event_type").count()
