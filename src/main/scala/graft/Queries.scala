@@ -3491,6 +3491,51 @@ object Queries {
       .orderBy("o_custkey", "version")
   }
 
+  /** E11 — rolling anomaly detection: each user-day's event count scored
+    * against the trailing 7 OBSERVED days' mean/σ, flagging |z| > 2 —
+    * the rate-spike monitor over behavioral streams. The window sums are
+    * pure integers (Σc, Σc², n), so mean/σ/z come from one fixed double
+    * expression on identical operands in both engines; days with σ = 0
+    * or fewer than 3 trailing observations are unscorable and excluded.
+    */
+  def e11_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+    val scored = daily
+      .withColumn("__n", count(col("c")).over(w))
+      .withColumn("__s1", sum(col("c")).over(w))
+      .withColumn("__s2", sum(col("c") * col("c")).over(w))
+      .filter(col("__n") >= 3)
+    val n = col("__n").cast("double")
+    val mean = col("__s1").cast("double") / n
+    val variance = col("__s2").cast("double") / n - mean * mean
+    scored
+      .withColumn("__z", (col("c").cast("double") - mean) / sqrt(variance))
+      .filter(variance > 0 && abs(col("__z")) > 2)
+      .select(col("user_id"), col("day"), col("c").as("n_events"),
+        round(col("__z"), 6).as("z"))
+      .orderBy("user_id", "day")
+  }
+
+  val e11anSql = """WITH daily AS (SELECT user_id, cast(ts as date) AS day,
+      count(*) AS c FROM events GROUP BY user_id, day),
+    wnd AS (SELECT user_id, day, c,
+      count(c) OVER w AS n, sum(c) OVER w AS s1, sum(c * c) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    z AS (SELECT user_id, day, c,
+      (cast(c as double) - cast(s1 as double) / n)
+        / sqrt(cast(s2 as double) / n
+          - (cast(s1 as double) / n) * (cast(s1 as double) / n)) AS z,
+      cast(s2 as double) / n
+        - (cast(s1 as double) / n) * (cast(s1 as double) / n) AS v
+      FROM wnd WHERE n >= 3)
+    SELECT user_id, day, c AS n_events, round(z, 6) AS z
+    FROM z WHERE v > 0 AND abs(z) > 2 ORDER BY user_id, day"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3626,5 +3671,6 @@ object Queries {
     ("j_asof_forward", j_asof_forward _, jafSql),
     ("e6_moments", e6_moments _, e6mmSql),
     ("e11_transitions", e11_transitions _, e11trSql),
-    ("etl_scd2_apply", etl_scd2_apply _, scd2Sql))
+    ("etl_scd2_apply", etl_scd2_apply _, scd2Sql),
+    ("e11_anomaly", e11_anomaly _, e11anSql))
 }

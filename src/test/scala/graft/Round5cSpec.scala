@@ -530,6 +530,25 @@ class Round5cSpec extends SparkSpec {
     assert(key(idem).toSeq == key(prior).toSeq)
   }
 
+  test("e11_anomaly: flagged z-scores match a direct trailing-window computation") {
+    val out = Queries.e11_anomaly(spark, sf)
+      .as[(Long, java.sql.Date, Long, Double)].collect()
+    assert(out.forall(r => math.abs(r._4) > 2))
+    val daily = Queries.events(spark, sf)
+      .groupBy($"user_id", to_date($"ts").as("day")).count()
+      .as[(Long, java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (u, rs) => u -> rs.sortBy(_._2.getTime) }
+    out.foreach { case (u, day, c, z) =>
+      val series = daily(u)
+      val i = series.indexWhere(_._2 == day)
+      val trail = series.slice(math.max(0, i - 7), i).map(_._3.toDouble)
+      assert(trail.length >= 3 && series(i)._3 == c)
+      val m = trail.sum / trail.length
+      val sd = math.sqrt(trail.map(x => x * x).sum / trail.length - m * m)
+      assert(math.abs(z - (c - m) / sd) < 1e-4, s"user $u day $day")
+    }
+  }
+
   test("e6_mode: the mode is the group's true argmax with lexicographic ties") {
     val counts = Queries.events(spark, sf)
       .groupBy("user_id", "event_type").count()
