@@ -235,6 +235,16 @@ class PlanSpec extends SparkSpec {
       s"profiling must not rescan the table per column:\n$plan")
   }
 
+  test("etl_scd2_apply: unchurned keys bypass the rebuild via an anti join") {
+    val plan = executed(Queries.etl_scd2_apply(spark, sf))
+    val s = plan.toString
+    // the pass-through arm must be a join (anti), not a window rebuild:
+    // at scale this is the difference between touching churned keys and
+    // re-windowing the whole dimension
+    assert(s.contains("LeftAnti"), s"expected the anti-join arm:\n$s")
+    assert(s.contains("LeftSemi"), s"expected the replay-selection arm:\n$s")
+  }
+
   test("e6_unpivot: id columns prune out of the scan entirely") {
     val df = Queries.e6_unpivot(spark, sf)
     val plan = executed(df)
