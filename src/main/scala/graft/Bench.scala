@@ -78,18 +78,27 @@ object Bench {
             f"[bench-guard] $name: $t%.3fs vs $old%.3fs last run (>3x on a trivial query)")
       best.map(name -> _)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal precision: the round-5 full-precision line for 132 queries
+    // overflowed the driver's stdout tail capture (BENCH_r05.json parsed:null);
+    // millisecond precision halves the line and is all min-of-3 can resolve.
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$reps,"nq":${results.size},"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n":$reps,"sf":"$sfDir"}"""
     // disk copy first: stdout can be polluted by stray executor logging
     Files.writeString(Paths.get("bench.json"), line + "\n")
-    // flush any pending log lines, then emit the JSON as the final line
+    // flush any pending log lines, then emit a short headline JSON line the
+    // driver can always parse even if the full per-query line is truncated
+    // by its tail capture, followed by the full object.
     System.err.flush(); System.out.flush()
+    println(compact)
     println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
