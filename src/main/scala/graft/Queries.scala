@@ -1140,6 +1140,49 @@ object Queries {
     SELECT id1, id2, hamming FROM cand WHERE hamming <= 3 ORDER BY id1, id2"""
   }
 
+  /** E2 — the SCALABLE SimHash path (64-bit xxhash64 signatures, 4×16-bit
+    * bands = 65,536 bucket values per band), graded via the literal-flag
+    * pattern (e10_hll): the two signature families genuinely differ, so
+    * full pair-set equality with the portable variant is not
+    * oracle-expressible — but the scalable path's hard guarantee IS:
+    * any two docs with identical token MULTISETS in the same block have
+    * identical 64-bit signatures (simhash is a function of the token
+    * multiset), hence hamming 0, hence share every band — the banded
+    * join MUST find them. The oracle enumerates those pairs portably
+    * (sorted token lists compare multisets) and pins hamming = 0 and
+    * found = 1; the row only hash-matches if the xxhash64 signatures,
+    * shift/mask band extraction, bucket join, and popcount verify all
+    * actually deliver. This gives the production-default parameterization
+    * (the one that survives 100× without the blocking crutch) its own
+    * CORRECTNESS pedigree (round-5 verdict item 2).
+    */
+  def e2_simhash_scalable(s: SparkSession, dir: String): DataFrame = {
+    // the corpus carries no identical-text pairs at small SF, so the
+    // anchor is MANUFACTURED: double the corpus with each doc cloned
+    // under doc_id*2 / doc_id*2+1 — every doc now owns exactly one
+    // guaranteed hamming-0 pair inside its own (lang, source) block,
+    // and the scalable path must find all of them over REAL text
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val doubled = docs.select((col("doc_id") * 2).as("doc_id"),
+        col("lang"), col("source"), col("text"))
+      .unionByName(docs.select((col("doc_id") * 2 + 1).as("doc_id"),
+        col("lang"), col("source"), col("text")))
+    val pairs = Dedup.simhashPairsScalable(doubled, "doc_id", "text",
+      blockCols = Seq(col("lang"), col("source")))
+    val anchor = docs.select((col("doc_id") * 2).as("id1"),
+      (col("doc_id") * 2 + 1).as("id2"))
+    anchor.join(pairs, Seq("id1", "id2"), "left")
+      .select(col("id1"), col("id2"),
+        coalesce(col("hamming"), lit(-1)).as("hamming"),
+        (col("hamming") === 0).cast("int").as("found"))
+      .orderBy("id1", "id2")
+  }
+
+  val e2ssSql = """SELECT doc_id * 2 AS id1, doc_id * 2 + 1 AS id2,
+    cast(0 as int) AS hamming, cast(1 as int) AS found
+    FROM documents ORDER BY id1, id2"""
+
   /** E2 — n-gram Jaccard pairs, blocked by (source, token count). */
   def e2_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -3302,7 +3345,15 @@ object Queries {
     */
   def j_asof_native(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+    // repartition by the JOIN key first: hash(user_id) co-locates equal
+    // (user_id, ts) rows too, so the dedup aggregate runs on this layout
+    // without its own (user_id, ts) exchange, AND its alias-aware output
+    // partitioning already satisfies the merge's clustering requirement —
+    // one exchange on the right side instead of two, one fewer AQE stage
+    // barrier on the critical path (measured: the extra stage, not the
+    // merge, was most of the 3.5x round-5 gap)
     val orders = t(s, dir, "orders")
+      .repartition(col("o_custkey"))
       .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
       .agg(max(col("o_orderkey")).as("asof_orderkey"),
         max_by(col("o_totalprice"), col("o_orderkey")).as("asof_price"))
@@ -3568,6 +3619,7 @@ object Queries {
     ("e2_minhash", e2_minhash _, e2mSql),
     ("e2_simhash", e2_simhash _, e2sSql),
     ("e2_simhash_pairs", e2_simhash_pairs _, e2spSql),
+    ("e2_simhash_scalable", e2_simhash_scalable _, e2ssSql),
     ("e2_ngram_jaccard", e2_ngram_jaccard _, e2nSql),
     ("e3_cosine_topk", e3_cosine_topk _, e3bSql),
     ("e3_lsh_topk", e3_lsh_topk _, e3lSql),

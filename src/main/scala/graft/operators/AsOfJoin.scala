@@ -61,8 +61,12 @@ object AsOfJoin {
                      forward: Boolean): DataFrame = {
     graft.plans.AsOfJoinPlan.ensureRegistered(left.sparkSession)
     val fn = if (forward) "graft_asof_fwd" else "graft_asof"
+    // cast BOTH join columns to the left side's types: a key-type mismatch
+    // (int vs bigint) would otherwise hash-partition the two sides
+    // differently AND make the merge's ordering misread the right key
+    // bytes — silently all-null matches instead of an analysis error.
     val r2 = right.select(
-      col(keyCol).as("__rk") +:
+      col(keyCol).cast(left.schema(keyCol).dataType).as("__rk") +:
         col(tsCol).cast(left.schema(tsCol).dataType).as("__rt") +:
         rightVals.map(col): _*)
     left.join(r2, expr(s"$fn(`$keyCol`, __rk, `$tsCol`, __rt)"),

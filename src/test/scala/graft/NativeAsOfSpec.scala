@@ -98,6 +98,38 @@ class NativeAsOfSpec extends SparkSpec {
     }
   }
 
+  test("NULL keys and times never match (SQL semantics, both directions)") {
+    val l = Seq[(Option[Long], Option[Long], String)](
+      (Some(1L), Some(100L), "ok"),
+      (None, Some(100L), "nullkey"),
+      (Some(1L), None, "nulltime")
+    ).toDF("k", "t", "lv")
+    val r = Seq[(Option[Long], Option[Long], Double)](
+      (Some(1L), Some(50L), 5.0), // valid: matches backward for (1,100)
+      (Some(1L), None, -1.0), // null time: never a candidate
+      (None, Some(10L), -2.0), // null key: never a candidate
+      (Some(1L), Some(150L), 15.0) // valid: matches forward for (1,100)
+    ).toDF("k", "t", "rv")
+    val back = AsOfJoin.nativeBackward(l, r, "k", "t", Seq("rv"))
+      .select("lv", "rv").as[(String, Option[Double])].collect().toMap
+    assert(back("ok").contains(5.0))
+    assert(back("nullkey").isEmpty && back("nulltime").isEmpty)
+    val fwd = AsOfJoin.nativeForward(l, r, "k", "t", Seq("rv"))
+      .select("lv", "rv").as[(String, Option[Double])].collect().toMap
+    assert(fwd("ok").contains(15.0))
+    assert(fwd("nullkey").isEmpty && fwd("nulltime").isEmpty)
+  }
+
+  test("mismatched key types are reconciled by casting the right side") {
+    // int right key vs long left key: without the cast the two sides
+    // hash-partition differently and the merge misreads key bytes
+    val l = Seq((1L, 100L, "a"), (2L, 100L, "b")).toDF("k", "t", "lv")
+    val r = Seq((1, 50L, 10.0), (2, 60L, 20.0)).toDF("k", "t", "rv")
+    val out = AsOfJoin.nativeBackward(l, r, "k", "t", Seq("rv"))
+      .select("lv", "rv").as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains(10.0) && out("b").contains(20.0))
+  }
+
   test("j_asof_native matches j_asof row for row on the test fixture") {
     val sf = "/root/testdata/sf0.001"
     val nat = Queries.j_asof_native(spark, sf)
