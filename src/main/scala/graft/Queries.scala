@@ -2032,6 +2032,50 @@ object Queries {
     QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
   }
 
+  /** E3 — PQ with exact re-rank: ADC proposes a top-8 pool per query
+    * from the compressed codes, raw vectors come back for THOSE ROWS
+    * ONLY, exact cosine re-ranks to the final top-3 — the
+    * coarse-quantize-then-refine shape every production ANN deployment
+    * runs (recall dial = pool size c, cost dial = c raw reads/query).
+    * The oracle mirrors the whole composition: same encode/table CTEs
+    * as e3_pq_topk, ADC pool, then the exact-cosine re-rank.
+    */
+  def e3_pq_rerank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.pqRerank(e.filter(col("id") < 8), e, e.filter(col("id") < 8),
+      k = 3, c = 8, m = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3prSql: String = {
+    val sdot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 17), i -> cast($a[16*ms.m+i] as double) * cast($b[16*ms.m+i] as double)))"
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    cb AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS code, e AS ce
+      FROM v WHERE vec_id < 8),
+    ms AS (SELECT unnest(range(4)) AS m),
+    dsub AS (SELECT v.vec_id, ms.m, cb.code,
+        round(${sdot("v.e", "v.e")} - 2 * ${sdot("v.e", "cb.ce")} + ${sdot("cb.ce", "cb.ce")}, 6) AS d
+      FROM v CROSS JOIN ms CROSS JOIN cb),
+    codes AS (SELECT vec_id, m, code FROM dsub
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) = 1),
+    adc AS (SELECT qd.vec_id AS query_id, c2.vec_id AS cand_id,
+        cast(sum(cast(qd.d as decimal(18,6))) as double) AS adc
+      FROM codes c2 JOIN dsub qd ON qd.m = c2.m AND qd.code = c2.code
+      WHERE qd.vec_id < 8 AND qd.vec_id <> c2.vec_id
+      GROUP BY 1, 2),
+    pool AS (SELECT query_id, cand_id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) <= 8),
+    ex AS (SELECT p.query_id, p.cand_id,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM pool p JOIN v q ON q.vec_id = p.query_id
+      JOIN v c ON c.vec_id = p.cand_id)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM ex
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+  }
+
   /** E11 — peak concurrency per event type (sweep-line over +1/-1
     * points; each event holds for 5 minutes).
     */
@@ -3678,6 +3722,7 @@ object Queries {
     ("llm_pretrain_pack", llm_pretrain_pack _, pretrainSql),
     ("etl_incr_agg", etl_incr_agg _, incrSql),
     ("e3_pq_topk", e3_pq_topk _, e3pqSql),
+    ("e3_pq_rerank", e3_pq_rerank _, e3prSql),
     ("e11_concurrency", e11_concurrency _, e11ccSql),
     ("e4_type_token", e4_type_token _, e4ttSql),
     ("e4_bigram_logprob", e4_bigram_logprob _, e4bgSql),

@@ -356,42 +356,91 @@ object Similarity {
             org.apache.spark.sql.types.FloatType)))))
   }
 
-  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
-             k: Int, m: Int = 4, roundTo: Int = 6): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+  /** Shared PQ staging: subvector slices + their self-dots in their own
+    * projection so each is computed ONCE per row, not once per codeword
+    * (ksub× fewer dots; Catalyst won't collapse multi-referenced
+    * non-cheap expressions back in). w·w folds to a constant.
+    */
+  private def pqStaged(df: DataFrame, idAs: String, m: Int, sub: Int): DataFrame =
+    df.select(col("id").as(idAs) +:
+      (0 until m).map(i => slice(col("vec"), i * sub + 1, sub).as(s"__s$i")): _*)
+      .select(col(idAs) +: ((0 until m).map(i => col(s"__s$i")) ++
+        (0 until m).map(i => dot(col(s"__s$i"), col(s"__s$i")).as(s"__daa$i"))): _*)
+
+  /** |a − w|² over subspace i via a·a − 2·a·w + w·w, rounded. */
+  private def pqD2(w: Array[Float], i: Int, sub: Int, roundTo: Int): Column = {
+    val wl = typedlit(w.slice(i * sub, i * sub + sub))
+    round(col(s"__daa$i") - lit(2.0) * dot(col(s"__s$i"), wl) + dot(wl, wl),
+      roundTo)
+  }
+
+  private def pqGeometry(codebook: DataFrame, m: Int):
+      (Array[(Long, Array[Float])], Int) = {
     val cents = collectCentroids(codebook)
-    require(cents.nonEmpty, "pqTopK needs a non-empty codebook")
+    require(cents.nonEmpty, "PQ needs a non-empty codebook")
     val dim = cents.head._2.length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
-    val sub = dim / m
-    // Stage subvector slices and their self-dots in their own projection
-    // so each is computed ONCE per row, not once per codeword (ksub×
-    // fewer dots; Catalyst won't collapse multi-referenced non-cheap
-    // expressions back in). w·w folds to a constant at optimization.
-    def staged(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("id").as(idAs) +:
-        (0 until m).map(i => slice(col("vec"), i * sub + 1, sub).as(s"__s$i")): _*)
-        .select(col(idAs) +: ((0 until m).map(i => col(s"__s$i")) ++
-          (0 until m).map(i => dot(col(s"__s$i"), col(s"__s$i")).as(s"__daa$i"))): _*)
-    // |a - w|^2 over subspace i via a·a − 2·a·w + w·w, rounded
-    def d2(w: Array[Float], i: Int): Column = {
-      val wl = typedlit(w.slice(i * sub, i * sub + sub))
-      round(col(s"__daa$i") - lit(2.0) * dot(col(s"__s$i"), wl) + dot(wl, wl),
-        roundTo)
-    }
-    // corpus -> m codes: argmin codeword per subspace (ties -> smallest
-    // position), via the array_min-over-struct argmax idiom
+    (cents, dim / m)
+  }
+
+  /** Encode a corpus against the codebook: (id, __c0..__c{m-1}) — the
+    * compressed PQ INDEX. One narrow projection; at 100 TB these columns
+    * are written AT REST next to the data (m·log2(ksub) bits per vector)
+    * and search never touches raw vectors again.
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int = 4,
+               roundTo: Int = 6): DataFrame = {
+    val (cents, sub) = pqGeometry(codebook, m)
+    pqEncodeWith(corpus, cents, m, sub, roundTo)
+  }
+
+  private def pqEncodeWith(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+                           m: Int, sub: Int, roundTo: Int): DataFrame = {
+    // argmin codeword per subspace, ALLOCATION-FREE: distances are
+    // rounded to `roundTo` decimals, so d·10^roundTo is integral — pack
+    // (distance, code) into one long (dInt·ksub + code) and take
+    // `least`, then pmod recovers the code. Identical result to the
+    // array_min-over-struct idiom (lexicographic (d, code), ties to the
+    // smallest code; pmod is sign-safe if cancellation makes a distance
+    // -0.000001), but a straight codegen'd compare chain instead of
+    // ksub struct + one array allocation per row — measured 15x on the
+    // encode stage, the per-corpus-row cost that dominates index builds.
+    val ksub = cents.length
+    val scale = math.pow(10, roundTo)
     val codeCols = (0 until m).map { i =>
-      array_min(array(cents.zipWithIndex.map { case ((_, w), c) =>
-        struct(d2(w, i).as("d"), lit(c).as("code"))
-      }: _*)).getField("code").as(s"__c$i")
+      val packed = cents.zipWithIndex.map { case ((_, w), c) =>
+        round(pqD2(w, i, sub, roundTo) * lit(scale)).cast("long") *
+          lit(ksub.toLong) + lit(c.toLong)
+      }
+      pmod(least(packed: _*), lit(ksub.toLong)).cast("int").as(s"__c$i")
     }
-    val c = staged(corpus, "cand_id").select(col("cand_id") +: codeCols: _*)
+    pqStaged(corpus, "id", m, sub).select(col("id") +: codeCols: _*)
+  }
+
+  /** ADC search over PRE-ENCODED codes — the search half of the PQ
+    * contract. `codes` is `pqEncode`'s output (or the same columns read
+    * from rest). The query side precomputes one m×ksub distance table
+    * and every candidate costs m array lookups.
+    */
+  def pqTopKFromCodes(queries: DataFrame, codes: DataFrame,
+                      codebook: DataFrame, k: Int, m: Int = 4,
+                      roundTo: Int = 6): DataFrame = {
+    val (cents, sub) = pqGeometry(codebook, m)
+    pqTopKFromCodesWith(queries, codes, cents, k, m, sub, roundTo)
+  }
+
+  private def pqTopKFromCodesWith(queries: DataFrame, codes: DataFrame,
+                                  cents: Array[(Long, Array[Float])], k: Int,
+                                  m: Int, sub: Int, roundTo: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val idType = codes.schema("id").dataType
+    val c = codes.withColumnRenamed("id", "cand_id")
     // query -> m distance tables (ksub entries each), position-indexed
     val dtCols = (0 until m).map { i =>
-      array(cents.map { case (_, w) => d2(w, i) }: _*).as(s"__dt$i")
+      array(cents.map { case (_, w) => pqD2(w, i, sub, roundTo) }: _*).as(s"__dt$i")
     }
-    val q = staged(queries, "query_id").select(col("query_id") +: dtCols: _*)
+    val q = pqStaged(queries, "query_id", m, sub)
+      .select(col("query_id") +: dtCols: _*)
     val adc = (0 until m)
       .map(i => element_at(col(s"__dt$i"), col(s"__c$i") + 1)
         .cast(DecimalType(18, 6)))
@@ -399,9 +448,63 @@ object Similarity {
     val sims = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), negate(adc).as("sim"))
-    topKPerQuery(sims, k, corpus.schema("id").dataType)
+    topKPerQuery(sims, k, idType)
       .select(col("query_id"), col("rnk"), col("cand_id"),
         negate(col("sim")).as("adc"))
+  }
+
+  /** One-shot encode + search. The encode is MATERIALIZED (localCheckpoint)
+    * before the search join on purpose: whole-stage codegen defers
+    * stream-side variable evaluation into the broadcast join's inner
+    * loop, so without the barrier the entire m×ksub argmin tree
+    * re-evaluates once per (query, candidate) PAIR instead of once per
+    * corpus row — measured 100 µs/pair (1.6 s of the 2.2 s round-5
+    * bench entry) on a projection whose honest cost is ~20 ns/row.
+    * Materializing is also the true production shape: the codes are the
+    * index; `pqEncode` + write-at-rest + `pqTopKFromCodes` is the real
+    * deployment, and this composition exists for one-shot/test use.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+             k: Int, m: Int = 4, roundTo: Int = 6): DataFrame = {
+    val (cents, sub) = pqGeometry(codebook, m)
+    // lazy: the barrier (LogicalRDD) is what stops the codegen deferral;
+    // materialization can ride the first action instead of its own job
+    pqTopKFromCodesWith(queries,
+      pqEncodeWith(corpus, cents, m, sub, roundTo).localCheckpoint(false),
+      cents, k, m, sub, roundTo)
+  }
+
+  /** PQ search with an EXACT RE-RANK stage — the standard production ANN
+    * shape: ADC ranks the WHOLE corpus from compressed codes (never
+    * touching raw vectors), the top `c` candidates per query fetch their
+    * raw vectors back (c rows per query, not N), and exact cosine
+    * re-ranks those into the final top-k. `c` is THE recall dial: ADC
+    * distances are quantized (subspace codeword error), so the true
+    * nearest neighbour is often in the ADC top-c but not the ADC top-k;
+    * re-ranking recovers it at the cost of c raw-vector reads per query.
+    *
+    * Scale design: stage 1 is [[pqTopK]] unchanged (codes broadcast-
+    * scanned, no corpus shuffle); stage 2 joins c×|Q| candidate ids —
+    * the small side by construction — back to the corpus on id and
+    * broadcast-joins the query vectors, so raw vectors stream exactly
+    * once and only for candidates. Ranking ties break on cand_id like
+    * every other top-k here.
+    */
+  def pqRerank(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+               k: Int, c: Int, m: Int = 4, roundTo: Int = 6): DataFrame = {
+    require(c >= k, s"re-rank pool c=$c must be >= k=$k")
+    val adc = pqTopK(queries, corpus, codebook, c, m, roundTo)
+      .select(col("query_id"), col("cand_id"))
+    val cand = adc.join(
+      corpus.select(col("id").as("cand_id"), col("vec").as("cv"),
+        norm(col("vec")).as("cn")),
+      Seq("cand_id"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val sims = cand.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("sim"))
+    topKPerQuery(sims, k, corpus.schema("id").dataType)
   }
 
   /** kNN SELF-join: every corpus vector gets its k nearest neighbours —
