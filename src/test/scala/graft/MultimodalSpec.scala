@@ -62,6 +62,44 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(0).getAs[Long]("n_bytes") == 32L)
   }
 
+  // a REAL 20x12 PNG generated with the same JDK imageio the decoder uses
+  private def realPng(w: Int = 20, h: Int = 12): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("a genuine PNG decodes to its true dimensions, fakes fall to the stub") {
+    val df = Seq((1L, "image"), (2L, "image")).toDF("media_id", "kind")
+      .withColumn("payload",
+        when($"media_id" === 1L, lit(realPng()))
+          .otherwise(lit("not an image".getBytes("UTF-8"))))
+    val rows = Multimodal.extractMetadata(df).orderBy("media_id").collect()
+    assert(rows(0).getAs[Int]("width") == 20 &&
+      rows(0).getAs[Int]("height") == 12) // real header decode
+    assert(rows(1).getAs[Int]("width") >= 1) // stub fingerprint fallback
+    // the fingerprint twin only matches on non-decodable payloads — the
+    // real decode is the documented divergence
+    val expr = Multimodal.extractMetadataExpr(df).orderBy("media_id").collect()
+    assert(rows(1).toSeq == expr(1).toSeq)
+  }
+
+  test("a genuine PNG resizes to a decodable PNG with the target dimensions") {
+    val df = Seq((1L, "image")).toDF("media_id", "kind")
+      .withColumn("payload", lit(realPng(20, 12)))
+    val out = Multimodal.resizeImages(df, w = 5, h = 3).collect()(0)
+    val resized = out.getAs[Array[Byte]]("payload")
+    assert(Multimodal.imageDims(resized).contains((5, 3)))
+    // and the metadata stage composes: true dims of the re-encoded PNG
+    val meta = Multimodal.extractMetadata(
+      Multimodal.resizeImages(df, 5, 3)).collect()(0)
+    assert(meta.getAs[Int]("width") == 5 && meta.getAs[Int]("height") == 3)
+  }
+
   test("null payload handled as zero-byte media") {
     val withNull = Seq((9L, "image")).toDF("media_id", "kind")
       .withColumn("payload", lit(null).cast("binary"))
