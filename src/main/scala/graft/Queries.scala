@@ -1528,6 +1528,70 @@ object Queries {
     GROUP BY l_orderkey, order_date, o_orderpriority
     ORDER BY revenue DESC, l_orderkey LIMIT 20"""
 
+  /** J — the stream-stream INTERVAL JOIN's batch twin, graded through
+    * the STREAMING OPERATOR ITSELF: `StreamingOps.intervalJoin` is a
+    * plain join + watermark declaration, and watermarks are no-ops in
+    * batch execution (EliminateEventTimeWatermark), so the exact code
+    * path the streaming tier runs incrementally here runs against the
+    * events table and an external oracle — the attribution shape (click
+    * within 10 minutes after a view by the same user). This gives the
+    * one E11 join shape with no CORRECTNESS row its oracle pedigree;
+    * StreamingSpec separately pins the incremental execution (state
+    * eviction, late data) of the same operator.
+    */
+  def j_stream_interval(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    graft.streaming.StreamingOps.intervalJoin(views, clicks, "user_id",
+        "view_ts", "click_ts", lagMinutes = 10)
+      .select(col("view_id"), col("user_id"), col("click_id"),
+        unix_millis(col("view_ts")).as("view_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+      .orderBy("view_id", "click_id")
+  }
+
+  val jsiSql = """WITH e AS (SELECT event_id, user_id, event_type,
+      epoch_ms(ts) AS ms FROM events)
+    SELECT v.event_id AS view_id, v.user_id, c.event_id AS click_id,
+      v.ms AS view_ms, c.ms AS click_ms
+    FROM e v JOIN e c ON v.event_type = 'view' AND c.event_type = 'click'
+      AND v.user_id = c.user_id AND c.ms >= v.ms AND c.ms < v.ms + 600000
+    ORDER BY view_id, click_id"""
+
+  /** SQL surface — TPC-H Q5 shape (local-supplier revenue): a SIX-table
+    * join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region)
+    * with a selective dim filter and the c_nationkey = s_nationkey
+    * co-location constraint — the join-reorder + broadcast-selection
+    * workout a BI user of the star schema runs all day. Catalyst plans
+    * region/nation/supplier/customer as broadcast hash joins under the
+    * fact-sized orders⋈lineitem (plan-pinned in Round6Spec); revenue
+    * stays exact decimal until the presentation cast.
+    */
+  def sql_tpch_q5(s: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation", "supplier", "customer", "orders", "lineitem")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ5)
+  }
+
+  val sqlQ5 = """SELECT n_name,
+      cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
   // ======================================================================
   // Round-5 additions: packing, mixing, passage dedup, semantic dedup,
   // unpivot, time-range frames, grouped quantiles
@@ -3678,6 +3742,8 @@ object Queries {
     ("j_range", j_range _, jrSql),
     ("e6_pivot", e6_pivot _, e6pSql),
     ("sql_tpch_q3", sql_tpch_q3 _, sqlQ3),
+    ("sql_tpch_q5", sql_tpch_q5 _, sqlQ5),
+    ("j_stream_interval", j_stream_interval _, jsiSql),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),

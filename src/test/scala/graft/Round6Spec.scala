@@ -38,6 +38,18 @@ class Round6Spec extends SparkSpec {
     assert(rr.nonEmpty && rr.forall(pool.contains))
   }
 
+  test("tpch q5: dims broadcast under the fact join, no cartesian product") {
+    val df = Queries.sql_tpch_q5(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // region/nation/supplier/customer are all broadcast-sized; the only
+    // shuffle-worthy join is fact-to-fact (orders x lineitem)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast dims, got $broadcasts")
+  }
+
   test("pqRerank with c = |corpus| equals brute force exactly") {
     val q = emb.filter(col("id") < 4)
     val cb = emb.filter(col("id") < 8)
