@@ -1563,6 +1563,64 @@ object Queries {
       AND v.user_id = c.user_id AND c.ms >= v.ms AND c.ms < v.ms + 600000
     ORDER BY view_id, click_id"""
 
+  /** E4 — Gopher-shaped top-n-gram concentration: the fraction of a
+    * document's word n-grams taken by its most frequent one (n = 2, 3) —
+    * the boilerplate signal the duplicate-RATIO query (e4_repetition)
+    * misses: one slogan repeated fifty times and fifty different repeated
+    * pairs have the same dup ratio, but only the first concentrates.
+    */
+  def e4_top_ngram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topGramConcentration(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val e4tnSql = """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id,
+      CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))
+        ELSE cast([] as varchar[]) END AS g2,
+      CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        ELSE cast([] as varchar[]) END AS g3
+      FROM tk),
+    top2 AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM (
+      SELECT doc_id, gg, count(*) AS c
+      FROM (SELECT doc_id, unnest(g2) AS gg FROM g) GROUP BY doc_id, gg)
+      GROUP BY doc_id),
+    top3 AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM (
+      SELECT doc_id, gg, count(*) AS c
+      FROM (SELECT doc_id, unnest(g3) AS gg FROM g) GROUP BY doc_id, gg)
+      GROUP BY doc_id)
+    SELECT g.doc_id,
+      cast(coalesce(t2.tot, 0) as int) AS n_2grams,
+      CASE WHEN t2.tot IS NOT NULL THEN round(cast(t2.topc as double) / t2.tot, 6) ELSE 0.0 END AS top_2gram_frac,
+      cast(coalesce(t3.tot, 0) as int) AS n_3grams,
+      CASE WHEN t3.tot IS NOT NULL THEN round(cast(t3.topc as double) / t3.tot, 6) ELSE 0.0 END AS top_3gram_frac
+    FROM g LEFT JOIN top2 t2 ON g.doc_id = t2.doc_id
+    LEFT JOIN top3 t3 ON g.doc_id = t3.doc_id
+    ORDER BY g.doc_id"""
+
+  /** SQL surface — TPC-H Q10 shape (returned-item reporting): which
+    * customers returned goods in a quarter, ranked by lost revenue — the
+    * second BI join shape (4 tables, selective fact filter, wide
+    * grouping keys, top-20 presentation).
+    */
+  def sql_tpch_q10(s: SparkSession, dir: String): DataFrame = {
+    Seq("nation", "customer", "orders", "lineitem")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ10)
+  }
+
+  val sqlQ10 = """SELECT c_custkey, c_name,
+      cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+      c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
   /** SQL surface — TPC-H Q5 shape (local-supplier revenue): a SIX-table
     * join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region)
     * with a selective dim filter and the c_nationkey = s_nationkey
@@ -2137,6 +2195,55 @@ object Queries {
       JOIN v c ON c.vec_id = p.cand_id)
     SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
       cand_id, sim FROM ex
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+  }
+
+  /** E3 — IVF-PQ, the composed production index: corpus partitioned into
+    * 4 designated Voronoi cells, each vector's RESIDUAL against its cell
+    * centroid product-quantized against an 8-vector codebook; search
+    * probes the query's own cell with a per-cell residual distance
+    * table. The oracle mirrors the entire composition — cell argmax,
+    * float residual, per-subspace encode, cell-scoped ADC.
+    */
+  def e3_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfPqTopK(e.filter(col("id") < 8), e,
+      e.filter(col("id") >= 8 && col("id") < 12), e.filter(col("id") < 8),
+      k = 3, m = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3ipSql: String = {
+    val sdot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 17), i -> cast($a[16*ms.m+i] as double) * cast($b[16*ms.m+i] as double)))"
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id >= 8 AND vec_id < 12),
+    cb AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS code, e AS we
+      FROM v WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, cell,
+        round(list_sum(list_transform(range(1, 65), i -> cast(v.e[i] as double) * cast(cents.ce[i] as double))), 6) AS d
+      FROM v CROSS JOIN cents),
+    cells AS (SELECT vec_id, cell FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) = 1),
+    resid AS (SELECT c2.vec_id, c2.cell,
+        list_transform(range(1, 65), i -> v.e[i] - cents.ce[i]) AS r
+      FROM cells c2 JOIN v ON v.vec_id = c2.vec_id
+      JOIN cents ON cents.cell = c2.cell),
+    ms AS (SELECT unnest(range(4)) AS m),
+    dsub AS (SELECT resid.vec_id, resid.cell, ms.m, cb.code,
+        round(${sdot("resid.r", "resid.r")} - 2 * ${sdot("resid.r", "cb.we")} + ${sdot("cb.we", "cb.we")}, 6) AS d
+      FROM resid CROSS JOIN ms CROSS JOIN cb),
+    codes AS (SELECT vec_id, cell, m, code FROM dsub
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) = 1),
+    adc AS (SELECT qd.vec_id AS query_id, c3.vec_id AS cand_id,
+        cast(sum(cast(qd.d as decimal(18,6))) as double) AS adc
+      FROM codes c3 JOIN dsub qd
+        ON qd.m = c3.m AND qd.code = c3.code AND qd.cell = c3.cell
+      WHERE qd.vec_id < 8 AND qd.vec_id <> c3.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) as int) AS rnk,
+      cand_id, adc FROM adc
     QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
   }
 
@@ -3744,6 +3851,8 @@ object Queries {
     ("sql_tpch_q3", sql_tpch_q3 _, sqlQ3),
     ("sql_tpch_q5", sql_tpch_q5 _, sqlQ5),
     ("j_stream_interval", j_stream_interval _, jsiSql),
+    ("e4_top_ngram", e4_top_ngram _, e4tnSql),
+    ("sql_tpch_q10", sql_tpch_q10 _, sqlQ10),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),
@@ -3789,6 +3898,7 @@ object Queries {
     ("etl_incr_agg", etl_incr_agg _, incrSql),
     ("e3_pq_topk", e3_pq_topk _, e3pqSql),
     ("e3_pq_rerank", e3_pq_rerank _, e3prSql),
+    ("e3_ivfpq", e3_ivfpq _, e3ipSql),
     ("e11_concurrency", e11_concurrency _, e11ccSql),
     ("e4_type_token", e4_type_token _, e4ttSql),
     ("e4_bigram_logprob", e4_bigram_logprob _, e4bgSql),

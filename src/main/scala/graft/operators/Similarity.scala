@@ -361,10 +361,11 @@ object Similarity {
     * (ksub× fewer dots; Catalyst won't collapse multi-referenced
     * non-cheap expressions back in). w·w folds to a constant.
     */
-  private def pqStaged(df: DataFrame, idAs: String, m: Int, sub: Int): DataFrame =
-    df.select(col("id").as(idAs) +:
+  private def pqStaged(df: DataFrame, idAs: String, m: Int, sub: Int,
+                       carry: Seq[String] = Nil): DataFrame =
+    df.select((col("id").as(idAs) +: carry.map(col)) ++
       (0 until m).map(i => slice(col("vec"), i * sub + 1, sub).as(s"__s$i")): _*)
-      .select(col(idAs) +: ((0 until m).map(i => col(s"__s$i")) ++
+      .select((col(idAs) +: carry.map(col)) ++ ((0 until m).map(i => col(s"__s$i")) ++
         (0 until m).map(i => dot(col(s"__s$i"), col(s"__s$i")).as(s"__daa$i"))): _*)
 
   /** |a − w|² over subspace i via a·a − 2·a·w + w·w, rounded. */
@@ -395,7 +396,8 @@ object Similarity {
   }
 
   private def pqEncodeWith(corpus: DataFrame, cents: Array[(Long, Array[Float])],
-                           m: Int, sub: Int, roundTo: Int): DataFrame = {
+                           m: Int, sub: Int, roundTo: Int,
+                           carry: Seq[String] = Nil): DataFrame = {
     // argmin codeword per subspace, ALLOCATION-FREE: distances are
     // rounded to `roundTo` decimals, so d·10^roundTo is integral — pack
     // (distance, code) into one long (dInt·ksub + code) and take
@@ -414,7 +416,8 @@ object Similarity {
       }
       pmod(least(packed: _*), lit(ksub.toLong)).cast("int").as(s"__c$i")
     }
-    pqStaged(corpus, "id", m, sub).select(col("id") +: codeCols: _*)
+    pqStaged(corpus, "id", m, sub, carry)
+      .select((col("id") +: carry.map(col)) ++ codeCols: _*)
   }
 
   /** ADC search over PRE-ENCODED codes — the search half of the PQ
@@ -472,6 +475,70 @@ object Similarity {
     pqTopKFromCodesWith(queries,
       pqEncodeWith(corpus, cents, m, sub, roundTo).localCheckpoint(false),
       cents, k, m, sub, roundTo)
+  }
+
+  /** IVF-PQ — the composed production ANN index: coarse quantization
+    * partitions the corpus into Voronoi cells (IVF), and each vector's
+    * RESIDUAL against its cell centroid is product-quantized (PQ). The
+    * residual is the whole point of the composition: vectors in a cell
+    * share their centroid's neighborhood, so residuals have far less
+    * variance than raw vectors and the same codebook budget quantizes
+    * them much more accurately. Search probes `nprobe` cells per query,
+    * builds the query's residual distance table PER PROBED CELL (the
+    * query residual differs per cell — this is what makes IVF-PQ ADC
+    * asymmetric twice over), and scans only that cell's codes.
+    *
+    * Scale: the index build (cell + m code columns per vector) is one
+    * broadcast join + one narrow projection, materialized — at 100 TB
+    * these columns live at rest, bucketed by cell, and search shuffles
+    * nothing on the corpus side; the query side (nprobe rows × m tables)
+    * broadcasts. Centroids and codebook are bounded collects (they ARE
+    * the index contract, as in [[ivfTopK]]/[[pqTopK]]).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, k: Int, m: Int = 4, nprobe: Int = 1,
+                roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "ivfPqTopK needs at least one centroid")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val (cbCents, sub) = pqGeometry(codebook, m)
+    val cdf = broadcast(
+      centroids.select(col("id").as("cell"), col("vec").as("__cvec")))
+    def residual(df: DataFrame, cellCol: Column): DataFrame = df
+      .select(col("id"), col("vec"), cellCol.as("cell"))
+      .join(cdf, Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("vec"), col("__cvec"), (a, b) => a - b).as("vec"))
+    // ---- index build: cell + residual codes, materialized (THE index;
+    // the barrier also stops codegen deferring the encode into the
+    // search join — see pqTopK)
+    val codes = pqEncodeWith(
+      residual(corpus, cellExpr(cents, roundTo)(col("vec"))),
+      cbCents, m, sub, roundTo, carry = Seq("cell"))
+      .withColumnRenamed("id", "cand_id")
+      .localCheckpoint(false)
+    // ---- search: per probed cell, the query's residual distance tables
+    val qresid = residual(
+      queries.select(col("id"), col("vec"),
+          explode(cellsExpr(cents, roundTo, nprobe)(col("vec"))).as("__pc"))
+        .select(col("id"), col("vec"), col("__pc")),
+      col("__pc"))
+    val dtCols = (0 until m).map { i =>
+      array(cbCents.map { case (_, w) => pqD2(w, i, sub, roundTo) }: _*).as(s"__dt$i")
+    }
+    val q = pqStaged(qresid, "query_id", m, sub, carry = Seq("cell"))
+      .select(col("query_id") +: col("cell") +: dtCols: _*)
+    val adc = (0 until m)
+      .map(i => element_at(col(s"__dt$i"), col(s"__c$i") + 1)
+        .cast(DecimalType(18, 6)))
+      .reduce(_ + _).cast("double")
+    val sims = broadcast(q).join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), negate(adc).as("sim"))
+    topKPerQuery(sims, k, corpus.schema("id").dataType)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        negate(col("sim")).as("adc"))
   }
 
   /** PQ search with an EXACT RE-RANK stage — the standard production ANN

@@ -568,6 +568,44 @@ object TextAnalysis {
       .drop("__race")
   }
 
+  /** Gopher-shaped TOP-n-gram CONCENTRATION: the fraction of a document's
+    * word n-grams taken by its single most frequent n-gram — the
+    * boilerplate signal [[repetition]]'s duplicate-RATIO misses (a page
+    * repeating one slogan fifty times and a page with fifty different
+    * repeated pairs have the same dup ratio; only the first concentrates).
+    * Gopher cuts documents above fixed concentration thresholds per n;
+    * this emits the raw fraction for n = 2 and 3 so the caller picks the
+    * dial.
+    *
+    * Scale: one explode + two hash aggregations keyed by (id, gram) then
+    * id — partitioned across the document-id space, no hot keys by
+    * construction, map-side partials throughout; the gram strings shuffle
+    * once and the per-id rollup moves one row per (doc, distinct gram).
+    */
+  def topGramConcentration(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"), Dedup.shingles(col("__t"), 2).as("__g2"),
+        Dedup.shingles(col("__t"), 3).as("__g3"))
+    def top(gramCol: String, n: Int): DataFrame = base
+      .select(col("id"), explode(col(gramCol)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as(s"__top$n"),
+        sum(col("c")).as(s"__tot$n"))
+    base.select("id")
+      .join(top("__g2", 2), Seq("id"), "left")
+      .join(top("__g3", 3), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__tot2"), lit(0L)).cast("int").as("n_2grams"),
+        when(col("__tot2").isNotNull,
+          round(col("__top2") / col("__tot2"), 6))
+          .otherwise(lit(0.0)).as("top_2gram_frac"),
+        coalesce(col("__tot3"), lit(0L)).cast("int").as("n_3grams"),
+        when(col("__tot3").isNotNull,
+          round(col("__top3") / col("__tot3"), 6))
+          .otherwise(lit(0.0)).as("top_3gram_frac"))
+  }
+
   def epochSchedule(df: DataFrame, idCol: String, textCol: String,
                     sourceCol: String, maxRepeats: Int = 8): DataFrame = {
     require(maxRepeats >= 1)

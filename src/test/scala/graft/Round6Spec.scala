@@ -38,6 +38,45 @@ class Round6Spec extends SparkSpec {
     assert(rr.nonEmpty && rr.forall(pool.contains))
   }
 
+  test("ivfPqTopK with one cell == pqTopK over the recentered corpus") {
+    // a single centroid c makes every residual vec - c, so IVF-PQ must
+    // degenerate to plain PQ over the shifted corpus, rank for rank
+    val q = emb.filter(col("id") < 6)
+    val cent = emb.filter(col("id") === 0)
+    val cb = emb.filter(col("id") < 8)
+    val c0 = cent.collect()(0).getSeq[Float](1)
+    val shift = udf((v: Seq[Float]) => v.zip(c0).map { case (a, b) => a - b })
+    val shifted = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("id"), shift(col("vec")).as("vec"))
+    val ivfpq = Similarity.ivfPqTopK(q, emb, cent, shifted(cb), k = 3, m = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val pq = Similarity.pqTopK(shifted(q), shifted(emb), shifted(cb), k = 3, m = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(ivfpq.map(_.toSeq) == pq.map(_.toSeq) && ivfpq.nonEmpty)
+  }
+
+  test("ivfPqTopK candidates stay inside the query's probed cell") {
+    val q = emb.filter(col("id") < 8)
+    val cents = emb.filter(col("id") >= 8 && col("id") < 12)
+    val cb = emb.filter(col("id") < 8)
+    val got = Similarity.ivfPqTopK(q, emb, cents, cb, k = 5, m = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    // recompute cell assignments independently: argmax of the rounded
+    // dot against each centroid, ties to the smallest centroid id
+    val vecs = emb.as[(Long, Seq[Float])].collect().toMap
+    val cs = vecs.filter { case (id, _) => id >= 8 && id < 12 }.toSeq.sortBy(_._1)
+    def cell(id: Long): Long = cs.map { case (cid, cv) =>
+      val d = BigDecimal(vecs(id).zip(cv)
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (-d, cid)
+    }.min._2
+    got.foreach { case (qid, cid) =>
+      assert(qid != cid && cell(qid) == cell(cid), s"$qid/$cid cross cells")
+    }
+  }
+
   test("tpch q5: dims broadcast under the fact join, no cartesian product") {
     val df = Queries.sql_tpch_q5(spark, sf)
     df.collect()
