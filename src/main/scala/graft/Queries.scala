@@ -1598,6 +1598,91 @@ object Queries {
     LEFT JOIN top3 t3 ON g.doc_id = t3.doc_id
     ORDER BY g.doc_id"""
 
+  /** J — as-of join with TOLERANCE: the user's most recent order at
+    * event time counts only if it is at most 7 days old — the max-lag
+    * dial every production as-of deployment has (a quote from last month
+    * must not enrich today's trade). Staler matches null out exactly as
+    * if no order preceded.
+    */
+  def j_asof_tolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("asof_price"))
+    AsOfJoin.backwardWithin(ev, orders, "user_id", "ts",
+      Seq("asof_orderkey", "asof_price"), maxLagMs = 7L * 24 * 3600 * 1000)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("asof_orderkey"), col("asof_price"))
+      .orderBy("event_id")
+  }
+
+  val jatSql = """WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate AS rts,
+        max(o_orderkey) AS asof_orderkey,
+        arg_max(o_totalprice, o_orderkey) AS asof_price
+      FROM orders GROUP BY 1, 2),
+    l AS (SELECT event_id, user_id, ts FROM events)
+    SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+      CASE WHEN epoch_ms(l.ts) - epoch_ms(r.rts) <= 604800000
+        THEN r.asof_orderkey END AS asof_orderkey,
+      CASE WHEN epoch_ms(l.ts) - epoch_ms(r.rts) <= 604800000
+        THEN r.asof_price END AS asof_price
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+    ORDER BY event_id"""
+
+  /** E4 — leakage-proof train/val/test split report: deterministic
+    * hash-bucket assignment (90/5/5 by doc_id) rolled up per (source,
+    * split) — the held-out-evaluation contract of every training
+    * pipeline: a document's split depends only on its id, so re-runs and
+    * corpus growth never move old rows across the boundary.
+    */
+  def e4_split(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        TextAnalysis.holdoutSplit(col("doc_id").cast("string"), 5, 5).as("split"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("__nt"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .orderBy("source", "split")
+
+  val e4spSql: String = {
+    val phash = (x: String) =>
+      s"""list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split($x, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)"""
+    s"""WITH d AS (SELECT source,
+      CASE WHEN ${phash("cast(doc_id as varchar)")} % 100 < 90 THEN 'train'
+        WHEN ${phash("cast(doc_id as varchar)")} % 100 < 95 THEN 'val'
+        ELSE 'test' END AS split,
+      cast(len(string_split(text, ' ')) as bigint) AS nt FROM documents)
+    SELECT source, split, count(*) AS n_docs,
+      cast(sum(nt) as bigint) AS n_tokens
+    FROM d GROUP BY source, split ORDER BY source, split"""
+  }
+
+  /** SQL surface — TPC-H Q18 shape (large-volume customers): orders
+    * whose total quantity clears a high threshold, with their customers —
+    * the aggregate-then-semi-join shape (HAVING subquery feeding an IN).
+    */
+  def sql_tpch_q18(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ18)
+  }
+
+  val sqlQ18 = """SELECT c_custkey, o_orderkey,
+      cast(o_orderdate as date) AS order_date, o_totalprice,
+      cast(sum(cast(l_quantity as decimal(18,2))) as double) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250)
+    GROUP BY c_custkey, o_orderkey, order_date, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
   /** SQL surface — TPC-H Q10 shape (returned-item reporting): which
     * customers returned goods in a quarter, ranked by lost revenue — the
     * second BI join shape (4 tables, selective fact filter, wide
@@ -3853,6 +3938,9 @@ object Queries {
     ("j_stream_interval", j_stream_interval _, jsiSql),
     ("e4_top_ngram", e4_top_ngram _, e4tnSql),
     ("sql_tpch_q10", sql_tpch_q10 _, sqlQ10),
+    ("j_asof_tolerance", j_asof_tolerance _, jatSql),
+    ("e4_split", e4_split _, e4spSql),
+    ("sql_tpch_q18", sql_tpch_q18 _, sqlQ18),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),

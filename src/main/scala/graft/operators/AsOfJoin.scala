@@ -74,6 +74,31 @@ object AsOfJoin {
       .drop("__rk", "__rt")
   }
 
+  /** Backward as-of with a TOLERANCE (the max-lag dial every production
+    * as-of deployment has): the latest right row with `rt <= lt` still
+    * matches only if it is at most `maxLagMs` old at the left row's
+    * time — staler matches become nulls, exactly as if no right row
+    * preceded. Same one-shuffle union+window plan as [[backward]]; the
+    * matched row's own timestamp rides inside the value struct and the
+    * lag check is a final narrow projection.
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsCol: String, rightVals: Seq[String],
+                     maxLagMs: Long): DataFrame = {
+    require(maxLagMs >= 0, "maxLagMs must be >= 0")
+    val leftCols = left.columns.toSeq
+    // cast to the left clock's type (e.g. ntz dim dates vs utc events):
+    // the union coerces the SORT key automatically but struct-carried
+    // values keep their type, and unix_millis needs a utc timestamp
+    val r2 = right.withColumn("__rts",
+      col(tsCol).cast(left.schema(tsCol).dataType))
+    val joined = backward(left, r2, keyCol, tsCol, rightVals :+ "__rts")
+    val fresh = unix_millis(col(tsCol)) - unix_millis(col("__rts")) <=
+      maxLagMs
+    joined.select(leftCols.map(col) ++ rightVals.map(c =>
+      when(fresh, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq

@@ -118,6 +118,21 @@ object TextAnalysis {
   def sampleByHash(keyExpr: Column, pct: Int): Column =
     pmod(portableStringHash(keyExpr), lit(100)) < pct
 
+  /** Deterministic train/val/test assignment from the portable key hash:
+    * bucket = hash mod 100, the top `testPct` buckets are test, the next
+    * `valPct` are validation, the rest train. A row's split depends only
+    * on its key — stable across runs, partitionings, and corpus growth
+    * (new rows land in splits without moving old ones), which is what
+    * makes held-out evaluation leakage-proof in a pipeline that re-runs.
+    */
+  def holdoutSplit(keyExpr: Column, valPct: Int, testPct: Int): Column = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100)
+    val b = pmod(portableStringHash(keyExpr), lit(100L))
+    when(b < lit((100 - valPct - testPct).toLong), lit("train"))
+      .when(b < lit((100 - testPct).toLong), lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates (percent),
     * hash-gated like `sampleByHash` — the corpus-rebalancing shape
     * (downsample the over-represented language/source, keep the rest).

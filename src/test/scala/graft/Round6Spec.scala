@@ -77,6 +77,43 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("backwardWithin nulls matches older than the tolerance") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 1000L, "a"), (1L, 5000L, "b"), (2L, 900L, "c"))
+      .toDF("k", "ms", "lv")
+      .withColumn("t", timestamp_millis(col("ms"))).drop("ms")
+    val r = Seq((1L, 800L, 8.0), (2L, 100L, 1.0))
+      .toDF("k", "ms", "rv")
+      .withColumn("t", timestamp_millis(col("ms"))).drop("ms")
+    val out = AsOfJoin.backwardWithin(l, r, "k", "t", Seq("rv"), maxLagMs = 1000L)
+      .select("lv", "rv").as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains(8.0)) // 200ms old: fresh
+    assert(out("b").isEmpty) // 4200ms old: matched but stale -> null
+    assert(out("c").contains(1.0)) // 800ms old: fresh
+    // and with no tolerance bound the stale match comes back
+    val loose = AsOfJoin.backwardWithin(l, r, "k", "t", Seq("rv"), maxLagMs = 10000L)
+      .select("lv", "rv").as[(String, Option[Double])].collect().toMap
+    assert(loose("b").contains(8.0))
+  }
+
+  test("holdoutSplit is a stable 90/5/5-shaped partition of any key set") {
+    import graft.operators.TextAnalysis
+    val ids = spark.range(0, 5000)
+      .select(col("id").cast("string").as("k"))
+    val counts = ids
+      .select(TextAnalysis.holdoutSplit(col("k"), 5, 5).as("split"))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 5000L)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // deterministic: same assignment on a re-run
+    val again = ids
+      .select(TextAnalysis.holdoutSplit(col("k"), 5, 5).as("split"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("tpch q5: dims broadcast under the fact join, no cartesian product") {
     val df = Queries.sql_tpch_q5(spark, sf)
     df.collect()
