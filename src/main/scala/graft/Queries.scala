@@ -1661,6 +1661,93 @@ object Queries {
     FROM d GROUP BY source, split ORDER BY source, split"""
   }
 
+  /** E2 — INCREMENTAL dedup at ingest: the corpus is split into an
+    * already-clean history (doc_id % 5 != 0) and an incoming batch
+    * (doc_id % 5 == 0); the batch band-joins against history and every
+    * cross near-dup pair surfaces as (new_id, old_id). Old×old pairs are
+    * never formed — per-batch cost follows the batch, not the corpus,
+    * which is what makes continuous ingestion affordable at 100 TB. The
+    * oracle runs the full-corpus banding and keeps exactly the cross
+    * pairs, so candidate recall is pinned equal across the split.
+    */
+  def e2_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.minhashIncrementalPairs(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", jaccardThreshold = 0.4)
+      .orderBy("new_id", "old_id")
+  }
+
+  val e2incSql: String =
+    s"""WITH $e2mCtes
+    SELECT CASE WHEN id1 % 5 = 0 THEN id1 ELSE id2 END AS new_id,
+      CASE WHEN id1 % 5 = 0 THEN id2 ELSE id1 END AS old_id,
+      round(jaccard, 6) AS jaccard
+    FROM cand
+    WHERE (id1 % 5 = 0) <> (id2 % 5 = 0) AND round(jaccard, 6) >= 0.4
+    ORDER BY new_id, old_id"""
+
+  /** E4 — per-source TOKEN BUDGET curation: each source keeps its
+    * best-quality documents until 3000 tokens are spent (a doc is kept
+    * only if it fits wholly) — the data-mixture contract of a
+    * pretraining run ("at most N tokens of web, M of code"), applied
+    * quality-first so the budget buys the best of each source.
+    */
+  def e4_token_budget(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenBudget(t(s, dir, "documents"), "doc_id", "text",
+      groupCol = "source", budget = 3000L)
+      .orderBy("source", "doc_id")
+
+  val e4tbSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH q AS (SELECT doc_id, source,
+      cast(len(toks) as int) AS n_tokens,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+    c AS (SELECT doc_id, source, n_tokens, quality,
+      cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
+      FROM q)
+    SELECT doc_id, source, n_tokens, quality, cum_tokens FROM c
+    WHERE cum_tokens <= 3000 ORDER BY source, doc_id"""
+  }
+
+  /** E3 — int8 embedding quantization at rest: symmetric per-vector
+    * scale (max|v|/127), integer codes, 4× smaller than float32 — the
+    * storage path that decides whether an embedding corpus fits executor
+    * memory at 100 TB. Oracle mirrors scale, codes, and their sum; the
+    * within_range literal flag pins |code| <= 127.
+    */
+  def e3_int8(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.int8Quantize(e)
+      .select(col("id"), col("scale"),
+        size(col("codes")).as("n_dims"),
+        element_at(col("codes"), 1).as("c1"),
+        element_at(col("codes"), 2).as("c2"),
+        element_at(col("codes"), 3).as("c3"),
+        element_at(col("codes"), 4).as("c4"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        (array_max(transform(col("codes"), x => abs(x))) <= 127)
+          .cast("int").as("within_range"))
+      .orderBy("id")
+  }
+
+  val e3i8Sql = """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    s AS (SELECT vec_id, list_max(list_transform(e, x -> abs(cast(x as double)))) AS ma FROM v),
+    q AS (SELECT v.vec_id, CASE WHEN s.ma > 0 THEN s.ma / 127.0 ELSE 1.0 END AS sc, v.e
+      FROM v JOIN s USING (vec_id)),
+    c AS (SELECT vec_id, round(sc, 6) AS scale,
+      list_transform(e, x -> cast(round(cast(x as double) / sc) as int)) AS codes FROM q)
+    SELECT vec_id AS id, scale, cast(len(codes) as int) AS n_dims,
+      codes[1] AS c1, codes[2] AS c2, codes[3] AS c3, codes[4] AS c4,
+      cast(list_sum(codes) as bigint) AS code_sum, cast(1 as int) AS within_range
+    FROM c ORDER BY id"""
+
   /** SQL surface — TPC-H Q18 shape (large-volume customers): orders
     * whose total quantity clears a high threshold, with their customers —
     * the aggregate-then-semi-join shape (HAVING subquery feeding an IN).
@@ -3941,6 +4028,9 @@ object Queries {
     ("j_asof_tolerance", j_asof_tolerance _, jatSql),
     ("e4_split", e4_split _, e4spSql),
     ("sql_tpch_q18", sql_tpch_q18 _, sqlQ18),
+    ("e4_token_budget", e4_token_budget _, e4tbSql),
+    ("e3_int8", e3_int8 _, e3i8Sql),
+    ("e2_incremental", e2_incremental _, e2incSql),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),

@@ -181,6 +181,74 @@ object Dedup {
   private def jaccardOf(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** INCREMENTAL MinHash-LSH dedup — the ingestion-time shape: band-join
+    * an incoming batch against the already-deduplicated corpus and
+    * return (new_id, old_id, jaccard) for every cross pair clearing the
+    * threshold. Old×old pairs are never formed (the corpus is already
+    * clean — that is the entire point: per-batch cost is banding the
+    * SMALL side and one co-partitioned join, not re-deduplicating
+    * history). Candidates drawn from the same portable banding as
+    * [[minhashLsh]], so a pair is found here iff the full-corpus run
+    * would find it across the split. At 100 TB the existing side's
+    * signature/band columns live AT REST next to the corpus (write
+    * them once at accept time); only the incoming batch computes
+    * shingles per ingest.
+    */
+  def minhashIncrementalPairs(existing: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                              jaccardThreshold: Double = 0.5): DataFrame = {
+    val (baseN, bandedN) =
+      portableBands(incoming, idCol, textCol, k, bands, rowsPerBand)
+    val (baseO, bandedO) =
+      portableBands(existing, idCol, textCol, k, bands, rowsPerBand)
+    baseN.persist(); baseO.persist()
+    val cand = bandedN
+      .select(col("band"), col("bandHash"), col("id").as("new_id"))
+      .join(bandedO.select(col("band"), col("bandHash"), col("id").as("old_id")),
+        Seq("band", "bandHash"))
+      .select("new_id", "old_id")
+      .distinct()
+    val verified = cand
+      .join(baseN.select(col("id").as("new_id"), col("sh").as("__shn")), "new_id")
+      .join(baseO.select(col("id").as("old_id"), col("sh").as("__sho")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        round(jaccardOf(col("__shn"), col("__sho")), 6).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+    val result = verified.localCheckpoint(true)
+    baseN.unpersist(); baseO.unpersist()
+    result
+  }
+
+  /** Shared portable banding: (base = (id, sh), banded = (id, band,
+    * bandHash)) for one side of an LSH join — the signature pipeline of
+    * `portableLsh` exposed so cross-corpus variants can band each side
+    * independently.
+    */
+  private def portableBands(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, bands: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame) = {
+    val m = bands * rowsPerBand
+    val base = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("id"), transform(col("tk"), t => portableStringHash(t)).as("th"))
+      .select(col("id"), hashedShinglesFromHashes(col("th"), k).as("sh"))
+    val sigAggs = minhashCoeffs(m).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(HashPrime))).as(s"s$j")
+    }
+    def bandHash(b: Int): Column =
+      (0 until rowsPerBand).foldLeft(lit(7L): Column)((acc, r) =>
+        pmod(acc * lit(31L) + col(s"s${b * rowsPerBand + r}"), lit(HashPrime)))
+    val sigs = base.select(col("id"), explode(col("sh")).as("x"))
+      .groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(bandHash): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandHash")
+    (base, banded)
+  }
+
   /** Portable (oracle-reproducible) LSH pipeline shared by the Jaccard
     * and containment variants.
     */

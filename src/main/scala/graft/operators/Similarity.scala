@@ -599,6 +599,26 @@ object Similarity {
     topKPerQuery(sims, k, corpus.schema("id").dataType)
   }
 
+  /** Symmetric per-vector INT8 quantization — the embedding-at-rest
+    * storage path: scale = max|v_i| / 127, codes = round(v_i / scale),
+    * reconstruction v̂_i = code_i · scale with error ≤ scale/2 per
+    * component. 4× smaller than float32 at rest (the difference between
+    * an embedding corpus fitting executor memory or not at 100 TB);
+    * downstream cosine runs on dequantized values or, with per-corpus
+    * shared scales, directly on the integer codes. Pure narrow
+    * projection — no shuffle, no state. Zero vectors get scale 1 so
+    * codes are well-defined (all zero).
+    */
+  def int8Quantize(corpus: DataFrame, roundTo: Int = 6): DataFrame = {
+    val maxAbs = array_max(transform(col("vec"), x => abs(x.cast("double"))))
+    val scale = when(maxAbs > 0, maxAbs / lit(127.0)).otherwise(lit(1.0))
+    corpus.select(col("id"), col("vec"), scale.as("__sc"))
+      .select(col("id"),
+        round(col("__sc"), roundTo).as("scale"),
+        transform(col("vec"),
+          x => round(x.cast("double") / col("__sc")).cast("int")).as("codes"))
+  }
+
   /** SemDeDup-shaped semantic deduplication over an embedding corpus:
     * (1) cluster by sign-LSH bucket (the cheap stand-in for the k-means
     * cluster step — same pipeline shape, oracle-expressible), (2) emit

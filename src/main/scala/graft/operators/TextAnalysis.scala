@@ -621,6 +621,30 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_3gram_frac"))
   }
 
+  /** Token-BUDGET curation: within each group, keep the best-quality
+    * documents until the group's token budget is spent (a document is
+    * kept only if it fits wholly — cumulative tokens through it stay
+    * within budget). This is the per-source data-mixture contract of a
+    * pretraining run ("at most N tokens of web, M of code"), applied
+    * quality-first so the budget buys the best of each source.
+    *
+    * Scale: one window per group ordered by (quality, id) — the same
+    * shuffle any per-group ranking pays; no global sort, no collect.
+    */
+  def tokenBudget(df: DataFrame, idCol: String, textCol: String,
+                  groupCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("quality").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    qualityScore(df, idCol, textCol, carry = Seq(groupCol))
+      .withColumn("__cum", sum(col("n_tokens").cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("quality"),
+        col("__cum").as("cum_tokens"))
+  }
+
   def epochSchedule(df: DataFrame, idCol: String, textCol: String,
                     sourceCol: String, maxRepeats: Int = 8): DataFrame = {
     require(maxRepeats >= 1)
