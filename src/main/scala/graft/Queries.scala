@@ -1158,19 +1158,21 @@ object Queries {
     */
   def e2_simhash_scalable(s: SparkSession, dir: String): DataFrame = {
     // the corpus carries no identical-text pairs at small SF, so the
-    // anchor is MANUFACTURED: double the corpus with each doc cloned
-    // under doc_id*2 / doc_id*2+1 — every doc now owns exactly one
+    // anchor is MANUFACTURED: every EVEN doc_id is cloned under
+    // doc_id*2 / doc_id*2+1 (odd ids ride along un-cloned, exercising
+    // non-dup rejection on real text) — each even doc owns exactly one
     // guaranteed hamming-0 pair inside its own (lang, source) block,
-    // and the scalable path must find all of them over REAL text
+    // and the scalable path must find all of them
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
     val doubled = docs.select((col("doc_id") * 2).as("doc_id"),
         col("lang"), col("source"), col("text"))
-      .unionByName(docs.select((col("doc_id") * 2 + 1).as("doc_id"),
+      .unionByName(evens.select((col("doc_id") * 2 + 1).as("doc_id"),
         col("lang"), col("source"), col("text")))
     val pairs = Dedup.simhashPairsScalable(doubled, "doc_id", "text",
       blockCols = Seq(col("lang"), col("source")))
-    val anchor = docs.select((col("doc_id") * 2).as("id1"),
+    val anchor = evens.select((col("doc_id") * 2).as("id1"),
       (col("doc_id") * 2 + 1).as("id2"))
     anchor.join(pairs, Seq("id1", "id2"), "left")
       .select(col("id1"), col("id2"),
@@ -1181,7 +1183,7 @@ object Queries {
 
   val e2ssSql = """SELECT doc_id * 2 AS id1, doc_id * 2 + 1 AS id2,
     cast(0 as int) AS hamming, cast(1 as int) AS found
-    FROM documents ORDER BY id1, id2"""
+    FROM documents WHERE doc_id % 2 = 0 ORDER BY id1, id2"""
 
   /** E2 — n-gram Jaccard pairs, blocked by (source, token count). */
   def e2_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {

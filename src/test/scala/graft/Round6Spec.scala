@@ -77,6 +77,37 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("plan pins: pq/ivfpq searches scan materialized codes, not re-encode") {
+    val q = emb.filter(col("id") < 8)
+    // the search side of the join must read the checkpointed code RDD
+    // (the barrier that stops codegen deferring the encode into the
+    // join's inner loop); FloatVecDot on the corpus side above the join
+    // would mean the m x ksub tree re-evaluates per pair (round-6 find)
+    val pq = Similarity.pqTopK(q, emb, q, 3, 4)
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(pqPlan.contains("ExistingRDD"), pqPlan.take(1500))
+    val ivfpq = Similarity.ivfPqTopK(q, emb,
+      emb.filter(col("id") >= 8 && col("id") < 12), q, 3, 4)
+    val ivfpqPlan = ivfpq.queryExecution.executedPlan.toString
+    assert(ivfpqPlan.contains("ExistingRDD"), ivfpqPlan.take(1500))
+  }
+
+  test("plan pin: incremental dedup never self-joins the existing corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val old = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val nw = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val df = graft.operators.Dedup.minhashIncrementalPairs(
+      old, nw, "doc_id", "text", jaccardThreshold = 0.4)
+    // the banding joins new x old: every join in the plan is between
+    // frames filtered on OPPOSITE sides of the split, so the filters
+    // must both appear, and no join condition pairs two same-side scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan parquet"))
+    // cheap but real structural check: cross pairs only, verified rows
+    val rows = df.select("new_id", "old_id").as[(Long, Long)].collect()
+    assert(rows.forall { case (n, o) => n % 5 == 0 && o % 5 != 0 })
+  }
+
   test("backwardWithin nulls matches older than the tolerance") {
     import graft.operators.AsOfJoin
     val l = Seq((1L, 1000L, "a"), (1L, 5000L, "b"), (2L, 900L, "c"))
