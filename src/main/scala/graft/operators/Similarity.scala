@@ -276,11 +276,14 @@ object Similarity {
     * 100 TB: write the code columns next to the data — that IS the
     * index); the query side (id + m distance tables) is broadcast; the
     * scan is a cross join against m ints per row, no corpus shuffle, no
-    * vector ever crossing the wire. Note the encode stays inside
-    * whole-stage codegen (plan-asserted); the visible small-scale cost
-    * is DRIVER-side optimization of the m×ksub inlined-literal tree
-    * (~1 s), a fixed overhead that amortizes away at corpus scale —
-    * and disappears entirely when codes are precomputed at write time.
+    * vector ever crossing the wire. The encode MUST be materialized
+    * before the search join (round-6 finding, plan-pinned): whole-stage
+    * codegen defers stream-side variable evaluation into the broadcast
+    * join's inner loop, so an unbarriered encode re-evaluates the whole
+    * m×ksub argmin tree once per (query, candidate) PAIR — measured
+    * 100 µs/pair where the honest per-corpus-row cost is ~µs. (The
+    * round-5 note here blamed driver-side optimization; stage metrics
+    * disproved that.)
     */
   /** Train a PQ codebook: INDEPENDENT k-means per subspace (the PQ
     * contract — each subspace quantizes its own marginal distribution,
