@@ -77,4 +77,42 @@ object Pipelines {
     val rebalanced = TextAnalysis.mixtureSample(cleaned, idCol, langCol)
     TextAnalysis.packSequences(rebalanced, idCol, "clean_text", sourceCol, ctx)
   }
+
+  /** INGESTION gate — the continuous-intake twin of [[curate]]: every
+    * incoming document is admitted or rejected against the ALREADY-CLEAN
+    * corpus, with the rejection reason: `exact_dup` (text already in
+    * history), `near_dup` (MinHash-banded cross match at `jaccard >=
+    * jaccardThreshold` — old×old pairs never formed, per-batch cost
+    * follows the batch), else `low_quality` below `minQuality`, else
+    * `accepted`. Reasons are PRIORITIZED in that order so a document
+    * rejected for two causes reports deterministically.
+    *
+    * This is the report an ingestion service publishes per batch; the
+    * accepted subset is what appends to the corpus. Stage interactions
+    * the end-to-end oracle pins: exact-dup is checked against HISTORY
+    * text (not the batch itself), near-dup candidates come from the
+    * cross banding only, and quality gates only what survived both.
+    */
+  def ingestReport(existing: DataFrame, incoming: DataFrame,
+                   idCol: String, textCol: String,
+                   jaccardThreshold: Double = 0.5,
+                   minQuality: Double = 0.55): DataFrame = {
+    val exactDup = incoming
+      .join(existing.select(col(textCol)).distinct(), Seq(textCol), "left_semi")
+      .select(col(idCol)).withColumn("__ex", lit(1))
+    val nearDup = Dedup.minhashIncrementalPairs(existing, incoming,
+        idCol, textCol, jaccardThreshold = jaccardThreshold)
+      .select(col("new_id").as(idCol)).distinct()
+      .withColumn("__nd", lit(1))
+    val scored = TextAnalysis.qualityScore(incoming, idCol, textCol)
+      .select(col(idCol), col("quality"))
+    scored
+      .join(exactDup, Seq(idCol), "left")
+      .join(nearDup, Seq(idCol), "left")
+      .select(col(idCol), col("quality"),
+        when(col("__ex") === 1, lit("exact_dup"))
+          .when(col("__nd") === 1, lit("near_dup"))
+          .when(col("quality") < minQuality, lit("low_quality"))
+          .otherwise(lit("accepted")).as("status"))
+  }
 }

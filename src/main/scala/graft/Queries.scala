@@ -1690,6 +1690,45 @@ object Queries {
     WHERE (id1 % 5 = 0) <> (id2 % 5 = 0) AND round(jaccard, 6) >= 0.4
     ORDER BY new_id, old_id"""
 
+  /** Composed pipeline — the INGESTION GATE end to end: the incoming
+    * fifth of the corpus is admitted against the already-clean rest,
+    * every document reporting `exact_dup` / `near_dup` / `low_quality` /
+    * `accepted` with prioritized reasons. The oracle recomputes all
+    * three gates (history-text join, cross-banding near-dups, quality
+    * formula) and the priority cascade — stage interactions, not stages.
+    */
+  def llm_ingest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Pipelines.ingestReport(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val llmInSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH $e2mCtes,
+    ex AS (SELECT DISTINCT i.doc_id FROM documents i JOIN documents h
+      ON i.text = h.text AND i.doc_id % 5 = 0 AND h.doc_id % 5 <> 0),
+    nd AS (SELECT DISTINCT CASE WHEN id1 % 5 = 0 THEN id1 ELSE id2 END AS doc_id
+      FROM cand WHERE (id1 % 5 = 0) <> (id2 % 5 = 0) AND round(jaccard, 6) >= 0.5),
+    q AS (SELECT doc_id,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % 5 = 0))
+    SELECT q.doc_id AS doc_id, q.quality,
+      CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+        WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        WHEN q.quality < 0.55 THEN 'low_quality'
+        ELSE 'accepted' END AS status
+    FROM q LEFT JOIN ex ON q.doc_id = ex.doc_id
+    LEFT JOIN nd ON q.doc_id = nd.doc_id
+    ORDER BY q.doc_id"""
+  }
+
   /** E4 — per-source TOKEN BUDGET curation: each source keeps its
     * best-quality documents until 3000 tokens are spent (a doc is kept
     * only if it fits wholly) — the data-mixture contract of a
@@ -4033,6 +4072,7 @@ object Queries {
     ("e4_token_budget", e4_token_budget _, e4tbSql),
     ("e3_int8", e3_int8 _, e3i8Sql),
     ("e2_incremental", e2_incremental _, e2incSql),
+    ("llm_ingest", llm_ingest _, llmInSql),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),

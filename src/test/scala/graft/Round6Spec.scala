@@ -108,6 +108,30 @@ class Round6Spec extends SparkSpec {
     assert(rows.forall { case (n, o) => n % 5 == 0 && o % 5 != 0 })
   }
 
+  test("ingestReport reasons cascade: exact beats near beats quality") {
+    val base = Seq.fill(12)(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa").mkString(" ")
+    val hist = Seq((1L, base),
+      (2L, Seq.fill(20)("one two three four five six").mkString(" ")))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, base), // identical to history -> exact_dup (also near-dup!)
+      // repeats base's opening tokens: every seam shingle already exists
+      // in the cyclic base, so the shingle SET (hence the signature) is
+      // IDENTICAL -> guaranteed banded candidate, but the text differs
+      (11L, base + " alpha beta gamma"),
+      (12L, "tiny doc"), // clean but low quality
+      (13L, ("unique" + " words distinct") + (1 to 120)
+        .map(i => s" tok$i").mkString) // long, diverse -> accepted
+    ).toDF("doc_id", "text")
+    val out = graft.Pipelines.ingestReport(hist, inc, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out(10L) == "exact_dup") // priority over its near-dup status
+    assert(out(11L) == "near_dup")
+    assert(out(12L) == "low_quality")
+    assert(out(13L) == "accepted")
+  }
+
   test("backwardWithin nulls matches older than the tolerance") {
     import graft.operators.AsOfJoin
     val l = Seq((1L, 1000L, "a"), (1L, 5000L, "b"), (2L, 900L, "c"))
