@@ -13,6 +13,18 @@ object ProbeR5 {
       .config("spark.ui.enabled", "false").getOrCreate()
     graft.Graft.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("GRAFT_PROBE_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val t = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+            println(f"[s] stage=${si.stageId}%3d tasks=${si.numTasks}%3d " +
+              f"wall=${t}%5d ms cpu=${si.taskMetrics.executorCpuTime / 1000000}%5d ms " +
+              si.name.take(50))
+          }
+        })
     spark.range(100000).selectExpr("sum(id * 2)").collect()
     names.foreach { n =>
       val fn = graft.Queries.all.find(_._1 == n).get._2
