@@ -1690,6 +1690,75 @@ object Queries {
     WHERE (id1 % 5 = 0) <> (id2 % 5 = 0) AND round(jaccard, 6) >= 0.4
     ORDER BY new_id, old_id"""
 
+  /** E3 — per-dimension embedding standardization: exact decimal moments
+    * per dimension (order-independent), z = (x − mu)/sigma inlined as one
+    * narrow projection. The graded columns pin the first four dims; the
+    * oracle recomputes the same decimal moments.
+    */
+  def e3_standardize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.standardizeDims(e)
+      .select(col("id"),
+        element_at(col("z"), 1).as("z1"), element_at(col("z"), 2).as("z2"),
+        element_at(col("z"), 3).as("z3"), element_at(col("z"), 4).as("z4"))
+      .orderBy("id")
+  }
+
+  val e3sdSql = """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    xs AS (SELECT vec_id, i AS pos,
+        cast(round(cast(e[i] as double) * 1048576) as bigint) AS x
+      FROM v CROSS JOIN (SELECT unnest(range(1, 5)) AS i)),
+    st AS (SELECT pos,
+        cast(cast(sum(x) as bigint) as double) AS sx,
+        cast(cast(sum(x * x) as bigint) as double) AS sxx,
+        cast(count(*) as double) AS n
+      FROM xs GROUP BY pos),
+    ms AS (SELECT pos, sx / (n * 1048576.0) AS mu,
+        sqrt(sxx / (n * 1048576.0 * 1048576.0) -
+          (sx / (n * 1048576.0)) * (sx / (n * 1048576.0))) AS sigma FROM st),
+    w AS (SELECT
+        max(mu) FILTER (pos = 1) AS mu1, max(sigma) FILTER (pos = 1) AS sg1,
+        max(mu) FILTER (pos = 2) AS mu2, max(sigma) FILTER (pos = 2) AS sg2,
+        max(mu) FILTER (pos = 3) AS mu3, max(sigma) FILTER (pos = 3) AS sg3,
+        max(mu) FILTER (pos = 4) AS mu4, max(sigma) FILTER (pos = 4) AS sg4
+      FROM ms)
+    SELECT vec_id AS id,
+      round((cast(e[1] as double) - mu1) / sg1, 6) AS z1,
+      round((cast(e[2] as double) - mu2) / sg2, 6) AS z2,
+      round((cast(e[3] as double) - mu3) / sg3, 6) AS z3,
+      round((cast(e[4] as double) - mu4) / sg4, 6) AS z4
+    FROM v CROSS JOIN w ORDER BY id"""
+
+  /** E7 — RUNNING DISTINCT users per day: cumulative distinct counts via
+    * the first-seen reduction (a user contributes on their first day
+    * only, then a plain running sum) — windowed COUNT(DISTINCT) is
+    * unsupported/explosive in every engine; this is the standard trick
+    * that keeps cumulative-reach reporting linear at any scale.
+    */
+  def e7_running_distinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        (unix_millis(col("ts")) - pmod(unix_millis(col("ts")),
+          lit(86400000L))).as("day_ms"))
+    val firstDay = ev.groupBy("event_type", "user_id")
+      .agg(min(col("day_ms")).as("day_ms"))
+    val daily = firstDay.groupBy("event_type", "day_ms")
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy("event_type").orderBy("day_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("event_type", "day_ms")
+  }
+
+  val e7rdSql = """WITH e AS (SELECT event_type, user_id,
+      epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms FROM events),
+    f AS (SELECT event_type, user_id, min(day_ms) AS day_ms FROM e GROUP BY 1, 2),
+    d AS (SELECT event_type, day_ms, count(*) AS new_users FROM f GROUP BY 1, 2)
+    SELECT event_type, day_ms, new_users,
+      cast(sum(new_users) OVER (PARTITION BY event_type ORDER BY day_ms) as bigint) AS cum_users
+    FROM d ORDER BY event_type, day_ms"""
+
   /** Composed pipeline — the INGESTION GATE end to end: the incoming
     * fifth of the corpus is admitted against the already-clean rest,
     * every document reporting `exact_dup` / `near_dup` / `low_quality` /
@@ -4073,6 +4142,8 @@ object Queries {
     ("e3_int8", e3_int8 _, e3i8Sql),
     ("e2_incremental", e2_incremental _, e2incSql),
     ("llm_ingest", llm_ingest _, llmInSql),
+    ("e3_standardize", e3_standardize _, e3sdSql),
+    ("e7_running_distinct", e7_running_distinct _, e7rdSql),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),

