@@ -1759,6 +1759,59 @@ object Queries {
       cast(sum(new_users) OVER (PARTITION BY event_type ORDER BY day_ms) as bigint) AS cum_users
     FROM d ORDER BY event_type, day_ms"""
 
+  /** E2 — MinHash signatures AT REST: the 16 portable signature
+    * components per document, graded directly (previously signature
+    * correctness was only implied through pair results). These are the
+    * columns a production corpus writes next to the documents so
+    * ingest-time banding never recomputes shingles for history.
+    */
+  def e2_minhash_sigs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        element_at(col("sig"), 1).as("s0"), element_at(col("sig"), 2).as("s1"),
+        element_at(col("sig"), 3).as("s2"), element_at(col("sig"), 4).as("s3"),
+        size(col("sig")).as("m"))
+      .orderBy("doc_id")
+
+  val e2msSql: String =
+    s"""WITH $e2mCtes
+    SELECT doc_id, sig[1] AS s0, sig[2] AS s1, sig[3] AS s2, sig[4] AS s3,
+      cast(len(sig) as int) AS m
+    FROM sigs ORDER BY doc_id"""
+
+  /** E4 — corpus DRIFT between the history and the incoming batch
+    * (doc_id % 5 split): Jensen-Shannon divergence of their token
+    * distributions — the alarm a continuously-ingesting pipeline fires
+    * when a source changes character. JS terms rounded and decimal-
+    * summed: partition-order- and libm-ulp-independent.
+    */
+  def e4_drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.tokenDrift(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text")
+  }
+
+  val e4dfSql = """WITH rc AS (SELECT t, count(*) AS rc FROM (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id % 5 <> 0)
+      GROUP BY t),
+    cc AS (SELECT t, count(*) AS cc FROM (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY t),
+    j AS (SELECT coalesce(rc.t, cc.t) AS t, coalesce(rc, 0) AS rc, coalesce(cc, 0) AS cc
+      FROM rc FULL OUTER JOIN cc ON rc.t = cc.t),
+    tot AS (SELECT cast(sum(rc) as bigint) AS rt, cast(sum(cc) as bigint) AS ct FROM j),
+    terms AS (SELECT
+        CASE WHEN rc > 0 THEN (rc * 1.0 / rt) * ln((rc * 1.0 / rt) /
+          (((rc * 1.0 / rt) + (cc * 1.0 / ct)) / 2.0)) / 2.0 ELSE 0.0 END +
+        CASE WHEN cc > 0 THEN (cc * 1.0 / ct) * ln((cc * 1.0 / ct) /
+          (((rc * 1.0 / rt) + (cc * 1.0 / ct)) / 2.0)) / 2.0 ELSE 0.0 END AS term,
+        rt, ct
+      FROM j CROSS JOIN tot)
+    SELECT max(rt) AS n_ref_tokens, max(ct) AS n_cur_tokens,
+      round(cast(sum(cast(round(term, 9) as decimal(38,9))) as double), 6) AS js_divergence
+    FROM terms"""
+
   /** Composed pipeline — the INGESTION GATE end to end: the incoming
     * fifth of the corpus is admitted against the already-clean rest,
     * every document reporting `exact_dup` / `near_dup` / `low_quality` /
@@ -4144,6 +4197,8 @@ object Queries {
     ("llm_ingest", llm_ingest _, llmInSql),
     ("e3_standardize", e3_standardize _, e3sdSql),
     ("e7_running_distinct", e7_running_distinct _, e7rdSql),
+    ("e2_minhash_sigs", e2_minhash_sigs _, e2msSql),
+    ("e4_drift", e4_drift _, e4dfSql),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),

@@ -220,6 +220,29 @@ object Dedup {
     result
   }
 
+  /** The portable MinHash SIGNATURES as a first-class frame: (id,
+    * sig array<long> of length m) — the columns a production corpus
+    * writes AT REST next to the documents so ingest-time banding (see
+    * [[minhashIncrementalPairs]]) never recomputes shingles for history.
+    * Documents with fewer than k tokens have no k-shingles and drop out,
+    * exactly as in every pair-producing path.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, m: Int = 16): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("id"), transform(col("tk"), t => portableStringHash(t)).as("th"))
+      .select(col("id"), hashedShinglesFromHashes(col("th"), k).as("sh"))
+    val sigAggs = minhashCoeffs(m).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(HashPrime))).as(s"s$j")
+    }
+    base.select(col("id"), explode(col("sh")).as("x"))
+      .groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("id"),
+        array((0 until m).map(j => col(s"s$j")): _*).as("sig"))
+  }
+
   /** Shared portable banding: (base = (id, sh), banded = (id, band,
     * bandHash)) for one side of an LSH join — the signature pipeline of
     * `portableLsh` exposed so cross-corpus variants can band each side

@@ -645,6 +645,43 @@ object TextAnalysis {
         col("__cum").as("cum_tokens"))
   }
 
+  /** Corpus DRIFT report: Jensen-Shannon divergence between the token
+    * distributions of a reference corpus and a current batch — the
+    * monitoring signal a continuously-ingesting pipeline alarms on when
+    * a source changes character (template rollouts, language mix shifts,
+    * scraper breakage). Counts are exact integers; each JS term is
+    * rounded and summed as a decimal, so the result is independent of
+    * partition order AND of last-ulp `ln` differences between engines.
+    *
+    * Scale: two token-count aggregations + one full-outer join on the
+    * union vocabulary (partitioned by token, no hot keys beyond natural
+    * token skew), one scalar rollup. Nothing driver-side but the two
+    * total counts.
+    */
+  def tokenDrift(ref: DataFrame, cur: DataFrame, textCol: String,
+                 roundTo: Int = 6): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val rc = counts(ref).withColumnRenamed("c", "rc")
+    val cc = counts(cur).withColumnRenamed("c", "cc")
+    val joined = rc.join(cc, Seq("t"), "full_outer")
+      .select(col("t"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val totals = joined.agg(sum(col("rc")).as("rt"), sum(col("cc")).as("ct"))
+    val p = col("rc").cast("double") / col("rt")
+    val q = col("cc").cast("double") / col("ct")
+    val mid = (p + q) / lit(2.0)
+    val term =
+      when(col("rc") > 0, p * log(p / mid) / lit(2.0)).otherwise(lit(0.0)) +
+        when(col("cc") > 0, q * log(q / mid) / lit(2.0)).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(totals))
+      .agg(max(col("rt")).as("n_ref_tokens"), max(col("ct")).as("n_cur_tokens"),
+        round(sum(round(term, 9)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 9))).cast("double"),
+          roundTo).as("js_divergence"))
+  }
+
   def epochSchedule(df: DataFrame, idCol: String, textCol: String,
                     sourceCol: String, maxRepeats: Int = 8): DataFrame = {
     require(maxRepeats >= 1)
