@@ -229,18 +229,28 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, m: Int = 16): DataFrame = {
+    // persist the shingle frame before the explode+aggregate, exactly as
+    // portableLsh does: unpersisted, the interpreted hash/shingle HOF
+    // chain fused into the generate stage ran 10x slower (measured 6.6s
+    // vs 0.6s at sf0.1); the signature result is then materialized so
+    // the cache can be released eagerly (at corpus scale these columns
+    // go straight to parquet anyway — they ARE the at-rest artifact)
     val base = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= k)
       .select(col("id"), transform(col("tk"), t => portableStringHash(t)).as("th"))
       .select(col("id"), hashedShinglesFromHashes(col("th"), k).as("sh"))
+      .persist()
     val sigAggs = minhashCoeffs(m).zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("x") * lit(a) + lit(b), lit(HashPrime))).as(s"s$j")
     }
-    base.select(col("id"), explode(col("sh")).as("x"))
+    val sigs = base.select(col("id"), explode(col("sh")).as("x"))
       .groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
       .select(col("id"),
         array((0 until m).map(j => col(s"s$j")): _*).as("sig"))
+      .localCheckpoint(true)
+    base.unpersist()
+    sigs
   }
 
   /** Shared portable banding: (base = (id, sh), banded = (id, band,
