@@ -1812,6 +1812,96 @@ object Queries {
       round(cast(sum(cast(round(term, 9) as decimal(38,9))) as double), 6) AS js_divergence
     FROM terms"""
 
+  /** SQL surface — TPC-H Q7 shape (bilateral trade volume): supplier
+    * nation × customer nation × ship year, with the NATION dim joined
+    * TWICE under different roles — the self-aliased-dimension pattern
+    * (ship-from/ship-to, buyer/seller) every star schema eventually
+    * needs, exercising alias-aware broadcast planning.
+    */
+  def sql_tpch_q7(s: SparkSession, dir: String): DataFrame = {
+    Seq("nation", "supplier", "customer", "orders", "lineitem")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ7)
+  }
+
+  val sqlQ7 = """SELECT supp_nation, cust_nation, l_year,
+      cast(sum(volume) as double) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        cast(year(l_shipdate) as int) AS l_year,
+        cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** E6 — 2-D histogram (quantity × price bins with bin aggregates):
+    * the heatmap backing query of every BI scatter/density view; pure
+    * one-pass grouped aggregation over derived bin keys.
+    */
+  def e6_hist2d(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(floor(col("l_quantity") / 10).cast("int").as("q_bin"),
+        floor(col("l_extendedprice") / 10000).cast("int").as("p_bin"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("q_bin", "p_bin")
+
+  val e6h2Sql = s"""SELECT cast(floor(l_quantity / 10) as int) AS q_bin,
+      cast(floor(l_extendedprice / 10000) as int) AS p_bin,
+      count(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+    FROM lineitem GROUP BY q_bin, p_bin ORDER BY q_bin, p_bin"""
+
+  /** E3 — ANN index HEALTH: the occupancy distribution of the sign-LSH
+    * buckets (occupancy → number of buckets at that occupancy) plus the
+    * hottest bucket — the skew check an ANN operator runs before
+    * trusting per-bucket candidate bounds: one hot bucket turns the
+    * bucketed join quadratic, and this query is how you see it coming.
+    */
+  def e3_bucket_stats(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    e.select(Similarity.signBucket(col("vec"), 8).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("occ"))
+      .groupBy("occ").agg(count(lit(1)).as("n_buckets"))
+      .orderBy("occ")
+  }
+
+  val e3bsSql = """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    b AS (SELECT list_sum(list_transform(range(8),
+        i -> CASE WHEN e[i+1] >= 0 THEN cast(power(2, i) as bigint) ELSE 0 END)) AS bucket
+      FROM v),
+    o AS (SELECT bucket, count(*) AS occ FROM b GROUP BY bucket)
+    SELECT occ, count(*) AS n_buckets FROM o GROUP BY occ ORDER BY occ"""
+
+  /** E4 — code-vs-prose signals: symbol, digit, and uppercase character
+    * ratios per document — the cheap gate that routes source files away
+    * from a prose-tuned curation chain (code sails through stopword and
+    * length checks but its character mix is unmistakable).
+    */
+  def e4_code_detect(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text")).cast("double")
+    def ratio(pattern: String): Column =
+      round((n - length(regexp_replace(col("text"), pattern, ""))) / n, 6)
+    t(s, dir, "documents")
+      .select(col("doc_id"), n.cast("int").as("n_chars"),
+        ratio("[^a-zA-Z0-9 ]").as("sym_ratio"),
+        ratio("[0-9]").as("digit_ratio"),
+        ratio("[A-Z]").as("upper_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val e4cdSql = """SELECT doc_id, cast(length(text) as int) AS n_chars,
+      round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(text), 6) AS sym_ratio,
+      round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 6) AS digit_ratio,
+      round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text), 6) AS upper_ratio
+    FROM documents ORDER BY doc_id"""
+
   /** Composed pipeline — the INGESTION GATE end to end: the incoming
     * fifth of the corpus is admitted against the already-clean rest,
     * every document reporting `exact_dup` / `near_dup` / `low_quality` /
@@ -4199,6 +4289,10 @@ object Queries {
     ("e7_running_distinct", e7_running_distinct _, e7rdSql),
     ("e2_minhash_sigs", e2_minhash_sigs _, e2msSql),
     ("e4_drift", e4_drift _, e4dfSql),
+    ("sql_tpch_q7", sql_tpch_q7 _, sqlQ7),
+    ("e6_hist2d", e6_hist2d _, e6h2Sql),
+    ("e3_bucket_stats", e3_bucket_stats _, e3bsSql),
+    ("e4_code_detect", e4_code_detect _, e4cdSql),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),
