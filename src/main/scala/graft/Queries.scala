@@ -1812,6 +1812,41 @@ object Queries {
       round(cast(sum(cast(round(term, 9) as decimal(38,9))) as double), 6) AS js_divergence
     FROM terms"""
 
+  /** E6 — IQR outlier fences per group: exact quartiles, Tukey fences
+    * (1.5×IQR), and the count of rows outside each fence — the standard
+    * robust-outlier report behind every box plot and data-quality alarm.
+    * Two-pass: one exact-percentile aggregate, broadcast back, one
+    * counting pass.
+    */
+  def e6_outliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val q = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.25)").as("p25"),
+      expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      .select(col("l_returnflag"), col("p25"), col("p75"),
+        (col("p25") - (col("p75") - col("p25")) * 1.5).as("lo"),
+        (col("p75") + (col("p75") - col("p25")) * 1.5).as("hi"))
+    li.join(broadcast(q), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(round(max(col("p25")), 4).as("p25"),
+        round(max(col("p75")), 4).as("p75"),
+        count(when(col("l_extendedprice") < col("lo"), 1)).as("n_low"),
+        count(when(col("l_extendedprice") > col("hi"), 1)).as("n_high"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val e6olSql = """WITH q AS (SELECT l_returnflag,
+      quantile_cont(l_extendedprice, 0.25) AS p25,
+      quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag, round(max(q.p25), 4) AS p25, round(max(q.p75), 4) AS p75,
+      count(*) FILTER (l.l_extendedprice < q.p25 - (q.p75 - q.p25) * 1.5) AS n_low,
+      count(*) FILTER (l.l_extendedprice > q.p75 + (q.p75 - q.p25) * 1.5) AS n_high,
+      count(*) AS n
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""
+
   /** SQL surface — TPC-H Q7 shape (bilateral trade volume): supplier
     * nation × customer nation × ship year, with the NATION dim joined
     * TWICE under different roles — the self-aliased-dimension pattern
@@ -4293,6 +4328,7 @@ object Queries {
     ("e6_hist2d", e6_hist2d _, e6h2Sql),
     ("e3_bucket_stats", e3_bucket_stats _, e3bsSql),
     ("e4_code_detect", e4_code_detect _, e4cdSql),
+    ("e6_outliers", e6_outliers _, e6olSql),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),
