@@ -1812,6 +1812,41 @@ object Queries {
       round(cast(sum(cast(round(term, 9) as decimal(38,9))) as double), 6) AS js_divergence
     FROM terms"""
 
+  /** SQL surface — verbatim window functions: RANK / LAG / moving sum
+    * in raw SQL, one text through both engines — the parity point for
+    * BI tools that GENERATE window SQL rather than building DataFrames.
+    */
+  def sql_window(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(sqlWin)
+  }
+
+  val sqlWin = """SELECT o_custkey, o_orderkey,
+      cast(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) as int) AS price_rank,
+      lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+      cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double) AS moving_3
+    FROM orders
+    ORDER BY o_custkey, o_orderkey LIMIT 5000"""
+
+  /** SQL surface — verbatim GROUPING SETS with grouping_id, raw SQL
+    * through both engines (the other half of what BI SQL generators
+    * emit; the DataFrame-API cube/rollup family is graded separately).
+    */
+  def sql_gsets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(sqlGs)
+  }
+
+  val sqlGs = """SELECT coalesce(l_returnflag, '<all>') AS rf,
+      coalesce(l_linestatus, '<all>') AS ls,
+      count(*) AS n,
+      cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY rf, ls"""
+
   /** E6 — IQR outlier fences per group: exact quartiles, Tukey fences
     * (1.5×IQR), and the count of rows outside each fence — the standard
     * robust-outlier report behind every box plot and data-quality alarm.
@@ -4329,6 +4364,8 @@ object Queries {
     ("e3_bucket_stats", e3_bucket_stats _, e3bsSql),
     ("e4_code_detect", e4_code_detect _, e4cdSql),
     ("e6_outliers", e6_outliers _, e6olSql),
+    ("sql_window", sql_window _, sqlWin),
+    ("sql_gsets", sql_gsets _, sqlGs),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),
