@@ -1812,6 +1812,94 @@ object Queries {
       round(cast(sum(cast(round(term, 9) as decimal(38,9))) as double), 6) AS js_divergence
     FROM terms"""
 
+  /** SQL surface — TPC-H Q4 shape (priority check): orders counted per
+    * priority when ANY lineitem shipped long after the order date — the
+    * correlated-EXISTS-to-semi-join rewrite every BI generator leans on.
+    */
+  def sql_tpch_q4(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ4)
+  }
+
+  val sqlQ4 = """SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAYS)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** SQL surface — TPC-H Q12 shape (shipping-priority split): per line
+    * status, how many high- vs low-priority orders shipped in a year —
+    * the conditional-aggregation (CASE inside SUM) shape.
+    */
+  def sql_tpch_q12(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ12)
+  }
+
+  val sqlQ12 = """SELECT l_linestatus,
+      cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+      cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) as bigint) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  /** SQL surface — TPC-H Q14 shape (promo revenue share): one scan, a
+    * broadcast part join, and a ratio of conditional to total revenue.
+    */
+  def sql_tpch_q14(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ14)
+  }
+
+  val sqlQ14 = """SELECT round(100.00 *
+      cast(sum(CASE WHEN p_type = 'PROMO'
+        THEN cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))
+        ELSE cast(0 as decimal(18,2)) END) as double) /
+      cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double),
+      6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'"""
+
+  /** SQL surface — TPC-H Q19 shape (discounted revenue, disjunctive
+    * predicate): an OR of brand/size/quantity conjunctions across the
+    * join — the pushdown-through-disjunction workout.
+    */
+  def sql_tpch_q19(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ19)
+  }
+
+  val sqlQ19 = """SELECT cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+      count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)"""
+
+  /** SQL surface — TPC-H Q22 shape (global sales opportunity): customers
+    * with above-average balance and NO orders — scalar subquery + anti
+    * join in one text.
+    */
+  def sql_tpch_q22(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ22)
+  }
+
+  val sqlQ22 = """SELECT c_nationkey, count(*) AS numcust,
+      cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.00)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01')
+    GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   /** SQL surface — verbatim window functions: RANK / LAG / moving sum
     * in raw SQL, one text through both engines — the parity point for
     * BI tools that GENERATE window SQL rather than building DataFrames.
@@ -4365,6 +4453,11 @@ object Queries {
     ("e4_code_detect", e4_code_detect _, e4cdSql),
     ("e6_outliers", e6_outliers _, e6olSql),
     ("sql_window", sql_window _, sqlWin),
+    ("sql_tpch_q4", sql_tpch_q4 _, sqlQ4),
+    ("sql_tpch_q12", sql_tpch_q12 _, sqlQ12),
+    ("sql_tpch_q14", sql_tpch_q14 _, sqlQ14),
+    ("sql_tpch_q19", sql_tpch_q19 _, sqlQ19),
+    ("sql_tpch_q22", sql_tpch_q22 _, sqlQ22),
     ("sql_gsets", sql_gsets _, sqlGs),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
