@@ -1812,6 +1812,59 @@ object Queries {
       round(cast(sum(cast(round(term, 9) as decimal(38,9))) as double), 6) AS js_divergence
     FROM terms"""
 
+  /** E2 — dedup threshold CALIBRATION: the distribution of verified
+    * Jaccard similarities across candidate pairs, binned — the curve a
+    * curation team reads before choosing the dedup threshold (one pass
+    * at a low floor instead of N runs at N thresholds).
+    */
+  def e2_threshold_sweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      jaccardThreshold = 0.2)
+      .select(floor(col("jaccard") * 10).cast("int").as("j_bin"))
+      .groupBy("j_bin").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("j_bin")
+
+  val e2tsSql: String =
+    s"""WITH $e2mCtes
+    SELECT cast(floor(jaccard * 10) as int) AS j_bin, count(*) AS n_pairs
+    FROM cand WHERE jaccard >= 0.2
+    GROUP BY j_bin ORDER BY j_bin"""
+
+  /** E11 — DAU / WAU and stickiness: distinct daily actives, distinct
+    * weekly actives, and their ratio per ISO week — the engagement
+    * report every activity pipeline publishes. Exact distincts at the
+    * two grains in one pass each.
+    */
+  def e11_dau_wau(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      (unix_millis(col("ts")) - pmod(unix_millis(col("ts")),
+        lit(86400000L))).as("day_ms"))
+      .withColumn("week_ms",
+        col("day_ms") - pmod(expr("day_ms div 86400000 + 3"), lit(7L)) * 86400000L)
+    val dau = ev.groupBy("week_ms", "day_ms")
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy("week_ms").agg(round(avg(col("dau")), 4).as("avg_dau"))
+    val wau = ev.groupBy("week_ms")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "week_ms")
+      .select(col("week_ms"), col("avg_dau"), col("wau"),
+        round(col("avg_dau") / col("wau"), 6).as("stickiness"))
+      .orderBy("week_ms")
+  }
+
+  val e11dwSql = """WITH e AS (SELECT user_id,
+      epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms FROM events),
+    w AS (SELECT user_id, day_ms,
+      day_ms - ((day_ms // 86400000 + 3) % 7) * 86400000 AS week_ms FROM e),
+    dau AS (SELECT week_ms, day_ms, count(DISTINCT user_id) AS dau
+      FROM w GROUP BY week_ms, day_ms),
+    ad AS (SELECT week_ms, round(avg(dau), 4) AS avg_dau FROM dau GROUP BY week_ms),
+    wau AS (SELECT week_ms, count(DISTINCT user_id) AS wau FROM w GROUP BY week_ms)
+    SELECT ad.week_ms, ad.avg_dau, wau.wau,
+      round(ad.avg_dau / wau.wau, 6) AS stickiness
+    FROM ad JOIN wau ON ad.week_ms = wau.week_ms
+    ORDER BY ad.week_ms"""
+
   /** SQL surface — TPC-H Q4 shape (priority check): orders counted per
     * priority when ANY lineitem shipped long after the order date — the
     * correlated-EXISTS-to-semi-join rewrite every BI generator leans on.
@@ -4458,6 +4511,8 @@ object Queries {
     ("sql_tpch_q14", sql_tpch_q14 _, sqlQ14),
     ("sql_tpch_q19", sql_tpch_q19 _, sqlQ19),
     ("sql_tpch_q22", sql_tpch_q22 _, sqlQ22),
+    ("e2_threshold_sweep", e2_threshold_sweep _, e2tsSql),
+    ("e11_dau_wau", e11_dau_wau _, e11dwSql),
     ("sql_gsets", sql_gsets _, sqlGs),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
