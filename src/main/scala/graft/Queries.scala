@@ -1812,6 +1812,42 @@ object Queries {
       round(cast(sum(cast(round(term, 9) as decimal(38,9))) as double), 6) AS js_divergence
     FROM terms"""
 
+  /** E5 — extract→aggregate composition: numeric stats over a
+    * JSON-extracted field per event type — the one-liner every
+    * semi-structured pipeline runs after extraction proves out.
+    */
+  def e5_props_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  val e5psSql = """SELECT event_type, count(k) AS n, min(k) AS min_k,
+      max(k) AS max_k, round(avg(k), 6) AS avg_k
+    FROM (SELECT event_type, cast(json_extract(props, '$.k') as bigint) AS k
+      FROM events)
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** E4 — token-LENGTH histogram over the corpus: the character-length
+    * distribution of whitespace tokens — the input a tokenizer/vocab
+    * design reads (how much of the corpus is short function words vs
+    * long identifiers decides subword granularity).
+    */
+  def e4_token_len_hist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy(length(col("t")).as("len"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .orderBy("len")
+
+  val e4thSql = """SELECT cast(length(t) as int) AS len, count(*) AS n_tokens
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY len ORDER BY len"""
+
   /** E2 — dedup threshold CALIBRATION: the distribution of verified
     * Jaccard similarities across candidate pairs, binned — the curve a
     * curation team reads before choosing the dedup threshold (one pass
@@ -4513,6 +4549,8 @@ object Queries {
     ("sql_tpch_q22", sql_tpch_q22 _, sqlQ22),
     ("e2_threshold_sweep", e2_threshold_sweep _, e2tsSql),
     ("e11_dau_wau", e11_dau_wau _, e11dwSql),
+    ("e5_props_stats", e5_props_stats _, e5psSql),
+    ("e4_token_len_hist", e4_token_len_hist _, e4thSql),
     ("sql_gsets", sql_gsets _, sqlGs),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
