@@ -94,13 +94,16 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n":$reps,"sf":"$sfDir"}"""
     // disk copy first: stdout can be polluted by stray executor logging
     Files.writeString(Paths.get("bench.json"), line + "\n")
-    // flush any pending log lines, then emit a short headline JSON line the
-    // driver can always parse even if the full per-query line is truncated
-    // by its tail capture, followed by the full object.
-    System.err.flush(); System.out.flush()
-    println(compact)
+    // Print order matters: the driver captures the TAIL of stdout, so the
+    // compact headline must be the FINAL line of the process — after the
+    // full per-query object AND after spark.stop() (which can emit shutdown
+    // log lines). Rounds 5-6 printed the headline first and the ~2.2 KB full
+    // line pushed it out of the capture window (BENCH parsed:null twice).
     println(line)
     spark.stop()
+    System.err.flush(); System.out.flush()
+    println(compact)
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -1989,6 +1989,60 @@ object Queries {
         AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01')
     GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** SQL surface — TPC-H Q17 shape (small-quantity-order revenue): the
+    * CORRELATED SCALAR subquery tier — per outer row, compare against an
+    * aggregate over the same table correlated on the outer's partkey.
+    * Catalyst must decorrelate this into an aggregate-then-join (one
+    * per-partkey avg frame joined back on p_partkey), NOT a per-row
+    * subquery execution; TpchPlanSpec pins the decorrelated plan. The
+    * reference's star schema feeds BI tools (`readme.md:3`) that
+    * generate exactly this shape. Predicate adapted to the synthetic
+    * schema (no p_container; brand filter alone plays its role); the
+    * correlated comparison is exact across engines because l_quantity is
+    * integer-valued, so the avg is an exact IEEE division in both.
+    */
+  def sql_tpch_q17(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ17)
+  }
+
+  val sqlQ17 = """SELECT round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / 7.0, 4) AS avg_yearly,
+      count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem WHERE l_partkey = p_partkey)"""
+
+  /** SQL surface — TPC-H Q21 shape (suppliers who kept orders waiting):
+    * the EXISTS + NOT EXISTS correlated anti-join CHAIN over the same
+    * fact table — the hardest decorrelation shape a BI tool emits. Both
+    * subqueries correlate on l_orderkey with a suppkey inequality;
+    * Catalyst must turn them into one left-semi and one left-anti join
+    * (pinned by TpchPlanSpec), never a per-row probe. Adapted to the
+    * synthetic schema: no l_receiptdate/l_commitdate, so the "fault"
+    * marker is a returned line (l_returnflag = 'R') — supplier was the
+    * ONLY supplier with a returned line on a finished multi-supplier
+    * order.
+    */
+  def sql_tpch_q21(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ21)
+  }
+
+  val sqlQ21 = """SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
+
   /** SQL surface — verbatim window functions: RANK / LAG / moving sum
     * in raw SQL, one text through both engines — the parity point for
     * BI tools that GENERATE window SQL rather than building DataFrames.
@@ -4547,6 +4601,8 @@ object Queries {
     ("sql_tpch_q14", sql_tpch_q14 _, sqlQ14),
     ("sql_tpch_q19", sql_tpch_q19 _, sqlQ19),
     ("sql_tpch_q22", sql_tpch_q22 _, sqlQ22),
+    ("sql_tpch_q17", sql_tpch_q17 _, sqlQ17),
+    ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),
     ("e2_threshold_sweep", e2_threshold_sweep _, e2tsSql),
     ("e11_dau_wau", e11_dau_wau _, e11dwSql),
     ("e5_props_stats", e5_props_stats _, e5psSql),

@@ -74,6 +74,10 @@ object Multimodal {
     if (payload == null || payload.isEmpty) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
+    // createImageInputStream returns null when no SPI claims the stream
+    // (stripped service registry) — fall back to the stub rather than
+    // NPE-ing from the finally block inside the per-row decode path.
+    if (iis == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None

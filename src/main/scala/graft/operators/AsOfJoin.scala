@@ -56,22 +56,62 @@ object AsOfJoin {
                     tsCol: String, rightVals: Seq[String]): DataFrame =
     native(left, right, keyCol, tsCol, rightVals, forward = true)
 
+  /** Least common WIDENING type for a join-key pair — mirrors upstream
+    * join coercion (both sides widen; nothing narrows). Casting the right
+    * key down to a narrower left type would truncate silently with ANSI
+    * off (bigint 2^32+1 matching int 1); differing non-widenable types are
+    * an error, not a guess.
+    */
+  private def widerOf(a: org.apache.spark.sql.types.DataType,
+                      b: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    // the standard SQL numeric promotion ladder (same order upstream
+    // TypeCoercion uses for binary ops)
+    val ladder: Map[DataType, Int] = Map(
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4,
+      FloatType -> 5, DoubleType -> 6)
+    if (a == b) a
+    else (a, b) match {
+      case _ if ladder.contains(a) && ladder.contains(b) =>
+        if (ladder(a) >= ladder(b)) a else b
+      case (DateType, TimestampType) | (TimestampType, DateType) =>
+        TimestampType
+      case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) =>
+        TimestampNTZType
+      // tz'd vs ntz timestamps are the same width (no narrowing possible);
+      // the LEFT clock's interpretation wins, as documented on
+      // backwardWithin (ntz dim dates joined to utc event streams)
+      case (TimestampType, TimestampNTZType) |
+           (TimestampNTZType, TimestampType) => a
+      case _ => throw new IllegalArgumentException(
+        s"as-of join columns have incompatible types $a vs $b — " +
+          "cast one side explicitly")
+    }
+  }
+
   private def native(left: DataFrame, right: DataFrame, keyCol: String,
                      tsCol: String, rightVals: Seq[String],
                      forward: Boolean): DataFrame = {
     graft.plans.AsOfJoinPlan.ensureRegistered(left.sparkSession)
     val fn = if (forward) "graft_asof_fwd" else "graft_asof"
-    // cast BOTH join columns to the left side's types: a key-type mismatch
-    // (int vs bigint) would otherwise hash-partition the two sides
-    // differently AND make the merge's ordering misread the right key
-    // bytes — silently all-null matches instead of an analysis error.
+    // cast BOTH sides' join columns to their least common WIDER type: a
+    // key-type mismatch (int vs bigint) would otherwise hash-partition
+    // the two sides differently AND make the merge's ordering misread the
+    // right key bytes — silently all-null matches instead of an analysis
+    // error. Widening both (not casting right down to left) keeps a wide
+    // right key from truncating into a false match.
+    val kt = widerOf(left.schema(keyCol).dataType, right.schema(keyCol).dataType)
+    val tt = widerOf(left.schema(tsCol).dataType, right.schema(tsCol).dataType)
+    val l2 = left
+      .withColumn("__lk", col(keyCol).cast(kt))
+      .withColumn("__lt", col(tsCol).cast(tt))
     val r2 = right.select(
-      col(keyCol).cast(left.schema(keyCol).dataType).as("__rk") +:
-        col(tsCol).cast(left.schema(tsCol).dataType).as("__rt") +:
+      col(keyCol).cast(kt).as("__rk") +:
+        col(tsCol).cast(tt).as("__rt") +:
         rightVals.map(col): _*)
-    left.join(r2, expr(s"$fn(`$keyCol`, __rk, `$tsCol`, __rt)"),
-        "left_outer")
-      .drop("__rk", "__rt")
+    l2.join(r2, expr(s"$fn(__lk, __rk, __lt, __rt)"), "left_outer")
+      .drop("__lk", "__lt", "__rk", "__rt")
   }
 
   /** Backward as-of with a TOLERANCE (the max-lag dial every production

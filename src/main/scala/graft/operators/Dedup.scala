@@ -185,14 +185,16 @@ object Dedup {
     * an incoming batch against the already-deduplicated corpus and
     * return (new_id, old_id, jaccard) for every cross pair clearing the
     * threshold. Old×old pairs are never formed (the corpus is already
-    * clean — that is the entire point: per-batch cost is banding the
-    * SMALL side and one co-partitioned join, not re-deduplicating
-    * history). Candidates drawn from the same portable banding as
-    * [[minhashLsh]], so a pair is found here iff the full-corpus run
-    * would find it across the split. At 100 TB the existing side's
-    * signature/band columns live AT REST next to the corpus (write
-    * them once at accept time); only the incoming batch computes
-    * shingles per ingest.
+    * clean — that is the entire point). Candidates drawn from the same
+    * portable banding as [[minhashLsh]], so a pair is found here iff the
+    * full-corpus run would find it across the split.
+    *
+    * THIS overload recomputes shingles/signatures for BOTH sides — the
+    * self-contained convenience shape whose per-batch cost is O(batch +
+    * history). The production 100 TB shape is
+    * [[minhashIncrementalPairsFromRest]]: history's (sh, sig) columns
+    * live AT REST (written once at accept time via [[minhashAtRest]]),
+    * so only the incoming batch ever computes shingles per ingest.
     */
   def minhashIncrementalPairs(existing: DataFrame, incoming: DataFrame,
                               idCol: String, textCol: String,
@@ -202,6 +204,49 @@ object Dedup {
       portableBands(incoming, idCol, textCol, k, bands, rowsPerBand)
     val (baseO, bandedO) =
       portableBands(existing, idCol, textCol, k, bands, rowsPerBand)
+    crossVerifiedPairs(baseN, bandedN, baseO, bandedO, jaccardThreshold)
+  }
+
+  /** The at-rest incremental path (ADVICE r6): `existingRest` is the
+    * (id, sh, sig) frame from [[minhashAtRest]], persisted next to the
+    * corpus. History's band hashes are re-derived from the STORED
+    * signature (a width-m narrow projection — no tokenize, no shingle,
+    * no explode-aggregate over history text) and the exact-Jaccard
+    * verify reads the STORED shingle-hash arrays. Per-ingest heavy
+    * lifting is O(batch); the only O(history) work is scanning the
+    * at-rest columns, which is the floor for any cross-corpus join.
+    * Identical pairs to [[minhashIncrementalPairs]] on the same inputs
+    * (pinned by DedupSpec).
+    */
+  def minhashIncrementalPairsFromRest(existingRest: DataFrame,
+                                      incoming: DataFrame,
+                                      idCol: String, textCol: String,
+                                      k: Int = 3, bands: Int = 4,
+                                      rowsPerBand: Int = 4,
+                                      jaccardThreshold: Double = 0.5)
+      : DataFrame = {
+    val (baseN, bandedN) =
+      portableBands(incoming, idCol, textCol, k, bands, rowsPerBand)
+    def bandHash(b: Int): Column =
+      (0 until rowsPerBand).foldLeft(lit(7L): Column)((acc, r) =>
+        pmod(acc * lit(31L) +
+          element_at(col("sig"), b * rowsPerBand + r + 1), lit(HashPrime)))
+    val bandedO = existingRest.select(col("id"),
+      posexplode(array((0 until bands).map(bandHash): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandHash")
+    val baseO = existingRest.select(col("id"), col("sh"))
+    crossVerifiedPairs(baseN, bandedN, baseO, bandedO, jaccardThreshold)
+  }
+
+  /** Shared cross-corpus band-join + exact-Jaccard verify for the
+    * incremental family: candidates = shared (band, bandHash) buckets,
+    * never all-pairs; verify joins the (small) candidate set back to
+    * each side's shingle sets.
+    */
+  private def crossVerifiedPairs(baseN: DataFrame, bandedN: DataFrame,
+                                 baseO: DataFrame, bandedO: DataFrame,
+                                 jaccardThreshold: Double): DataFrame = {
     baseN.persist(); baseO.persist()
     val cand = bandedN
       .select(col("band"), col("bandHash"), col("id").as("new_id"))
@@ -218,6 +263,37 @@ object Dedup {
     val result = verified.localCheckpoint(true)
     baseN.unpersist(); baseO.unpersist()
     result
+  }
+
+  /** The at-rest MinHash frame (id, sh, sig): the columns a production
+    * corpus writes ONCE at accept time so every later ingest bands and
+    * verifies against history without re-reading its text. `sh` = hashed
+    * k-shingle set (exact-Jaccard verify), `sig` = portable minhash
+    * signature of width `bands * rowsPerBand` (banding). Pair with
+    * [[minhashIncrementalPairsFromRest]].
+    */
+  def minhashAtRest(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4)
+      : DataFrame = {
+    val m = bands * rowsPerBand
+    val base = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("id"), transform(col("tk"), t => portableStringHash(t)).as("th"))
+      .select(col("id"), hashedShinglesFromHashes(col("th"), k).as("sh"))
+      .persist()
+    val sigAggs = minhashCoeffs(m).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(HashPrime))).as(s"s$j")
+    }
+    val rest = base.select(col("id"), explode(col("sh")).as("x"))
+      .groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("id"),
+        array((0 until m).map(j => col(s"s$j")): _*).as("sig"))
+      .join(base, "id")
+      .select("id", "sh", "sig")
+      .localCheckpoint(true)
+    base.unpersist()
+    rest
   }
 
   /** The portable MinHash SIGNATURES as a first-class frame: (id,
@@ -474,22 +550,42 @@ object Dedup {
   }
 
   /** Shared SimHash-pairs tail: band the persisted signatures, self-join
-    * per (blk, band, bandValue) bucket, DISTINCT the (id1, id2) candidate
-    * space, THEN verify with the exact popcount — the hamming arithmetic
-    * and its downstream consumers see each pair once, not once per shared
-    * band. `sigs` must be (id, blk, sig).
+    * per (blk, band, bandValue) bucket CARRYING both signatures, popcount
+    * + threshold INSIDE the join stage, and only then DISTINCT the
+    * surviving (id1, id2, hamming) rows.
+    *
+    * Round-7 restructure (the e2_simhash_pairs memory-pressure cliff,
+    * 2 driver rounds at ~4 s vs ~1 s idle): the old shape DISTINCTed the
+    * raw candidate space and then joined back to sigs twice — with 6-bit
+    * bands the candidate set is millions of rows (64 bucket values per
+    * band goes near-quadratic inside a block), and THREE wide ops over it
+    * (distinct + 2 joins) is exactly the shuffle volume that spills when
+    * executors are under memory pressure. Carrying `sig` through the
+    * band join costs one extra long per banded row, the xor+popcount is
+    * codegen'd integer arithmetic evaluated at most `bands` times per
+    * pair, and the hamming filter drops ~everything BEFORE the only wide
+    * op over pairs (the distinct) — nothing larger than the banded
+    * signature frame ever crosses a shuffle. `sigs` must be (id, blk,
+    * sig).
     */
   private def simhashPairsFromSigs(sigsUncached: DataFrame, bands: Int,
                                    maxHamming: Int,
                                    bandValue: Int => Column): DataFrame = {
     val sigs = sigsUncached.persist()
-    val cand = simhashCandidates(sigs, bands, bandValue)
-    val verified = cand
-      .join(sigs.select(col("id").as("id1"), col("sig").as("s1")), "id1")
-      .join(sigs.select(col("id").as("id2"), col("sig").as("s2")), "id2")
+    val banded = sigs.select(col("id"), col("blk"), col("sig"),
+      posexplode(array((0 until bands).map(bandValue): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
+    val verified = banded
+      .select(col("blk"), col("band"), col("bh"),
+        col("id").as("id1"), col("sig").as("s1"))
+      .join(banded.select(col("blk"), col("band"), col("bh"),
+        col("id").as("id2"), col("sig").as("s2")), Seq("blk", "band", "bh"))
+      .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
     // materialize the (small) pair set, then release the signature cache
     // (same persist/release discipline as lshVerifiedPairs)
     val result = verified.localCheckpoint(true)

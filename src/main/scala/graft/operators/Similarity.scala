@@ -647,7 +647,14 @@ object Similarity {
       .groupBy("pos")
       .agg(count(lit(1)).cast("double").as("n"),
         sum(col("xs")).cast("double").as("sx"),
-        sum(col("xs") * col("xs")).cast("double").as("sxx"))
+        // sxx accumulates in decimal(38,0): per-element squares are ~1e12
+        // for |v|<=1, so a LONG sum silently wraps past ~1e7 rows/dim
+        // (ANSI off) and a single |v|>~2900 overflows the per-element
+        // multiply itself. decimal(19,0)*decimal(19,0) widens to (38,0)
+        // and the sum stays exact to 38 digits — the fixed-point
+        // order-independence contract holds at corpus scale.
+        sum(col("xs").cast("decimal(19,0)") * col("xs").cast("decimal(19,0)"))
+          .cast("double").as("sxx"))
       .select(col("pos"), (col("sx") / (col("n") * lit(S))).as("mu"),
         sqrt(col("sxx") / (col("n") * lit(S) * lit(S)) -
           (col("sx") / (col("n") * lit(S))) *
