@@ -4185,6 +4185,92 @@ object Queries {
         as int) AS n_pretokens
     FROM documents ORDER BY doc_id"""
 
+  /** E4 — real SUBWORD tokenization (round-7 verdict item 5): per-doc
+    * greedy longest-match token counts against the corpus' own top-256
+    * substring vocabulary over the e4_regex_tokens pre-tokens — the
+    * token-denominated operators' counter graduates from whitespace to a
+    * BPE-style subword encode. Spark computes the greedy walk by pointer
+    * doubling over the distinct-pre-token position frame (O(log maxlen)
+    * keyed self-joins — see TextAnalysis.subwordCounts); the oracle
+    * implements the IDENTICAL greedy match as a sequential recursive
+    * CTE. The row only hash-matches if vocabulary selection, longest-
+    * match semantics, and the walk all agree token for token.
+    */
+  def e4_subword(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.subwordCounts(t(s, dir, "documents"), "doc_id", "text",
+      vocabSize = 256, maxSubLen = 6)
+      .select(col("id").as("doc_id"), col("n_subword"))
+      .orderBy("doc_id")
+
+  /** The shared subword-pipeline CTE chain (vocab build → longest-match
+    * table → recursive greedy walk → per-doc counts), composed into both
+    * the e4_subword and e4_subword_budget oracles.
+    */
+  val e4swCtes: String = """ptf AS (SELECT pt, count(*) AS cf FROM (
+        SELECT unnest(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS pt
+        FROM documents) GROUP BY pt),
+    s1 AS (SELECT pt, cf, unnest(generate_series(1, length(pt))) AS i FROM ptf),
+    s2 AS (SELECT pt, cf, i, unnest([2,3,4,5,6]) AS l FROM s1),
+    subs AS (SELECT substr(pt, cast(i AS int), cast(l AS int)) AS sub, sum(cf) AS w
+      FROM s2 WHERE i + l - 1 <= length(pt) GROUP BY 1),
+    vocab AS (SELECT sub FROM subs ORDER BY w DESC, sub LIMIT 256),
+    docpt AS (SELECT doc_id, unnest(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS pt FROM documents),
+    occ AS (SELECT doc_id, pt, count(*) AS occ FROM docpt GROUP BY 1, 2),
+    ptd AS (SELECT DISTINCT pt FROM occ),
+    pos AS (SELECT pt, length(pt) AS len, unnest(generate_series(0, length(pt) - 1)) AS i FROM ptd),
+    cand AS (SELECT c.pt, c.i, max(c.l) AS ml FROM (
+        SELECT pos.pt, pos.i, lx.l FROM pos, (SELECT unnest([2,3,4,5,6]) AS l) lx
+        WHERE pos.i + lx.l <= pos.len
+          AND substr(pos.pt, cast(pos.i + 1 AS int), lx.l) IN (SELECT sub FROM vocab)) c
+      GROUP BY 1, 2),
+    m AS (SELECT pos.pt, pos.len, pos.i, coalesce(cand.ml, 1) AS m
+      FROM pos LEFT JOIN cand ON pos.pt = cand.pt AND pos.i = cand.i),
+    walk AS (
+      SELECT pt, cast(0 AS bigint) AS pos, 0 AS cnt FROM ptd
+      UNION ALL
+      SELECT w.pt, w.pos + m.m, w.cnt + 1 FROM walk w JOIN m ON m.pt = w.pt AND m.i = w.pos),
+    ptc AS (SELECT pt, max(cnt) AS n_sub FROM walk GROUP BY pt),
+    percount AS (SELECT o.doc_id, sum(o.occ * p.n_sub) AS n_subword
+      FROM occ o JOIN ptc p ON o.pt = p.pt GROUP BY 1)"""
+
+  val e4swSql: String = s"""WITH RECURSIVE $e4swCtes
+    SELECT d.doc_id, cast(coalesce(pc.n_subword, 0) AS bigint) AS n_subword
+    FROM documents d LEFT JOIN percount pc ON d.doc_id = pc.doc_id ORDER BY d.doc_id"""
+
+  /** E4 — token budget denominated in REAL subword tokens: the
+    * quality-first per-source budget cut (e4_token_budget's contract)
+    * with the whitespace counter swapped for the greedy subword encode —
+    * the budget numbers a pretraining mixture actually runs on. Quality
+    * ordering is unchanged (the ranking contract); only the counted
+    * currency changes.
+    */
+  def e4_subword_budget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val counts = TextAnalysis.subwordCounts(docs, "doc_id", "text",
+      vocabSize = 256, maxSubLen = 6)
+    TextAnalysis.tokenBudget(docs, "doc_id", "text", groupCol = "source",
+      budget = 8000L, tokenCounts = Some(counts))
+      .orderBy("source", "doc_id")
+  }
+
+  val e4sbSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH RECURSIVE $e4swCtes,
+    q AS (SELECT t.doc_id, t.source,
+      cast(coalesce(pc.n_subword, 0) as bigint) AS n_tokens,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, tk -> tk IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents) t
+      LEFT JOIN percount pc ON t.doc_id = pc.doc_id),
+    c AS (SELECT doc_id, source, n_tokens, quality,
+      cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
+      FROM q)
+    SELECT doc_id, source, n_tokens, quality, cum_tokens FROM c
+    WHERE cum_tokens <= 8000 ORDER BY source, doc_id"""
+  }
+
   /** E5 — fault-tolerant semi-structured parsing: a deterministic ~1/7 of
     * the JSON payloads are truncated (trailing brace dropped), and the
     * pipeline must degrade per-row — null value + ok-flag — instead of
@@ -4603,6 +4689,8 @@ object Queries {
     ("sql_tpch_q22", sql_tpch_q22 _, sqlQ22),
     ("sql_tpch_q17", sql_tpch_q17 _, sqlQ17),
     ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),
+    ("e4_subword", e4_subword _, e4swSql),
+    ("e4_subword_budget", e4_subword_budget _, e4sbSql),
     ("e2_threshold_sweep", e2_threshold_sweep _, e2tsSql),
     ("e11_dau_wau", e11_dau_wau _, e11dwSql),
     ("e5_props_stats", e5_props_stats _, e5psSql),

@@ -632,17 +632,145 @@ object TextAnalysis {
     * shuffle any per-group ranking pays; no global sort, no collect.
     */
   def tokenBudget(df: DataFrame, idCol: String, textCol: String,
-                  groupCol: String, budget: Long): DataFrame = {
+                  groupCol: String, budget: Long,
+                  tokenCounts: Option[DataFrame] = None): DataFrame = {
     require(budget > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("quality").desc, col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    qualityScore(df, idCol, textCol, carry = Seq(groupCol))
-      .withColumn("__cum", sum(col("n_tokens").cast("long")).over(w))
+    val q = qualityScore(df, idCol, textCol, carry = Seq(groupCol))
+    // optional REAL token counter (e.g. subwordCounts): an (id, count)
+    // frame replaces the whitespace n_tokens in the budget arithmetic;
+    // quality stays as scored (the ranking contract is unchanged)
+    val based = tokenCounts match {
+      case None => q
+      case Some(tc) => q.drop("n_tokens")
+        .join(tc.select(col(tc.columns.head).as(idCol),
+          col(tc.columns(1)).cast("long").as("n_tokens")), Seq(idCol))
+    }
+    based.withColumn("__cum", sum(col("n_tokens").cast("long")).over(w))
       .filter(col("__cum") <= budget)
       .select(col(idCol), col(groupCol), col("n_tokens"), col("quality"),
         col("__cum").as("cum_tokens"))
+  }
+
+  /** The GPT-2-family pre-tokenizer split (letter runs, digit runs,
+    * punctuation runs, optional leading space) — the constructs RE2 and
+    * Java regex interpret identically; shared with e4_regex_tokens.
+    */
+  val PreTokenRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(PreTokenRe), lit(0))
+
+  /** Subword VOCABULARY from the corpus' own statistics: every substring
+    * of length 2..maxSubLen of every pre-token, weighted by the
+    * pre-token's corpus frequency; the `vocabSize` heaviest substrings
+    * (weight desc, then lexicographic — a deterministic total order)
+    * form the vocab. Single characters are implicitly always in-vocab
+    * (the UNK fallback), like a byte-level BPE's base alphabet.
+    *
+    * Scale: substrings explode over the DISTINCT-pre-token frequency
+    * table (Zipf-bounded), never the corpus; the top-k window runs over
+    * the aggregated substring table (same contract as vocabCoverage —
+    * swap a heavy-hitters sketch at true scale, the shape is unchanged).
+    */
+  def subwordVocab(df: DataFrame, textCol: String, vocabSize: Int = 256,
+                   maxSubLen: Int = 6): DataFrame = {
+    require(vocabSize > 0 && maxSubLen >= 2)
+    val ptf = df.select(explode(preTokens(col(textCol))).as("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("cf"))
+    val subs = ptf
+      .select(col("pt"), col("cf"),
+        explode(sequence(lit(1), length(col("pt")))).as("i"))
+      .select(col("pt"), col("cf"), col("i"),
+        explode(sequence(lit(2), lit(maxSubLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("pt")))
+      .select(expr("substr(pt, i, l)").as("sub"), col("cf"))
+      .groupBy("sub").agg(sum(col("cf")).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w").desc, col("sub"))
+    subs.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= vocabSize)
+      .select(col("sub"), col("w"), col("__rn").cast("int").as("rank"))
+  }
+
+  /** GREEDY longest-match subword token counts per document against
+    * [[subwordVocab]] — real subword-denominated counts for the
+    * budget/packing/mixture operators, one step past the whitespace
+    * counter. Encoding: per pre-token, from the left repeatedly take
+    * the longest vocab substring starting at the cursor (one char when
+    * none matches) and advance by its length; a document's count is the
+    * sum over its pre-token OCCURRENCES of that pre-token's greedy
+    * count. Returns (id, n_subword), one row per input document.
+    *
+    * Scale design — the part that is NOT the obvious per-string loop:
+    *  - the encode runs once per DISTINCT pre-token and joins back
+    *    token-keyed; the corpus never iterates.
+    *  - the greedy walk is not sequential: the longest match m(i) per
+    *    position is one explode + broadcast-vocab join + max, and
+    *    "count steps from 0 following i → i + m(i)" is POINTER
+    *    DOUBLING — ceil(log2(max pre-token length)) keyed self-joins
+    *    over the (distinct pre-token × position) frame, with per-round
+    *    lineage cuts (the Components discipline). O(log maxlen) rounds,
+    *    every op a keyed join or aggregate — no driver loops over data.
+    *  - the only driver-side value is the max pre-token length (one
+    *    scalar; it sets the round count, the convergence-gate pattern).
+    */
+  def subwordCounts(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int = 256, maxSubLen: Int = 6): DataFrame = {
+    val vocab = subwordVocab(df, textCol, vocabSize, maxSubLen).select("sub")
+    val occ = df.select(col(idCol).as("id"),
+        explode(preTokens(col(textCol))).as("pt"))
+      .groupBy("id", "pt").agg(count(lit(1)).as("occ"))
+    val pts = occ.select("pt").distinct()
+      .select(col("pt"), length(col("pt")).as("len")).persist()
+    val maxPtLen = Option(pts.agg(max(col("len"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    val zero = df.select(col(idCol).as("id"))
+    if (maxPtLen == 0) {
+      pts.unpersist()
+      return zero.select(col("id"), lit(0L).as("n_subword"))
+    }
+    val pos = pts.select(col("pt"), col("len"),
+      explode(sequence(lit(0), col("len") - 1)).as("i"))
+    val matched = pos
+      .select(col("pt"), col("len"), col("i"),
+        explode(sequence(lit(2), lit(maxSubLen))).as("l"))
+      .filter(col("i") + col("l") <= col("len"))
+      .select(col("pt"), col("i"), col("l"),
+        expr("substr(pt, i + 1, l)").as("sub"))
+      .join(broadcast(vocab), Seq("sub"))
+      .groupBy("pt", "i").agg(max(col("l")).as("ml"))
+    // state after k rounds: from position i the walk reaches j having
+    // consumed c = min(2^k, steps-to-end) tokens; j saturates at len
+    // (no row for i = len, so the left-join miss is the absorbing state)
+    var state = pos.join(matched, Seq("pt", "i"), "left")
+      .select(col("pt"), col("i"),
+        (col("i") + coalesce(col("ml"), lit(1))).as("j"), lit(1L).as("c"))
+      .localCheckpoint(true)
+    var span = 1L
+    while (span < maxPtLen) {
+      val b = state.select(col("pt").as("__bpt"), col("i").as("__bi"),
+        col("j").as("__bj"), col("c").as("__bc"))
+      state = state.join(b,
+          col("pt") === col("__bpt") && col("j") === col("__bi"), "left")
+        .select(col("pt"), col("i"),
+          coalesce(col("__bj"), col("j")).as("j"),
+          (col("c") + coalesce(col("__bc"), lit(0L))).as("c"))
+        .localCheckpoint(true)
+      span *= 2
+    }
+    val ptCounts = state.filter(col("i") === 0)
+      .select(col("pt"), col("c").as("n_sub"))
+    val agg = occ.join(ptCounts, Seq("pt"))
+      .groupBy("id").agg(sum(col("occ") * col("n_sub")).as("n_subword"))
+    val out = zero.join(agg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_subword"), lit(0L)).as("n_subword"))
+      .localCheckpoint(true)
+    pts.unpersist()
+    out
   }
 
   /** Corpus DRIFT report: Jensen-Shannon divergence between the token

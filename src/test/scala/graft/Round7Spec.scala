@@ -79,4 +79,26 @@ class Round7Spec extends SparkSpec {
     assert(viaRest == direct)
     assert(direct.nonEmpty || nw.count() == 0) // fixture sanity: corpus has clones
   }
+
+  // --- greedy subword tokenization -------------------------------------
+
+  test("e4_subword pointer-doubling walk matches the sequential greedy oracle") {
+    // anchors computed by the DuckDB recursive-CTE oracle (the literal
+    // sequential greedy walk) on sf0.001 — if vocabulary selection,
+    // longest-match semantics, or the doubling walk drift, these move
+    val out = graft.Queries.e4_subword(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect()
+    assert(out.length == 500)
+    val m = out.toMap
+    assert(m(0L) == 43L && m(1L) == 169L)
+    assert(out.map(_._2).sum == 54039L)
+  }
+
+  test("subwordCounts degrades to zero counts on an empty-text corpus") {
+    val df = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .subwordCounts(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L), (2L, 0L)))
+  }
 }
