@@ -4369,6 +4369,14 @@ object Queries {
     * Catalyst extension tier. Grading both formulations against the same
     * oracle makes the operator swap oracle-checked, not just
     * test-asserted.
+    *
+    * Bench caveat (round-7 root cause): under the bench's `.count()`,
+    * j_asof's Window+Union tail is column-pruned away entirely (its
+    * post-union filter touches only the side tag), so its bench number
+    * is a bare scan; this plan cannot be pruned through the custom join
+    * and pays full cost. When output is actually materialized the
+    * native plan WINS: 0.70 s vs 0.98 s at sf0.1 (ProbeAsOf4, min-of-3)
+    * — see AsOfJoin.nativeBackward's scaladoc and NativeAsOfSpec's pin.
     */
   def j_asof_native(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))

@@ -43,6 +43,18 @@ object AsOfJoin {
     * with a single retained candidate row instead of window buffers.
     * Registers the strategy/rule/marker function idempotently on the
     * session, so it works without `spark.sql.extensions` config.
+    *
+    * PERFORMANCE (round-7 root cause of the "2.6x slower" record): when
+    * the joined VALUES are consumed, this operator WINS — measured
+    * 0.70 s vs 0.98 s for [[backward]] at sf0.1 local[32] min-of-3
+    * under full-output materialization (ProbeAsOf4). The bench's
+    * `.count()` protocol undertimes [[backward]] specifically: its
+    * post-union filter touches only the side tag, so column pruning
+    * deletes the entire Window+Union tail and count() measures a bare
+    * scan (stage metrics: ~0 shuffled records). AsOfJoinExec's join
+    * condition genuinely needs both sides, so the native plan pays its
+    * full cost under count() — the two bench numbers were never
+    * measuring the same work. NativeAsOfSpec pins the pruning artifact.
     */
   def nativeBackward(left: DataFrame, right: DataFrame, keyCol: String,
                      tsCol: String, rightVals: Seq[String]): DataFrame =

@@ -22,6 +22,24 @@ class NativeAsOfSpec extends SparkSpec {
     (4L, 1L, 4.0) // key with no left rows
   ).toDF("k", "t", "rv")
 
+  test("count() prunes backward's whole window tail — the bench-number artifact") {
+    // the round-7 root cause of "native is 2.6x slower" in bench records:
+    // backward's post-union filter touches only the side tag, so a count()
+    // consumer lets Catalyst delete the Window (and with it the as-of
+    // work) — the window formulation's bench time is a pruned scan. The
+    // native plan's join condition needs both sides and cannot be pruned,
+    // so only IT pays the as-of cost under count(). Full materialization
+    // reverses the ranking (measured 0.70 s native vs 0.98 s window at
+    // sf0.1 — ProbeAsOf4).
+    val df = AsOfJoin.backward(leftDf, rightDf, "k", "t", Seq("rv"))
+    val countPlan = df.groupBy().count().queryExecution.optimizedPlan.toString
+    assert(!countPlan.contains("windowspecdefinition"),
+      "count() should prune backward's window tail; if this starts failing, " +
+        "the bench numbers for j_asof became honest — re-run the A/B")
+    val fullPlan = df.queryExecution.optimizedPlan.toString
+    assert(fullPlan.contains("windowspecdefinition"))
+  }
+
   test("nativeBackward == backward on a hand-built edge-case fixture") {
     val nat = AsOfJoin.nativeBackward(leftDf, rightDf, "k", "t", Seq("rv"))
       .orderBy("k", "t").as[(Long, Long, String, Option[Double])].collect().toSeq
