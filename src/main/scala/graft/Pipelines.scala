@@ -96,12 +96,35 @@ object Pipelines {
   def ingestReport(existing: DataFrame, incoming: DataFrame,
                    idCol: String, textCol: String,
                    jaccardThreshold: Double = 0.5,
-                   minQuality: Double = 0.55): DataFrame = {
+                   minQuality: Double = 0.55): DataFrame =
+    ingestGate(existing, incoming, idCol, textCol, minQuality,
+      Dedup.minhashIncrementalPairs(existing, incoming, idCol, textCol,
+        jaccardThreshold = jaccardThreshold))
+
+  /** The NIGHTLY-production variant of [[ingestReport]]: history's
+    * MinHash columns live AT REST (`existingRest` = Dedup.minhashAtRest,
+    * written once at accept time), so the near-dup gate bands history
+    * from stored signatures instead of re-shingling its text per batch.
+    * Identical report to [[ingestReport]] on the same inputs (pinned by
+    * Round7Spec); `existing` is still consulted for the exact-dup text
+    * gate and nothing else.
+    */
+  def ingestReportFromRest(existing: DataFrame, existingRest: DataFrame,
+                           incoming: DataFrame,
+                           idCol: String, textCol: String,
+                           jaccardThreshold: Double = 0.5,
+                           minQuality: Double = 0.55): DataFrame =
+    ingestGate(existing, incoming, idCol, textCol, minQuality,
+      Dedup.minhashIncrementalPairsFromRest(existingRest, incoming, idCol,
+        textCol, jaccardThreshold = jaccardThreshold))
+
+  private def ingestGate(existing: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String, minQuality: Double,
+                         nearPairs: DataFrame): DataFrame = {
     val exactDup = incoming
       .join(existing.select(col(textCol)).distinct(), Seq(textCol), "left_semi")
       .select(col(idCol)).withColumn("__ex", lit(1))
-    val nearDup = Dedup.minhashIncrementalPairs(existing, incoming,
-        idCol, textCol, jaccardThreshold = jaccardThreshold)
+    val nearDup = nearPairs
       .select(col("new_id").as(idCol)).distinct()
       .withColumn("__nd", lit(1))
     val scored = TextAnalysis.qualityScore(incoming, idCol, textCol)

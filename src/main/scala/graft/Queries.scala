@@ -2242,6 +2242,78 @@ object Queries {
     ORDER BY q.doc_id"""
   }
 
+  /** Composed pipeline — TWO-DAY INCREMENTAL ingest, the nightly corpus
+    * loop run twice with STATE CARRIED BETWEEN RUNS: day-1 batch gates
+    * against history, its ACCEPTED documents append to history, and the
+    * day-2 batch gates against the augmented corpus. The oracle
+    * recomputes both days including the acceptance feedback (a day-2 doc
+    * near-dupping a day-1 SURVIVOR must reject; one near-dupping a day-1
+    * REJECT must not) — this is the "incremental == rebuild" discipline
+    * graded at the full-gate grain, not per stage. Round7Spec
+    * additionally pins that running day 2 from AT-REST history
+    * signatures (Pipelines.ingestReportFromRest) yields the identical
+    * report.
+    */
+  def llm_ingest_incr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val m10 = pmod(col("doc_id"), lit(10))
+    val h = docs.filter(m10 =!= 0 && m10 =!= 5)
+    val b1 = docs.filter(m10 === 0)
+    val b2 = docs.filter(m10 === 5)
+    val r1 = Pipelines.ingestReport(h, b1, "doc_id", "text")
+      .localCheckpoint(true) // day-1 report feeds BOTH outputs below
+    val acc1 = b1.join(r1.filter(col("status") === "accepted")
+      .select("doc_id"), Seq("doc_id"))
+    val r2 = Pipelines.ingestReport(h.unionByName(acc1), b2, "doc_id", "text")
+    r1.withColumn("day", lit(1)).unionByName(r2.withColumn("day", lit(2)))
+      .orderBy("day", "doc_id")
+  }
+
+  val llmIncSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    val quality = s"""round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6)"""
+    s"""WITH $e2mCtes,
+    ex1 AS (SELECT DISTINCT i.doc_id FROM documents i JOIN documents h
+      ON i.text = h.text AND i.doc_id % 10 = 0 AND h.doc_id % 10 NOT IN (0, 5)),
+    nd1 AS (SELECT DISTINCT CASE WHEN id1 % 10 = 0 THEN id1 ELSE id2 END AS doc_id
+      FROM cand WHERE round(jaccard, 6) >= 0.5
+        AND ((id1 % 10 = 0 AND id2 % 10 NOT IN (0, 5))
+          OR (id2 % 10 = 0 AND id1 % 10 NOT IN (0, 5)))),
+    q1 AS (SELECT doc_id, $quality AS quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % 10 = 0)),
+    r1 AS (SELECT q1.doc_id, q1.quality,
+      CASE WHEN ex1.doc_id IS NOT NULL THEN 'exact_dup'
+        WHEN nd1.doc_id IS NOT NULL THEN 'near_dup'
+        WHEN q1.quality < 0.55 THEN 'low_quality'
+        ELSE 'accepted' END AS status
+      FROM q1 LEFT JOIN ex1 ON q1.doc_id = ex1.doc_id
+      LEFT JOIN nd1 ON q1.doc_id = nd1.doc_id),
+    acc1 AS (SELECT doc_id FROM r1 WHERE status = 'accepted'),
+    ex2 AS (SELECT DISTINCT i.doc_id FROM documents i JOIN documents h
+      ON i.text = h.text AND i.doc_id % 10 = 5
+      AND (h.doc_id % 10 NOT IN (0, 5) OR h.doc_id IN (SELECT doc_id FROM acc1))),
+    nd2 AS (SELECT DISTINCT CASE WHEN id1 % 10 = 5 THEN id1 ELSE id2 END AS doc_id
+      FROM cand WHERE round(jaccard, 6) >= 0.5 AND (
+        (id1 % 10 = 5 AND (id2 % 10 NOT IN (0, 5) OR id2 IN (SELECT doc_id FROM acc1)))
+        OR (id2 % 10 = 5 AND (id1 % 10 NOT IN (0, 5) OR id1 IN (SELECT doc_id FROM acc1))))),
+    q2 AS (SELECT doc_id, $quality AS quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % 10 = 5)),
+    r2 AS (SELECT q2.doc_id, q2.quality,
+      CASE WHEN ex2.doc_id IS NOT NULL THEN 'exact_dup'
+        WHEN nd2.doc_id IS NOT NULL THEN 'near_dup'
+        WHEN q2.quality < 0.55 THEN 'low_quality'
+        ELSE 'accepted' END AS status
+      FROM q2 LEFT JOIN ex2 ON q2.doc_id = ex2.doc_id
+      LEFT JOIN nd2 ON q2.doc_id = nd2.doc_id)
+    SELECT doc_id, quality, status, 1 AS day FROM r1
+    UNION ALL SELECT doc_id, quality, status, 2 AS day FROM r2
+    ORDER BY day, doc_id"""
+  }
+
   /** E4 — per-source TOKEN BUDGET curation: each source keeps its
     * best-quality documents until 3000 tokens are spent (a doc is kept
     * only if it fits wholly) — the data-mixture contract of a
@@ -4699,6 +4771,7 @@ object Queries {
     ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),
     ("e4_subword", e4_subword _, e4swSql),
     ("e4_subword_budget", e4_subword_budget _, e4sbSql),
+    ("llm_ingest_incr", llm_ingest_incr _, llmIncSql),
     ("e2_threshold_sweep", e2_threshold_sweep _, e2tsSql),
     ("e11_dau_wau", e11_dau_wau _, e11dwSql),
     ("e5_props_stats", e5_props_stats _, e5psSql),

@@ -80,6 +80,34 @@ class Round7Spec extends SparkSpec {
     assert(direct.nonEmpty || nw.count() == 0) // fixture sanity: corpus has clones
   }
 
+  test("nightly ingest from AT-REST history signatures == full recompute ingest") {
+    // the production loop: history persists (id, sh, sig) once at accept
+    // time; each nightly batch gates against those columns. The report
+    // must be byte-identical to re-shingling history from text.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val h = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val b = docs.filter(col("doc_id") % 10 === 5)
+    val full = graft.Pipelines.ingestReport(h, b, "doc_id", "text")
+      .as[(Long, Double, String)].collect().toSet
+    val rest = graft.operators.Dedup.minhashAtRest(h, "doc_id", "text")
+    val viaRest = graft.Pipelines
+      .ingestReportFromRest(h, rest, b, "doc_id", "text")
+      .as[(Long, Double, String)].collect().toSet
+    assert(viaRest == full)
+    assert(full.exists(_._3 != "accepted")) // fixture sanity: gate fires
+  }
+
+  test("day-2 ingest reacts to day-1 acceptance (state actually carries)") {
+    val out = graft.Queries.llm_ingest_incr(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, String, Int)].collect()
+    val byDay = out.groupBy(_._4)
+    assert(byDay(1).nonEmpty && byDay(2).nonEmpty)
+    // every day-1 doc is %10==0, every day-2 doc %10==5
+    assert(byDay(1).forall(_._1 % 10 == 0) && byDay(2).forall(_._1 % 10 == 5))
+    // statuses span the cascade somewhere in the fixture
+    assert(out.map(_._3).toSet.contains("accepted"))
+  }
+
   // --- greedy subword tokenization -------------------------------------
 
   test("e4_subword pointer-doubling walk matches the sequential greedy oracle") {
