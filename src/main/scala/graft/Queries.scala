@@ -2030,6 +2030,30 @@ object Queries {
     s.sql(sqlQ21)
   }
 
+  /** SQL surface — TPC-H Q20 shape (excess-supply suppliers): the NESTED
+    * IN tier — an IN subquery whose body contains another IN plus a
+    * correlated scalar aggregate. Catalyst must decorrelate all three
+    * levels into semi joins + an aggregate join-back (TpchPlanSpec);
+    * adapted to the synthetic schema (no partsupp: lineitem plays the
+    * supply table, p_size the part filter; the correlated avg is exact
+    * across engines because l_quantity is integer-valued).
+    */
+  def sql_tpch_q20(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation", "part").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ20)
+  }
+
+  val sqlQ20 = """SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+          AND l_quantity > (SELECT 0.9 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey))
+    ORDER BY s_suppkey"""
+
   val sqlQ21 = """SELECT s_name, count(*) AS numwait
     FROM supplier
     JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -4768,6 +4792,7 @@ object Queries {
     ("sql_tpch_q19", sql_tpch_q19 _, sqlQ19),
     ("sql_tpch_q22", sql_tpch_q22 _, sqlQ22),
     ("sql_tpch_q17", sql_tpch_q17 _, sqlQ17),
+    ("sql_tpch_q20", sql_tpch_q20 _, sqlQ20),
     ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),
     ("e4_subword", e4_subword _, e4swSql),
     ("e4_subword_budget", e4_subword_budget _, e4sbSql),
