@@ -1690,6 +1690,25 @@ object Queries {
     WHERE (id1 % 5 = 0) <> (id2 % 5 = 0) AND round(jaccard, 6) >= 0.4
     ORDER BY new_id, old_id"""
 
+  /** E2 — the AT-REST incremental path with its own CORRECTNESS row (the
+    * e2_simhash_scalable move from round 6): history's (sh, sig) columns
+    * are materialized FIRST (minhashAtRest — the write-once artifact a
+    * production corpus persists) and the batch bands against them; the
+    * oracle is e2_incremental's full-recompute SQL verbatim, so this row
+    * only hash-matches if signature storage, sig-derived band hashing,
+    * and the stored-shingle verify all agree exactly with re-shingling
+    * history from text.
+    */
+  def e2_incremental_rest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rest = Dedup.minhashAtRest(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+    Dedup.minhashIncrementalPairsFromRest(rest,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", jaccardThreshold = 0.4)
+      .orderBy("new_id", "old_id")
+  }
+
   /** E3 — per-dimension embedding standardization: exact decimal moments
     * per dimension (order-independent), z = (x − mu)/sigma inlined as one
     * narrow projection. The graded columns pin the first four dims; the
@@ -2029,6 +2048,49 @@ object Queries {
       t(s, dir, n).createOrReplaceTempView(n))
     s.sql(sqlQ21)
   }
+
+  /** MM — REAL audio decode graded via the literal-flag pattern
+    * (e10_hll's move): the query synthesizes three genuine WAVs through
+    * the same JDK API production payloads would arrive as, plus one
+    * garbage payload, and runs them through `extractAudioMeta`. The
+    * oracle states the expected (channels, rate, duration, is_real)
+    * literals — the row only hash-matches if `javax.sound.sampled`
+    * header parsing, the frame-to-ms arithmetic, and the labeled stub
+    * fallback all actually deliver. (Raw WAV bytes can't cross the
+    * DuckDB boundary, so the flag pattern is the honest graded shape —
+    * same reasoning as the xxhash64 twins.)
+    */
+  def mm_audio_meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def wav(frames: Int, rate: Float, ch: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, ch, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](frames * fmt.getFrameSize)),
+        fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      (1L, "audio", wav(1600, 8000f, 1)),   // 200 ms mono 8 kHz
+      (2L, "audio", wav(800, 16000f, 2)),   // 50 ms stereo 16 kHz
+      (3L, "audio", wav(2205, 11025f, 1)),  // 200 ms mono 11.025 kHz
+      (4L, "audio", "not audio".getBytes("UTF-8"))) // stub fallback
+      .toDF("media_id", "kind", "payload")
+    graft.multimodal.Multimodal.extractAudioMeta(media)
+      .select(col("media_id"), col("channels"), col("sample_rate"),
+        col("duration_ms"), col("is_real").cast("int").as("is_real"))
+      .orderBy("media_id")
+  }
+
+  val mmAudioSql = """SELECT * FROM (VALUES
+      (cast(1 as bigint), cast(1 as int), cast(8000 as int), cast(200 as bigint), cast(1 as int)),
+      (2, 2, 16000, 50, 1),
+      (3, 1, 11025, 200, 1),
+      (4, 0, 0, 72, 0))
+    AS t(media_id, channels, sample_rate, duration_ms, is_real)
+    ORDER BY media_id"""
 
   /** SQL surface — TPC-H Q20 shape (excess-supply suppliers): the NESTED
     * IN tier — an IN subquery whose body contains another IN plus a
@@ -4797,6 +4859,8 @@ object Queries {
     ("e4_subword", e4_subword _, e4swSql),
     ("e4_subword_budget", e4_subword_budget _, e4sbSql),
     ("llm_ingest_incr", llm_ingest_incr _, llmIncSql),
+    ("e2_incremental_rest", e2_incremental_rest _, e2incSql),
+    ("mm_audio_meta", mm_audio_meta _, mmAudioSql),
     ("e2_threshold_sweep", e2_threshold_sweep _, e2tsSql),
     ("e11_dau_wau", e11_dau_wau _, e11dwSql),
     ("e5_props_stats", e5_props_stats _, e5psSql),
