@@ -2129,6 +2129,200 @@ object Queries {
           AND l3.l_returnflag = 'R')
     GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
 
+  // ======================================================================
+  // Round-7: the remaining 8 TPC-H shapes — full 22/22 coverage. All
+  // verbatim one-text SQL through both engines; partsupp (absent from the
+  // synthetic schema) is derived from lineitem as the (part, supplier)
+  // supply relation with unit cost min(l_extendedprice / l_quantity) —
+  // the same adaptation sql_tpch_q20 already uses for availability.
+  // ======================================================================
+
+  /** SQL surface — TPC-H Q2 shape (min-cost supplier): the correlated
+    * scalar MIN subquery over a CTE referenced twice — Catalyst must
+    * decorrelate the inner min into a per-partkey aggregate joined back,
+    * and plan the CTE once (or inline it twice; either way no per-row
+    * probe). Exact across engines: min is a selection, the division is
+    * one IEEE op on identical doubles, equality compares identical
+    * doubles.
+    */
+  def sql_tpch_q2(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "nation", "region", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ2)
+  }
+
+  val sqlQ2 = """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      cast(min(l_extendedprice / l_quantity) as double) AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2)
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+  FROM part, ps, supplier, nation, region
+  WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+    AND p_type = 'LARGE'
+    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'
+    AND ps_supplycost = (SELECT min(ps_supplycost)
+      FROM ps, supplier, nation, region
+      WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE')
+  ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+
+  /** SQL surface — TPC-H Q6 shape (forecast revenue change): the
+    * pure scan-filter-aggregate tier — no join at all; the query whose
+    * whole cost is how hard the engine pushes the three range predicates
+    * into the parquet scan. TpchPlanSpec pins the pushed filters.
+    */
+  def sql_tpch_q6(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(sqlQ6)
+  }
+
+  val sqlQ6 = """SELECT
+      cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) AS revenue,
+      count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  /** SQL surface — TPC-H Q8 shape (national market share): the
+    * conditional-aggregate-over-join-tree tier — an 8-table join feeding
+    * sum(CASE)/sum ratio per year. The two nation joins (customer's
+    * region gate vs supplier's share nation) must stay distinct
+    * self-joins of the dim. Ratio computed in double AFTER exact decimal
+    * sums, so both engines divide identical doubles.
+    */
+  def sql_tpch_q8(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation",
+      "region").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ8)
+  }
+
+  val sqlQ8 = """SELECT o_year,
+      round(cast(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) as double) /
+            cast(sum(volume) as double), 6) AS mkt_share
+    FROM (SELECT cast(year(o_orderdate) as int) AS o_year,
+        cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2))) AS volume,
+        n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY') AS all_nations
+    GROUP BY o_year ORDER BY o_year"""
+
+  /** SQL surface — TPC-H Q9 shape (product-type profit): profit =
+    * revenue − supply cost per line, rolled up by supplier nation ×
+    * order year, with a LIKE part filter. Supply cost adapted to the
+    * synthetic schema as p_retailprice × quantity (partsupp has no
+    * twin); all arithmetic in exact decimal until the final cast.
+    */
+  def sql_tpch_q9(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "nation").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ9)
+  }
+
+  val sqlQ9 = """SELECT nation, o_year, cast(sum(amount) as double) AS sum_profit
+    FROM (SELECT n_name AS nation, cast(year(o_orderdate) as int) AS o_year,
+        cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))
+          - cast(p_retailprice as decimal(18,2)) * cast(l_quantity as decimal(18,2)) AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%a%') AS profit
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC"""
+
+  /** SQL surface — TPC-H Q11 shape (important stock): the scalar
+    * subquery in HAVING tier — per-part supply value kept only when it
+    * exceeds a fraction of the TOTAL value, which Catalyst evaluates as
+    * an uncorrelated scalar subquery feeding the aggregate filter (one
+    * extra pass, not per-group). Supply value adapted to lineitem
+    * revenue through the nation's suppliers.
+    */
+  def sql_tpch_q11(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "nation", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ11)
+  }
+
+  val sqlQ11 = """SELECT l_partkey AS ps_partkey,
+      cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS part_value
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+    HAVING cast(sum(cast(l_extendedprice as decimal(18,2))) as double) >
+      (SELECT cast(sum(cast(l_extendedprice as decimal(18,2))) as double) * 0.002
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1')
+    ORDER BY part_value DESC, ps_partkey"""
+
+  /** SQL surface — TPC-H Q13 shape (customer order-count distribution):
+    * the outer-join-with-ON-filter + double-aggregation tier. The
+    * priority filter lives in the JOIN condition, not WHERE — pushing it
+    * to WHERE would silently drop zero-order customers, so this pins
+    * outer-join filter placement semantics across both engines.
+    */
+  def sql_tpch_q13(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ13)
+  }
+
+  val sqlQ13 = """SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) AS co
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  /** SQL surface — TPC-H Q15 shape (top supplier): a revenue CTE
+    * referenced twice — once as the join input, once under an
+    * uncorrelated scalar MAX — selecting the supplier(s) at the exact
+    * maximum. Equality on the double is safe because both sides are the
+    * same exact-decimal sum cast once.
+    */
+  def sql_tpch_q15(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ15)
+  }
+
+  val sqlQ15 = """WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""
+
+  /** SQL surface — TPC-H Q16 shape (supplier-part counts): NOT IN over a
+    * subquery (null-aware anti-join — the set is s_suppkey, non-null by
+    * schema, so both engines take the fast anti-join path) feeding
+    * count(DISTINCT) per part attribute group. The "complaints"
+    * exclusion adapted to negative-balance suppliers.
+    */
+  def sql_tpch_q16(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlQ16)
+  }
+
+  val sqlQ16 = """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
   /** SQL surface — verbatim window functions: RANK / LAG / moving sum
     * in raw SQL, one text through both engines — the parity point for
     * BI tools that GENERATE window SQL rather than building DataFrames.
@@ -4856,6 +5050,14 @@ object Queries {
     ("sql_tpch_q17", sql_tpch_q17 _, sqlQ17),
     ("sql_tpch_q20", sql_tpch_q20 _, sqlQ20),
     ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),
+    ("sql_tpch_q2", sql_tpch_q2 _, sqlQ2),
+    ("sql_tpch_q6", sql_tpch_q6 _, sqlQ6),
+    ("sql_tpch_q8", sql_tpch_q8 _, sqlQ8),
+    ("sql_tpch_q9", sql_tpch_q9 _, sqlQ9),
+    ("sql_tpch_q11", sql_tpch_q11 _, sqlQ11),
+    ("sql_tpch_q13", sql_tpch_q13 _, sqlQ13),
+    ("sql_tpch_q15", sql_tpch_q15 _, sqlQ15),
+    ("sql_tpch_q16", sql_tpch_q16 _, sqlQ16),
     ("e4_subword", e4_subword _, e4swSql),
     ("e4_subword_budget", e4_subword_budget _, e4sbSql),
     ("llm_ingest_incr", llm_ingest_incr _, llmIncSql),

@@ -45,4 +45,51 @@ class TpchPlanSpec extends SparkSpec {
     // executed once (Subquery scalar-subquery), never per row
     assert(p.contains("LeftAnti"))
   }
+
+  test("Q2: correlated min over the CTE decorrelates to aggregate + join-back") {
+    val p = executed("sql_tpch_q2")
+    // the correlated min(ps_supplycost) must run as a per-partkey
+    // aggregate joined back — no per-row probe of the CTE
+    assert(p.contains("min(ps_supplycost"), "the decorrelated min must exist")
+    assert(p.contains("BroadcastHashJoin"), "supplier/nation/region dims should broadcast")
+  }
+
+  test("Q6: all three range predicates reach the parquet scan") {
+    val p = executed("sql_tpch_q6")
+    // PushedFilters is elided ("...") in toString, so pin the DataFilters
+    // Filter node text — every predicate the scan receives appears there
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"scan must advertise pushed filters:\n$p")
+    assert("l_quantity#\\d+ < 24\\.0".r.findFirstIn(p).isDefined,
+      s"quantity bound not at the scan:\n$p")
+    assert("l_discount#\\d+ >= 0\\.05".r.findFirstIn(p).isDefined,
+      s"discount range not at the scan:\n$p")
+  }
+
+  test("Q16: NOT IN becomes an anti join, never a per-row probe") {
+    val p = executed("sql_tpch_q16")
+    assert(p.contains("LeftAnti"), "NOT IN must become a (null-aware) anti join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("Broadcast"),
+      "the 100-row supplier exclusion set should broadcast")
+  }
+
+  test("Q13: the priority filter stays in the outer join, zero-order customers survive") {
+    val fn = Queries.all.find(_._1 == "sql_tpch_q13").get._2
+    val df = fn(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    // every customer must survive the LEFT OUTER join — if the ON-clause
+    // priority filter leaked to WHERE, urgent-only customers would drop
+    // and the bucket counts would sum below the customer count (sf0.001
+    // has no zero-order customer, so pin the sum, not the 0 bucket)
+    val nCust = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nCust,
+      "customers were dropped — ON-clause filter leaked to WHERE")
+  }
+
+  test("Q15: the revenue CTE's max is an uncorrelated scalar executed once") {
+    val p = executed("sql_tpch_q15")
+    assert(p.contains("max(total_revenue"), "the max aggregate must exist")
+    assert(!p.contains("CartesianProduct"), s"max gate must not cross-join:\n$p")
+  }
 }
