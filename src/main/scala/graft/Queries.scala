@@ -2084,6 +2084,37 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** MM — REAL video container decode graded the same way: three
+    * minimal-but-valid ISO BMFF payloads (full v0 header boxes, every
+    * offset per the public spec) plus one garbage payload through
+    * `extractVideoMeta`; the oracle states the expected (width, height,
+    * duration, is_real) literals. The row only hash-matches if the box
+    * walker, the 16.16 fixed-point dims, the timescale→ms arithmetic,
+    * and the labeled stub fallback all deliver.
+    */
+  def mm_video_meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      (1L, "video", Multimodal.minimalMp4(1920, 1080, 2000L)),
+      (2L, "video", Multimodal.minimalMp4(640, 480, 125L, timescale = 600)),
+      (3L, "video", Multimodal.minimalMp4(320, 240, 33L, timescale = 90000)),
+      (4L, "video", "not a video".getBytes("UTF-8"))) // stub fallback
+      .toDF("media_id", "kind", "payload")
+    Multimodal.extractVideoMeta(media)
+      .select(col("media_id"), col("width"), col("height"),
+        col("duration_ms"), col("is_real").cast("int").as("is_real"))
+      .orderBy("media_id")
+  }
+
+  val mmVideoSql = """SELECT * FROM (VALUES
+      (cast(1 as bigint), cast(1920 as int), cast(1080 as int), cast(2000 as bigint), cast(1 as int)),
+      (2, 640, 480, 125, 1),
+      (3, 320, 240, 33, 1),
+      (4, 0, 0, 88, 0))
+    AS t(media_id, width, height, duration_ms, is_real)
+    ORDER BY media_id"""
+
   val mmAudioSql = """SELECT * FROM (VALUES
       (cast(1 as bigint), cast(1 as int), cast(8000 as int), cast(200 as bigint), cast(1 as int)),
       (2, 2, 16000, 50, 1),
@@ -5063,6 +5094,7 @@ object Queries {
     ("llm_ingest_incr", llm_ingest_incr _, llmIncSql),
     ("e2_incremental_rest", e2_incremental_rest _, e2incSql),
     ("mm_audio_meta", mm_audio_meta _, mmAudioSql),
+    ("mm_video_meta", mm_video_meta _, mmVideoSql),
     ("e2_threshold_sweep", e2_threshold_sweep _, e2tsSql),
     ("e11_dau_wau", e11_dau_wau _, e11dwSql),
     ("e5_props_stats", e5_props_stats _, e5psSql),

@@ -18,9 +18,11 @@ import graft.functions._
   * AUDIO decodes for real too: `audioMeta`/`extractAudioMeta` use the
   * JDK's own `javax.sound.sampled` (WAV/AIFF/AU) for channels, sample
   * rate and header-derived duration, with the same stub fallback on
-  * unrecognized bytes. VIDEO remains a stub (no pure-JDK video codec
-  * exists): `decodeStub` derives deterministic fake metadata from the
-  * bytes.
+  * unrecognized bytes. VIDEO container metadata decodes for real as
+  * well: `videoMeta`/`extractVideoMeta` walk the ISO BMFF (MP4/MOV) box
+  * tree by hand — the container layout is public and needs no codec —
+  * for dimensions and duration; only frame DECODE stays stubbed
+  * (`frameStub`), since that genuinely needs a codec.
   * Everything around them — schema, batch iteration, partitioning,
   * output shape — is the real distributed pipeline a codec plugs into:
   * swap the stub for a JNI/FFI call (or an Arrow batch handoff to a
@@ -120,6 +122,117 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL video header decode: a hand-rolled ISO BMFF (MP4/MOV) box
+    * walker — the container layout is public (ISO/IEC 14496-12) and
+    * needs no codec: boxes are [u32 size][4cc type][payload], nested.
+    * Reads `moov/mvhd` (timescale + duration → duration_ms) and the
+    * `trak` whose `mdia/hdlr` handler is 'vide' for `tkhd` width/height
+    * (16.16 fixed point). Handles version-0 and version-1 headers and
+    * 64-bit largesize boxes. Returns None on anything that isn't a
+    * well-formed BMFF file (no `ftyp`, truncated boxes, zero timescale)
+    * — those fall back to the labeled stub, same contract as images and
+    * audio. Sample DATA is never touched: this reads a few hundred
+    * header bytes no matter the payload size.
+    */
+  def videoMeta(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (payload == null || payload.length < 16) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload) // big-endian
+      def u32(o: Int): Long = bb.getInt(o) & 0xffffffffL
+      def fourcc(o: Int): String = new String(payload, o, 4, "ISO-8859-1")
+      // direct children (type, payloadStart, boxEnd) of [s, e)
+      def children(s: Int, e: Int): List[(String, Int, Int)] = {
+        var off = s
+        val out = List.newBuilder[(String, Int, Int)]
+        while (off + 8 <= e) {
+          val sz = u32(off)
+          val (hdr, boxEnd: Long) =
+            if (sz == 0) (8, e.toLong) // box extends to end of enclosure
+            else if (sz == 1) {
+              if (off + 16 > e) return out.result()
+              (16, off + bb.getLong(off + 8))
+            } else (8, off + sz)
+          if (boxEnd < off + hdr || boxEnd > e) return out.result()
+          out += ((fourcc(off + 4), off + hdr, boxEnd.toInt))
+          off = boxEnd.toInt
+        }
+        out.result()
+      }
+      val top = children(0, payload.length)
+      if (!top.exists(_._1 == "ftyp")) return None
+      val moovSpan = top.find(_._1 == "moov").getOrElse(return None)
+      val moov = children(moovSpan._2, moovSpan._3)
+      // mvhd v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+      //      v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+      val durMs = moov.find(_._1 == "mvhd").flatMap { case (_, o, _) =>
+        val v1 = (payload(o) & 0xff) == 1
+        val ts = if (v1) u32(o + 20) else u32(o + 12)
+        val dur = if (v1) bb.getLong(o + 24) else u32(o + 16)
+        if (ts == 0) None
+        else Some(math.round(dur.toDouble * 1000.0 / ts))
+      }.getOrElse(return None)
+      // the 'vide'-handler trak's tkhd carries presentation width/height
+      // as 16.16 fixed point after ver/flags + times/ids + layout fields:
+      // v0: 4 + (4+4+4+4+4) + (8+2+2+2+2) + 36 = 76; v1 times/dur are
+      // 8-byte so 4 + (8+8+4+4+8) + 16 + 36 = 88
+      val dims = moov.filter(_._1 == "trak").flatMap { case (_, to, te) =>
+        val kids = children(to, te)
+        val isVideo = kids.find(_._1 == "mdia").exists { case (_, mo, me) =>
+          children(mo, me).find(_._1 == "hdlr")
+            .exists { case (_, ho, _) => fourcc(ho + 8) == "vide" }
+        }
+        if (!isVideo) None
+        else kids.find(_._1 == "tkhd").map { case (_, o, _) =>
+          val base = if ((payload(o) & 0xff) == 1) o + 88 else o + 76
+          ((u32(base) >> 16).toInt, (u32(base + 4) >> 16).toInt)
+        }
+      }.headOption
+      dims.map { case (w, h) => (w, h, durMs) }
+    } catch { case _: Exception => None }
+  }
+
+  /** Minimal valid BMFF fixture (ftyp + moov(mvhd, trak(tkhd,
+    * mdia(hdlr)))) with the given presentation dims and duration —
+    * every offset per ISO/IEC 14496-12, full-length v0 header boxes
+    * (zero-filled reserved/matrix fields). This is the smoke payload
+    * for [[videoMeta]] and the graded literal-flag row; a real camera
+    * MP4 differs only by carrying codec config + sample data boxes the
+    * walker skips.
+    */
+  def minimalMp4(w: Int, h: Int, durationMs: Long,
+                 timescale: Int = 1000): Array[Byte] = {
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val n = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(n)
+      bb.putInt(n).put(typ.getBytes("ISO-8859-1"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(100) // v0 mvhd payload
+    mvhd.putInt(0)                               // version + flags
+      .putInt(0).putInt(0)                       // ctime, mtime
+      .putInt(timescale)
+      .putInt(math.round(durationMs.toDouble * timescale / 1000.0).toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    // remaining 74 bytes (reserved, matrix, pre_defined, next_track_ID)
+    // stay zero-filled — the walker never reads past duration
+    val tkhd = java.nio.ByteBuffer.allocate(84)  // v0 tkhd payload
+    tkhd.putInt(0x00000007)                      // v0, flags: enabled|in-movie|in-preview
+      .putInt(0).putInt(0).putInt(1).putInt(0)   // ctime mtime track_id reserved
+      .putInt(math.round(durationMs.toDouble * timescale / 1000.0).toInt)
+    tkhd.position(76)
+    tkhd.putInt(w << 16).putInt(h << 16)         // 16.16 fixed
+    val hdlr = java.nio.ByteBuffer.allocate(25)  // ver/flags pre_defined 'vide' reserved×3 name ""
+    hdlr.position(8)
+    hdlr.put("vide".getBytes("ISO-8859-1"))
+    val ftyp = "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+      "isom".getBytes("ISO-8859-1")
+    box("ftyp", ftyp) ++ box("moov",
+      box("mvhd", mvhd.array()),
+      box("trak", box("tkhd", tkhd.array()),
+        box("mdia", box("hdlr", hdlr.array()))))
+  }
+
   /** REAL image resize (decode → raster scale → PNG re-encode), again
     * pure JDK. None when the bytes aren't a decodable image.
     */
@@ -163,6 +276,10 @@ object Multimodal {
             case Some((_, _, durMs)) => (0, 0, durMs)
             case None => decodeStub(kind, payload)
           }
+          else if (kind == "video") videoMeta(payload) match {
+            case Some((vw, vh, durMs)) => (vw, vh, durMs)
+            case None => decodeStub(kind, payload)
+          }
           else decodeStub(kind, payload)
         val n: Long = if (payload == null) 0L else payload.length.toLong
         Row(r.getLong(0), kind, n, w, h, d)
@@ -204,6 +321,37 @@ object Multimodal {
       }(enc)
   }
 
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("is_real", BooleanType, nullable = false)))
+
+  /** Video-specific metadata extraction — the [[extractAudioMeta]] twin
+    * for BMFF containers: (width, height, duration) from the moov header
+    * via [[videoMeta]], `is_real` marking rows whose container actually
+    * parsed vs the labeled stub fallback. Per-partition, payloads never
+    * shuffle, header-only reads regardless of payload size.
+    */
+  def extractVideoMeta(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoMetaSchema)
+    media.filter(col("kind") === "video")
+      .select("media_id", "kind", "payload").mapPartitions { it =>
+        it.map { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val n: Long = if (payload == null) 0L else payload.length.toLong
+          videoMeta(payload) match {
+            case Some((w, h, durMs)) => Row(r.getLong(0), n, w, h, durMs, true)
+            case None =>
+              val (_, _, d) = decodeStub("video", payload)
+              Row(r.getLong(0), n, 0, 0, d, false)
+          }
+        }
+      }(enc)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),
@@ -235,7 +383,9 @@ object Multimodal {
         if (kind != "video" || r.isNullAt(2)) Iterator.empty
         else {
           val payload = r.getAs[Array[Byte]](2)
-          val (_, _, durMs) = decodeStub(kind, payload)
+          // real container duration when the header parses; stub otherwise
+          val durMs = videoMeta(payload).map(_._3)
+            .getOrElse(decodeStub(kind, payload)._3)
           val nFrames = (durMs / everyMs).toInt
           (0 until nFrames).iterator.map { i =>
             Row(r.getLong(0), i, i * everyMs, frameStub(payload, i))

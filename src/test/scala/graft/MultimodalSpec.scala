@@ -143,6 +143,49 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("duration_ms") == 100L)
   }
 
+  test("a minimal BMFF container decodes to true dims/duration, fakes fall to the stub") {
+    val mp4 = Multimodal.minimalMp4(1280, 720, 5000L)
+    assert(Multimodal.videoMeta(mp4) == Some((1280, 720, 5000L)))
+    // odd timescale round-trips through the units encoding
+    assert(Multimodal.videoMeta(Multimodal.minimalMp4(64, 48, 33L, 90000)) ==
+      Some((64, 48, 33L)))
+    // no ftyp / truncated / audio-handler trak → None
+    assert(Multimodal.videoMeta("garbage".getBytes) == None)
+    assert(Multimodal.videoMeta(mp4.take(20)) == None)
+    val audioOnly = {
+      val b = Multimodal.minimalMp4(10, 10, 100L)
+      // flip the hdlr handler 'vide' → 'soun': no video trak remains
+      val idx = b.indexOfSlice("vide".getBytes("ISO-8859-1"))
+      b.patch(idx, "soun".getBytes("ISO-8859-1"), 4)
+    }
+    assert(Multimodal.videoMeta(audioOnly) == None)
+    val df = Seq(
+      (1L, "video", mp4),
+      (2L, "video", "fake".getBytes("UTF-8")),
+      (3L, "image", mp4)).toDF("media_id", "kind", "payload")
+    val rows = Multimodal.extractVideoMeta(df).orderBy("media_id").collect()
+    assert(rows.length == 2) // the image row never enters the video path
+    assert(rows(0).getAs[Int]("width") == 1280 &&
+      rows(0).getAs[Int]("height") == 720 &&
+      rows(0).getAs[Long]("duration_ms") == 5000L &&
+      rows(0).getAs[Boolean]("is_real"))
+    assert(!rows(1).getAs[Boolean]("is_real"))
+    assert(rows(1).getAs[Long]("duration_ms") == 4 * 8L) // stub: n_bytes*8
+    // generic metadata stage surfaces real video dims+duration too
+    val gen = Multimodal.extractMetadata(df.limit(2)).orderBy("media_id").collect()
+    assert(gen(0).getAs[Int]("width") == 1280 &&
+      gen(0).getAs[Long]("duration_ms") == 5000L)
+  }
+
+  test("frame sampling uses the real container duration when the header parses") {
+    val df = Seq((1L, "video", Multimodal.minimalMp4(320, 240, 3500L)))
+      .toDF("media_id", "kind", "payload")
+    val frames = Multimodal.sampleFrames(df, everyMs = 1000L).collect()
+    assert(frames.length == 3) // floor(3500 / 1000)
+    assert(frames.map(_.getAs[Long]("frame_ts_ms")).sorted.sameElements(
+      Array(0L, 1000L, 2000L)))
+  }
+
   test("null payload handled as zero-byte media") {
     val withNull = Seq((9L, "image")).toDF("media_id", "kind")
       .withColumn("payload", lit(null).cast("binary"))
