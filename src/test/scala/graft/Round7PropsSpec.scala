@@ -84,4 +84,35 @@ object Round7PropsSpec extends Properties("graft.round7") {
         }
       }
     }
+
+  // --- BMFF walker: build→parse round-trip and garbage rejection -------
+
+  import graft.multimodal.Multimodal
+
+  property("videoMeta round-trips minimalMp4 for any dims/duration/timescale") =
+    Prop.forAll(Gen.chooseNum(1, 8192), Gen.chooseNum(1, 8192),
+      Gen.chooseNum(0L, 86400000L),
+      Gen.oneOf(600, 1000, 90000, 44100)) { (w, h, durMs, ts) =>
+      // duration survives the units encoding only when representable:
+      // round(round(durMs*ts/1000)*1000/ts) == durMs for these timescales
+      val units = math.round(durMs.toDouble * ts / 1000.0)
+      val back = math.round(units * 1000.0 / ts)
+      // representable: round-trips through units AND fits mvhd v0's u32
+      (back == durMs && units <= Int.MaxValue) ==> {
+        Multimodal.videoMeta(Multimodal.minimalMp4(w, h, durMs, ts))
+          .contains((w, h, durMs))
+      }
+    }
+
+  property("videoMeta rejects arbitrary bytes and truncations, never throws") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)),
+      Gen.chooseNum(0, 40)) { (junk, cut) =>
+      val mp4 = Multimodal.minimalMp4(64, 64, 1000L)
+      // arbitrary bytes: None (no ftyp at top level) — and a truncated
+      // genuine file parses to None or the true value, never garbage
+      Multimodal.videoMeta(junk.toArray).isEmpty && {
+        val t = Multimodal.videoMeta(mp4.take(math.min(cut, mp4.length)))
+        t.isEmpty || t.contains((64, 64, 1000L))
+      }
+    }
 }
