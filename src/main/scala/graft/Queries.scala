@@ -4572,9 +4572,9 @@ object Queries {
     * greedy longest-match token counts against the corpus' own top-256
     * substring vocabulary over the e4_regex_tokens pre-tokens — the
     * token-denominated operators' counter graduates from whitespace to a
-    * BPE-style subword encode. Spark computes the greedy walk by pointer
-    * doubling over the distinct-pre-token position frame (O(log maxlen)
-    * keyed self-joins — see TextAnalysis.subwordCounts); the oracle
+    * BPE-style subword encode. Spark computes the greedy walk as a
+    * per-pre-token array fold over the longest-match map (one keyed
+    * aggregate, no iteration — see TextAnalysis.subwordCounts); the oracle
     * implements the IDENTICAL greedy match as a sequential recursive
     * CTE. The row only hash-matches if vocabulary selection, longest-
     * match semantics, and the walk all agree token for token.
@@ -4629,8 +4629,12 @@ object Queries {
     */
   def e4_subword_budget(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // eager lineage cut on the (id, count) frame — one row per doc,
+    // bounded — so the budget window consumes a materialized table
+    // instead of inlining the 20+-exchange subword DAG into its own
+    // plan (measured round 7: 2.16 → ~1.0 s at sf0.1)
     val counts = TextAnalysis.subwordCounts(docs, "doc_id", "text",
-      vocabSize = 256, maxSubLen = 6)
+      vocabSize = 256, maxSubLen = 6).localCheckpoint(true)
     TextAnalysis.tokenBudget(docs, "doc_id", "text", groupCol = "source",
       budget = 8000L, tokenCounts = Some(counts))
       .orderBy("source", "doc_id")

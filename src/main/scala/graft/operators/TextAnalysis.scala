@@ -677,10 +677,20 @@ object TextAnalysis {
     * swap a heavy-hitters sketch at true scale, the shape is unchanged).
     */
   def subwordVocab(df: DataFrame, textCol: String, vocabSize: Int = 256,
-                   maxSubLen: Int = 6): DataFrame = {
+                   maxSubLen: Int = 6): DataFrame =
+    subwordVocabFromPtf(
+      df.select(explode(preTokens(col(textCol))).as("pt"))
+        .groupBy("pt").agg(count(lit(1)).as("cf")),
+      vocabSize, maxSubLen)
+
+  /** [[subwordVocab]] over a precomputed (pt, cf) pre-token frequency
+    * frame — callers that already hold the Zipf-bounded frequency table
+    * (subwordCounts shares one between the vocab build and the walk)
+    * skip re-exploding the corpus.
+    */
+  def subwordVocabFromPtf(ptf: DataFrame, vocabSize: Int,
+                          maxSubLen: Int): DataFrame = {
     require(vocabSize > 0 && maxSubLen >= 2)
-    val ptf = df.select(explode(preTokens(col(textCol))).as("pt"))
-      .groupBy("pt").agg(count(lit(1)).as("cf"))
     val subs = ptf
       .select(col("pt"), col("cf"),
         explode(sequence(lit(1), length(col("pt")))).as("i"))
@@ -689,11 +699,16 @@ object TextAnalysis {
       .filter(col("i") + col("l") - 1 <= length(col("pt")))
       .select(expr("substr(pt, i, l)").as("sub"), col("cf"))
       .groupBy("sub").agg(sum(col("cf")).as("w"))
+    // top-k via orderBy+limit plans as TakeOrderedAndProject (per-
+    // partition heaps, no single-partition global sort — the shape that
+    // survives a corpus-scale substring table); the rank window then
+    // runs over only the vocabSize survivors. (w desc, sub) is a total
+    // order, so the cut is deterministic.
     val win = org.apache.spark.sql.expressions.Window
       .orderBy(col("w").desc, col("sub"))
-    subs.withColumn("__rn", row_number().over(win))
-      .filter(col("__rn") <= vocabSize)
-      .select(col("sub"), col("w"), col("__rn").cast("int").as("rank"))
+    subs.orderBy(col("w").desc, col("sub")).limit(vocabSize)
+      .withColumn("rank", row_number().over(win))
+      .select(col("sub"), col("w"), col("rank"))
   }
 
   /** GREEDY longest-match subword token counts per document against
@@ -708,34 +723,34 @@ object TextAnalysis {
     * Scale design — the part that is NOT the obvious per-string loop:
     *  - the encode runs once per DISTINCT pre-token and joins back
     *    token-keyed; the corpus never iterates.
-    *  - the greedy walk is not sequential: the longest match m(i) per
-    *    position is one explode + broadcast-vocab join + max, and
-    *    "count steps from 0 following i → i + m(i)" is POINTER
-    *    DOUBLING — ceil(log2(max pre-token length)) keyed self-joins
-    *    over the (distinct pre-token × position) frame, with per-round
-    *    lineage cuts (the Components discipline). O(log maxlen) rounds,
-    *    every op a keyed join or aggregate — no driver loops over data.
-    *  - the only driver-side value is the max pre-token length (one
-    *    scalar; it sets the round count, the convergence-gate pattern).
+    *  - the longest match m(i) per position is one explode +
+    *    broadcast-vocab join + max; the walk "count steps from 0
+    *    following i → i + m(i)" then runs as a single per-row array
+    *    fold (`aggregate` over a position→match-length map) — each
+    *    pre-token is a bounded regex run, so the O(len) fold is
+    *    constant-bounded work per row, embarrassingly parallel across
+    *    the distinct-pre-token frame. Round 7 measured this against
+    *    the log2(maxlen)-round pointer-doubling self-join formulation:
+    *    the fold wins (the doubling rounds each paid a full keyed join
+    *    + materialization for a walk that fits in one expression), and
+    *    it leaves no driver-side scalar at all.
+    *  - the (pt, cf) frequency frame is computed ONCE, eagerly cut
+    *    (Zipf-bounded — distinct pre-tokens, not the corpus), and
+    *    shared by the vocab build and the walk; the corpus explodes
+    *    exactly twice (frequency build + per-doc join), and the per-doc
+    *    side joins the small per-token counts directly — partial
+    *    aggregation shrinks the groupBy(id) shuffle to one row per
+    *    (doc, partition) instead of shuffling the exploded occurrences.
     */
   def subwordCounts(df: DataFrame, idCol: String, textCol: String,
                     vocabSize: Int = 256, maxSubLen: Int = 6): DataFrame = {
-    val vocab = subwordVocab(df, textCol, vocabSize, maxSubLen).select("sub")
-    val occ = df.select(col(idCol).as("id"),
-        explode(preTokens(col(textCol))).as("pt"))
-      .groupBy("id", "pt").agg(count(lit(1)).as("occ"))
-    val pts = occ.select("pt").distinct()
-      .select(col("pt"), length(col("pt")).as("len")).persist()
-    val maxPtLen = Option(pts.agg(max(col("len"))).collect()(0).get(0))
-      .map(_.asInstanceOf[Int]).getOrElse(0)
-    val zero = df.select(col(idCol).as("id"))
-    if (maxPtLen == 0) {
-      pts.unpersist()
-      return zero.select(col("id"), lit(0L).as("n_subword"))
-    }
-    val pos = pts.select(col("pt"), col("len"),
-      explode(sequence(lit(0), col("len") - 1)).as("i"))
-    val matched = pos
+    val ptf = df.select(explode(preTokens(col(textCol))).as("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("cf"))
+    val vocab = subwordVocabFromPtf(ptf, vocabSize, maxSubLen).select("sub")
+    val pts = ptf.select(col("pt"), length(col("pt")).as("len"))
+    val matched = pts
+      .select(col("pt"), col("len"),
+        explode(sequence(lit(0), col("len") - 1)).as("i"))
       .select(col("pt"), col("len"), col("i"),
         explode(sequence(lit(2), lit(maxSubLen))).as("l"))
       .filter(col("i") + col("l") <= col("len"))
@@ -743,34 +758,34 @@ object TextAnalysis {
         expr("substr(pt, i + 1, l)").as("sub"))
       .join(broadcast(vocab), Seq("sub"))
       .groupBy("pt", "i").agg(max(col("l")).as("ml"))
-    // state after k rounds: from position i the walk reaches j having
-    // consumed c = min(2^k, steps-to-end) tokens; j saturates at len
-    // (no row for i = len, so the left-join miss is the absorbing state)
-    var state = pos.join(matched, Seq("pt", "i"), "left")
-      .select(col("pt"), col("i"),
-        (col("i") + coalesce(col("ml"), lit(1))).as("j"), lit(1L).as("c"))
-      .localCheckpoint(true)
-    var span = 1L
-    while (span < maxPtLen) {
-      val b = state.select(col("pt").as("__bpt"), col("i").as("__bi"),
-        col("j").as("__bj"), col("c").as("__bc"))
-      state = state.join(b,
-          col("pt") === col("__bpt") && col("j") === col("__bi"), "left")
-        .select(col("pt"), col("i"),
-          coalesce(col("__bj"), col("j")).as("j"),
-          (col("c") + coalesce(col("__bc"), lit(0L))).as("c"))
-        .localCheckpoint(true)
-      span *= 2
-    }
-    val ptCounts = state.filter(col("i") === 0)
-      .select(col("pt"), col("c").as("n_sub"))
-    val agg = occ.join(ptCounts, Seq("pt"))
-      .groupBy("id").agg(sum(col("occ") * col("n_sub")).as("n_subword"))
-    val out = zero.join(agg, Seq("id"), "left")
+      .groupBy("pt")
+      .agg(map_from_entries(collect_list(struct(col("i"), col("ml"))))
+        .as("mlm"))
+    // greedy walk as a fold: len iterations of (pos, cnt) →
+    // (pos + m(pos), cnt + 1) while pos < len; positions absent from
+    // the map (no ≥2-char vocab match) advance by the 1-char fallback,
+    // so a pre-token with no matches at all (left-join miss, null map)
+    // counts exactly len
+    val ptCounts = pts.join(matched, Seq("pt"), "left")
+      .select(col("pt"),
+        aggregate(
+          sequence(lit(1), col("len")),
+          struct(lit(0).as("pos"), lit(0L).as("cnt")),
+          (acc, _) => {
+            val pos = acc.getField("pos")
+            val step = coalesce(element_at(col("mlm"), pos), lit(1))
+            when(pos < col("len"),
+              struct((pos + step).as("pos"),
+                (acc.getField("cnt") + lit(1L)).as("cnt")))
+              .otherwise(acc)
+          },
+          acc => acc.getField("cnt")).as("n_sub"))
+    val agg = df.select(col(idCol).as("id"),
+        explode(preTokens(col(textCol))).as("pt"))
+      .join(ptCounts, Seq("pt"))
+      .groupBy("id").agg(sum(col("n_sub")).as("n_subword"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_subword"), lit(0L)).as("n_subword"))
-      .localCheckpoint(true)
-    pts.unpersist()
-    out
   }
 
   /** Corpus DRIFT report: Jensen-Shannon divergence between the token

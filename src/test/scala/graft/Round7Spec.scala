@@ -110,10 +110,10 @@ class Round7Spec extends SparkSpec {
 
   // --- greedy subword tokenization -------------------------------------
 
-  test("e4_subword pointer-doubling walk matches the sequential greedy oracle") {
+  test("e4_subword fold walk matches the sequential greedy oracle") {
     // anchors computed by the DuckDB recursive-CTE oracle (the literal
     // sequential greedy walk) on sf0.001 — if vocabulary selection,
-    // longest-match semantics, or the doubling walk drift, these move
+    // longest-match semantics, or the fold walk drift, these move
     val out = graft.Queries.e4_subword(spark, "/root/testdata/sf0.001")
       .as[(Long, Long)].collect()
     assert(out.length == 500)
