@@ -2115,6 +2115,49 @@ object Queries {
     AS t(media_id, width, height, duration_ms, is_real)
     ORDER BY media_id"""
 
+  /** MM — REAL frame sampling from the BMFF sample table: every 2nd
+    * sample of each fixture MP4 located via the stsc×stco×stsz chunk-run
+    * expansion (the demuxer arithmetic — see Multimodal.videoSamples),
+    * sliced from mdat, and checksummed. The oracle rows are the
+    * hand-derived container layout: ftyp(20) + moov(425|413) + mdat
+    * header(8) puts the first sample at offset 453 (5-sample file) /
+    * 441 (3-sample file); chunks pack 2 samples, so chunk c starts at
+    * mdat + the sizes before it; pts comes from the stts delta on the
+    * mdhd timescale (90 kHz for media 2). The checksum (sum of unsigned
+    * sample bytes; sample i of media 1 is filled with byte i+1, media 2
+    * with 160+i) only matches if the slice really came out of mdat. The
+    * garbage payload (media 3) must emit NO rows — quarantine, not
+    * crash.
+    */
+  def mm_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    def fill(n: Int, b: Int): Array[Byte] = Array.fill(n)(b.toByte)
+    val media = Seq(
+      (1L, "video", Multimodal.minimalMp4WithSamples(1920, 1080, 200L,
+        timescale = 1000,
+        samples = Seq(fill(10, 1), fill(20, 2), fill(30, 3),
+          fill(40, 4), fill(50, 5)),
+        sampleDeltaMs = 40L, samplesPerChunk = 2)),
+      (2L, "video", Multimodal.minimalMp4WithSamples(640, 480, 99L,
+        timescale = 90000,
+        samples = Seq(fill(7, 160), fill(9, 161), fill(11, 162)),
+        sampleDeltaMs = 33L, samplesPerChunk = 2)),
+      (3L, "video", "not a container".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    Multimodal.extractVideoSamples(media, everyK = 2)
+      .orderBy("media_id", "sample_idx")
+  }
+
+  val mmFrameSql = """SELECT * FROM (VALUES
+      (cast(1 as bigint), cast(0 as int), cast(453 as bigint), cast(10 as int), cast(0 as bigint), cast(10 as bigint)),
+      (1, 2, 483, 30, 80, 90),
+      (1, 4, 553, 50, 160, 250),
+      (2, 0, 441, 7, 0, 1120),
+      (2, 2, 457, 11, 66, 1782))
+    AS t(media_id, sample_idx, byte_offset, n_bytes, pts_ms, checksum)
+    ORDER BY media_id, sample_idx"""
+
   val mmAudioSql = """SELECT * FROM (VALUES
       (cast(1 as bigint), cast(1 as int), cast(8000 as int), cast(200 as bigint), cast(1 as int)),
       (2, 2, 16000, 50, 1),
@@ -5099,6 +5142,7 @@ object Queries {
     ("e2_incremental_rest", e2_incremental_rest _, e2incSql),
     ("mm_audio_meta", mm_audio_meta _, mmAudioSql),
     ("mm_video_meta", mm_video_meta _, mmVideoSql),
+    ("mm_frame_sample", mm_frame_sample _, mmFrameSql),
     ("e2_threshold_sweep", e2_threshold_sweep _, e2tsSql),
     ("e11_dau_wau", e11_dau_wau _, e11dwSql),
     ("e5_props_stats", e5_props_stats _, e5psSql),

@@ -134,30 +134,49 @@ object Multimodal {
     * audio. Sample DATA is never touched: this reads a few hundred
     * header bytes no matter the payload size.
     */
+  // --- shared BMFF box-walk primitives (videoMeta + videoSamples) ----
+  private def bmffU32(payload: Array[Byte], o: Int): Long =
+    java.nio.ByteBuffer.wrap(payload).getInt(o) & 0xffffffffL
+  private def bmffFourcc(payload: Array[Byte], o: Int): String =
+    new String(payload, o, 4, "ISO-8859-1")
+  /** Direct children (type, payloadStart, boxEnd) of span [s, e). */
+  private def bmffChildren(payload: Array[Byte], s: Int,
+                           e: Int): List[(String, Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    var off = s
+    val out = List.newBuilder[(String, Int, Int)]
+    while (off + 8 <= e) {
+      val sz = bmffU32(payload, off)
+      val (hdr, boxEnd: Long) =
+        if (sz == 0) (8, e.toLong) // box extends to end of enclosure
+        else if (sz == 1) {
+          if (off + 16 > e) return out.result()
+          (16, off + bb.getLong(off + 8))
+        } else (8, off + sz)
+      if (boxEnd < off + hdr || boxEnd > e) return out.result()
+      out += ((bmffFourcc(payload, off + 4), off + hdr, boxEnd.toInt))
+      off = boxEnd.toInt
+    }
+    out.result()
+  }
+  /** The 'vide'-handler trak's (payloadStart, boxEnd), if any. */
+  private def bmffVideoTrak(payload: Array[Byte],
+                            moov: List[(String, Int, Int)]): Option[(Int, Int)] =
+    moov.collectFirst { case ("trak", to, te)
+      if bmffChildren(payload, to, te).exists { case (t, mo, me) =>
+        t == "mdia" && bmffChildren(payload, mo, me)
+          .exists { case (h, ho, _) =>
+            h == "hdlr" && bmffFourcc(payload, ho + 8) == "vide" }
+      } => (to, te) }
+
   def videoMeta(payload: Array[Byte]): Option[(Int, Int, Long)] = {
     if (payload == null || payload.length < 16) return None
     try {
       val bb = java.nio.ByteBuffer.wrap(payload) // big-endian
-      def u32(o: Int): Long = bb.getInt(o) & 0xffffffffL
-      def fourcc(o: Int): String = new String(payload, o, 4, "ISO-8859-1")
-      // direct children (type, payloadStart, boxEnd) of [s, e)
-      def children(s: Int, e: Int): List[(String, Int, Int)] = {
-        var off = s
-        val out = List.newBuilder[(String, Int, Int)]
-        while (off + 8 <= e) {
-          val sz = u32(off)
-          val (hdr, boxEnd: Long) =
-            if (sz == 0) (8, e.toLong) // box extends to end of enclosure
-            else if (sz == 1) {
-              if (off + 16 > e) return out.result()
-              (16, off + bb.getLong(off + 8))
-            } else (8, off + sz)
-          if (boxEnd < off + hdr || boxEnd > e) return out.result()
-          out += ((fourcc(off + 4), off + hdr, boxEnd.toInt))
-          off = boxEnd.toInt
-        }
-        out.result()
-      }
+      def u32(o: Int): Long = bmffU32(payload, o)
+      def fourcc(o: Int): String = bmffFourcc(payload, o)
+      def children(s: Int, e: Int): List[(String, Int, Int)] =
+        bmffChildren(payload, s, e)
       val top = children(0, payload.length)
       if (!top.exists(_._1 == "ftyp")) return None
       val moovSpan = top.find(_._1 == "moov").getOrElse(return None)
@@ -191,6 +210,100 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** One video sample's location and timing: (index, absolute byte
+    * offset in the file, byte size, presentation time in ms). */
+  final case class VideoSample(idx: Int, offset: Long, size: Int, ptsMs: Long)
+
+  /** REAL frame-sample table from the BMFF sample boxes — expands the
+    * stsc chunk runs against stco chunk offsets and stsz sizes into
+    * per-sample absolute byte ranges, with presentation times from the
+    * stts delta runs on the mdhd media timescale. This is the container
+    * arithmetic every demuxer runs before the codec ever sees a byte:
+    * sample k of chunk c starts at stco[c] plus the sizes of the
+    * samples before it in that chunk. Header-only reads — sample DATA
+    * is located, not touched. None on anything malformed (missing
+    * boxes, zero timescale, counts that disagree), same contract as
+    * [[videoMeta]].
+    */
+  def videoSamples(payload: Array[Byte]): Option[Seq[VideoSample]] = {
+    if (payload == null || payload.length < 16) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      def u32(o: Int): Long = bmffU32(payload, o)
+      def children(s: Int, e: Int): List[(String, Int, Int)] =
+        bmffChildren(payload, s, e)
+      val top = children(0, payload.length)
+      if (!top.exists(_._1 == "ftyp")) return None
+      val moovSpan = top.find(_._1 == "moov").getOrElse(return None)
+      val moov = children(moovSpan._2, moovSpan._3)
+      val (to, te) = bmffVideoTrak(payload, moov).getOrElse(return None)
+      val mdia = children(to, te).find(_._1 == "mdia")
+        .map { case (_, s, e) => children(s, e) }.getOrElse(return None)
+      // mdhd v0/v1: timescale sits after ver/flags + 2 or 3 longs
+      val mediaTs = mdia.find(_._1 == "mdhd").flatMap { case (_, o, _) =>
+        val ts = if ((payload(o) & 0xff) == 1) u32(o + 20) else u32(o + 12)
+        if (ts == 0) None else Some(ts)
+      }.getOrElse(return None)
+      val stbl = mdia.find(_._1 == "minf")
+        .map { case (_, s, e) => children(s, e) }
+        .flatMap(_.find(_._1 == "stbl"))
+        .map { case (_, s, e) => children(s, e) }.getOrElse(return None)
+      def payloadOf(typ: String): Option[Int] =
+        stbl.find(_._1 == typ).map(_._2)
+      val sttsO = payloadOf("stts").getOrElse(return None)
+      val stszO = payloadOf("stsz").getOrElse(return None)
+      val stscO = payloadOf("stsc").getOrElse(return None)
+      val stcoO = payloadOf("stco").getOrElse(return None)
+      // stsz: fixed sample_size or per-sample table
+      val fixedSize = u32(stszO + 4)
+      val n = u32(stszO + 8).toInt
+      if (n <= 0) return Some(Nil)
+      val sizes: IndexedSeq[Int] =
+        if (fixedSize != 0) IndexedSeq.fill(n)(fixedSize.toInt)
+        else IndexedSeq.tabulate(n)(k => u32(stszO + 12 + 4 * k).toInt)
+      // stts delta runs → per-sample decode time (no ctts: pts = dts)
+      val nRuns = u32(sttsO + 4).toInt
+      val dts = new Array[Long](n)
+      var k = 0; var t = 0L
+      var run = 0
+      while (run < nRuns && k < n) {
+        val cnt = u32(sttsO + 8 + 8 * run).toInt
+        val delta = u32(sttsO + 12 + 8 * run)
+        var j = 0
+        while (j < cnt && k < n) { dts(k) = t; t += delta; k += 1; j += 1 }
+        run += 1
+      }
+      if (k < n) return None // stts covers fewer samples than stsz
+      // stsc runs → samples-per-chunk for each chunk; stco → offsets
+      val nChunks = u32(stcoO + 4).toInt
+      val chunkOffsets = IndexedSeq.tabulate(nChunks)(c =>
+        u32(stcoO + 8 + 4 * c))
+      val nScRuns = u32(stscO + 4).toInt
+      val scRuns = IndexedSeq.tabulate(nScRuns)(r =>
+        (u32(stscO + 8 + 12 * r).toInt,      // first_chunk (1-based)
+          u32(stscO + 12 + 12 * r).toInt))   // samples_per_chunk
+      if (scRuns.isEmpty || chunkOffsets.isEmpty) return None
+      val out = IndexedSeq.newBuilder[VideoSample]
+      var sample = 0
+      var chunk = 0
+      while (sample < n && chunk < nChunks) {
+        val spc = scRuns.reverseIterator
+          .find(_._1 <= chunk + 1).getOrElse(return None)._2
+        var off = chunkOffsets(chunk)
+        var j = 0
+        while (j < spc && sample < n) {
+          out += VideoSample(sample, off, sizes(sample),
+            math.round(dts(sample).toDouble * 1000.0 / mediaTs))
+          off += sizes(sample)
+          sample += 1; j += 1
+        }
+        chunk += 1
+      }
+      if (sample < n) return None // chunks cover fewer samples than stsz
+      Some(out.result())
+    } catch { case _: Exception => None }
+  }
+
   /** Minimal valid BMFF fixture (ftyp + moov(mvhd, trak(tkhd,
     * mdia(hdlr)))) with the given presentation dims and duration —
     * every offset per ISO/IEC 14496-12, full-length v0 header boxes
@@ -200,7 +313,26 @@ object Multimodal {
     * walker skips.
     */
   def minimalMp4(w: Int, h: Int, durationMs: Long,
-                 timescale: Int = 1000): Array[Byte] = {
+                 timescale: Int = 1000): Array[Byte] =
+    minimalMp4WithSamples(w, h, durationMs, timescale, Nil)
+
+  /** [[minimalMp4]] plus a REAL sample table when `samples` is
+    * non-empty: the trak's mdia gains mdhd (media timescale) and
+    * minf(stbl(stts, stsc, stsz, stco)) per 14496-12, and the file
+    * gains an mdat box carrying the concatenated sample bytes. Samples
+    * pack `samplesPerChunk` to a chunk (the stsc run the parser must
+    * expand), each with duration `sampleDeltaMs`; stco carries absolute
+    * file offsets, so the builder assembles moov twice — sizes are
+    * independent of the offset VALUES, only the second pass knows where
+    * mdat lands. With `samples` empty the output is byte-identical to
+    * the old fixture (the mm_video_meta rows and the round-trip
+    * property are pinned to it).
+    */
+  def minimalMp4WithSamples(w: Int, h: Int, durationMs: Long,
+                            timescale: Int = 1000,
+                            samples: Seq[Array[Byte]] = Nil,
+                            sampleDeltaMs: Long = 40L,
+                            samplesPerChunk: Int = 2): Array[Byte] = {
     def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
       val n = 8 + payloads.map(_.length).sum
       val bb = java.nio.ByteBuffer.allocate(n)
@@ -227,10 +359,55 @@ object Multimodal {
     hdlr.put("vide".getBytes("ISO-8859-1"))
     val ftyp = "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
       "isom".getBytes("ISO-8859-1")
-    box("ftyp", ftyp) ++ box("moov",
-      box("mvhd", mvhd.array()),
-      box("trak", box("tkhd", tkhd.array()),
-        box("mdia", box("hdlr", hdlr.array()))))
+    val ftypBox = box("ftyp", ftyp)
+    if (samples.isEmpty)
+      ftypBox ++ box("moov",
+        box("mvhd", mvhd.array()),
+        box("trak", box("tkhd", tkhd.array()),
+          box("mdia", box("hdlr", hdlr.array()))))
+    else {
+      require(samplesPerChunk > 0 && sampleDeltaMs > 0)
+      val n = samples.length
+      val sizes = samples.map(_.length)
+      val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+      val mdhd = java.nio.ByteBuffer.allocate(24) // v0 mdhd payload
+      mdhd.putInt(0).putInt(0).putInt(0)          // ver/flags ctime mtime
+        .putInt(timescale)
+        .putInt((n * math.round(
+          sampleDeltaMs.toDouble * timescale / 1000.0)).toInt)
+      val stts = java.nio.ByteBuffer.allocate(16)
+      stts.putInt(0).putInt(1)                    // one run: all samples
+        .putInt(n)
+        .putInt(math.round(sampleDeltaMs.toDouble * timescale / 1000.0).toInt)
+      val stsc = java.nio.ByteBuffer.allocate(20)
+      stsc.putInt(0).putInt(1)                    // one run from chunk 1:
+        .putInt(1).putInt(samplesPerChunk).putInt(1) // (first, spc, sdi)
+      val stsz = java.nio.ByteBuffer.allocate(12 + 4 * n)
+      stsz.putInt(0).putInt(0).putInt(n)          // ver/flags size=0 count
+      sizes.foreach(stsz.putInt)
+      def moovWith(mdatStart: Long): Array[Byte] = {
+        val stco = java.nio.ByteBuffer.allocate(8 + 4 * nChunks)
+        stco.putInt(0).putInt(nChunks)
+        (0 until nChunks).foreach { c =>
+          stco.putInt((mdatStart +
+            sizes.take(c * samplesPerChunk).sum).toInt)
+        }
+        box("moov",
+          box("mvhd", mvhd.array()),
+          box("trak", box("tkhd", tkhd.array()),
+            box("mdia", box("hdlr", hdlr.array()),
+              box("mdhd", mdhd.array()),
+              box("minf", box("stbl",
+                box("stts", stts.array()),
+                box("stsc", stsc.array()),
+                box("stsz", stsz.array()),
+                box("stco", stco.array()))))))
+      }
+      // pass 1 sizes the moov; pass 2 writes the true mdat offsets
+      val mdatStart = ftypBox.length + moovWith(0L).length + 8L
+      ftypBox ++ moovWith(mdatStart) ++
+        box("mdat", samples.toArray: _*)
+    }
   }
 
   /** REAL image resize (decode → raster scale → PNG re-encode), again
@@ -348,6 +525,47 @@ object Multimodal {
               val (_, _, d) = decodeStub("video", payload)
               Row(r.getLong(0), n, 0, 0, d, false)
           }
+        }
+      }(enc)
+  }
+
+  val videoSampleSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_idx", IntegerType, nullable = false),
+    StructField("byte_offset", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("pts_ms", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** REAL frame sampling from the container's own sample table: every
+    * `everyK`-th video sample located via [[videoSamples]] (stsc×stco×
+    * stsz expansion), sliced out of the payload, and emitted as (index,
+    * absolute offset, size, pts, byte checksum). The checksum — sum of
+    * the sample's unsigned bytes — proves the slice really came from
+    * mdat, not from metadata arithmetic alone; a codec build would hand
+    * that same slice to the decoder. UDTF-shaped (rows OUT exceed rows
+    * IN), per-partition streaming, payloads never shuffle; rows whose
+    * container doesn't parse (or whose sample ranges fall outside the
+    * payload) emit nothing — the quarantine-not-crash contract.
+    */
+  def extractVideoSamples(media: DataFrame, everyK: Int = 1): DataFrame = {
+    require(everyK > 0)
+    val enc = RowEncoder.encoderFor(videoSampleSchema)
+    media.filter(col("kind") === "video")
+      .select("media_id", "kind", "payload").mapPartitions { it =>
+        it.flatMap { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          videoSamples(payload).toSeq.flatten.iterator
+            .filter(s => s.idx % everyK == 0)
+            .filter(s => s.offset >= 0 && s.size >= 0 &&
+              s.offset + s.size <= payload.length)
+            .map { s =>
+              var sum = 0L
+              var i = s.offset.toInt
+              val end = i + s.size
+              while (i < end) { sum += payload(i) & 0xff; i += 1 }
+              Row(r.getLong(0), s.idx, s.offset, s.size, s.ptsMs, sum)
+            }
         }
       }(enc)
   }

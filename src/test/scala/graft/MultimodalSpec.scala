@@ -186,6 +186,41 @@ class MultimodalSpec extends SparkSpec {
       Array(0L, 1000L, 2000L)))
   }
 
+  test("videoSamples expands stsc/stco/stsz chunk runs into real byte ranges") {
+    def fill(n: Int, b: Int): Array[Byte] = Array.fill(n)(b.toByte)
+    val samples = Seq(fill(10, 1), fill(20, 2), fill(30, 3), fill(40, 4),
+      fill(50, 5))
+    val mp4 = Multimodal.minimalMp4WithSamples(1920, 1080, 200L,
+      timescale = 1000, samples = samples, sampleDeltaMs = 40L,
+      samplesPerChunk = 2)
+    // metadata walker still reads the enriched container
+    assert(Multimodal.videoMeta(mp4) == Some((1920, 1080, 200L)))
+    val st = Multimodal.videoSamples(mp4).get
+    assert(st.map(_.size) == Seq(10, 20, 30, 40, 50))
+    assert(st.map(_.ptsMs) == Seq(0L, 40L, 80L, 120L, 160L))
+    // chunks pack 2 samples: offsets restart at each stco entry
+    assert(st(1).offset == st(0).offset + 10) // same chunk
+    assert(st(2).offset == st(0).offset + 30) // chunk 2 starts after c1
+    assert(st(4).offset == st(0).offset + 100)
+    // the located ranges really are the sample bytes in mdat
+    samples.zipWithIndex.foreach { case (bytes, i) =>
+      val s = st(i)
+      assert(mp4.slice(s.offset.toInt, s.offset.toInt + s.size)
+        .sameElements(bytes))
+    }
+    // sample-free fixture (the old shape) has no sample table
+    assert(Multimodal.videoSamples(Multimodal.minimalMp4(64, 48, 100L)).isEmpty)
+    assert(Multimodal.videoSamples("junk".getBytes).isEmpty)
+    // the operator slices every 2nd sample and checksums it
+    val df = Seq((7L, "video", mp4), (8L, "video", "junk".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.extractVideoSamples(df, everyK = 2)
+      .orderBy("sample_idx").collect()
+    assert(rows.map(_.getAs[Int]("sample_idx")).toSeq == Seq(0, 2, 4))
+    assert(rows.map(_.getAs[Long]("checksum")).toSeq ==
+      Seq(10L, 90L, 250L)) // size * fill byte
+  }
+
   test("null payload handled as zero-byte media") {
     val withNull = Seq((9L, "image")).toDF("media_id", "kind")
       .withColumn("payload", lit(null).cast("binary"))
