@@ -44,6 +44,34 @@ object Pipelines {
       idCol)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the assignment unit is the
+    * near-dup CLUSTER, not the document. Each doc's split is the hash
+    * bucket of its component representative (min id over the MinHash-LSH
+    * pair graph), so two near-duplicates can never straddle the held-out
+    * boundary — the eval-contamination failure mode a per-doc hash split
+    * (holdoutSplit) cannot prevent: a test doc's near-twin sitting in
+    * train silently inflates eval. Singleton docs hash on themselves,
+    * so the split stays deterministic and stable under corpus growth
+    * exactly like the per-doc variant.
+    *
+    * Scale shape: banded LSH pairs (never all-pairs) + O(log diameter)
+    * components + one narrow hash expression — the same machinery as
+    * e2_cc_largestar with a split gate on top.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       jaccardThreshold: Double = 0.4,
+                       valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, idCol, textCol,
+        jaccardThreshold = jaccardThreshold)
+      .select("id1", "id2")
+    val comps = Components.largeStarSmallStar(pairs, "id1", "id2",
+      docs.select(idCol), idCol)
+    docs.select(col(idCol))
+      .join(comps.select(col("id").as(idCol), col("comp")), Seq(idCol))
+      .withColumn("split",
+        TextAnalysis.holdoutSplit(col("comp").cast("string"), valPct, testPct))
+  }
+
   /** Pretraining-batch assembly: C4-style rule filter → cross-document
     * shared-passage removal (drop docs stripped to nothing) →
     * sqrt-temperature language rebalancing → per-source sequence

@@ -1663,6 +1663,42 @@ object Queries {
     FROM d GROUP BY source, split ORDER BY source, split"""
   }
 
+  /** E4 — LEAKAGE-SAFE split (the e4_split contract upgraded to the
+    * near-dup-cluster grain): a doc's split is the hash bucket of its
+    * connected-component representative over the MinHash-LSH pair
+    * graph, so no near-dup pair straddles train/test — the
+    * eval-contamination guard a per-doc hash cannot give. Oracle
+    * composes the e2_dedup_clusters recursive reachability CTE with the
+    * e4_split hash gate on the component id; the row only hash-matches
+    * if clustering AND bucketing agree doc by doc.
+    */
+  def e4_leakage_split(s: SparkSession, dir: String): DataFrame =
+    Pipelines.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+      jaccardThreshold = 0.4, valPct = 5, testPct = 5)
+      .select(col("doc_id"), col("comp").as("component"), col("split"))
+      .orderBy("doc_id")
+
+  val e4lsSql: String = {
+    val phash = (x: String) =>
+      s"""list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split($x, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)"""
+    s"""WITH RECURSIVE $e2mCtes,
+    prs AS (SELECT id1, id2 FROM cand WHERE jaccard >= 0.4),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL SELECT id2, id1 FROM prs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+      CASE WHEN ${phash("cast(component as varchar)")} % 100 < 90 THEN 'train'
+        WHEN ${phash("cast(component as varchar)")} % 100 < 95 THEN 'val'
+        ELSE 'test' END AS split
+    FROM comp ORDER BY doc_id"""
+  }
+
   /** E2 — INCREMENTAL dedup at ingest: the corpus is split into an
     * already-clean history (doc_id % 5 != 0) and an incoming batch
     * (doc_id % 5 == 0); the batch band-joins against history and every
@@ -5105,6 +5141,7 @@ object Queries {
     ("sql_tpch_q10", sql_tpch_q10 _, sqlQ10),
     ("j_asof_tolerance", j_asof_tolerance _, jatSql),
     ("e4_split", e4_split _, e4spSql),
+    ("e4_leakage_split", e4_leakage_split _, e4lsSql),
     ("sql_tpch_q18", sql_tpch_q18 _, sqlQ18),
     ("e4_token_budget", e4_token_budget _, e4tbSql),
     ("e3_int8", e3_int8 _, e3i8Sql),

@@ -122,6 +122,43 @@ class Round7Spec extends SparkSpec {
     assert(out.map(_._2).sum == 54039L)
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles the split boundary") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = graft.Pipelines
+      .leakageSafeSplit(docs, "doc_id", "text", jaccardThreshold = 0.4)
+      .select("doc_id", "split")
+    val pairs = graft.operators.Dedup
+      .minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
+      .select("id1", "id2")
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("split", "s1"), "id1")
+      .join(split.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("split", "s2"), "id2")
+      .filter(col("s1") =!= col("s2"))
+      .count()
+    assert(straddling == 0L)
+    // every doc is assigned exactly once, and both holdout buckets are
+    // non-degenerate on the fixture corpus
+    val bySplit = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.values.sum == docs.count())
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // the per-doc split (e4_split's gate) would NOT satisfy the
+    // invariant here — pin that the upgrade is doing real work
+    val perDoc = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis
+        .holdoutSplit(col("doc_id").cast("string"), 5, 5).as("split"))
+    val perDocStraddling = pairs
+      .join(perDoc.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("split", "s1"), "id1")
+      .join(perDoc.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("split", "s2"), "id2")
+      .filter(col("s1") =!= col("s2"))
+      .count()
+    assert(perDocStraddling > 0L)
+  }
+
   test("subwordCounts degrades to zero counts on an empty-text corpus") {
     val df = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis
