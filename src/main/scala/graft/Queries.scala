@@ -1013,6 +1013,51 @@ object Queries {
     SELECT id AS doc_id, min(lbl) AS component FROM reach
     GROUP BY id ORDER BY doc_id"""
 
+  /** E2 — cross-source CONTAMINATION matrix: pairwise Jaccard of the
+    * distinct 3-shingle sets of every source pair (see
+    * Dedup.crossSourceOverlap) — the pre-mixing audit that catches
+    * mirrored crawls posing as independent sources. The oracle builds
+    * the same per-source shingle sets with the shared phash/shingle
+    * expressions and self-joins them at the (source, shingle) grain;
+    * Spark never self-joins — the matrix falls out of one
+    * shingle-grain aggregation.
+    */
+  def e2_source_overlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceOverlap(t(s, dir, "documents"), "text", "source", k = 3)
+      .orderBy("s1", "s2")
+
+  val e2soSql: String = {
+    val phash = (x: String) =>
+      s"""list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split($x, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)"""
+    val shingleExpr = (0 until 3).foldLeft("cast(7 as bigint)")((acc, j) =>
+      s"(($acc * 31 + th[i + $j]) % $HashPrime)")
+    s"""WITH th AS (SELECT source,
+      list_transform(string_split(text, ' '), t -> ${phash("t")}) AS th,
+      len(string_split(text, ' ')) AS n FROM documents),
+    shl AS (SELECT source, list_distinct(list_transform(range(1, n - 1),
+        i -> $shingleExpr)) AS sh
+      FROM th WHERE n >= 3),
+    ex AS (SELECT DISTINCT source, unnest(sh) AS sh FROM shl),
+    totals AS (SELECT source, count(*) AS n FROM ex GROUP BY 1),
+    pc AS (SELECT l.source AS s1, r.source AS s2, count(*) AS n_shared
+      FROM ex l JOIN ex r ON l.sh = r.sh AND l.source < r.source
+      GROUP BY 1, 2),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    ap AS (SELECT a.source AS s1, b.source AS s2 FROM srcs a, srcs b
+      WHERE a.source < b.source)
+    SELECT ap.s1, ap.s2,
+      cast(coalesce(pc.n_shared, 0) as bigint) AS n_shared,
+      round(cast(coalesce(pc.n_shared, 0) as double)
+        / (t1.n + t2.n - coalesce(pc.n_shared, 0)), 6) AS jaccard
+    FROM ap
+    LEFT JOIN pc ON ap.s1 = pc.s1 AND ap.s2 = pc.s2
+    JOIN totals t1 ON t1.source = ap.s1
+    JOIN totals t2 ON t2.source = ap.s2
+    ORDER BY 1, 2"""
+  }
+
   /** E2 — near-CONTAINMENT pairs (short doc embedded in a longer one)
     * over the same MinHash-LSH candidate machinery; |A∩B| / min(|A|,|B|)
     * instead of Jaccard at the verification step.
@@ -5142,6 +5187,7 @@ object Queries {
     ("j_asof_tolerance", j_asof_tolerance _, jatSql),
     ("e4_split", e4_split _, e4spSql),
     ("e4_leakage_split", e4_leakage_split _, e4lsSql),
+    ("e2_source_overlap", e2_source_overlap _, e2soSql),
     ("sql_tpch_q18", sql_tpch_q18 _, sqlQ18),
     ("e4_token_budget", e4_token_budget _, e4tbSql),
     ("e3_int8", e3_int8 _, e3i8Sql),

@@ -834,6 +834,53 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** Cross-source CONTAMINATION matrix: for every pair of sources, the
+    * Jaccard overlap of their distinct k-shingle sets — the audit a
+    * pipeline runs before mixing corpora (mirrored crawls, vendor
+    * feeds, re-scraped dumps masquerade as independent sources and
+    * silently up-weight their content). Output: one row per unordered
+    * source pair with the shared-shingle count and Jaccard; pairs with
+    * no overlap still appear (n_shared = 0).
+    *
+    * Scale shape: ONE wide shuffle — the exploded (source, shingle)
+    * frame aggregates by shingle into its ≤|sources| member set, and
+    * both the pair counts and the per-source totals derive from that
+    * shingle-grain frame (set-combination explode, bounded by
+    * |sources|² per shingle). The corpus never self-joins; the matrix
+    * is |sources|² rows.
+    */
+  def crossSourceOverlap(docs: DataFrame, textCol: String,
+                         sourceCol: String, k: Int = 3): DataFrame = {
+    val th = docs.select(col(sourceCol).as("source"),
+      transform(tokens(col(textCol)), t => portableStringHash(t)).as("th"))
+    val exploded = th.select(col("source"),
+      explode(hashedShinglesFromHashes(col("th"), k)).as("sh"))
+    val bySh = exploded.groupBy("sh")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+    val totals = bySh.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairCounts = bySh
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(" +
+          "slice(ss, i + 2, size(ss) - i - 1), " +
+          "y -> named_struct('s1', x, 's2', y))))")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    val sources = docs.select(col(sourceCol).as("source")).distinct()
+    val allPairs = sources.select(col("source").as("s1"))
+      .crossJoin(sources.select(col("source").as("s2")))
+      .filter(col("s1") < col("s2"))
+    allPairs
+      .join(pairCounts, Seq("s1", "s2"), "left")
+      .join(totals.select(col("source").as("s1"), col("n").as("n1")), Seq("s1"))
+      .join(totals.select(col("source").as("s2"), col("n").as("n2")), Seq("s2"))
+      .select(col("s1"), col("s2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n1") + col("n2") - coalesce(col("n_shared"), lit(0L))), 6)
+          .as("jaccard"))
+  }
+
   /** Candidate pairs sharing a prefix token within a block (see
     * ngramJaccardPairs). Exposed for the pruning-strength test.
     */
