@@ -4087,6 +4087,36 @@ object Queries {
     SELECT key, change_type, status_a, status_b FROM d
     WHERE change_type <> 'same' ORDER BY key"""
 
+  /** E11 — Kaplan-Meier survival curve over inter-event gaps (see
+    * Sessionize.survivalCurve): observed gaps vs right-censored final
+    * open gaps, exact at-risk/ended/censored counts per distinct gap
+    * minute, and the product-limit estimate via the identical
+    * exp(sum(CASE ln)) formulation on both engines — including the
+    * d == n → -Inf pin that forces S to exactly 0 at the last observed
+    * gap.
+    */
+  def e11_survival(s: SparkSession, dir: String): DataFrame =
+    Sessionize.survivalCurve(events(s, dir), "user_id", "ts")
+      .orderBy("t_min")
+
+  val e11svSql = """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+    e AS (SELECT max(ms) AS end_ms FROM ev),
+    g AS (SELECT user_id, ms,
+      lead(ms) OVER (PARTITION BY user_id ORDER BY ms) AS nxt FROM ev),
+    sp AS (SELECT cast(floor((coalesce(nxt, end_ms) - ms) / 60000.0) as bigint) AS t_min,
+      CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS obs FROM g, e),
+    byt AS (SELECT t_min, cast(sum(obs) as bigint) AS n_ended,
+      cast(sum(1 - obs) as bigint) AS n_censored FROM sp GROUP BY 1),
+    r AS (SELECT *, cast(sum(n_ended + n_censored) OVER (ORDER BY t_min DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_risk
+      FROM byt),
+    s AS (SELECT *, round(exp(sum(
+        CASE WHEN n_ended < n_risk THEN ln(1 - cast(n_ended as double) / n_risk)
+          ELSE cast('-infinity' as double) END)
+        OVER (ORDER BY t_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+      FROM r)
+    SELECT t_min, n_risk, n_ended, n_censored, survival FROM s ORDER BY t_min"""
+
   /** E6 — per-group mode (most frequent value) with a deterministic
     * lexicographic tie-break: the imputation/canonicalization primitive.
     * Two-level shape: the (group, value) count compresses the data to at
@@ -5188,6 +5218,7 @@ object Queries {
     ("e4_split", e4_split _, e4spSql),
     ("e4_leakage_split", e4_leakage_split _, e4lsSql),
     ("e2_source_overlap", e2_source_overlap _, e2soSql),
+    ("e11_survival", e11_survival _, e11svSql),
     ("sql_tpch_q18", sql_tpch_q18 _, sqlQ18),
     ("e4_token_budget", e4_token_budget _, e4tbSql),
     ("e3_int8", e3_int8 _, e3i8Sql),

@@ -54,6 +54,67 @@ object Sessionize {
         unix_millis(max(col(tsCol))).as("end_ms"))
   }
 
+  /** Kaplan-Meier SURVIVAL curve over inter-event gaps — the
+    * product-limit estimator with right-censoring: each consecutive
+    * event pair of a user contributes an OBSERVED duration (the gap, in
+    * whole minutes), and each user's final open gap (last event →
+    * corpus end) is CENSORED — we only know the true wait exceeds it.
+    * S(t) = prod over observed-gap times u <= t of (1 - d_u / n_u) with
+    * n_u the at-risk count (every span, observed or censored, that
+    * reaches u). This is the time-to-next-event decay curve an
+    * engagement analysis reads "how long until users come back", with
+    * the censoring handled correctly instead of the naive gap histogram
+    * that silently treats open gaps as completed.
+    *
+    * Scale shape: one per-user ordered window (the only corpus-sized
+    * shuffle — same exchange any sessionization pays), then the curve
+    * lives at the distinct-gap-minute grain, bounded by the observation
+    * window — the two global windows (reverse-cumulative risk set,
+    * forward-cumulative product) sort a frame that cannot grow with the
+    * corpus. The corpus end arrives as a broadcast 1-row aggregate, not
+    * a driver collect. Counts stay integer-exact; the survival product
+    * is exp(sum(ln .)), kept in that exact form so an independent
+    * engine reproduces it term for term.
+    */
+  def survivalCurve(events: DataFrame, userCol: String,
+                    tsCol: String): DataFrame = {
+    val ms = unix_millis(col(tsCol))
+    val minMs = 60000L
+    val byU = Window.partitionBy(col("__u")).orderBy(col("__ms"))
+    val ev = events.select(col(userCol).as("__u"), ms.as("__ms"))
+    val end = ev.agg(max(col("__ms")).as("__end"))
+    val spans = ev
+      .withColumn("__next", lead(col("__ms"), 1).over(byU))
+      .crossJoin(broadcast(end))
+      .select(
+        floor((coalesce(col("__next"), col("__end")) - col("__ms"))
+          / lit(minMs)).as("t_min"),
+        when(col("__next").isNotNull, 1L).otherwise(0L).as("__obs"))
+    val byT = spans.groupBy("t_min")
+      .agg(sum(col("__obs")).as("n_ended"),
+        sum(lit(1L) - col("__obs")).as("n_censored"))
+    val riskW = Window.orderBy(col("t_min").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val survW = Window.orderBy(col("t_min"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk",
+        sum(col("n_ended") + col("n_censored")).over(riskW))
+      // ln(1 - d/n) with the d == n case pinned to -Inf explicitly:
+      // Spark's log() returns NULL at 0 and sum() skips nulls, which
+      // would leave S(t) positive after the curve should hit zero; the
+      // oracle mirrors the same CASE so both engines agree exactly
+      .withColumn("__term",
+        when(col("n_ended") < col("n_risk"),
+          log(lit(1.0) -
+            col("n_ended").cast("double") / col("n_risk")))
+          .otherwise(lit(Double.NegativeInfinity)))
+      .withColumn("survival",
+        round(exp(sum(col("__term")).over(survW)), 6))
+      .select(col("t_min").cast("long"), col("n_risk"), col("n_ended"),
+        col("n_censored"), col("survival"))
+  }
+
   /** Peak concurrency per key via the sweep-line: each event holds a
     * resource for `holdMs` after its timestamp, and the question is the
     * maximum number simultaneously held (the capacity-planning /
