@@ -2255,6 +2255,30 @@ object Queries {
     * supply table, p_size the part filter; the correlated avg is exact
     * across engines because l_quantity is integer-valued).
     */
+  /** SQL surface — correlated LATERAL subquery with aggregate + ORDER BY
+    * + LIMIT: per-nation top-2 customers by spend, the "top-k per group
+    * as the user writes it" BI shape. Exercises the decorrelation tier
+    * TPC-H never touches: Catalyst must rewrite the correlated LIMIT
+    * lateral into a join + per-group ranking (DecorrelateInnerQuery),
+    * not execute the subquery once per outer row. Same SQL text runs
+    * verbatim on both engines.
+    */
+  def sql_lateral_topk(s: SparkSession, dir: String): DataFrame = {
+    Seq("nation", "customer", "orders").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlLateral)
+  }
+
+  val sqlLateral = """SELECT n_name, t.c_name, t.revenue
+    FROM nation, LATERAL (
+      SELECT c_name, cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      WHERE c_nationkey = n_nationkey
+      GROUP BY c_name
+      ORDER BY revenue DESC, c_name
+      LIMIT 2) t
+    ORDER BY n_name, t.revenue DESC, t.c_name"""
+
   def sql_tpch_q20(s: SparkSession, dir: String): DataFrame = {
     Seq("supplier", "lineitem", "orders", "nation", "part").foreach(n =>
       t(s, dir, n).createOrReplaceTempView(n))
@@ -5219,6 +5243,7 @@ object Queries {
     ("e4_leakage_split", e4_leakage_split _, e4lsSql),
     ("e2_source_overlap", e2_source_overlap _, e2soSql),
     ("e11_survival", e11_survival _, e11svSql),
+    ("sql_lateral_topk", sql_lateral_topk _, sqlLateral),
     ("sql_tpch_q18", sql_tpch_q18 _, sqlQ18),
     ("e4_token_budget", e4_token_budget _, e4tbSql),
     ("e3_int8", e3_int8 _, e3i8Sql),
