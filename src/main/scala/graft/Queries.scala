@@ -5188,6 +5188,148 @@ object Queries {
     FROM z WHERE v > 0 AND abs(z) > 2 ORDER BY user_id, day"""
 
   // ======================================================================
+  // Batch 24 (round 7): governance gates, winnowing fingerprints, global
+  // ids without a single-partition sort, Bloom-prefiltered decontam,
+  // ranking-quality metrics.
+  // ======================================================================
+
+  /** E4 — winnowing fingerprints (MOSS; Schleimer et al. 2003): the
+    * distinct window-min 4-gram hashes per document, window w=5.
+    * Guarantees shared runs of ≥ 8 tokens share a fingerprint.
+    */
+  def e4_winnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text", k = 4, w = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "fp")
+
+  val e4wnSql: String = {
+    val phash = (x: String) =>
+      s"""list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split($x, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)"""
+    val gram4 = (0 until 4).foldLeft("cast(7 as bigint)")((acc, j) =>
+      s"(($acc * 31 + th[i + $j]) % $HashPrime)")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    th AS (SELECT doc_id, list_transform(tk, t -> ${phash("t")}) AS th,
+      len(tk) AS n FROM toks),
+    g AS (SELECT doc_id,
+      list_transform(range(1, n - 2), i -> $gram4) AS gh FROM th WHERE n >= 4),
+    fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(gh) - 5, 0) + 2),
+        s -> list_min(list_slice(gh, s, s + 4))))) AS fp FROM g)
+    SELECT doc_id, fp FROM fp ORDER BY doc_id, fp"""
+  }
+
+  /** E4 — k-anonymity suppression gate (k=10) over the
+    * (nation, market-segment) quasi-identifier pair: rows in groups
+    * smaller than k get their QI columns generalized to "*".
+    */
+  def e4_kanon(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymitySuppress(
+      t(s, dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment"),
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("group_n"), col("suppressed"))
+      .orderBy("c_custkey")
+
+  val e4kaSql = """WITH g AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+      count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS group_n
+      FROM customer)
+    SELECT c_custkey,
+      CASE WHEN group_n < 10 THEN '*' ELSE cast(c_nationkey AS varchar) END AS c_nationkey,
+      CASE WHEN group_n < 10 THEN '*' ELSE c_mktsegment END AS c_mktsegment,
+      group_n, cast(group_n < 10 AS int) AS suppressed
+    FROM g ORDER BY c_custkey"""
+
+  /** E4 — l-diversity audit (l=5): distinct sensitive values (market
+    * segment) per quasi-identifier group (nation) — the homogeneity-
+    * attack check that k-anonymity alone misses.
+    */
+  def e4_ldiversity(s: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversity(t(s, dir, "customer"), Seq("c_nationkey"),
+      "c_mktsegment", l = 5)
+      .orderBy("c_nationkey")
+
+  val e4ldSql = """SELECT c_nationkey, count(*) AS group_n,
+      count(DISTINCT c_mktsegment) AS n_sensitive,
+      cast(count(DISTINCT c_mktsegment) >= 5 AS int) AS diverse
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  /** E4 — decontamination through the Bloom-prefilter formulation:
+    * output IDENTICAL to e4_decontam (the 16 KiB bitmap only rejects
+    * grams that cannot be in the eval index; the exact broadcast join
+    * decides membership), so the two share an oracle — grading that the
+    * prefilter is semantically transparent.
+    */
+  def e4_decontam_bloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalDocs = docs.filter(col("source").isin("src0", "src1"))
+    val trainDocs = docs.filter(!col("source").isin("src0", "src1"))
+    TextAnalysis.decontaminateBloom(trainDocs, evalDocs, "doc_id", "text", n = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** E1/E7 — dense 1..N ids in key order WITHOUT the single-partition
+    * `row_number() OVER (ORDER BY …)` cliff: two-phase range-bucket +
+    * per-bucket offset (Ids.denseIds). The oracle IS the naive global
+    * row_number — grading that the distributed formulation reproduces
+    * it exactly.
+    */
+  def e1_global_ids(s: SparkSession, dir: String): DataFrame =
+    Ids.denseIds(t(s, dir, "orders").select("o_orderkey"), "o_orderkey",
+      buckets = 32)
+      .select(col("o_orderkey"), col("gid"))
+      .orderBy("o_orderkey")
+
+  val e1giSql = """SELECT o_orderkey,
+      row_number() OVER (ORDER BY o_orderkey) AS gid
+    FROM orders ORDER BY o_orderkey"""
+
+  /** E3 — retrieval-quality metrics (MRR, nDCG@10) for brute-force
+    * cosine top-10 with binary label-match relevance, 16 queries. DCG is
+    * a fixed-order arithmetic chain over per-rank conditional aggregates
+    * (never a grouped double-sum), and the discount weights are baked
+    * into BOTH engines as identical double literals.
+    */
+  def e3_rank_metrics(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val ranked = Similarity.bruteForceTopK(e.filter(col("id") < 16), e, k = 10)
+    val labels = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("label"))
+    Similarity.rankMetrics(ranked, labels, k = 10).orderBy("query_id")
+  }
+
+  val e3rmSql: String = {
+    val w = (r: Int) => s"cast('${Similarity.dcgWeight(r)}' AS double)"
+    val slots = (1 to 10)
+      .map(r => s"max(CASE WHEN rnk = $r THEN rel END) AS t$r").mkString(", ")
+    val dcg = (1 to 10).map(r => s"coalesce(t$r, 0) * ${w(r)}").mkString(" + ")
+    val idcg = (1 to 10)
+      .map(r => s"CASE WHEN n_rel >= $r THEN ${w(r)} ELSE cast(0 AS double) END")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding AS e, label FROM embeddings),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        q.label AS ql, c.label AS cl,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+    ranked AS (SELECT query_id,
+        cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS int) AS rnk,
+        cast(ql = cl AS int) AS rel FROM sims
+      QUALIFY rnk <= 10),
+    agg AS (SELECT query_id, sum(rel) AS n_rel,
+        min(CASE WHEN rel = 1 THEN rnk END) AS fr, $slots
+      FROM ranked GROUP BY query_id)
+    SELECT query_id, cast(n_rel AS bigint) AS n_rel,
+      round(CASE WHEN fr IS NOT NULL THEN cast(1.0 AS double) / fr
+        ELSE cast(0 AS double) END, 6) AS mrr,
+      round(CASE WHEN n_rel > 0 THEN ($dcg) / ($idcg)
+        ELSE cast(0 AS double) END, 6) AS ndcg
+    FROM agg ORDER BY query_id"""
+  }
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -5379,5 +5521,11 @@ object Queries {
     ("e6_moments", e6_moments _, e6mmSql),
     ("e11_transitions", e11_transitions _, e11trSql),
     ("etl_scd2_apply", etl_scd2_apply _, scd2Sql),
-    ("e11_anomaly", e11_anomaly _, e11anSql))
+    ("e11_anomaly", e11_anomaly _, e11anSql),
+    ("e4_winnow", e4_winnow _, e4wnSql),
+    ("e4_kanon", e4_kanon _, e4kaSql),
+    ("e4_ldiversity", e4_ldiversity _, e4ldSql),
+    ("e4_decontam_bloom", e4_decontam_bloom _, e4dcSql),
+    ("e1_global_ids", e1_global_ids _, e1giSql),
+    ("e3_rank_metrics", e3_rank_metrics _, e3rmSql))
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global dense ID assignment without a single-partition sort.
+  *
+  * The naive `row_number() OVER (ORDER BY key)` plans as ONE partition
+  * holding the entire dataset — the classic scale cliff (100 TB through
+  * one task). The distributed formulation is two-phase, the same shape
+  * Spark's own RangePartitioner + zipWithIndex use:
+  *
+  *   1. range-bucket rows by key (order-preserving bucketing);
+  *   2. count rows per bucket (B tiny rows), prefix-sum the counts into
+  *      per-bucket offsets (a window over B rows — bounded by the
+  *      bucket-count CONTRACT, not by data size);
+  *   3. broadcast-join offsets back and take
+  *      `offset + row_number() within bucket`.
+  *
+  * Every data-sized operation is per-bucket parallel; only the B-row
+  * offset frame is ever global.
+  */
+object Ids {
+
+  /** Dense 1..N ids in `keyCol` order (key must be numeric and unique —
+    * ties would make the intra-bucket order, and thus the ids,
+    * nondeterministic).
+    *
+    * Buckets here are fixed-width over [min, max] for DETERMINISM (the
+    * oracle must reproduce the bucketing); production on skewed keys
+    * would compute boundaries from a sample exactly like
+    * RangePartitioner — the two-phase offset algebra is unchanged.
+    */
+  def denseIds(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    val k = col(keyCol).cast("long")
+    // bounds: one 1-row aggregate, broadcast back (no driver collect)
+    val bounds = df.agg(min(k).as("__lo"), max(k).as("__hi"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        least(lit(buckets - 1),
+          ((k - col("__lo")) * buckets / (col("__hi") - col("__lo") + 1))
+            .cast("int")))
+      .drop("__lo", "__hi")
+    // B rows; the global window is over this bounded frame only
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__c")
+    bucketed
+      .join(broadcast(offsets), "__b")
+      .withColumn("gid",
+        col("__off") + row_number().over(
+          Window.partitionBy("__b").orderBy(col(keyCol))))
+      .drop("__b", "__off")
+  }
+}

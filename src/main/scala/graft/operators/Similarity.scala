@@ -711,4 +711,51 @@ object Similarity {
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), roundTo).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Discounted-gain weight for rank r (binary relevance): 1/log2(r+1).
+    * Computed ONCE here in JVM doubles and string-interpolated verbatim
+    * into the DuckDB oracle (Double.toString round-trips), so both
+    * engines multiply by bit-identical constants — no cross-engine
+    * log() ulp drift can enter the compare.
+    */
+  def dcgWeight(r: Int): Double = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+
+  /** Retrieval-quality evaluation over a ranked result set
+    * (query_id, rnk, cand_id — e.g. any of the topK variants above):
+    * per query, binary relevance = "candidate shares the query's label",
+    * and the two standard ranking metrics — MRR (reciprocal rank of the
+    * first relevant hit) and nDCG@k. Queries with no relevant candidate
+    * in the top k score 0 on both.
+    *
+    * Determinism at scale: DCG is NOT a grouped double-sum (whose
+    * accumulation order is partition-dependent) — each of the k rank
+    * slots becomes its own exact conditional aggregate (max of a 0/1
+    * int), and the weighted sum is a FIXED left-associated arithmetic
+    * chain over those k values in the post-aggregation projection.
+    * Label lookup is two broadcast joins (labels are index-sized by
+    * contract); the only shuffle is the per-query aggregate.
+    */
+  def rankMetrics(ranked: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    val ql = labels.select(col("id").as("query_id"), col("label").as("__ql"))
+    val cl = labels.select(col("id").as("cand_id"), col("label").as("__cl"))
+    val rel = ranked
+      .join(broadcast(ql), "query_id").join(broadcast(cl), "cand_id")
+      .select(col("query_id"), col("rnk"),
+        (col("__ql") === col("__cl")).cast("int").as("rel"))
+    val slotAggs = (1 to k).map(r =>
+      max(when(col("rnk") === r, col("rel"))).as(s"__t$r"))
+    val aggs = Seq(sum(col("rel")).as("n_rel"),
+      min(when(col("rel") === 1, col("rnk"))).as("__fr")) ++ slotAggs
+    val agged = rel.groupBy("query_id").agg(aggs.head, aggs.tail: _*)
+    val dcg = (1 to k).map(r =>
+      coalesce(col(s"__t$r"), lit(0)).cast("double") * lit(dcgWeight(r)))
+      .reduceLeft(_ + _)
+    val idcg = (1 to k).map(r =>
+      when(col("n_rel") >= r, lit(dcgWeight(r))).otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    agged.select(col("query_id"), col("n_rel").cast("long").as("n_rel"),
+      round(when(col("__fr").isNotNull,
+        lit(1.0) / col("__fr").cast("double")).otherwise(lit(0.0)), 6).as("mrr"),
+      round(when(col("n_rel") > 0, dcg / idcg).otherwise(lit(0.0)), 6).as("ndcg"))
+  }
 }

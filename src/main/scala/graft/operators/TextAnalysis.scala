@@ -188,6 +188,72 @@ object TextAnalysis {
         (coalesce(col("__hits"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter on the probe side — the
+    * 100 TB formulation. Identical output (the Bloom pass only REJECTS
+    * grams that cannot be in the eval index; survivors — including any
+    * false positives — still go through the exact broadcast join), but
+    * the training side's exploded grams hit a 2^17-bit bitmap
+    * (pure arithmetic, codegen'd, ~16 KiB) before any join: at real
+    * scale ~all of the probe volume dies in the scan stage instead of
+    * probing the index hash table row by row.
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int,
+                         mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => portableStringHash(t)).as("__th"))
+      .select(col("id"), Dedup.hashedShinglesFromHashes(col("__th"), n).as("g"))
+    val evalIndex = grams(eval).select(explode(col("g")).as("x")).distinct()
+    val bloom = Bloom.build(evalIndex, mBits, k)
+    val trainGrams = grams(train)
+    val hits = trainGrams.select(col("id"), explode(col("g")).as("x"))
+      .filter(Bloom.mightContain(col("x"), bloom, mBits, k))
+      .join(broadcast(evalIndex), "x")
+      .groupBy("id").agg(count(lit(1)).as("__hits"))
+    trainGrams.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__hits"), lit(0L)).as("n_overlap"),
+        (coalesce(col("__hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every POSITIONAL k-gram of the token
+    * stream, slide a w-gram window over the hash sequence, and keep
+    * each window's MINIMUM. Guarantees any shared run of ≥ w+k-1 tokens
+    * between two documents shares at least one fingerprint, with a
+    * fingerprint density of ~2/(w+1) — the standard robust alternative
+    * to fixed-stride sampling for contamination / plagiarism detection.
+    *
+    * Returns (id, fp) — the DISTINCT fingerprint set per document.
+    * Docs with fewer than k tokens have no grams and are absent; docs
+    * with fewer than w grams contribute the min of what they have (one
+    * whole-doc window).
+    *
+    * Scale: everything up to the final distinct is NARROW — the gram
+    * hashes, windows, and minima are per-row array expressions; only
+    * (id, fp) pairs ever shuffle (and only if the caller's downstream
+    * needs them globally distinct — this returns them exploded,
+    * distinct per doc by construction of array_distinct).
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+             k: Int, w: Int): DataFrame = {
+    val th = df.select(col(idCol).as("id"),
+      transform(tokens(col(textCol)), t => portableStringHash(t)).as("__th"))
+    // positional gram hashes (NOT distinct — winnowing needs the stream)
+    val gh = th
+      .filter(size(col("__th")) >= k)
+      .select(col("id"), transform(
+        sequence(lit(0), size(col("__th")) - lit(k)),
+        i => (0 until k).foldLeft(lit(7L): Column)((acc, j) =>
+          pmod(acc * lit(31L) + element_at(col("__th"), i + lit(j + 1)),
+            lit(HashPrime)))).as("__gh"))
+    gh.select(col("id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__gh")) - lit(w), lit(0))),
+          s => array_min(slice(col("__gh"), s + lit(1), lit(w)))))).as("fp"))
+  }
+
   /** BM25 keyword retrieval over the corpus for a FIXED small term set
     * (the standard k1/b formulation with Lucene's idf
     * ln((N - df + 0.5)/(df + 0.5) + 1)).

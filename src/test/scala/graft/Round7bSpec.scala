@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bloom, Ids, Privacy, Similarity, TextAnalysis}
+
+/** Batch-24 operator pins: winnowing's shared-run guarantee, the privacy
+  * gates' invariants, Bloom's no-false-negative contract, the two-phase
+  * global-id formulation against the naive window, and rank-metric
+  * boundary cases.
+  */
+class Round7bSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- winnowing -------------------------------------------------------
+
+  test("winnow: documents sharing a run of >= w+k-1 tokens share a fingerprint") {
+    // k=4, w=5: guarantee threshold is 8 shared tokens
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d1 = s"one two $shared three"
+    val d2 = s"nine eight seven $shared"
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(df, "doc_id", "text", k = 4, w = 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getLong(1)).toSet
+      }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
+  test("winnow: disjoint documents share no fingerprint; short docs handled") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t"),
+      (3L, "u v w x"), // exactly k tokens -> 1 gram -> 1 whole-doc window
+      (4L, "u v w")    // < k tokens -> absent
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(df, "doc_id", "text", k = 4, w = 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getLong(1)).toSet
+      }
+    assert(fps(1L).intersect(fps(2L)).isEmpty)
+    assert(fps(3L).size == 1)
+    assert(!fps.contains(4L))
+  }
+
+  test("winnow density: fingerprint count is far below gram count") {
+    // winnowing samples ~2/(w+1) of the gram stream; pin an upper bound
+    val text = (0 until 400).map(i => s"t${i % 37}").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val nFp = TextAnalysis.winnow(df, "doc_id", "text", k = 4, w = 5).count()
+    assert(nFp > 0 && nFp < 400 / 2)
+  }
+
+  // --- privacy gates ---------------------------------------------------
+
+  test("kAnonymitySuppress: surviving QI groups all have size >= k; small groups fully masked") {
+    val df = (0 until 40).map(i => (i.toLong, s"qi${i % 3}", "v")) ++
+      Seq((100L, "rare", "v")) // singleton group
+    val out = Privacy.kAnonymitySuppress(
+      df.toDF("id", "qi", "payload"), Seq("qi"), k = 5).collect()
+    val survivors = out.filter(_.getAs[Int]("suppressed") == 0)
+    assert(survivors.groupBy(_.getAs[String]("qi")).values.forall(_.length >= 5))
+    val masked = out.filter(_.getAs[Int]("suppressed") == 1)
+    assert(masked.length == 1 && masked.head.getAs[String]("qi") == "*")
+    assert(masked.head.getAs[Long]("group_n") == 1L)
+  }
+
+  test("lDiversity flags homogeneous groups") {
+    val df = Seq(
+      ("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "a"), ("g2", "a"), ("g2", "a")).toDF("qi", "sens")
+    val out = Privacy.lDiversity(df, Seq("qi"), "sens", l = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Int]("diverse")).toMap
+    assert(out("g1") == 1 && out("g2") == 0)
+  }
+
+  // --- Bloom -----------------------------------------------------------
+
+  test("Bloom: zero false negatives; FP rate bounded on disjoint probes") {
+    val members = (0L until 2000L).map(i => i * 7919L % 1000000007L)
+    val mDf = members.toDF("x")
+    val bits = 1 << 17
+    val bloom = Bloom.build(mDf, bits, 5)
+    val probed = mDf.filter(Bloom.mightContain(col("x"), bloom, bits, 5)).count()
+    assert(probed == members.size, "false negative: a member was rejected")
+    // disjoint probe set (different residues): expected FP ~ (1-e^-kn/m)^k
+    // ~ 0.2% at n=2000, m=2^17, k=5; assert a loose 5% ceiling
+    val others = (0L until 2000L).map(i => (i * 7919L + 3L) % 1000000007L)
+      .filterNot(members.toSet)
+    val fp = others.toDF("x")
+      .filter(Bloom.mightContain(col("x"), bloom, bits, 5)).count()
+    assert(fp.toDouble / others.size < 0.05, s"FP rate too high: $fp/${others.size}")
+  }
+
+  // --- global dense ids ------------------------------------------------
+
+  test("denseIds == naive global row_number, including under key skew") {
+    // clumped keys: most mass lands in one fixed-width bucket
+    val keys = (1L to 500L) ++ (100000L to 100050L) ++ Seq(999999999L)
+    val df = keys.toDF("k")
+    val got = Ids.denseIds(df, "k", buckets = 16)
+      .select("k", "gid").as[(Long, Long)].collect().sortBy(_._1)
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => (k, i + 1L) }
+    assert(got.toSeq == want)
+  }
+
+  test("denseIds: single-bucket degenerate range still yields dense 1..N") {
+    val df = Seq(5L, 3L, 4L).toDF("k")
+    val got = Ids.denseIds(df, "k", buckets = 32)
+      .select("k", "gid").as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((3L, 1L), (4L, 2L), (5L, 3L)))
+  }
+
+  // --- rank metrics ----------------------------------------------------
+
+  test("rankMetrics boundary cases: all-relevant ndcg=1, none-relevant 0, first-hit mrr") {
+    // query 1: candidates all share its label -> mrr=1, ndcg=1
+    // query 2: no candidate shares      -> mrr=0, ndcg=0, n_rel=0
+    // query 3: first relevant at rank 2 -> mrr=0.5
+    val ranked = Seq(
+      (1L, 1, 11L), (1L, 2, 12L),
+      (2L, 1, 11L), (2L, 2, 12L),
+      (3L, 1, 14L), (3L, 2, 13L), (3L, 3, 11L)
+    ).toDF("query_id", "rnk", "cand_id")
+    val labels = Seq((1L, 1), (2L, 2), (3L, 1),
+      (11L, 1), (12L, 1), (13L, 1), (14L, 3)).toDF("id", "label")
+    val m = Similarity.rankMetrics(ranked, labels, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L) == ((2L, 1.0, 1.0)))
+    assert(m(2L) == ((0L, 0.0, 0.0)))
+    assert(m(3L)._1 == 2L && m(3L)._2 == 0.5)
+    // q3: rel at ranks 2,3 -> dcg = w2 + w3, idcg = w1 + w2 -> ndcg < 1
+    val w = Similarity.dcgWeight _
+    val expect = BigDecimal((w(2) + w(3)) / (w(1) + w(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(3L)._3 == expect)
+  }
+}
