@@ -5329,6 +5329,101 @@ object Queries {
     FROM agg ORDER BY query_id"""
   }
 
+  /** E2 — triangle counting + local clustering coefficient over the
+    * embedding near-dup graph (same bucketed edge generation as
+    * e2_embed_neardup, threshold 0.1): the standard graph diagnostic
+    * for whether near-dup clusters are cliques (coeff → 1) or chains
+    * of borderline pairs (coeff → 0) — which decides if cluster-level
+    * dedup can trust single-link transitivity.
+    */
+  def e2_triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Components.triangleStats(
+      Similarity.nearDupPairs(e, threshold = 0.1, bits = 8), "id1", "id2")
+      .orderBy("id")
+  }
+
+  val e2trSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    e AS (SELECT a, b FROM p WHERE sim >= 0.1),
+    tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    nodes AS (SELECT unnest([a, b, c]) AS id FROM tri),
+    tc AS (SELECT id, count(*) AS n_tri FROM nodes GROUP BY id),
+    deg AS (SELECT id, count(*) AS deg FROM
+      (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id)
+    SELECT d.id AS id, d.deg AS deg, coalesce(tc.n_tri, 0) AS n_tri,
+      round(CASE WHEN d.deg >= 2 THEN cast(2.0 AS double) *
+          cast(coalesce(tc.n_tri, 0) AS double) /
+          (cast(d.deg AS double) * (cast(d.deg AS double) - 1.0))
+        ELSE cast(0 AS double) END, 6) AS coeff
+    FROM deg d LEFT JOIN tc ON d.id = tc.id ORDER BY id"""
+
+  /** E3 — covariance matrix (upper triangle) of the first 6 embedding
+    * dimensions: one exact fixed-point aggregate over the corpus, pair
+    * rows unfolded from the single stats row.
+    */
+  def e3_covariance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.dimCovariance(e, dims = 6).orderBy("i", "j")
+  }
+
+  val e3cvSql: String = {
+    val dims = 6
+    val pairs = for { i <- 1 to dims; j <- i to dims } yield (i, j)
+    val sums = (1 to dims).map(i =>
+      s"cast(cast(sum(x[$i]) AS bigint) AS double) AS s$i").mkString(", ")
+    val prods = pairs.map { case (i, j) =>
+      s"cast(cast(sum(x[$i] * x[$j]) AS bigint) AS double) AS p${i}_$j"
+    }.mkString(", ")
+    val terms = pairs.map { case (i, j) =>
+      s"""SELECT $i AS i, $j AS j,
+        round(p${i}_$j / (n * 1048576.0 * 1048576.0) -
+          (s$i / (n * 1048576.0)) * (s$j / (n * 1048576.0)), 6) AS cov
+      FROM agg"""
+    }.mkString(" UNION ALL ")
+    s"""WITH xs AS (SELECT list_transform(range(1, ${dims + 1}),
+        i -> cast(round(cast(embedding[i] AS double) * 1048576) AS bigint)) AS x
+      FROM embeddings),
+    agg AS (SELECT cast(count(*) AS double) AS n, $sums, $prods FROM xs)
+    $terms ORDER BY i, j"""
+  }
+
+  /** E2 — winnowing-fingerprint candidate pairs (≥ 2 shared window-min
+    * fingerprints): the deterministic-guarantee sibling of MinHash
+    * banding — any pair sharing a run of ≥ 8 tokens MUST appear.
+    */
+  def e2_winnow_pairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 4, w = 5, minShared = 2)
+      .orderBy("id1", "id2")
+
+  val e2wpSql: String = {
+    val phash = (x: String) =>
+      s"""list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split($x, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)"""
+    val gram4 = (0 until 4).foldLeft("cast(7 as bigint)")((acc, j) =>
+      s"(($acc * 31 + th[i + $j]) % $HashPrime)")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    th AS (SELECT doc_id, list_transform(tk, t -> ${phash("t")}) AS th,
+      len(tk) AS n FROM toks),
+    g AS (SELECT doc_id,
+      list_transform(range(1, n - 2), i -> $gram4) AS gh FROM th WHERE n >= 4),
+    fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(gh) - 5, 0) + 2),
+        s -> list_min(list_slice(gh, s, s + 4))))) AS fp FROM g)
+    SELECT l.doc_id AS id1, r.doc_id AS id2, count(*) AS n_shared
+    FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    GROUP BY id1, id2 HAVING count(*) >= 2 ORDER BY id1, id2"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -5527,5 +5622,8 @@ object Queries {
     ("e4_ldiversity", e4_ldiversity _, e4ldSql),
     ("e4_decontam_bloom", e4_decontam_bloom _, e4dcSql),
     ("e1_global_ids", e1_global_ids _, e1giSql),
-    ("e3_rank_metrics", e3_rank_metrics _, e3rmSql))
+    ("e3_rank_metrics", e3_rank_metrics _, e3rmSql),
+    ("e2_triangles", e2_triangles _, e2trSql),
+    ("e3_covariance", e3_covariance _, e3cvSql),
+    ("e2_winnow_pairs", e2_winnow_pairs _, e2wpSql))
 }

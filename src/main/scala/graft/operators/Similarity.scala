@@ -712,6 +712,42 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Pairwise covariance of the first `dims` embedding dimensions —
+    * the input to PCA/whitening decisions and the standard "are my
+    * embedding dims redundant" diagnostic. Returns (i, j, cov) for
+    * i ≤ j (the upper triangle of the covariance matrix).
+    *
+    * Determinism at scale (the standardizeDims discipline): components
+    * quantize to 2^20 fixed-point longs, cross-products accumulate in
+    * decimal(38,0) (exact, association-order-independent, wrap-proof),
+    * and cov = E[xy] − E[x]E[y] is a fixed double expression over those
+    * exact sums. ONE aggregate over the corpus (map-side combined, one
+    * ~dims² wide row), then the pair rows unfold from that single row —
+    * no per-pair pass, no shuffle of the data by pair.
+    */
+  def dimCovariance(corpus: DataFrame, dims: Int, roundTo: Int = 6): DataFrame = {
+    val S = 1048576.0 // 2^20
+    val pairs = for { i <- 1 to dims; j <- i to dims } yield (i, j)
+    val q = corpus.select((1 to dims).map(i =>
+      round(element_at(col("vec"), i).cast("double") * lit(S))
+        .cast("long").as(s"x$i")): _*)
+    val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      (1 to dims).map(i => sum(col(s"x$i")).cast("double").as(s"s$i")) ++
+      pairs.map { case (i, j) =>
+        sum(col(s"x$i").cast("decimal(19,0)") * col(s"x$j").cast("decimal(19,0)"))
+          .cast("double").as(s"p${i}_$j")
+      }
+    val a = q.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"),
+        round(col(s"p${i}_$j") / (col("n") * lit(S) * lit(S)) -
+          (col(s"s$i") / (col("n") * lit(S))) *
+            (col(s"s$j") / (col("n") * lit(S))), roundTo).as("cov"))
+    }
+    a.select(explode(array(rows: _*)).as("pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.cov").as("cov"))
+  }
+
   /** Discounted-gain weight for rank r (binary relevance): 1/log2(r+1).
     * Computed ONCE here in JVM doubles and string-interpolated verbatim
     * into the DuckDB oracle (Double.toString round-trips), so both

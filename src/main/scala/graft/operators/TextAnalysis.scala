@@ -254,6 +254,27 @@ object TextAnalysis {
           s => array_min(slice(col("__gh"), s + lit(1), lit(w)))))).as("fp"))
   }
 
+  /** Near-dup candidate pairs from winnowing fingerprints: documents
+    * sharing at least `minShared` window-min fingerprints. The
+    * fingerprint-based sibling of MinHash banding — because winnowing
+    * GUARANTEES a shared fingerprint for any shared token run of
+    * ≥ w+k−1, this candidate set provably contains every pair with
+    * substantial verbatim overlap (MinHash is probabilistic there).
+    *
+    * Scale: same shape as every bucket-join candidate generator in
+    * Dedup — pairs form per fingerprint bucket, never all-pairs, and
+    * the per-pair shared count is a map-side-combined aggregate.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, w: Int, minShared: Int): DataFrame = {
+    val fp = winnow(df, idCol, textCol, k, w)
+    fp.select(col("fp"), col("id").as("id1"))
+      .join(fp.select(col("fp"), col("id").as("id2")), "fp")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** BM25 keyword retrieval over the corpus for a FIXED small term set
     * (the standard k1/b formulation with Lucene's idf
     * ln((N - df + 0.5)/(df + 0.5) + 1)).

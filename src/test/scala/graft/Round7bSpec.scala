@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bloom, Ids, Privacy, Similarity, TextAnalysis}
+import graft.operators.{Bloom, Components, Ids, Privacy, Similarity, TextAnalysis}
 
 /** Batch-24 operator pins: winnowing's shared-run guarantee, the privacy
   * gates' invariants, Bloom's no-false-negative contract, the two-phase
@@ -108,6 +108,67 @@ class Round7bSpec extends SparkSpec {
     val got = Ids.denseIds(df, "k", buckets = 32)
       .select("k", "gid").as[(Long, Long)].collect().sortBy(_._2)
     assert(got.toSeq == Seq((3L, 1L), (4L, 2L), (5L, 3L)))
+  }
+
+  // --- triangles -------------------------------------------------------
+
+  test("triangleStats: K4 gives every node 3 triangles and coeff 1; a path gives 0") {
+    // K4 on {1,2,3,4} plus a pendant path 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("id1", "id2")
+    val m = Components.triangleStats(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (v <- 1L to 3L) assert(m(v) == ((3L, 3L, 1.0)), s"node $v: ${m(v)}")
+    assert(m(4L) == ((4L, 3L, 0.5))) // deg 4, 3 tris, 2*3/(4*3)
+    assert(m(5L) == ((2L, 0L, 0.0)))
+    assert(m(6L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleStats counts each triangle once regardless of edge order given") {
+    // same triangle presented with reversed pairs — canonicalization dedups
+    val edges = Seq((2L, 1L), (3L, 1L), (3L, 2L)).toDF("id1", "id2")
+    val out = Components.triangleStats(
+      edges.select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2")), "id1", "id2")
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(out == Seq(1L, 1L, 1L))
+  }
+
+  // --- covariance ------------------------------------------------------
+
+  test("dimCovariance matches direct computation and is symmetric-complete") {
+    val vecs = Seq(
+      (1L, Array(1.0, 2.0, 3.0)),
+      (2L, Array(2.0, 4.0, 1.0)),
+      (3L, Array(3.0, 6.0, 2.0)),
+      (4L, Array(4.0, 8.0, 5.0))).toDF("id", "vec")
+    val got = Similarity.dimCovariance(vecs, dims = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    // dim2 = 2*dim1 exactly: cov(1,2) = 2*var(1); population variance
+    // of {1,2,3,4} = 1.25
+    assert(math.abs(got((1, 1)) - 1.25) < 1e-5)
+    assert(math.abs(got((1, 2)) - 2.5) < 1e-5)
+    assert(math.abs(got((2, 2)) - 5.0) < 1e-5)
+    // hand: cov(1,3) = E[xy]-E[x]E[y] = (3+2+6+20)/4 - 2.5*2.75
+    assert(math.abs(got((1, 3)) - (31.0 / 4 - 2.5 * 2.75)) < 1e-5)
+  }
+
+  // --- winnow pairs ----------------------------------------------------
+
+  test("winnowPairs surfaces pairs with long shared runs, skips disjoint docs") {
+    val run = (0 until 30).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"intro $run outro"),
+      (2L, s"$run completely different tail here"),
+      (3L, "nothing in common with anything at all zz yy xx ww vv uu tt")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(df, "doc_id", "text", k = 4, w = 5,
+      minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   // --- rank metrics ----------------------------------------------------
