@@ -5424,6 +5424,59 @@ object Queries {
     GROUP BY id1, id2 HAVING count(*) >= 2 ORDER BY id1, id2"""
   }
 
+  /** E3 — PCA: projection of every embedding onto the top principal
+    * component of its first 6 dims (10-step power iteration on the
+    * driver over the bounded covariance matrix; projection distributed).
+    * The oracle replays the identical IEEE double operation chain from
+    * the same rounded covariance entries — bit-equal across engines.
+    */
+  def e3_pca(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.pcaProject(e, dims = 6, iters = 10).orderBy("id")
+  }
+
+  val e3pcSql: String = {
+    val dims = 6; val iters = 10
+    val pairsIdx = for { i <- 1 to dims; j <- i to dims } yield (i, j)
+    val sums = (1 to dims).map(i =>
+      s"cast(cast(sum(x[$i]) AS bigint) AS double) AS s$i").mkString(", ")
+    val prods = pairsIdx.map { case (i, j) =>
+      s"cast(cast(sum(x[$i] * x[$j]) AS bigint) AS double) AS p${i}_$j"
+    }.mkString(", ")
+    val covs = pairsIdx.map { case (i, j) =>
+      s"""round(p${i}_$j / (n * 1048576.0 * 1048576.0) -
+        (s$i / (n * 1048576.0)) * (s$j / (n * 1048576.0)), 6) AS c${i}_$j"""
+    }.mkString(", ")
+    val covCols = pairsIdx.map { case (i, j) => s"c${i}_$j" }.mkString(", ")
+    def cref(i: Int, j: Int) = if (i <= j) s"c${i}_$j" else s"c${j}_$i"
+    val v0 = (1 to dims).map(i =>
+      s"cast(${if (i == 1) 1 else 0} AS double) AS v$i").mkString(", ")
+    val nsq = (1 to dims).map(j => s"w$j * w$j").mkString(" + ")
+    val body = (1 to iters).map { tt =>
+      val ws = (1 to dims).map(i =>
+        (1 to dims).map(j => s"${cref(i, j)} * v$j").mkString(" + ") +
+          s" AS w$i").mkString(", ")
+      val vs = (1 to dims).map(i => s"w$i / sqrt($nsq) AS v$i").mkString(", ")
+      s"""wt$tt AS (SELECT $covCols, $ws FROM it${tt - 1}),
+      it$tt AS (SELECT $covCols, $vs FROM wt$tt)"""
+    }.mkString(",\n    ")
+    val flip = (1 to dims).map(i =>
+      s"CASE WHEN v1 < 0 THEN -v$i ELSE v$i END AS v$i").mkString(", ")
+    val projChain = (1 to dims)
+      .map(j => s"cast(embedding[$j] AS double) * v$j").mkString(" + ")
+    s"""WITH xs AS (SELECT list_transform(range(1, ${dims + 1}),
+        i -> cast(round(cast(embedding[i] AS double) * 1048576) AS bigint)) AS x
+      FROM embeddings),
+    agg AS (SELECT cast(count(*) AS double) AS n, $sums, $prods FROM xs),
+    cov AS (SELECT $covs FROM agg),
+    it0 AS (SELECT $covCols, $v0 FROM cov),
+    $body,
+    fin AS (SELECT $flip FROM it$iters)
+    SELECT vec_id AS id, round($projChain, 6) AS proj
+    FROM embeddings CROSS JOIN fin ORDER BY id"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -5625,5 +5678,6 @@ object Queries {
     ("e3_rank_metrics", e3_rank_metrics _, e3rmSql),
     ("e2_triangles", e2_triangles _, e2trSql),
     ("e3_covariance", e3_covariance _, e3cvSql),
-    ("e2_winnow_pairs", e2_winnow_pairs _, e2wpSql))
+    ("e2_winnow_pairs", e2_winnow_pairs _, e2wpSql),
+    ("e3_pca", e3_pca _, e3pcSql))
 }

@@ -748,6 +748,57 @@ object Similarity {
       .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.cov").as("cov"))
   }
 
+  /** Top principal component of the first `dims` embedding dimensions
+    * by FIXED-COUNT power iteration over the covariance matrix.
+    *
+    * The covariance matrix is dims² numbers — bounded by the dimension
+    * CONTRACT, not data size — so the iteration runs on the driver over
+    * the collected matrix (the same bounded-driver-state rule as IVF
+    * centroids / PQ codebooks); the data-sized work (the covariance
+    * aggregate, the projection) stays distributed.
+    *
+    * Cross-engine determinism: inputs are the ROUNDED covariance
+    * entries (6 dp — already portable), v₀ = e₁, and every matrix-vector
+    * product / norm / division is an explicitly-ordered chain of IEEE
+    * double ops (+,*,/,sqrt are correctly rounded on both JVM and C
+    * engines), so an oracle replaying the same chain reproduces the
+    * component bit-for-bit. Sign fixed by forcing v₁ ≥ 0.
+    */
+  def pcaComponent(corpus: DataFrame, dims: Int, iters: Int): Array[Double] = {
+    val cov = Array.ofDim[Double](dims, dims)
+    dimCovariance(corpus, dims).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      // w = C v, each row a left-to-right chain; then v = w / ||w||
+      val w = Array.tabulate(dims) { i =>
+        var acc = cov(i)(0) * v(0)
+        for (j <- 1 until dims) acc = acc + cov(i)(j) * v(j)
+        acc
+      }
+      var nsq = w(0) * w(0)
+      for (j <- 1 until dims) nsq = nsq + w(j) * w(j)
+      val n = math.sqrt(nsq)
+      v = w.map(_ / n)
+    }
+    if (v(0) < 0) v.map(x => -x) else v
+  }
+
+  /** Projection of every vector onto [[pcaComponent]] — the distributed
+    * half: the component ships as literals, the dot product is a fixed
+    * chain, one narrow pass over the corpus.
+    */
+  def pcaProject(corpus: DataFrame, dims: Int, iters: Int,
+                 roundTo: Int = 6): DataFrame = {
+    val v = pcaComponent(corpus, dims, iters)
+    val proj = (2 to dims).foldLeft(
+      element_at(col("vec"), 1).cast("double") * lit(v(0)): Column)((acc, j) =>
+      acc + element_at(col("vec"), j).cast("double") * lit(v(j - 1)))
+    corpus.select(col("id"), round(proj, roundTo).as("proj"))
+  }
+
   /** Discounted-gain weight for rank r (binary relevance): 1/log2(r+1).
     * Computed ONCE here in JVM doubles and string-interpolated verbatim
     * into the DuckDB oracle (Double.toString round-trips), so both

@@ -171,6 +171,37 @@ class Round7bSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  // --- PCA -------------------------------------------------------------
+
+  test("pcaComponent recovers a planted dominant direction, sign-fixed positive") {
+    // all variance lies along (1,2,0): component must converge there
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val s = rnd.nextDouble() * 4 - 2
+      val noise = rnd.nextDouble() * 0.01
+      (i.toLong, Array(s * 1.0, s * 2.0, noise))
+    }
+    val v = Similarity.pcaComponent(rows.toDF("id", "vec"), dims = 3, iters = 10)
+    val t = math.sqrt(5.0)
+    assert(math.abs(v(0) - 1 / t) < 0.01 && math.abs(v(1) - 2 / t) < 0.01)
+    assert(math.abs(v(2)) < 0.05)
+    assert(v(0) > 0) // sign convention
+    // unit norm
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
+  test("pcaProject: projections of the planted data match s * |(1,2)| direction") {
+    val rows = Seq((1L, Array(1.0, 2.0, 0.0)), (2L, Array(-1.0, -2.0, 0.0)),
+      (3L, Array(2.0, 4.0, 0.0)), (4L, Array(0.0, 0.0, 0.0)))
+    val got = Similarity.pcaProject(rows.toDF("id", "vec"), dims = 3, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t = math.sqrt(5.0)
+    assert(math.abs(got(1L) - t) < 1e-4)     // (1,2)·(1,2)/√5 = √5
+    assert(math.abs(got(2L) + t) < 1e-4)
+    assert(math.abs(got(3L) - 2 * t) < 1e-4)
+    assert(got(4L) == 0.0)
+  }
+
   // --- rank metrics ----------------------------------------------------
 
   test("rankMetrics boundary cases: all-relevant ndcg=1, none-relevant 0, first-hit mrr") {
