@@ -166,4 +166,39 @@ object Pipelines {
           .when(col("quality") < minQuality, lit("low_quality"))
           .otherwise(lit("accepted")).as("status"))
   }
+
+  /** Curriculum-ordered pretraining pack: quality-score every document,
+    * assign a curriculum PHASE by fixed quality thresholds (easy/clean
+    * docs first — phase 1 trains before phase 2 before phase 3), then
+    * pack each (phase, source) lane into fixed-budget sequences by a
+    * running token sum.
+    *
+    * Scale notes: phase comes from FIXED thresholds, not data-dependent
+    * tertiles — an ntile over a global ordering would plan as one
+    * partition holding the corpus (the same cliff Ids.denseIds exists
+    * to avoid); production re-derives thresholds offline per corpus
+    * release. Packing windows partition by (phase, source) lanes — the
+    * parallelism contract is lanes ≫ executors at real corpus scale
+    * (source is a fine-grained domain there); within-lane order is the
+    * stable (doc_id) order, so the pack is reproducible run to run.
+    */
+  def curriculum(docs: DataFrame, idCol: String, textCol: String,
+                 sourceCol: String, ctx: Int,
+                 loThresh: Double = 0.45, hiThresh: Double = 0.7): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs, idCol, textCol,
+      carry = Seq(sourceCol))
+    val phased = scored.withColumn("phase",
+      when(col("quality") >= hiThresh, lit(1))
+        .when(col("quality") >= loThresh, lit(2))
+        .otherwise(lit(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phase"), col(sourceCol)).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    phased
+      .withColumn("__start",
+        coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+      .select(col(idCol), col(sourceCol), col("phase"), col("quality"),
+        (col("__start") / ctx).cast("int").as("seq_id"),
+        col("n_tokens").cast("long").as("n_tokens"))
+  }
 }

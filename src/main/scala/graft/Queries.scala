@@ -5477,6 +5477,62 @@ object Queries {
     FROM embeddings CROSS JOIN fin ORDER BY id"""
   }
 
+  /** LLM — curriculum-ordered pretraining pack: quality phases by fixed
+    * thresholds (never a global ntile — that plans as one partition),
+    * fixed-budget packing per (phase, source) lane. ctx = 256.
+    */
+  def llm_curriculum(s: SparkSession, dir: String): DataFrame =
+    Pipelines.curriculum(t(s, dir, "documents"), "doc_id", "text",
+      sourceCol = "source", ctx = 256)
+      .withColumn("seq_id",
+        floor(col("seq_id")).cast("int")) // already int; keep stable type
+      .orderBy("phase", "source", "doc_id")
+
+  val llmCurrSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH q AS (SELECT doc_id, source,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality,
+      len(toks) AS n_tokens
+      FROM (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents)),
+    ph AS (SELECT *, CASE WHEN quality >= 0.7 THEN 1
+        WHEN quality >= 0.45 THEN 2 ELSE 3 END AS phase FROM q),
+    pk AS (SELECT doc_id, source, phase, quality,
+      cast(floor(cast(coalesce(sum(n_tokens) OVER (PARTITION BY phase, source
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as double)
+        / 256) AS int) AS seq_id,
+      cast(n_tokens AS bigint) AS n_tokens FROM ph)
+    SELECT doc_id, source, phase, quality, seq_id, n_tokens
+    FROM pk ORDER BY phase, source, doc_id"""
+  }
+
+  /** ETL — key-skew diagnostic report: top-10 heaviest join keys with
+    * their share of rows plus the max/avg skew factor — what decides
+    * whether a join needs salting (j_salted) or AQE skew splitting.
+    * Two tiny aggregates; the 1-row stats frame broadcasts back.
+    */
+  def etl_skew_report(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("l_suppkey"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+          .as("skew_factor"))
+      .orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+  }
+
+  val skewSql = """WITH c AS (SELECT l_suppkey, count(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey),
+    s AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt FROM c)
+    SELECT l_suppkey, cnt,
+      round(cast(cnt AS double) / n_rows, 6) AS share,
+      round(cast(max_cnt AS double) * n_keys / n_rows, 6) AS skew_factor
+    FROM c CROSS JOIN s ORDER BY cnt DESC, l_suppkey LIMIT 10"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -5679,5 +5735,7 @@ object Queries {
     ("e2_triangles", e2_triangles _, e2trSql),
     ("e3_covariance", e3_covariance _, e3cvSql),
     ("e2_winnow_pairs", e2_winnow_pairs _, e2wpSql),
-    ("e3_pca", e3_pca _, e3pcSql))
+    ("e3_pca", e3_pca _, e3pcSql),
+    ("llm_curriculum", llm_curriculum _, llmCurrSql),
+    ("etl_skew_report", etl_skew_report _, skewSql))
 }

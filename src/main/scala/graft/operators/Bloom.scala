@@ -54,13 +54,18 @@ object Bloom {
   }
 
   /** Membership probe against a built bitmap: true iff all k probe bits
-    * are set. A pure expression — stays in whole-stage codegen.
+    * are set. The k probes UNROLL into a plain AND chain of arithmetic +
+    * array-literal lookups (a higher-order `forall` would evaluate its
+    * lambda interpreted per row — unrolling keeps the probe inside
+    * whole-stage codegen, which is the point of the prefilter).
     */
-  def mightContain(x: Column, words: Array[Long], mBits: Int, k: Int): Column =
-    forall(sequence(lit(0), lit(k - 1)), s => {
-      val pos = pmod(x + s.cast("bigint") * h2(x), lit(mBits.toLong))
-      typedLit(words.toSeq).getItem((pos / 64).cast("int"))
+  def mightContain(x: Column, words: Array[Long], mBits: Int, k: Int): Column = {
+    val bitmap = typedLit(words.toSeq)
+    (0 until k).map { s =>
+      val pos = pmod(x + lit(s.toLong) * h2(x), lit(mBits.toLong))
+      bitmap.getItem((pos / 64).cast("int"))
         .bitwiseAND(call_function("shiftleft", lit(1L),
           pmod(pos, lit(64L)).cast("int"))) =!= lit(0L)
-    })
+    }.reduceLeft(_ && _)
+  }
 }

@@ -204,7 +204,11 @@ object TextAnalysis {
       .select(col(idCol).as("id"),
         transform(tokens(col(textCol)), t => portableStringHash(t)).as("__th"))
       .select(col("id"), Dedup.hashedShinglesFromHashes(col("__th"), n).as("g"))
+    // materialize the index ONCE: the bitmap build is an action and the
+    // exact-verify join broadcasts the same frame — uncheckpointed, the
+    // eval shingle pipeline would run twice
     val evalIndex = grams(eval).select(explode(col("g")).as("x")).distinct()
+      .localCheckpoint(true)
     val bloom = Bloom.build(evalIndex, mBits, k)
     val trainGrams = grams(train)
     val hits = trainGrams.select(col("id"), explode(col("g")).as("x"))

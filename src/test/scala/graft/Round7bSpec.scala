@@ -202,6 +202,47 @@ class Round7bSpec extends SparkSpec {
     assert(got(4L) == 0.0)
   }
 
+  // --- curriculum ------------------------------------------------------
+
+  test("curriculum: phases follow quality thresholds; packing respects the lane budget") {
+    // high-quality docs: long + diverse; low-quality: tiny repetitive
+    val good = (1 to 4).map(i =>
+      (i.toLong, "src0", (0 until 120).map(j => s"the w${i}_$j of to in is").mkString(" ")))
+    val bad = (10 to 12).map(i => (i.toLong, "src0", "x x x x"))
+    val out = Pipelines.curriculum((good ++ bad).toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", ctx = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(4), r.getLong(5))).toMap
+    // bad docs land in a LATER phase than good docs
+    val goodPhase = out(1L)._1; val badPhase = out(10L)._1
+    assert(goodPhase < badPhase, s"good=$goodPhase bad=$badPhase")
+    // within the good lane (720 tokens each... doc tokens = 120*6), the
+    // running 256-budget advances seq_id monotonically with doc_id
+    val seqs = (1 to 4).map(i => out(i.toLong)._2)
+    assert(seqs == seqs.sorted)
+    assert(seqs.distinct.size > 1, "multiple sequences expected")
+  }
+
+  // --- skew report -----------------------------------------------------
+
+  test("skew report math: share and max/avg factor on a crafted skew") {
+    val df = (Seq.fill(6)(1) ++ Seq.fill(2)(2) ++ Seq.fill(2)(3) ++ Seq(4, 5))
+      .toDF("l_suppkey") // hmm: query is bound to lineitem; test the math inline
+    val counts = df.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+    val top = counts.crossJoin(broadcast(stats))
+      .select(col("l_suppkey"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+          .as("skew_factor"))
+      .orderBy(col("cnt").desc, col("l_suppkey")).limit(2)
+      .collect()
+    assert(top(0).getInt(0) == 1 && top(0).getLong(1) == 6L)
+    assert(top(0).getDouble(2) == 0.5)        // 6 of 12 rows
+    assert(top(0).getDouble(3) == 2.5)        // max 6 / avg 2.4
+  }
+
   // --- rank metrics ----------------------------------------------------
 
   test("rankMetrics boundary cases: all-relevant ndcg=1, none-relevant 0, first-hit mrr") {
