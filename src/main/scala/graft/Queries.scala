@@ -4836,6 +4836,136 @@ object Queries {
     WHERE cum_tokens <= 8000 ORDER BY source, doc_id"""
   }
 
+  /** E4 — BPE merge LEARNING (the trainer, not just the encoder):
+    * TextAnalysis.bpeLearn runs six distributed merge rounds over the
+    * corpus' pre-token frequency table and this query grades the learned
+    * artifact itself — the merge table in rank order with each winning
+    * pair's corpus frequency. The oracle unrolls the identical six
+    * rounds as chained MATERIALIZED CTEs (pair-count argmax with the
+    * same (cnt desc, lhs, rhs) tie-break, then greedy non-overlapping
+    * merge via gaps-and-islands every-other-match selection). A row only
+    * matches if pair statistics, tie-breaking, overlap semantics, AND
+    * the round-to-round feedback (merged symbols competing in later
+    * rounds — sf0.01 learns ('m','er') at rank 6) all agree.
+    */
+  def e4_bpe_merges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the trained frame's checkpoint blocks are reclaimed by the
+    // harness-boundary Blocks.sweep; only the 6-row merge table leaves
+    val (merges, _) =
+      TextAnalysis.bpeLearn(t(s, dir, "documents"), "text", nMerges = 6)
+    merges.zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+      .toDF("rank", "lhs", "rhs", "cnt")
+      .orderBy("rank")
+  }
+
+  /** E4 — the trained tokenization bpeLearn leaves behind: per-pre-token
+    * subword counts after all six merges (the corpus-side artifact a
+    * trainer hands to the encoder). Same unrolled oracle chain, graded
+    * at the final round's symbol arrays.
+    */
+  def e4_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    val (_, trained) =
+      TextAnalysis.bpeLearn(t(s, dir, "documents"), "text", nMerges = 6)
+    trained.select(col("pt"), col("freq"), col("n_sub")).orderBy("pt")
+  }
+
+  /** E4 — the ENCODER side of the BPE loop: per-document token counts
+    * under the learned merge table. bpeLearn's trained frame is the
+    * (pre-token → n_sub) artifact; encoding a document is one broadcast
+    * join of its pre-token occurrence counts against that table — at
+    * 100 TB the trained table is vocabulary-sized (bounded, broadcast)
+    * and the corpus-side pass is a single narrow explode+agg, so token
+    * accounting costs one scan regardless of merge count. Documents
+    * whose every pre-token is empty encode to 0 (left join), matching
+    * the whitespace-counter convention of e4_token_counts.
+    */
+  def e4_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (_, trained) = TextAnalysis.bpeLearn(docs, "text", nMerges = 6)
+    val occ = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.preTokens(col("text"))).as("pt"))
+      .filter(length(col("pt")) > 0)
+      .groupBy("doc_id", "pt").agg(count(lit(1)).as("occ"))
+    val perDoc = occ
+      .join(broadcast(trained.select(col("pt"), col("n_sub"))), Seq("pt"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ") * col("n_sub")).as("n_bpe"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** The unrolled six-round BPE oracle chain. Each round k: b{k} = the
+    * argmax pair over round k-1's adjacent-pair frequencies; t{k} = the
+    * greedily TAKEN match positions (islands of consecutive matches —
+    * only possible when lhs==rhs — keep every other, replicating the
+    * sequential left-to-right scan); r{k} = round k-1's symbol arrays
+    * with taken pairs fused and their right halves dropped. MATERIALIZED
+    * is load-bearing: each round references its predecessor three times,
+    * and DuckDB's default CTE inlining would re-evaluate the chain
+    * exponentially (3^6 — measured minutes instead of 0.2 s at sf0.01).
+    */
+  private val bpeCtes: String = {
+    val re = "' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'"
+    val r0 = s"""r0 AS MATERIALIZED (
+      SELECT pt, freq, list(substr(pt, cast(ci as int), 1) ORDER BY ci) AS syms FROM (
+        SELECT pt, freq, unnest(generate_series(1, length(pt))) AS ci FROM (
+          SELECT pt, count(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(text, $re)) AS pt FROM documents)
+          WHERE length(pt) > 0 GROUP BY pt))
+      GROUP BY pt, freq)"""
+    val rounds = (1 to 6).flatMap { k =>
+      val p = k - 1
+      Seq(
+        s"""b$k AS MATERIALIZED (
+      SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt FROM (
+        SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM r$p)
+      GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)""",
+        s"""t$k AS MATERIALIZED (
+      SELECT pt, i FROM (
+        SELECT pt, i, row_number() OVER (PARTITION BY pt, grp ORDER BY i) AS rn FROM (
+          SELECT m.pt, m.i, m.i - row_number() OVER (PARTITION BY m.pt ORDER BY m.i) AS grp FROM (
+            SELECT s.pt, s.i FROM (
+              SELECT pt, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM r$p) s, b$k
+            WHERE s.syms[s.i] = b$k.a AND s.syms[s.i+1] = b$k.b) m))
+      WHERE rn % 2 = 1)""",
+        s"""r$k AS MATERIALIZED (
+      SELECT pt, freq, list(CASE WHEN hit THEN ab ELSE sym END ORDER BY p) AS syms FROM (
+        SELECT pos.pt, pos.freq, pos.p, pos.syms[pos.p] AS sym, bb.ab,
+               tk.i IS NOT NULL AS hit, pr.i IS NOT NULL AS dropped
+        FROM (SELECT pt, freq, syms, unnest(generate_series(1, len(syms))) AS p FROM r$p) pos
+        CROSS JOIN (SELECT a || b AS ab FROM b$k) bb
+        LEFT JOIN t$k tk ON tk.pt = pos.pt AND tk.i = pos.p
+        LEFT JOIN t$k pr ON pr.pt = pos.pt AND pr.i = pos.p - 1)
+      WHERE NOT dropped GROUP BY pt, freq)""")
+    }
+    (r0 +: rounds).mkString(",\n    ")
+  }
+
+  val e4bpmSql: String = {
+    val sel = (1 to 6)
+      .map(k => s"SELECT $k AS rank, a AS lhs, b AS rhs, cast(cnt AS bigint) AS cnt FROM b$k")
+      .mkString(" UNION ALL ")
+    s"WITH $bpeCtes\n    SELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  val e4bptSql: String =
+    s"""WITH $bpeCtes
+    SELECT pt, freq, cast(len(syms) AS bigint) AS n_sub FROM r6 ORDER BY pt"""
+
+  val e4bpeSql: String =
+    s"""WITH $bpeCtes,
+    docpt AS (SELECT doc_id, unnest(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS pt FROM documents),
+    occ AS (SELECT doc_id, pt, count(*) AS occ FROM docpt WHERE length(pt) > 0 GROUP BY 1, 2),
+    perdoc AS (SELECT o.doc_id, sum(o.occ * len(r.syms)) AS n_bpe
+      FROM occ o JOIN r6 r ON o.pt = r.pt GROUP BY 1)
+    SELECT d.doc_id, cast(coalesce(p.n_bpe, 0) AS bigint) AS n_bpe
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id ORDER BY d.doc_id"""
+
   /** E5 — fault-tolerant semi-structured parsing: a deterministic ~1/7 of
     * the JSON payloads are truncated (trailing brace dropped), and the
     * pipeline must degrade per-row — null value + ok-flag — instead of
@@ -5623,6 +5753,9 @@ object Queries {
     ("sql_tpch_q16", sql_tpch_q16 _, sqlQ16),
     ("e4_subword", e4_subword _, e4swSql),
     ("e4_subword_budget", e4_subword_budget _, e4sbSql),
+    ("e4_bpe_merges", e4_bpe_merges _, e4bpmSql),
+    ("e4_bpe_train", e4_bpe_train _, e4bptSql),
+    ("e4_bpe_encode", e4_bpe_encode _, e4bpeSql),
     ("llm_ingest_incr", llm_ingest_incr _, llmIncSql),
     ("e2_incremental_rest", e2_incremental_rest _, e2incSql),
     ("mm_audio_meta", mm_audio_meta _, mmAudioSql),

@@ -279,6 +279,73 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016 — the
+    * standard subword vocab trainer), distributed. Returns the learned
+    * merge table in rank order plus the trained corpus tokenization
+    * (pre-token → subword count under all merges).
+    *
+    * Each round is two data-parallel passes over the DISTINCT pre-token
+    * frequency table (vocabulary-sized, not corpus-sized — the corpus
+    * is touched once, up front):
+    *   1. adjacent-pair frequencies (explode + map-side-combined sum),
+    *      argmax collected as ONE row (bounded driver state, the
+    *      convergence-check pattern of Components);
+    *   2. the winning pair merged into every word by a left fold over
+    *      its symbol array (greedy non-overlapping — matching the
+    *      sequential algorithm exactly because the fold compares
+    *      against the POST-merge last symbol).
+    * Lineage is cut per round with an eager localCheckpoint, so the
+    * plan stays flat at any merge count.
+    *
+    * Determinism: ties on pair frequency break by (left, right)
+    * lexicographic order — byte order, engine-independent.
+    */
+  def bpeLearn(df: DataFrame, textCol: String,
+               nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    var words = df
+      .select(explode(preTokens(col(textCol))).as("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("freq"))
+      .filter(length(col("pt")) > 0)
+      .select(col("pt"), col("freq"),
+        // split-on-empty keeps a TRAILING "" (Pattern.split limit -1);
+        // drop empties so symbols are exactly the codepoints
+        filter(split(col("pt"), ""), s => s =!= lit("")).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val top = words
+        .filter(size(col("syms")) >= 2) // sequence(0, -1) would DESCEND
+        .select(col("freq"), explode(transform(
+          sequence(lit(0), size(col("syms")) - lit(2)),
+          i => struct(element_at(col("syms"), i + lit(1)).as("a"),
+            element_at(col("syms"), i + lit(2)).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b, top(0).getLong(2)))
+        val ab = a + b
+        val next = words.select(col("pt"), col("freq"),
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(ab))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint(true)
+        graft.Blocks.free(words)
+        words = next
+      }
+    }
+    (merges.toSeq,
+      words.select(col("pt"), col("freq"),
+        size(col("syms")).cast("long").as("n_sub")))
+  }
+
   /** BM25 keyword retrieval over the corpus for a FIXED small term set
     * (the standard k1/b formulation with Lucene's idf
     * ln((N - df + 0.5)/(df + 0.5) + 1)).
