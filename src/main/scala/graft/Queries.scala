@@ -5459,6 +5459,71 @@ object Queries {
     FROM agg ORDER BY query_id"""
   }
 
+  /** E3 — hybrid retrieval by reciprocal-rank fusion: the lexical BM25
+    * ranking over `documents` and the embedding cosine ranking over
+    * `embeddings` (which share the 0..N id space in this corpus) fused
+    * as sum of 1/(60+rank) — the standard RRF constant from the
+    * Cormack/Clarke/Buettcher formulation. Fusion consumes only the two
+    * k-bounded rank lists (≤50 rows each), so at 100 TB the cost is the
+    * two retrievals themselves, each already scale-shaped (BM25 is one
+    * scan + broadcast stats; ANN has the IVF/PQ path); the fusion join
+    * is driver-trivial and rank-only — scores never need to be
+    * commensurable, which is the point of RRF.
+    */
+  def e3_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val lex = TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("join", "spark", "vector"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+      // window over the ≤50-row top-k frame, not the corpus
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("lex_rnk"))
+    val sem = Similarity.bruteForceTopK(e.filter(col("id") === 0), e, k = 50)
+      .select(col("cand_id").as("id"), col("rnk").as("sem_rnk"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("sem_rnk")), lit(0.0))).as("rrf"),
+        col("lex_rnk"), col("sem_rnk"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(20)
+  }
+
+  val e3hrSql: String = {
+    val terms = Seq("join", "spark", "vector")
+    val tfs = terms.map(tm =>
+      s"cast(len(list_filter(toks, x -> x = '$tm')) as double) AS tf_$tm").mkString(", ")
+    val dfs = terms.map(tm =>
+      s"cast(sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) as double) AS df_$tm").mkString(", ")
+    val score = terms.map(tm =>
+      s"""CASE WHEN tf_$tm > 0 THEN
+        ln((n_docs - df_$tm + 0.5) / (df_$tm + 0.5) + 1.0) * tf_$tm * (1.2 + 1.0)
+          / (tf_$tm + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        ELSE 0.0 END""").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, cast(len(toks) as double) AS dl, $tfs
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    s AS (SELECT cast(count(*) as double) AS n_docs, avg(dl) AS avgdl, $dfs FROM d),
+    lex AS (SELECT doc_id AS id,
+        cast(row_number() OVER (ORDER BY score DESC, doc_id) as int) AS lex_rnk
+      FROM (SELECT doc_id, round($score, 6) AS score FROM d, s) WHERE score > 0
+      QUALIFY lex_rnk <= 50),
+    v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    sem AS (SELECT cand_id AS id,
+        cast(row_number() OVER (ORDER BY sim DESC, cand_id) as int) AS sem_rnk FROM (
+      SELECT c.vec_id AS cand_id, round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id = 0 AND q.vec_id <> c.vec_id)
+      QUALIFY sem_rnk <= 50),
+    f AS (SELECT coalesce(lex.id, sem.id) AS id,
+        coalesce(cast(1.0 as double) / (60 + lex.lex_rnk), cast(0.0 as double))
+          + coalesce(cast(1.0 as double) / (60 + sem.sem_rnk), cast(0.0 as double)) AS rrf,
+        lex.lex_rnk, sem.sem_rnk
+      FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+    SELECT id, rrf, lex_rnk, sem_rnk FROM f ORDER BY rrf DESC, id LIMIT 20"""
+  }
+
   /** E2 — triangle counting + local clustering coefficient over the
     * embedding near-dup graph (same bucketed edge generation as
     * e2_embed_neardup, threshold 0.1): the standard graph diagnostic
@@ -5756,6 +5821,7 @@ object Queries {
     ("e4_bpe_merges", e4_bpe_merges _, e4bpmSql),
     ("e4_bpe_train", e4_bpe_train _, e4bptSql),
     ("e4_bpe_encode", e4_bpe_encode _, e4bpeSql),
+    ("e3_hybrid_rrf", e3_hybrid_rrf _, e3hrSql),
     ("llm_ingest_incr", llm_ingest_incr _, llmIncSql),
     ("e2_incremental_rest", e2_incremental_rest _, e2incSql),
     ("mm_audio_meta", mm_audio_meta _, mmAudioSql),
