@@ -5524,6 +5524,46 @@ object Queries {
     SELECT id, rrf, lex_rnk, sem_rnk FROM f ORDER BY rrf DESC, id LIMIT 20"""
   }
 
+  /** E3 — SemDeDup/D4-style prototypicality triage: per-label
+    * fixed-point centroid, cosine-to-centroid, and a 10 % rank cut of
+    * both tails — `redundant` (near-clones of the class prototype, the
+    * semantic-dedup pruning candidates), `outlier` (noise / mislabel
+    * candidates), `keep`. See [[Similarity.protoPrune]] for the
+    * determinism and 100 TB shape argument.
+    */
+  def e3_proto_prune(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    Similarity.protoPrune(e, dims = 64, tailFrac = 0.1)
+      .orderBy("label", "id")
+  }
+
+  val e3ppSql: String = {
+    val dims = 64
+    val sums = (1 to dims).map(i =>
+      s"cast(cast(sum(x[$i]) as bigint) as double) AS s$i").mkString(", ")
+    val cent = (1 to dims).map(i => s"s$i / (n * 1048576.0)").mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id AS id, label, embedding AS e,
+      list_transform(range(1,${dims + 1}),
+        i -> cast(round(cast(embedding[i] as double)*1048576) as bigint)) AS x
+      FROM embeddings),
+    c AS (SELECT label, cast(count(*) as double) AS n, $sums FROM v GROUP BY label),
+    ct AS (SELECT label, $cent AS cent FROM c),
+    cs AS (SELECT v.id, v.label,
+       round(list_sum(list_transform(range(1,${dims + 1}), i -> cast(e[i] as double) * cent[i]))
+         / (sqrt(list_sum(list_transform(range(1,${dims + 1}), i -> cast(e[i] as double)*cast(e[i] as double))))
+            * sqrt(list_sum(list_transform(range(1,${dims + 1}), i -> cent[i]*cent[i])))), 6) AS cos
+      FROM v JOIN ct ON v.label = ct.label),
+    r AS (SELECT id, label, cos,
+        row_number() OVER (PARTITION BY label ORDER BY cos ASC, id) AS rn,
+        count(*) OVER (PARTITION BY label) AS n FROM cs)
+    SELECT id, label, cos,
+      CASE WHEN rn <= ceil(0.1*n) THEN 'outlier'
+           WHEN rn > n - ceil(0.1*n) THEN 'redundant'
+           ELSE 'keep' END AS bucket
+    FROM r ORDER BY label, id"""
+  }
+
   /** E2 — triangle counting + local clustering coefficient over the
     * embedding near-dup graph (same bucketed edge generation as
     * e2_embed_neardup, threshold 0.1): the standard graph diagnostic
@@ -5822,6 +5862,7 @@ object Queries {
     ("e4_bpe_train", e4_bpe_train _, e4bptSql),
     ("e4_bpe_encode", e4_bpe_encode _, e4bpeSql),
     ("e3_hybrid_rrf", e3_hybrid_rrf _, e3hrSql),
+    ("e3_proto_prune", e3_proto_prune _, e3ppSql),
     ("llm_ingest_incr", llm_ingest_incr _, llmIncSql),
     ("e2_incremental_rest", e2_incremental_rest _, e2incSql),
     ("mm_audio_meta", mm_audio_meta _, mmAudioSql),

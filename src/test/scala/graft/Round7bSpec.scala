@@ -268,4 +268,22 @@ class Round7bSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(m(3L)._3 == expect)
   }
+
+  // --- prototypicality triage -----------------------------------------
+
+  test("protoPrune: farthest-from-centroid tail is outlier, closest is redundant, ties break by id") {
+    // label 0, n=5, tailFrac=0.2 -> tail=1 each side. Centroid leans
+    // toward [1,0]; the antipodal vector is the unique outlier; the
+    // three identical [1,0] rows tie on cosine, so the LARGEST id among
+    // them takes the single redundant slot (rank ties break by id).
+    val vs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0), (3L, Array(1f, 0f), 0),
+      (4L, Array(0.9f, 0.1f), 0), (5L, Array(-1f, 0f), 0)
+    ).toDF("id", "vec", "label")
+    val out = Similarity.protoPrune(vs, dims = 2, tailFrac = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(5L) == "outlier")
+    assert(out(3L) == "redundant")
+    assert(out(1L) == "keep" && out(2L) == "keep" && out(4L) == "keep")
+  }
 }
