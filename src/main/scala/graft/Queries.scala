@@ -4798,6 +4798,50 @@ object Queries {
     SELECT d.doc_id, cast(coalesce(pc.n_subword, 0) AS bigint) AS n_subword
     FROM documents d LEFT JOIN percount pc ON d.doc_id = pc.doc_id ORDER BY d.doc_id"""
 
+  /** E4 — tokenizer FERTILITY per language: subword tokens per
+    * whitespace word and characters per subword token, the standard
+    * multilingual-tokenizer evaluation pair (a vocab trained on one
+    * language mix over-fragments the others; fertility >> 1 for a
+    * language means its documents burn budget faster than their text
+    * warrants). Denominated in the same greedy subword encode as
+    * e4_subword, so the three token-currency queries agree. Integer
+    * sums per language then one rounded division each — deterministic
+    * and map-side combinable; the encode itself is the only heavy
+    * stage and is shared work with e4_subword at 100 TB (encode once,
+    * aggregate many).
+    */
+  def e4_fertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val counts = TextAnalysis.subwordCounts(docs, "doc_id", "text",
+      vocabSize = 256, maxSubLen = 6)
+    docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("nc"))
+      .join(counts.select(col("id").as("doc_id"), col("n_subword")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_subword")).as("sum_tokens"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("nc")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("sum_tokens"),
+        round(col("sum_tokens").cast("double") /
+          col("sum_words").cast("double"), 6).as("fertility"),
+        round(col("sum_chars").cast("double") /
+          col("sum_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  val e4fertSql: String = s"""WITH RECURSIVE $e4swCtes,
+    d AS (SELECT t.doc_id, t.lang,
+        cast(len(string_split(t.text, ' ')) as bigint) AS n_words,
+        cast(length(t.text) as bigint) AS nc,
+        cast(coalesce(pc.n_subword, 0) as bigint) AS n_subword
+      FROM documents t LEFT JOIN percount pc ON t.doc_id = pc.doc_id)
+    SELECT lang, count(*) AS n_docs, cast(sum(n_subword) as bigint) AS sum_tokens,
+      round(cast(sum(n_subword) as double) / cast(sum(n_words) as double), 6) AS fertility,
+      round(cast(sum(nc) as double) / cast(sum(n_subword) as double), 6) AS chars_per_token
+    FROM d GROUP BY lang ORDER BY lang"""
+
   /** E4 — token budget denominated in REAL subword tokens: the
     * quality-first per-source budget cut (e4_token_budget's contract)
     * with the whitespace counter swapped for the greedy subword encode —
@@ -5863,6 +5907,7 @@ object Queries {
     ("e4_bpe_encode", e4_bpe_encode _, e4bpeSql),
     ("e3_hybrid_rrf", e3_hybrid_rrf _, e3hrSql),
     ("e3_proto_prune", e3_proto_prune _, e3ppSql),
+    ("e4_fertility", e4_fertility _, e4fertSql),
     ("llm_ingest_incr", llm_ingest_incr _, llmIncSql),
     ("e2_incremental_rest", e2_incremental_rest _, e2incSql),
     ("mm_audio_meta", mm_audio_meta _, mmAudioSql),
