@@ -5786,6 +5786,41 @@ object Queries {
     FROM pk ORDER BY phase, source, doc_id"""
   }
 
+  /** ETL — blocked fuzzy ENTITY RESOLUTION over the customer table
+    * (see [[EntityRes]]): (nation, segment) blocking, weighted
+    * levenshtein + account-balance proximity score at 0.8, min-label
+    * components, canonical survivor = min custkey. The fuzzy tier above
+    * the reference's exact composite-key dimension dedup
+    * (FullETLGenerator.java:56-138).
+    */
+  def etl_entity_res(s: SparkSession, dir: String): DataFrame =
+    EntityRes.resolve(t(s, dir, "customer"), "c_custkey",
+      Seq("c_nationkey", "c_mktsegment"), "c_name", "c_acctbal",
+      nameDenom = 9.0, numScale = 1000.0, nameWeight = 0.7,
+      threshold = 0.8)
+      .orderBy("c_custkey")
+
+  val etlErSql: String = """WITH RECURSIVE p AS (
+      SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        round(0.7 * (1.0 - cast(levenshtein(a.c_name, b.c_name) as double)/9.0)
+          + 0.3 * (1.0 - least(abs(a.c_acctbal - b.c_acctbal)/1000.0, 1.0)), 6) AS score
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        AND a.c_custkey < b.c_custkey),
+    m AS (SELECT id1, id2 FROM p WHERE score >= 0.8),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM m UNION ALL SELECT id2, id1 FROM m),
+    reach AS (
+      SELECT c_custkey AS id, c_custkey AS lbl FROM customer
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    ent AS (SELECT id AS c_custkey, min(lbl) AS entity_id FROM reach GROUP BY id),
+    sz AS (SELECT entity_id, count(*) AS n_members FROM ent GROUP BY 1)
+    SELECT e.c_custkey, e.entity_id,
+      cast(CASE WHEN e.c_custkey = e.entity_id THEN 1 ELSE 0 END as int) AS is_canonical,
+      s.n_members
+    FROM ent e JOIN sz s ON e.entity_id = s.entity_id
+    ORDER BY e.c_custkey"""
+
   /** ETL — key-skew diagnostic report: top-10 heaviest join keys with
     * their share of rows plus the max/avg skew factor — what decides
     * whether a join needs salting (j_salted) or AQE skew splitting.
@@ -6022,5 +6057,6 @@ object Queries {
     ("e2_winnow_pairs", e2_winnow_pairs _, e2wpSql),
     ("e3_pca", e3_pca _, e3pcSql),
     ("llm_curriculum", llm_curriculum _, llmCurrSql),
-    ("etl_skew_report", etl_skew_report _, skewSql))
+    ("etl_skew_report", etl_skew_report _, skewSql),
+    ("etl_entity_res", etl_entity_res _, etlErSql))
 }

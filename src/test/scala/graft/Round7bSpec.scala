@@ -286,4 +286,28 @@ class Round7bSpec extends SparkSpec {
     assert(out(3L) == "redundant")
     assert(out(1L) == "keep" && out(2L) == "keep" && out(4L) == "keep")
   }
+
+  // --- entity resolution ----------------------------------------------
+
+  test("entityRes: merges within a block, never across blocks, canonical = min id") {
+    // 1 & 2: same block, 1-char name edit, close balance -> one entity.
+    // 3: IDENTICAL name/balance to 1 but different block -> never paired
+    //    (blocking is a hard gate). 4: same block as 1 but name too far.
+    val recs = Seq(
+      (1L, "Customer#000000001", 7, "AUTO", 100.0),
+      (2L, "Customer#000000002", 7, "AUTO", 150.0),
+      (3L, "Customer#000000001", 8, "AUTO", 100.0),
+      (4L, "Customer#000000999", 7, "AUTO", 100.0)
+    ).toDF("id", "name", "nation", "segment", "bal")
+    val out = graft.operators.EntityRes.resolve(recs, "id",
+        Seq("nation", "segment"), "name", "bal",
+        nameDenom = 9.0, numScale = 1000.0, nameWeight = 0.7,
+        threshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 1, 2L)))  // canonical of the {1,2} entity
+    assert(out(2L) == ((1L, 0, 2L)))  // merged into 1
+    assert(out(3L) == ((3L, 1, 1L)))  // blocked away despite identical name
+    assert(out(4L) == ((4L, 1, 1L)))  // name distance beyond threshold
+  }
 }
