@@ -5291,6 +5291,54 @@ object Queries {
       round(cast(n as double) / cast(sum(n) OVER (PARTITION BY prev) as double), 6) AS p
     FROM c ORDER BY prev, next"""
 
+  /** E11 — steady-state distribution of the event-type Markov chain
+    * (see [[Sessionize.markovStationary]]): the equilibrium
+    * state-occupancy analytic over the e11_transitions matrix, computed
+    * by 12 driver-side power-iteration steps over the ROUNDED K×K
+    * matrix (bounded by the type-cardinality contract — the
+    * pcaComponent discipline). The oracle unrolls the identical
+    * iteration chain in SQL.
+    */
+  def e11_stationary(s: SparkSession, dir: String): DataFrame =
+    Sessionize.markovStationary(
+      events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_millis(col("ts")).as("tm")),
+      "user_id", "event_type", "tm", "event_id", iters = 12)
+      .orderBy("state")
+
+  val e11stSql: String = {
+    val states = Seq("click", "error", "purchase", "signup", "view")
+    val k = states.length; val iters = 12
+    val pm = (for { i <- 1 to k; j <- 1 to k } yield
+      s"coalesce(max(CASE WHEN prev='${states(i - 1)}' AND next='${states(j - 1)}' THEN p END), 0.0) AS p${i}_$j")
+      .mkString(", ")
+    val pCols = (for { i <- 1 to k; j <- 1 to k } yield s"p${i}_$j").mkString(", ")
+    val x0 = (1 to k).map(i => s"cast(1.0 as double)/$k AS x$i").mkString(", ")
+    val body = (1 to iters).map { tt =>
+      val ws = (1 to k).map(j =>
+        (1 to k).map(i => s"x$i * p${i}_$j").mkString(" + ") + s" AS w$j")
+        .mkString(", ")
+      val ssum = (1 to k).map(j => s"w$j").mkString(" + ")
+      val xs = (1 to k).map(j => s"w$j / ($ssum) AS x$j").mkString(", ")
+      s"""wt$tt AS (SELECT $pCols, $ws FROM it${tt - 1}),
+      it$tt AS (SELECT $pCols, $xs FROM wt$tt)"""
+    }.mkString(",\n    ")
+    val out = (1 to k).map(i =>
+      s"SELECT '${states(i - 1)}' AS state, x$i AS xv FROM it$iters")
+      .mkString(" UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tm FROM events),
+    lagged AS (SELECT event_type AS next,
+      lag(event_type) OVER (PARTITION BY user_id ORDER BY tm, event_id) AS prev FROM ev),
+    c AS (SELECT prev, next, count(*) AS n FROM lagged
+      WHERE prev IS NOT NULL GROUP BY prev, next),
+    pr AS (SELECT prev, next, round(cast(n as double)
+      / cast(sum(n) OVER (PARTITION BY prev) as double), 6) AS p FROM c),
+    pm AS (SELECT $pm FROM pr),
+    it0 AS (SELECT $pCols, $x0 FROM pm),
+    $body
+    SELECT state, round(xv, 6) AS pi FROM ($out) ORDER BY state"""
+  }
+
   /** ETL — INCREMENTAL SCD2 maintenance graded against the full-rebuild
     * oracle: the dimension is built from pre-1999 orders, then the 1999+
     * batch is applied with `Scd2.applyChanges` — anti-join pass-through
@@ -5943,6 +5991,7 @@ object Queries {
     ("e3_hybrid_rrf", e3_hybrid_rrf _, e3hrSql),
     ("e3_proto_prune", e3_proto_prune _, e3ppSql),
     ("e4_fertility", e4_fertility _, e4fertSql),
+    ("e11_stationary", e11_stationary _, e11stSql),
     ("llm_ingest_incr", llm_ingest_incr _, llmIncSql),
     ("e2_incremental_rest", e2_incremental_rest _, e2incSql),
     ("mm_audio_meta", mm_audio_meta _, mmAudioSql),

@@ -151,4 +151,61 @@ object Sessionize {
       .select(col(keyCol), col("concurrent").as("max_concurrent"),
         col("t_ms").as("peak_at_ms"))
   }
+
+  /** Steady-state distribution of the per-user event-type Markov chain:
+    * where user behavior settles if the observed transition dynamics
+    * keep running — the equilibrium page-importance / state-occupancy
+    * analytic on top of the transition matrix (same lag-window
+    * transition extraction as the transitions query).
+    *
+    * Scale + determinism shape (the pcaComponent discipline): the
+    * data-sized work is ONE lag window + one (prev, next) aggregate; the
+    * K×K transition matrix is bounded by the event-type CARDINALITY
+    * contract, so the fixed-count power iteration runs on the driver
+    * over the collected matrix. Iteration inputs are the ROUNDED (6 dp,
+    * portable) transition probabilities, x₀ is uniform, and every
+    * mat-vec product / renormalization is an explicitly-ordered chain of
+    * IEEE double ops (ascending state index, left fold), so an oracle
+    * replaying the same chain reproduces the vector bit-for-bit.
+    * Renormalizing each step keeps mass at 1 even if a state has no
+    * observed outgoing transitions (sub-stochastic row).
+    */
+  def markovStationary(events: DataFrame, userCol: String, typeCol: String,
+                       tsMsCol: String, tieCol: String, iters: Int,
+                       roundTo: Int = 6): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsMsCol), col(tieCol))
+    val wp = Window.partitionBy("prev")
+    val trans = events
+      .withColumn("prev", lag(col(typeCol), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col(typeCol).as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(wp).cast("double"), roundTo))
+      .select("prev", "next", "p")
+      .collect() // K^2 rows max — bounded by the type-cardinality contract
+    val states = trans.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val k = states.length
+    val idx = states.zipWithIndex.toMap
+    val pm = Array.ofDim[Double](k, k)
+    trans.foreach(r => pm(idx(r.getString(0)))(idx(r.getString(1))) = r.getDouble(2))
+    var x = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to iters) {
+      val nx = Array.tabulate(k) { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < k) { acc += x(i) * pm(i)(j); i += 1 } // ascending fold
+        acc
+      }
+      var s = 0.0
+      var j = 0
+      while (j < k) { s += nx(j); j += 1 }
+      x = nx.map(_ / s)
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.zip(x).toSeq.toDF("state", "pi_raw")
+      .select(col("state"), round(col("pi_raw"), roundTo).as("pi"))
+  }
 }
