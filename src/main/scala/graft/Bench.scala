@@ -23,9 +23,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // tune BEFORE any read: events.parquet is TIMESTAMP(NANOS) and needs
-    // spark.sql.legacy.parquet.nanosAsLong — round 1's warmup read it on an
-    // untuned session and the aborted job's ERROR line corrupted stdout.
+    // tune BEFORE any read: pins session timezone + AQE confs. (The
+    // TIMESTAMP(NANOS) events read no longer depends on session confs —
+    // graft.functions.eventTimeMillis adapts to the physical type the
+    // reader delivers, raw int64 epoch-ns or TIMESTAMP_NTZ alike.)
     Graft.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: JIT + codegen + scheduler paths, no table data

@@ -17,10 +17,17 @@ object Graft {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's TimestampType
-    // (us) cannot hold; read the raw int64 and convert explicitly
-    // (graft.Queries.events does `ts div 1e6` -> timestamp_millis).
+    // events.parquet carries TIMESTAMP(NANOS). On Spark <=4.0 this conf
+    // makes it read as raw int64 epoch-ns; on 4.1+ the conf is inert and
+    // the column reads as TIMESTAMP_NTZ (round-7 incident). Kept for
+    // back-compat only — the read path no longer depends on it:
+    // graft.functions.eventTimeMillis adapts to whichever physical type
+    // the reader delivers.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the session timezone so the NTZ->timestamp cast inside
+    // eventTimeMillis is the identity wall-clock mapping and every
+    // date/time extraction is deterministic across host environments.
+    c.set("spark.sql.session.timeZone", "UTC")
     // SQL-surface users on a tuned session get the native dot-product
     // rewrite + function without configuring spark.sql.extensions
     // (round-2 verdict item 7). Guarded: extraOptimizations is

@@ -25,11 +25,13 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events with its TIMESTAMP(NANOS) column truncated to millisecond
-    * TimestampType. Integer `div` (not double division — ns epochs exceed
-    * 2^53) matches DuckDB's epoch_ms() floor exactly.
+    * TimestampType via the schema-adaptive events-ts contract
+    * (graft.functions.eventTimeMillis) — works whether the reader
+    * delivers raw int64 epoch-ns (Spark <=4.0 legacy conf) or
+    * TIMESTAMP_NTZ (Spark 4.1+, where the legacy conf is inert).
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+    eventTimeMillis(t(s, dir, "events"))
 
   /** Exact sum of a double column: decimal(18,2) in, double out —
     * bit-identical in any engine regardless of aggregation order.

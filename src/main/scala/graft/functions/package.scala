@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Core scalar expression library.
   *
@@ -13,6 +14,40 @@ import org.apache.spark.sql.functions._
   * reference contract and reproduced exactly.
   */
 package object functions {
+
+  /** Canonical events-ts contract: normalize a parquet TIMESTAMP(NANOS)
+    * column to millisecond-floor TimestampType regardless of the reader's
+    * physical representation.
+    *
+    * Parquet TIMESTAMP(NANOS) has no stable Spark reading: Spark <=4.0
+    * with spark.sql.legacy.parquet.nanosAsLong=true delivers a raw int64
+    * epoch-ns; Spark 4.1+ ignores that conf and delivers TIMESTAMP_NTZ
+    * (round-7 incident — verified with the conf set both at runtime and
+    * at session-build time). A 100 TB lake written over years carries
+    * BOTH physical types across its files, so the contract is
+    * schema-adaptive, never conf-dependent:
+    *   - LongType (epoch-ns)  -> timestamp_millis(ns div 1e6) — integer
+    *     `div`, not double division: ns epochs exceed 2^53
+    *   - TIMESTAMP_NTZ        -> timestamp_millis(unix_micros(cast) div 1e3)
+    *     (Graft.tune pins spark.sql.session.timeZone=UTC so the cast is
+    *     the identity wall-clock mapping)
+    *   - TimestampType        -> same expression; the cast is a no-op
+    * The integer millisecond floor matches DuckDB epoch_ms() on either
+    * representation, so every oracle stays representation-independent.
+    */
+  def eventTimeMillis(df: DataFrame, colName: String = "ts"): DataFrame = {
+    val norm = df.schema(colName).dataType match {
+      case LongType =>
+        timestamp_millis(expr(s"`$colName` div 1000000"))
+      case TimestampNTZType | TimestampType =>
+        timestamp_millis(expr(s"unix_micros(cast(`$colName` as timestamp)) div 1000"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$colName: unsupported event-time physical type $other " +
+            "(expected int64 epoch-ns or timestamp)")
+    }
+    df.withColumn(colName, norm)
+  }
 
   /** F1 — Brazilian-locale decimal parse (FullETLGenerator.java:232-239).
     * "1.234,56" -> 1234.56; null/empty/malformed -> 0.0.

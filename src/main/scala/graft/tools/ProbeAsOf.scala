@@ -17,9 +17,8 @@ object ProbeAsOf {
     graft.Graft.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(100000).selectExpr("sum(id * 2)").collect()
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), timestamp_millis(expr("ts div 1000000")).as("ts"),
-        col("event_id"))
+    val ev = graft.functions.eventTimeMillis(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("ts"), col("event_id"))
       .localCheckpoint(true)
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
