@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, EntityRes}
+
+/** Round-8 pins: degree-oriented triangle counting and the ED-Join
+  * prefix gate on entity resolution are PHYSICAL changes — both must be
+  * row-identical to their naive formulations (computed here in plain
+  * Scala as an independent oracle).
+  */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random stream (no java.util.Random seeding
+  // ambiguity across JVMs): xorshift64*
+  private def prng(seed: Long): Iterator[Long] = Iterator.iterate(seed) { x0 =>
+    var x = x0; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+  }.drop(1)
+
+  test("triangleStats: degree-oriented output == naive per-node triangle count (random graphs)") {
+    for (seed <- Seq(7L, 99L, 12345L)) {
+      val n = 40
+      val rnd = prng(seed)
+      // ~15% edge density + one deliberate hub (node 0 joined to all)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if a == 0 || math.floorMod(rnd.next(), 100) < 15
+      } yield (a, b)).toSeq
+      val out = Components.triangleStats(edges.toDF("id1", "id2"), "id1", "id2")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        .withDefaultValue(Set.empty[Long])
+      val undirected = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val triPerNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((a, b) <- edges; c <- adj(b) if adj(a).contains(c)) {
+        triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1
+      }
+      val expected = undirected.map { case (id, nbrs) =>
+        id -> (nbrs.size.toLong, triPerNode(id))
+      }
+      assert(out == expected, s"seed=$seed")
+    }
+  }
+
+  private def levenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def naivePairs(recs: Seq[(Long, String, Int, Double)],
+                         denom: Double, scale: Double, w: Double,
+                         tau: Double): Set[(Long, Long, Double)] =
+    (for {
+      (i1, n1, b1, v1) <- recs; (i2, n2, b2, v2) <- recs
+      if b1 == b2 && i1 < i2
+      s = BigDecimal(w * (1.0 - levenshtein(n1, n2) / denom) +
+        (1 - w) * (1.0 - math.min(math.abs(v1 - v2) / scale, 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= tau
+    } yield (i1, i2, s)).toSet
+
+  test("entityRes candidatePairs: prefix-gated output == all-pairs block join (incl. short names)") {
+    val rnd = prng(4242L)
+    val names = Seq.tabulate(120) { i =>
+      val base = f"Customer#${math.floorMod(rnd.next(), 40)}%09d"
+      math.floorMod(rnd.next(), 4) match {
+        case 0 => base
+        case 1 => // 1-char substitution
+          val p = math.floorMod(rnd.next(), base.length).toInt
+          base.updated(p, ('0' + math.floorMod(rnd.next(), 10).toInt).toChar)
+        case 2 => // indel shift: drop a char, append one
+          base.drop(1) + ('0' + math.floorMod(rnd.next(), 10).toInt).toChar
+        case _ => if (i % 7 == 0) "ab" else base.take(5) // short-name tier
+      }
+    }
+    val recs = names.zipWithIndex.map { case (nm, i) =>
+      (i.toLong, nm, math.floorMod(rnd.next(), 3).toInt,
+        math.floorMod(rnd.next(), 2000).toDouble / 2.0)
+    }
+    val df = recs.toDF("id", "name", "block", "bal")
+    for (tau <- Seq(0.8, 0.6, 0.1)) { // 0.1 -> huge k -> fallback path
+      val got = EntityRes.candidatePairs(df, "id", Seq("block"), "name", "bal",
+          nameDenom = 9.0, numScale = 1000.0, nameWeight = 0.7, threshold = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = naivePairs(recs, 9.0, 1000.0, 0.7, tau)
+      assert(got == want, s"tau=$tau: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("etl_entity_res query output is unchanged by the prefix gate (sf0.001 snapshot invariant)") {
+    val out = Queries.etl_entity_res(spark, "/root/testdata/sf0.001")
+    // blocking is physical: every member of an entity must share the
+    // block with its canonical survivor, and scores are symmetric so
+    // entity ids are the min member — structural invariants only (the
+    // DuckDB oracle pins exact rows)
+    assert(out.filter(col("n_members") < 1).count() == 0)
+    assert(out.groupBy("entity_id").agg(min("c_custkey").as("m"))
+      .filter(col("m") =!= col("entity_id")).count() == 0)
+  }
+}
