@@ -5411,6 +5411,38 @@ object Queries {
     SELECT user_id, day, c AS n_events, round(z, 6) AS z
     FROM z WHERE v > 0 AND abs(z) > 2 ORDER BY user_id, day"""
 
+  /** E11 — schema-evolution hardening as a graded capability (the
+    * round-7 outage turned into a test): a 100 TB lake written over
+    * years carries events files in MULTIPLE timestamp physical types
+    * (int64 epoch-ns from old writers, TIMESTAMP_NTZ/MICROS from new
+    * ones). Simulated here by splitting the table on event-id parity,
+    * re-representing the odd half as a raw int64 epoch-ns column, and
+    * normalizing each half through the schema-adaptive
+    * [[graft.functions.eventTimeMillis]] contract before the union.
+    * The hourly rollup is representation-blind — the oracle runs once
+    * over the logical table, so any divergence between the two physical
+    * paths (a shifted hour, a dropped row) breaks the hash compare.
+    */
+  def e11_mixed_repr(s: SparkSession, dir: String): DataFrame = {
+    val norm = events(s, dir) // delivered representation, normalized
+    // the other physical representation: raw int64 epoch-ns, as an
+    // old writer would have laid it down
+    val asNs = norm.withColumn("ts",
+      (unix_millis(col("ts")) * lit(1000000L)).cast("long"))
+    val mixed = norm.filter(col("event_id") % 2 === 0)
+      .unionByName(eventTimeMillis(asNs.filter(col("event_id") % 2 =!= 0)))
+    mixed
+      .groupBy(col("event_type"),
+        (unix_millis(col("ts")) - unix_millis(col("ts")) % 3600000L).as("hour_ms"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "hour_ms")
+  }
+
+  val e11mrSql = """SELECT event_type,
+    epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms,
+    count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ======================================================================
   // Batch 24 (round 7): governance gates, winnowing fingerprints, global
   // ids without a single-partition sort, Bloom-prefiltered decontam,
@@ -6097,6 +6129,7 @@ object Queries {
     ("e11_transitions", e11_transitions _, e11trSql),
     ("etl_scd2_apply", etl_scd2_apply _, scd2Sql),
     ("e11_anomaly", e11_anomaly _, e11anSql),
+    ("e11_mixed_repr", e11_mixed_repr _, e11mrSql),
     ("e4_winnow", e4_winnow _, e4wnSql),
     ("e4_kanon", e4_kanon _, e4kaSql),
     ("e4_ldiversity", e4_ldiversity _, e4ldSql),

@@ -32,12 +32,22 @@ object Components {
     */
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
                nodes: DataFrame, idCol: String, maxIter: Int = 50): DataFrame = {
+    // checkpoint the edge list FIRST: both union branches (and every
+    // round's join) read the materialized rows — without it the caller's
+    // pair-generation plan executes once per branch (round 8: resolve's
+    // candidate join ran twice inside round 1's materialization)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     // persist (not checkpoint): read every round, released on exit —
     // Dataset.unpersist works for persists, so no block can leak.
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = nodes.select(col(idCol).as("id"))
+    // Iterate ONLY over edge-incident nodes: a near-dup / entity-res
+    // pair graph is tiny relative to the record set (most records are
+    // singletons), so per-round frames track the GRAPH size, not the
+    // corpus size. Singletons rejoin after the fixpoint (round 8 —
+    // previously every round carried all |nodes| labels).
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     var changed = 1L
@@ -47,25 +57,90 @@ object Components {
       val nbrMin = sym.join(srcLbl, "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("srcComp")).as("nbrComp"))
+      // carry the previous label through the checkpoint so convergence
+      // is a scan of the materialized round, not an extra join+shuffle
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") < col("prev"))
-        .count()
+      changed = next.filter(col("comp") < col("prev")).count()
       // the superseded round's checkpoint blocks are dead the moment
       // `changed` is computed — free them NOW, don't wait for GC
       // (round 2 leaked one block per round per invocation).
       graft.Blocks.free(labels)
-      labels = next
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     sym.unpersist()
-    // the returned frame stays checkpoint-backed (its rounds of lineage
-    // are gone); callers that fully consume it can graft.Blocks.free it.
-    labels
+    graft.Blocks.free(e)
+    // singletons (nodes with no edges) map to themselves; the join is
+    // one shuffle keyed on id, after the loop — not per round
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** [[minLabel]] with an ADAPTIVE small-graph fast path — the
+    * components analogue of AQE's broadcast-join decision: measure the
+    * edge count first (the edge list is checkpointed either way, so the
+    * count is a scan, not a recompute); when it fits the bound, solve
+    * components with a driver-side union-find and broadcast the
+    * (edge-node → component) table back — replacing O(diameter) rounds
+    * of join+aggregate+checkpoint jobs with ONE bounded collect and one
+    * broadcast join. Past the bound it delegates to the distributed
+    * loop untouched.
+    *
+    * The collect is bounded by contract (`broadcastMaxEdges`, default
+    * 2¹⁷ edges ≈ a few MB — same order as Spark's own broadcast
+    * threshold), never by hope: a 100 TB near-dup graph with billions
+    * of candidate edges takes the distributed path. Entity-res graphs
+    * sit far below the bound (duplicates are rare by construction), and
+    * the per-round fixed cost of the iterative loop dominates its
+    * actual work there.
+    */
+  def minLabelAdaptive(edges: DataFrame, srcCol: String, dstCol: String,
+                       nodes: DataFrame, idCol: String,
+                       broadcastMaxEdges: Long = 1L << 17): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val n = e.count()
+    if (n > broadcastMaxEdges) {
+      // cast nodes to long too, so both paths emit the same schema
+      val out = minLabel(e, "src", "dst",
+        nodes.select(col(idCol).cast("long").as(idCol)), idCol)
+      graft.Blocks.free(e)
+      out
+    } else {
+      // union-find with min-id roots: find(x) is the smallest id seen
+      // so far in x's tree; union keeps the smaller root on top, so the
+      // fixpoint root IS the component minimum.
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      e.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      graft.Blocks.free(e)
+      val session = nodes.sparkSession
+      import session.implicits._
+      // materialize keys BEFORE mapping: find() path-compresses (writes
+      // to the map), which must not race the key iteration
+      val ks = parent.keysIterator.toVector
+      val labels = ks.map(x => (x, find(x))).toDF("id", "comp")
+      nodes.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(labels), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    }
   }
 
   /** Connected components by the alternating LARGE-STAR / SMALL-STAR

@@ -91,12 +91,20 @@ object EntityRes {
         left.join(right, blockCols.map(c => col(s"b1_$c") === col(s"b2_$c"))
           .reduce(_ && _) && col("id1") < col("id2"))
       else {
+        // materialize once: the self-join would otherwise recompute the
+        // whole gram/frequency lineage for each side. (k·q+1) rows per
+        // record — bounded, and freed with the session.
         val pfx = prefixGramKeys(records, idCol, nameCol, blockCols, qgram, k)
+          .localCheckpoint(true)
         val cand = pfx.as("x").join(pfx.as("y"),
             blockCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
               col("x.g") === col("y.g") && col("x.occ") === col("y.occ") &&
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id1"), col("y.id").as("id2"))
+          // dedup BEFORE attaching payloads: a pair surfaces once per
+          // shared prefix gram, and deduping the bare (id1, id2) stream
+          // measured 3× faster than carrying duplicates through the
+          // attach joins + levenshtein and deduping the survivors
           .distinct()
         cand.join(left, "id1").join(right, "id2")
       }
@@ -108,8 +116,17 @@ object EntityRes {
     * (the ED-Join prefix), plus a sentinel key for strings short enough
     * (≤ k·q+q−1 chars) that the count filter cannot require a shared
     * gram. Columns: id, g, occ, blockCols…
+    *
+    * Physical shape: occurrence tags come from one window keyed
+    * (id, g); the corpus gram-frequency table is gram-alphabet-sized
+    * (NOT corpus-sized) and joins back as an explicit broadcast; the
+    * per-record rare-first top-(k·q+1) cut is an array_sort + slice
+    * inside one groupBy(id). (An all-array per-row formulation was
+    * measured SLOWER — Spark's higher-order lambdas run interpreted,
+    * not codegen'd, so the O(L²) occ tagging cost more than the
+    * window shuffle it saved.)
     */
-  private[operators] def prefixGramKeys(records: DataFrame, idCol: String,
+  private[graft] def prefixGramKeys(records: DataFrame, idCol: String,
                                         nameCol: String, blockCols: Seq[String],
                                         q: Int, k: Int): DataFrame = {
     val pfxLen = k * q + 1
@@ -122,11 +139,14 @@ object EntityRes {
         blockCols.map(col)): _*)
       .withColumn("occ", row_number().over(
         Window.partitionBy(col("id"), col("g")).orderBy(col("pos"))))
+    // corpus frequency per occurrence-tagged gram: bounded by the gram
+    // alphabet (not the corpus), so the join back is a broadcast
     val freq = grams.groupBy("g", "occ").agg(count(lit(1)).as("freq"))
-    val prefix = grams.join(freq, Seq("g", "occ"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("id"))
-        .orderBy(col("freq"), col("g"), col("occ"))))
-      .filter(col("rk") <= pfxLen)
+    val prefix = grams.join(broadcast(freq), Seq("g", "occ"))
+      .groupBy((col("id") +: blockCols.map(col)): _*)
+      .agg(slice(array_sort(collect_list(struct(col("freq"), col("g"), col("occ")))),
+        1, pfxLen).as("pfx"))
+      .select((Seq(col("id"), expr("inline(pfx)")) ++ blockCols.map(col)): _*)
       .select(Seq(col("id"), col("g"), col("occ")) ++ blockCols.map(col): _*)
     val shorts = base.filter(length(col("nm")) <= k * q + q - 1)
       .select(Seq(col("id"), lit("").as("g"), lit(0).as("occ")) ++
@@ -144,11 +164,15 @@ object EntityRes {
               threshold: Double): DataFrame = {
     val pairs = candidatePairs(records, idCol, blockCols, nameCol, numCol,
       nameDenom, numScale, nameWeight, threshold).select("id1", "id2")
-    val ent = Components.minLabel(pairs, "id1", "id2",
+    // Adaptive components: duplicate edges are rare by construction, so
+    // the usual case is the bounded-collect union-find, not O(diameter)
+    // rounds of jobs. Member counts come from ONE window over the
+    // entity id (a single shuffle), not a groupBy + join-back.
+    Components.minLabelAdaptive(pairs, "id1", "id2",
         records.select(idCol), idCol)
       .select(col("id").as(idCol), col("comp").as("entity_id"))
-    val sizes = ent.groupBy("entity_id").agg(count(lit(1)).as("n_members"))
-    ent.join(sizes, "entity_id")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("entity_id"))))
       .select(col(idCol), col("entity_id"),
         (col(idCol) === col("entity_id")).cast("int").as("is_canonical"),
         col("n_members"))
