@@ -5443,6 +5443,35 @@ object Queries {
     count(*) AS n, count(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** E4 — DSIR importance resampling (see [[TextAnalysis.dsirWeights]]):
+    * rank the raw corpus by hashed-unigram likelihood ratio against the
+    * `src1` target domain and keep the top 200 — the
+    * train-like-the-target data-selection gate, no classifier needed.
+    */
+  def e4_dsir(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src1", buckets = 512)
+      .orderBy(desc("dsir_logw"), col("doc_id"))
+      .limit(200)
+
+  val e4dsSql = s"""WITH tok AS (SELECT doc_id, source = 'src1' AS is_t,
+      unnest(string_split(text, ' ')) AS tok FROM documents),
+    hb AS (SELECT doc_id, is_t,
+      list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(tok, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) % 512 AS b FROM tok),
+    hist AS (SELECT doc_id, is_t, b, count(*) AS c FROM hb GROUP BY 1, 2, 3),
+    bc AS (SELECT b, sum(c) AS cr,
+      sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct FROM hist GROUP BY 1),
+    tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM bc),
+    lr AS (SELECT b, cast(round(ln((ct + 1.0) / (tt + 512))
+        - ln((cr + 1.0) / (tr + 512)), 8) as decimal(18,8)) AS lr
+      FROM bc CROSS JOIN tot),
+    w AS (SELECT doc_id, sum(cast(c as decimal(18,0)) * lr) AS w
+      FROM hist JOIN lr USING (b) GROUP BY 1)
+    SELECT doc_id, round(cast(w as double), 6) AS dsir_logw FROM w
+    ORDER BY dsir_logw DESC, doc_id LIMIT 200"""
+
   // ======================================================================
   // Batch 24 (round 7): governance gates, winnowing fingerprints, global
   // ids without a single-partition sort, Bloom-prefiltered decontam,
@@ -6130,6 +6159,7 @@ object Queries {
     ("etl_scd2_apply", etl_scd2_apply _, scd2Sql),
     ("e11_anomaly", e11_anomaly _, e11anSql),
     ("e11_mixed_repr", e11_mixed_repr _, e11mrSql),
+    ("e4_dsir", e4_dsir _, e4dsSql),
     ("e4_winnow", e4_winnow _, e4wnSql),
     ("e4_kanon", e4_kanon _, e4kaSql),
     ("e4_ldiversity", e4_ldiversity _, e4ldSql),

@@ -1003,4 +1003,63 @@ object TextAnalysis {
       .select(col("source"), col("id"), col("n_tokens"), col("repeats"),
         explode(sequence(lit(0), col("repeats") - 1)).as("epoch"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-unigram distribution looks like a
+    * TARGET domain, so the raw corpus can be resampled toward the
+    * target without a trained classifier.
+    *
+    * Features are token buckets `portable_hash(token) mod buckets`;
+    * the target and raw bucket distributions get +1 smoothing, and a
+    * document's weight is Σ_tokens (ln p̂_target[b] − ln p̂_raw[b]).
+    *
+    * Scale shape: ONE corpus-wide shuffle (the per-doc bucket
+    * histogram, keyed (doc, bucket)); the global bucket table is
+    * bounded by `buckets` — collected BY CONTRACT (≤ `buckets` rows,
+    * like the ANN codebooks), turned into per-bucket log-ratios on the
+    * driver, and broadcast back; per-doc weights are one aggregation
+    * over the histogram re-keyed by doc. The histogram is computed
+    * twice (once under each consumer) rather than pinned — at corpus
+    * scale recompute beats holding a corpus-sized frame in storage
+    * blocks.
+    *
+    * Hash-compare determinism: per-bucket log-ratios are quantized to
+    * decimal(18,8) (HALF_UP, matching both engines' round()), so the
+    * per-doc sum is EXACT decimal arithmetic — order-independent and
+    * engine-independent; the only floating step (ln of exact integer
+    * ratios) happens once per bucket before quantization.
+    *
+    * Returns (idCol, dsir_logw double): higher = more target-like.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 512): DataFrame = {
+    require(buckets > 0)
+    def hist = df.select(col(idCol).as("id"), targetPred.as("is_t"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), col("is_t"),
+        pmod(portableStringHash(col("tok")), lit(buckets.toLong)).as("b"))
+      .groupBy("id", "is_t", "b").agg(count(lit(1)).as("c"))
+    val bucketRows = hist.groupBy("b").agg(
+        sum(col("c")).as("cr"),
+        sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("ct"))
+      .collect() // bounded by contract: <= `buckets` rows
+    val tr = bucketRows.map(_.getLong(1)).sum
+    val tt = bucketRows.map(_.getLong(2)).sum
+    def round8(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(8, java.math.RoundingMode.HALF_UP)
+    val lrRows = bucketRows.map { r =>
+      (r.getLong(0), round8(
+        math.log((r.getLong(2) + 1.0) / (tt + buckets).toDouble) -
+          math.log((r.getLong(1) + 1.0) / (tr + buckets).toDouble)))
+    }.toSeq
+    val session = df.sparkSession
+    import session.implicits._
+    val lr = lrRows.toDF("b", "lr")
+      .select(col("b"), col("lr").cast("decimal(18,8)").as("lr"))
+    hist.join(broadcast(lr), "b")
+      .groupBy("id")
+      .agg(sum(col("c").cast("decimal(18,0)") * col("lr")).as("w"))
+      .select(col("id").as(idCol), round(col("w").cast("double"), 6).as("dsir_logw"))
+  }
 }
