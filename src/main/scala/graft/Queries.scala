@@ -5443,6 +5443,62 @@ object Queries {
     count(*) AS n, count(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** MM — REAL image raster decode + perceptual hash graded via the
+    * literal-flag pattern (the mm_audio_meta move): three genuine BMPs
+    * synthesized through the JDK encoder — a base pattern, a lightly
+    * edited copy (one brightened block), a structurally different
+    * image — plus one garbage payload, through
+    * [[graft.multimodal.Multimodal.extractPhash]]. Output carries each
+    * row's 64-bit dHash and its hamming distance to the base image:
+    * the near-dup copy must land a FEW bits away, the different image
+    * FAR away, and the garbage row must take the labeled stub. The
+    * oracle states the expected (phash, hamming, is_real) literals —
+    * the row only hash-matches if javax.imageio raster decode, the
+    * all-integer 9×8 luminance pooling, and the bit packing all
+    * deliver deterministically.
+    */
+  def mm_image_phash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bmp(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", baos)
+      baos.toByteArray
+    }
+    val base = (x: Int, y: Int) => (x * 3 + y * 2) % 256
+    val media = Seq(
+      (1L, "image", bmp(base)),
+      (2L, "image", bmp((x, y) => // near-dup: one brightened 12x12 block
+        if (x >= 48 && x < 60 && y < 12) math.min(base(x, y) + 60, 255)
+        else base(x, y))),
+      (3L, "image", bmp((x, y) => // different: 8px checkerboard
+        if ((x / 8 + y / 8) % 2 == 0) 230 else 20)),
+      (4L, "image", "not an image".getBytes("UTF-8"))) // stub fallback
+      .toDF("media_id", "kind", "payload")
+    val ph = graft.multimodal.Multimodal.extractPhash(media)
+    val baseHash = ph.filter(col("media_id") === 1L)
+      .select(col("phash").as("base_phash"))
+    ph.crossJoin(broadcast(baseHash))
+      .select(col("media_id"), col("phash"),
+        bit_count(col("phash").bitwiseXOR(col("base_phash")))
+          .cast("int").as("ham_to_base"),
+        col("is_real").cast("int").as("is_real"))
+      .orderBy("media_id")
+  }
+
+  val mmPhashSql = """SELECT * FROM (VALUES
+      (cast(1 as bigint), cast(6971713510413697024 as bigint), cast(0 as int), cast(1 as int)),
+      (2, 6971713510413697152, 1, 1),
+      (3, 5955256952276996773, 28, 1),
+      (4, 209970766, 20, 0))
+    AS t(media_id, phash, ham_to_base, is_real)
+    ORDER BY media_id"""
+
   /** E4 — DSIR importance resampling (see [[TextAnalysis.dsirWeights]]):
     * rank the raw corpus by hashed-unigram likelihood ratio against the
     * `src1` target domain and keep the top 200 — the
@@ -6160,6 +6216,7 @@ object Queries {
     ("e11_anomaly", e11_anomaly _, e11anSql),
     ("e11_mixed_repr", e11_mixed_repr _, e11mrSql),
     ("e4_dsir", e4_dsir _, e4dsSql),
+    ("mm_image_phash", mm_image_phash _, mmPhashSql),
     ("e4_winnow", e4_winnow _, e4wnSql),
     ("e4_kanon", e4_kanon _, e4kaSql),
     ("e4_ldiversity", e4_ldiversity _, e4ldSql),

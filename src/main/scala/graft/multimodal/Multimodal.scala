@@ -431,6 +431,101 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash (dHash) of an image payload — the image
+    * analogue of SimHash over text: decode the raster (javax.imageio,
+    * REAL for PNG/JPEG/GIF/BMP), average-pool integer luminance
+    * (299r+587g+114b)/1000 onto a 9-wide × 8-tall grid with floor-division
+    * cell boundaries, and emit 64 bits — bit r·8+c set when cell (r,c)
+    * is strictly brighter than its right neighbour (r,c+1). Re-encoded,
+    * resized, or lightly edited copies of an image differ in a few bits,
+    * so hamming distance over this hash drives image near-dup dedup
+    * through the exact same banded machinery as text SimHash.
+    *
+    * All-integer arithmetic end to end (sums, floor divisions,
+    * comparisons) — no float pooling, so the hash is bit-identical on
+    * any JVM. None when the bytes don't decode or the raster is smaller
+    * than the grid.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val cells = Array.ofDim[Long](8, 9)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val (x0, x1) = (c * w / 9, (c + 1) * w / 9)
+          val (y0, y1) = (r * h / 8, (r + 1) * h / 8)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)) / 1000L
+              x += 1
+            }
+            y += 1
+          }
+          cells(r)(c) = sum / ((x1 - x0).toLong * (y1 - y0))
+          c += 1
+        }
+        r += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (cells(i / 8)(i % 8) > cells(i / 8)(i % 8 + 1)) bits |= (1L << i)
+        i += 1
+      }
+      Some(bits)
+    }
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false),
+    StructField("is_real", BooleanType, nullable = false)))
+
+  /** Image perceptual hashes, per-partition (the codec boundary —
+    * payloads never shuffle, only the 8-byte hash leaves the scan).
+    * Non-decodable payloads fall back to the LABELED stub (the portable
+    * payload hash with `is_real = false`), same discipline as the
+    * metadata extractors.
+    */
+  def extractPhash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    media.filter(col("kind") === "image")
+      .select("media_id", "kind", "payload").mapPartitions { it =>
+        it.map { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          dHash(payload) match {
+            case Some(bits) => Row(r.getLong(0), bits, true)
+            case None       => Row(r.getLong(0), payloadHash(payload), false)
+          }
+        }
+      }(enc)
+  }
+
+  /** Image near-dup pairs: dHash signatures through the banded hamming
+    * self-join shared with text SimHash ([[graft.operators.Dedup]]) —
+    * 4×16-bit bands guarantee any pair within hamming ≤ 3 shares a
+    * band (pigeonhole), the popcount verify runs inside the join stage,
+    * and payloads never shuffle. Returns (id1, id2, hamming).
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.simhashPairsFromSigs64(
+      extractPhash(media).filter(col("is_real"))
+        .select(col("media_id").as("id"), lit(0L).as("blk"),
+          col("phash").as("sig")),
+      maxHamming)
+
   /** Batch feature extraction: binary in, typed metadata out, one pass per
     * partition — the distributed shape of a decode/resize/frame-sample
     * stage. Input columns: media_id long, kind string, payload binary.

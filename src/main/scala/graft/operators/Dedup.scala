@@ -677,6 +677,17 @@ object Dedup {
     simhashPairsFromSigs(sigs, bands, maxHamming, band64Value(bands))
   }
 
+  /** Banded hamming pairs over PRE-COMPUTED 64-bit signatures (id, blk,
+    * sig) — the [[simhashPairsScalable]] tail exposed for other 64-bit
+    * signature families (image dHash in graft.multimodal). Same
+    * pigeonhole guarantee: lossless for maxHamming < bands.
+    */
+  private[graft] def simhashPairsFromSigs64(sigs: DataFrame, maxHamming: Int,
+                                            bands: Int = 4): DataFrame = {
+    require(64 % bands == 0 && bands > maxHamming)
+    simhashPairsFromSigs(sigs, bands, maxHamming, band64Value(bands))
+  }
+
   /** Band b of a 64-bit signature, by unsigned shift + mask. */
   private[graft] def band64Value(bands: Int)(b: Int): Column = {
     val w = 64 / bands

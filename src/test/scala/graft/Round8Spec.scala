@@ -92,6 +92,42 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  private def bmp(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val g = f(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
+  test("phashPairs: banded hamming join finds the near-dup image pair and only it") {
+    import graft.multimodal.Multimodal
+    val base = (x: Int, y: Int) => (x * 3 + y * 2) % 256
+    val media = Seq(
+      (1L, "image", bmp(base)),
+      (2L, "image", bmp((x, y) =>
+        if (x >= 48 && x < 60 && y < 12) math.min(base(x, y) + 60, 255) else base(x, y))),
+      (3L, "image", bmp((x, y) => if ((x / 8 + y / 8) % 2 == 0) 230 else 20)),
+      (4L, "image", "junk".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.phashPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 1)))
+  }
+
+  test("dHash survives a resize re-encode within a small hamming distance") {
+    import graft.multimodal.Multimodal
+    val base = bmp((x, y) => (x * 3 + y * 2) % 256)
+    val resized = Multimodal.imageResizeBytes(base, 32, 32).get
+    val (h1, h2) = (Multimodal.dHash(base).get, Multimodal.dHash(resized).get)
+    val ham = java.lang.Long.bitCount(h1 ^ h2)
+    assert(ham <= 12, s"resize moved the hash $ham bits")
+  }
+
   test("etl_entity_res query output is unchanged by the prefix gate (sf0.001 snapshot invariant)") {
     val out = Queries.etl_entity_res(spark, "/root/testdata/sf0.001")
     // blocking is physical: every member of an entity must share the
