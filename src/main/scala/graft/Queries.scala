@@ -5197,6 +5197,51 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** J — NEAREST as-of join (see [[AsOfJoin.nearestWithin]]): each error
+    * event matched to its temporally CLOSEST purchase either side,
+    * within a 2-hour tolerance, ties to the past — the alignment the
+    * backward/forward pair can't express alone. Planned as the two
+    * native merges over one key clustering plus a narrow chooser.
+    */
+  def j_asof_nearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("nearest_purchase_id"),
+        max(unix_millis(col("ts"))).as("pts_ms"))
+    AsOfJoin.nearestWithin(errors, purchases, "user_id", "ts",
+        Seq("nearest_purchase_id", "pts_ms"), maxGapMs = 7200000L)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("nearest_purchase_id"),
+        (col("pts_ms") - unix_millis(col("ts"))).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  val janSql = """WITH p AS (
+      SELECT user_id, epoch_ms(ts) AS pts, max(event_id) AS pid
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    l AS (SELECT event_id, user_id, epoch_ms(ts) AS tm FROM events
+      WHERE event_type = 'error'),
+    b AS (SELECT l.event_id, p.pid AS b_pid, p.pts AS b_pts
+      FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.tm >= p.pts),
+    f AS (SELECT l.event_id, p.pid AS f_pid, p.pts AS f_pts
+      FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.tm <= p.pts),
+    j AS (SELECT l.event_id, l.user_id, l.tm,
+        b_pid, b_pts, f_pid, f_pts,
+        (b_pts IS NOT NULL AND l.tm - b_pts <= 7200000) AS b_ok,
+        (f_pts IS NOT NULL AND f_pts - l.tm <= 7200000) AS f_ok
+      FROM l JOIN b USING (event_id) JOIN f USING (event_id)),
+    c AS (SELECT event_id, user_id, tm,
+        CASE WHEN b_ok AND (NOT f_ok OR tm - b_pts <= f_pts - tm)
+          THEN 1 WHEN f_ok THEN 2 END AS side,
+        b_pid, b_pts, f_pid, f_pts FROM j)
+    SELECT event_id, user_id, tm AS ts_ms,
+      CASE side WHEN 1 THEN b_pid WHEN 2 THEN f_pid END AS nearest_purchase_id,
+      CASE side WHEN 1 THEN b_pts - tm WHEN 2 THEN f_pts - tm END AS gap_ms
+    FROM c ORDER BY event_id"""
+
   val jafSql = """WITH p AS (
       SELECT user_id, epoch_ms(ts) AS pts,
         max(event_id) AS next_purchase_id
@@ -6210,6 +6255,7 @@ object Queries {
     ("j_asof_native", j_asof_native _, jasSql),
     ("e8_diversified", e8_diversified _, e8dvSql),
     ("j_asof_forward", j_asof_forward _, jafSql),
+    ("j_asof_nearest", j_asof_nearest _, janSql),
     ("e6_moments", e6_moments _, e6mmSql),
     ("e11_transitions", e11_transitions _, e11trSql),
     ("etl_scd2_apply", etl_scd2_apply _, scd2Sql),

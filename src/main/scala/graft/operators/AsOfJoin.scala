@@ -68,6 +68,49 @@ object AsOfJoin {
                     tsCol: String, rightVals: Seq[String]): DataFrame =
     native(left, right, keyCol, tsCol, rightVals, forward = true)
 
+  /** NEAREST as-of within a tolerance: for each left row, the right row
+    * minimizing |right.ts − left.ts| among rows at most `maxGapMs`
+    * away, ties broken BACKWARD (the past match wins — deterministic,
+    * and the causal default). The alignment shape backward/forward
+    * alone can't express: sensor readings matched to the closest
+    * calibration, an error to its closest purchase either side.
+    *
+    * Planned as the composition of the two native O(|L|+|R|) merges
+    * ([[nativeBackward]] then [[nativeForward]] over its output — the
+    * second merge re-sorts the same key clustering, so both ride one
+    * exchange) plus one narrow per-row projection choosing the closer
+    * side; no window buffers, no extra shuffle. Either side's match
+    * outside the tolerance is discarded exactly as if absent; rows with
+    * no admissible match keep null values.
+    */
+  def nearestWithin(left: DataFrame, right: DataFrame, keyCol: String,
+                    tsCol: String, rightVals: Seq[String],
+                    maxGapMs: Long): DataFrame = {
+    require(maxGapMs >= 0, "maxGapMs must be >= 0")
+    val leftCols = left.columns.toSeq
+    val r2 = right.withColumn("__ats",
+      col(tsCol).cast(left.schema(tsCol).dataType))
+    val vals = rightVals :+ "__ats"
+    val b = nativeBackward(left, r2, keyCol, tsCol, vals)
+    val bRen = rightVals.foldLeft(b)((d, v) =>
+      d.withColumnRenamed(v, s"__b_$v")).withColumnRenamed("__ats", "__bts")
+    val f = nativeForward(bRen, r2, keyCol, tsCol, vals)
+    val fRen = rightVals.foldLeft(f)((d, v) =>
+      d.withColumnRenamed(v, s"__f_$v")).withColumnRenamed("__ats", "__fts")
+    val lms = unix_millis(col(tsCol))
+    val bgap = lms - unix_millis(col("__bts"))
+    val fgap = unix_millis(col("__fts")) - lms
+    val bOk = col("__bts").isNotNull && bgap <= maxGapMs
+    val fOk = col("__fts").isNotNull && fgap <= maxGapMs
+    // false && null = false, so both gates are two-valued even when a
+    // side is unmatched; the second when() fires only when backward
+    // lost or was inadmissible
+    val useB = bOk && (!fOk || bgap <= fgap)
+    fRen.select(leftCols.map(col) ++ rightVals.map(v =>
+      when(useB, col(s"__b_$v"))
+        .when(fOk, col(s"__f_$v")).as(v)): _*)
+  }
+
   /** Least common WIDENING type for a join-key pair — mirrors upstream
     * join coercion (both sides widen; nothing narrows). Casting the right
     * key down to a narrower left type would truncate silently with ANSI

@@ -128,6 +128,25 @@ class Round8Spec extends SparkSpec {
     assert(ham <= 12, s"resize moved the hash $ham bits")
   }
 
+  test("nearestWithin: closer side wins, ties go backward, tolerance nulls out") {
+    import graft.operators.AsOfJoin
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val left = Seq((1L, ts(1000), "a"), (1L, ts(5000), "b"), (1L, ts(9000), "c"),
+        (2L, ts(1000), "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(900), 90L), (1L, ts(5200), 52L), (1L, ts(4800), 48L),
+        (2L, ts(50000), 99L))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.nearestWithin(left, right, "k", "ts", Seq("v"),
+        maxGapMs = 2000L)
+      .collect().map(r => r.getString(2) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // a@1000: back 900 (gap 100) vs fwd 4800 (gap 3800, out) -> 90
+    // b@5000: back 4800 (gap 200) vs fwd 5200 (gap 200) -> TIE -> backward 48
+    // c@9000: back 5200 (gap 3800, out of tolerance) -> null
+    // d@1000 (key 2): fwd 50000 out of tolerance -> null
+    assert(out == Map("a" -> 90L, "b" -> 48L, "c" -> -1L, "d" -> -1L))
+  }
+
   test("etl_entity_res query output is unchanged by the prefix gate (sf0.001 snapshot invariant)") {
     val out = Queries.etl_entity_res(spark, "/root/testdata/sf0.001")
     // blocking is physical: every member of an entity must share the
