@@ -158,15 +158,26 @@ object AsOfJoin {
     // right key from truncating into a false match.
     val kt = widerOf(left.schema(keyCol).dataType, right.schema(keyCol).dataType)
     val tt = widerOf(left.schema(tsCol).dataType, right.schema(tsCol).dataType)
-    val l2 = left
-      .withColumn("__lk", col(keyCol).cast(kt))
-      .withColumn("__lt", col(tsCol).cast(tt))
     val r2 = right.select(
       col(keyCol).cast(kt).as("__rk") +:
         col(tsCol).cast(tt).as("__rt") +:
         rightVals.map(col): _*)
-    l2.join(r2, expr(s"$fn(__lk, __rk, __lt, __rt)"), "left_outer")
-      .drop("__lk", "__lt", "__rk", "__rt")
+    // When the left columns already have the wide types, join on them
+    // DIRECTLY — a fresh `__lk` alias would be a new attribute, so a
+    // second merge over this output (the nearest-join composition)
+    // could not see that it is already hash-partitioned and sorted by
+    // the same key and would re-exchange + re-sort the whole stream.
+    val bareLeft = left.schema(keyCol).dataType == kt &&
+      left.schema(tsCol).dataType == tt &&
+      !rightVals.contains(keyCol) && !rightVals.contains(tsCol)
+    if (bareLeft)
+      left.join(r2, expr(s"$fn(`$keyCol`, __rk, `$tsCol`, __rt)"), "left_outer")
+        .drop("__rk", "__rt")
+    else
+      left.withColumn("__lk", col(keyCol).cast(kt))
+        .withColumn("__lt", col(tsCol).cast(tt))
+        .join(r2, expr(s"$fn(__lk, __rk, __lt, __rt)"), "left_outer")
+        .drop("__lk", "__lt", "__rk", "__rt")
   }
 
   /** Backward as-of with a TOLERANCE (the max-lag dial every production

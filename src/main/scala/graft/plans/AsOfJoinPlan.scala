@@ -330,6 +330,14 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  /** The merge streams left rows in their incoming order, so the left
+    * child's (key, ts) sort survives — declaring it lets a downstream
+    * consumer with the same requirement (e.g. the second merge of the
+    * nearest-join composition, or a window over the same key) skip its
+    * Sort entirely.
+    */
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil

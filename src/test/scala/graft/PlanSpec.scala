@@ -255,4 +255,54 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("l_quantity") && !scan.contains("l_orderkey"),
       s"scan should prune the unpivot id columns: $scan")
   }
+
+  test("e4_dsir: bucket log-ratios broadcast; only the two doc-keyed shuffles") {
+    val df = Queries.e4_dsir(spark, sf)
+    val plan = executed(df)
+    val bhj = collectDeep(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    // the <=512-row ratio table must never be the shuffle side of a join
+    assert(bhj.nonEmpty, s"ratio join should be broadcast:\n$plan")
+    val smj = collectDeep(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "no sort-merge join should appear")
+    val shuffles = collectDeep(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // histogram groupBy (id, is_t, b) + per-doc weight groupBy (id);
+    // top-200 must be TakeOrdered, not a global sort exchange
+    assert(shuffles.size <= 2, s"expected <=2 shuffles, got ${shuffles.size}:\n$plan")
+    assert(collectDeep(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "top-200 should plan as TakeOrderedAndProject")
+  }
+
+  test("j_asof_nearest: both native merges present, bounded exchanges") {
+    val df = Queries.j_asof_nearest(spark, sf)
+    val plan = executed(df)
+    val asof = collectDeep(plan) {
+      case p if p.getClass.getSimpleName == "AsOfJoinExec" => p
+    }
+    assert(asof.size == 2, s"expected backward+forward AsOfJoinExec:\n$plan")
+    // THE property of the composition: the outer merge rides the inner
+    // merge's key clustering and (key, ts) order — nothing between the
+    // two AsOfJoinExec nodes may exchange or re-sort the left stream
+    val outer = asof.find(o => flatten(o).exists(p =>
+      (p ne o) && p.getClass.getSimpleName == "AsOfJoinExec")).get
+    val inner = asof.find(_ ne outer).get
+    val innerSet = flatten(inner).toSet
+    val between = flatten(outer.children.head).filterNot(innerSet)
+    assert(!between.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _: org.apache.spark.sql.execution.SortExec => true
+      case _ => false
+    }, s"left stream re-exchanged/re-sorted between the merges:\n$plan")
+    // and the forward merge's purchase side reuses the backward one's
+    // exchange rather than shuffling the aggregate again
+    assert(collectDeep(plan) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }.nonEmpty, s"purchase-side exchange should be reused:\n$plan")
+  }
 }
