@@ -4177,6 +4177,118 @@ object Queries {
     * distinct internally), then a 5-row explode reshapes wide→long —
     * the table is scanned exactly once regardless of column count.
     */
+  /** ETL — snapshot diff (see [[graft.operators.TableDiff]]): classify
+    * every order key across two pipeline versions as added / removed /
+    * changed / unchanged with per-column change counts — the
+    * what-did-this-load-change report. Complements `etl_snapshot_diff`
+    * (row-level, one tracked column): this is the operator-ized
+    * MULTI-column report with per-column change counts. The v2
+    * snapshot is a deterministic mutation of orders (drops, price
+    * bumps, status flips, shifted-key inserts) so both engines diff
+    * identical inputs.
+    */
+  def etl_diff_report(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "orders")
+    val mutated = v1.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.5)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 17 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    val added = v1.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+    val v2 = mutated.unionByName(added)
+    graft.operators.TableDiff.diffReport(v1, v2, Seq("o_orderkey"))
+      .orderBy("status", "changed_col")
+  }
+
+  val etlSdSql = """WITH v2 AS (
+      SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0),
+    d AS (SELECT
+        CASE WHEN b.o_orderkey IS NULL THEN 'added'
+             WHEN a.o_orderkey IS NULL THEN 'removed'
+             WHEN NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey)
+               OR NOT (b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus)
+               OR NOT (b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice)
+               OR NOT (b.o_orderdate IS NOT DISTINCT FROM a.o_orderdate)
+               OR NOT (b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority)
+               THEN 'changed' ELSE 'unchanged' END AS status,
+        (b.o_orderkey IS NOT NULL AND a.o_orderkey IS NOT NULL) AS both_side,
+        NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey) AS c_cust,
+        NOT (b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus) AS c_status,
+        NOT (b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice) AS c_price,
+        NOT (b.o_orderdate IS NOT DISTINCT FROM a.o_orderdate) AS c_date,
+        NOT (b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority) AS c_prio
+      FROM orders b FULL OUTER JOIN v2 a ON b.o_orderkey = a.o_orderkey)
+    SELECT status, changed_col, n_rows FROM (
+      SELECT status, '*' AS changed_col, count(*) AS n_rows FROM d GROUP BY 1
+      UNION ALL SELECT status, 'o_custkey', count(*) FROM d
+        WHERE both_side AND c_cust GROUP BY 1 HAVING count(*) > 0
+      UNION ALL SELECT status, 'o_orderstatus', count(*) FROM d
+        WHERE both_side AND c_status GROUP BY 1 HAVING count(*) > 0
+      UNION ALL SELECT status, 'o_totalprice', count(*) FROM d
+        WHERE both_side AND c_price GROUP BY 1 HAVING count(*) > 0
+      UNION ALL SELECT status, 'o_orderdate', count(*) FROM d
+        WHERE both_side AND c_date GROUP BY 1 HAVING count(*) > 0
+      UNION ALL SELECT status, 'o_orderpriority', count(*) FROM d
+        WHERE both_side AND c_prio GROUP BY 1 HAVING count(*) > 0)
+    ORDER BY status, changed_col"""
+
+  /** ETL — data-quality rule report (see
+    * [[graft.operators.DataQuality]]): domain rules fold into ONE scan
+    * of lineitem as conditional sums; referential rules are one
+    * broadcast anti-join each — the validation gate that makes the
+    * reference's silent 0.0/null/0 coercions visible upstream.
+    */
+  def etl_dq_report(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality
+    val li = t(s, dir, "lineitem")
+    val preds = DataQuality.predicateReport(li, Seq(
+      "nonpositive_quantity" -> (col("l_quantity") <= 0),
+      "discount_out_of_range" -> (col("l_discount") < 0 || col("l_discount") > 0.5),
+      "null_shipdate" -> col("l_shipdate").isNull,
+      "tax_out_of_range" -> (col("l_tax") < 0 || col("l_tax") > 0.2)))
+    val orphans = DataQuality.orphanReport(li, "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey", "orphan_lineitem")
+      .unionByName(DataQuality.orphanReport(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", "orphan_order_customer"))
+    preds.unionByName(orphans).orderBy("rule")
+  }
+
+  val etlDqSql = """SELECT rule, n_violations, n_checked,
+      round(cast(n_violations as double) / n_checked, 6) AS violation_rate
+    FROM (
+      SELECT 'nonpositive_quantity' AS rule,
+        cast(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) as bigint) AS n_violations,
+        count(*) AS n_checked FROM lineitem
+      UNION ALL SELECT 'discount_out_of_range',
+        cast(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) as bigint),
+        count(*) FROM lineitem
+      UNION ALL SELECT 'null_shipdate',
+        cast(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) as bigint),
+        count(*) FROM lineitem
+      UNION ALL SELECT 'tax_out_of_range',
+        cast(sum(CASE WHEN l_tax < 0 OR l_tax > 0.2 THEN 1 ELSE 0 END) as bigint),
+        count(*) FROM lineitem
+      UNION ALL SELECT 'orphan_lineitem',
+        (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders)),
+        count(*) FROM lineitem
+      UNION ALL SELECT 'orphan_order_customer',
+        (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer)),
+        count(*) FROM orders)
+    ORDER BY rule"""
+
   def etl_profile(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     def d2s(c: Column): Column = c.cast(DecimalType(18, 2)).cast("string")
@@ -6265,6 +6377,8 @@ object Queries {
     ("e11_mixed_repr", e11_mixed_repr _, e11mrSql),
     ("e4_dsir", e4_dsir _, e4dsSql),
     ("mm_image_phash", mm_image_phash _, mmPhashSql),
+    ("etl_diff_report", etl_diff_report _, etlSdSql),
+    ("etl_dq_report", etl_dq_report _, etlDqSql),
     ("e4_winnow", e4_winnow _, e4wnSql),
     ("e4_kanon", e4_kanon _, e4kaSql),
     ("e4_ldiversity", e4_ldiversity _, e4ldSql),

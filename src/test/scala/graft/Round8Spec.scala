@@ -147,6 +147,24 @@ class Round8Spec extends SparkSpec {
     assert(out == Map("a" -> 90L, "b" -> 48L, "c" -> -1L, "d" -> -1L))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged incl. null transitions") {
+    import graft.operators.TableDiff
+    val before = Seq((1L, Some("a"), 10), (2L, Some("b"), 20),
+        (3L, Some("c"), 30), (4L, None: Option[String], 40))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, Some("a"), 10), (2L, Some("B"), 20),
+        (4L, Some("d"), 40), (5L, Some("e"), 50))
+      .toDF("k", "s", "v")
+    val d = TableDiff.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getSeq[String](2).toSet)).toMap
+    assert(d(1L) == ("unchanged", Set.empty[String]))
+    assert(d(2L) == ("changed", Set("s")))
+    assert(d(3L) == ("removed", Set.empty[String]))
+    assert(d(4L) == ("changed", Set("s"))) // null -> value IS a change
+    assert(d(5L) == ("added", Set.empty[String]))
+  }
+
   test("etl_entity_res query output is unchanged by the prefix gate (sf0.001 snapshot invariant)") {
     val out = Queries.etl_entity_res(spark, "/root/testdata/sf0.001")
     // blocking is physical: every member of an entity must share the
