@@ -5658,6 +5658,39 @@ object Queries {
     AS t(media_id, phash, ham_to_base, is_real)
     ORDER BY media_id"""
 
+  /** E3 — hashed bag-of-words kNN (see [[TextAnalysis.hashedKnn]]):
+    * exact cosine top-3 over feature-hashed token-count vectors —
+    * near-semantic retrieval with no embedding model, the bridge from
+    * the text stack to the ANN stack on a fresh corpus.
+    */
+  def e3_text_knn(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedKnn(t(s, dir, "documents"), "doc_id", "text",
+        queryIds = Seq(1L, 2L, 3L), buckets = 256, k = 3)
+      .orderBy("query_id", "rnk")
+
+  val e3tkSql = s"""WITH tok AS (SELECT doc_id,
+      unnest(string_split(text, ' ')) AS tok FROM documents),
+    hb AS (SELECT doc_id,
+      list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(tok, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) % 256 AS b FROM tok),
+    hist AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY 1, 2),
+    norms AS (SELECT doc_id, sum(c * c) AS n2 FROM hist GROUP BY 1),
+    dots AS (SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+        sum(q.c * d.c) AS dot
+      FROM hist q JOIN hist d USING (b)
+      WHERE q.doc_id IN (1, 2, 3) AND d.doc_id <> q.doc_id GROUP BY 1, 2),
+    r AS (SELECT dots.query_id AS query_id, dots.doc_id AS doc_id,
+        cast(dot as double) /
+          sqrt(cast(qn.n2 as double) * cast(dn.n2 as double)) AS sim
+      FROM dots JOIN norms qn ON qn.doc_id = dots.query_id
+        JOIN norms dn ON dn.doc_id = dots.doc_id)
+    SELECT query_id,
+      cast(row_number() OVER (PARTITION BY query_id
+        ORDER BY sim DESC, doc_id) as int) AS rnk,
+      doc_id, round(sim, 6) AS sim
+    FROM r QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
   /** E4 — DSIR importance resampling (see [[TextAnalysis.dsirWeights]]):
     * rank the raw corpus by hashed-unigram likelihood ratio against the
     * `src1` target domain and keep the top 200 — the
@@ -6379,6 +6412,7 @@ object Queries {
     ("mm_image_phash", mm_image_phash _, mmPhashSql),
     ("etl_diff_report", etl_diff_report _, etlSdSql),
     ("etl_dq_report", etl_dq_report _, etlDqSql),
+    ("e3_text_knn", e3_text_knn _, e3tkSql),
     ("e4_winnow", e4_winnow _, e4wnSql),
     ("e4_kanon", e4_kanon _, e4kaSql),
     ("e4_ldiversity", e4_ldiversity _, e4ldSql),

@@ -1004,6 +1004,56 @@ object TextAnalysis {
         explode(sequence(lit(0), col("repeats") - 1)).as("epoch"))
   }
 
+  /** Hashed bag-of-words kNN — text-to-similarity WITHOUT an external
+    * embedding model (the feature-hashing trick): every document
+    * becomes a sparse integer vector of token-bucket counts
+    * (`portable_hash(token) mod buckets`), and query documents rank
+    * the corpus by exact cosine over those vectors. The bridge between
+    * the text stack and the ANN stack when no model embeddings exist —
+    * e.g. bootstrap near-semantic retrieval over a fresh crawl.
+    *
+    * Scale shape: ONE corpus-wide shuffle builds the (doc, bucket,
+    * count) histogram; the query side is |queryIds| docs — broadcast
+    * into the bucket-keyed dot-product join, so the corpus never
+    * reshuffles per query; norms reuse the same histogram. Cosine =
+    * dot/√(nq·nd) on exact integer inputs: sqrt and division are
+    * correctly-rounded IEEE ops on integers' doubles, so both engines
+    * rank identically (ties broken by doc id).
+    *
+    * Returns (query_id, rnk, doc_id, sim) — top `k` per query,
+    * self-matches excluded.
+    */
+  def hashedKnn(df: DataFrame, idCol: String, textCol: String,
+                queryIds: Seq[Long], buckets: Int = 256,
+                k: Int = 3): DataFrame = {
+    val hist = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"),
+        pmod(portableStringHash(col("tok")), lit(buckets.toLong)).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // reused: dots + norms, one materialization
+    val norms = hist.groupBy("id").agg(sum(col("c") * col("c")).as("n2"))
+    val q = hist.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("b"), col("c").as("cq"))
+    val dots = broadcast(q).join(hist, "b")
+      .filter(col("id") =!= col("query_id"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("cq") * col("c")).as("dot"))
+    val sim = col("dot").cast("double") /
+      sqrt(col("qn2").cast("double") * col("n2").cast("double"))
+    dots
+      .join(broadcast(norms.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("n2").as("qn2"))), "query_id")
+      .join(norms, "id")
+      .withColumn("__sim", sim)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("__sim"), col("id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("id").as(idCol), round(col("__sim"), 6).as("sim"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much its hashed-unigram distribution looks like a
