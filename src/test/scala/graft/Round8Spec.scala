@@ -165,6 +165,63 @@ class Round8Spec extends SparkSpec {
     assert(d(5L) == ("added", Set.empty[String]))
   }
 
+  test("snapshotDiff laws: diff(a,a) is all-unchanged; swap flips added/removed") {
+    import graft.operators.TableDiff
+    val rnd = prng(777L)
+    val mk = (n: Int, seed: Int) => (0 until n).map { i =>
+      (i.toLong + seed % 3, s"v${math.floorMod(rnd.next(), 5)}",
+        math.floorMod(rnd.next(), 100).toInt)
+    }.toDF("k", "s", "v")
+    val a = mk(30, 0)
+    assert(TableDiff.snapshotDiff(a, a, Seq("k"))
+      .filter(col("status") =!= "unchanged").count() == 0)
+    val b = mk(30, 1)
+    val ab = TableDiff.snapshotDiff(a, b, Seq("k"))
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ba = TableDiff.snapshotDiff(b, a, Seq("k"))
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ab.getOrElse("added", 0L) == ba.getOrElse("removed", 0L))
+    assert(ab.getOrElse("removed", 0L) == ba.getOrElse("added", 0L))
+    assert(ab.getOrElse("changed", 0L) == ba.getOrElse("changed", 0L))
+    assert(ab.getOrElse("unchanged", 0L) == ba.getOrElse("unchanged", 0L))
+  }
+
+  test("dsirWeights: target-domain docs average a higher weight than the rest") {
+    // the operator's whole point: resampling by these weights shifts the
+    // corpus toward the target distribution
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = graft.operators.TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      col("source") === "src1")
+    val bySrc = w.join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("t", (col("source") === "src1").cast("int"))
+      .groupBy("t").agg(avg("dsir_logw").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(bySrc(1) > bySrc(0),
+      s"target mean ${bySrc(1)} should exceed non-target ${bySrc(0)}")
+  }
+
+  test("minLabelAdaptive == minLabel on random graphs, both sides of the bound") {
+    import graft.operators.Components
+    for (seed <- Seq(11L, 222L)) {
+      val rnd = prng(seed)
+      val edges = (0 until 60).map(_ =>
+        (math.floorMod(rnd.next(), 40), math.floorMod(rnd.next(), 40)))
+        .filter(p => p._1 != p._2).toDF("a", "b")
+      val nodes = (0L until 40L).toDF("id")
+      val viaLoop = Components.minLabel(edges, "a", "b", nodes, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaUf = Components.minLabelAdaptive(edges, "a", "b", nodes, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLoopForced = Components.minLabelAdaptive(edges, "a", "b", nodes,
+          "id", broadcastMaxEdges = 0L) // force the distributed path
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaUf == viaLoop, s"seed=$seed adaptive != loop")
+      assert(viaLoopForced == viaLoop, s"seed=$seed forced-loop != loop")
+    }
+  }
+
   test("etl_entity_res query output is unchanged by the prefix gate (sf0.001 snapshot invariant)") {
     val out = Queries.etl_entity_res(spark, "/root/testdata/sf0.001")
     // blocking is physical: every member of an entity must share the
