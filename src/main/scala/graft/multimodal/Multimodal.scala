@@ -54,7 +54,7 @@ object Multimodal {
     * polynomial fold as graft.functions.portableStringHash over the raw
     * bytes.
     */
-  private def payloadHash(payload: Array[Byte]): Long =
+  private[graft] def payloadHash(payload: Array[Byte]): Long =
     if (payload == null) 7L
     else payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % HashPrime)
 

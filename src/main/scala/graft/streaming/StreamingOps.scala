@@ -67,6 +67,40 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
+  /** Streaming IMAGE near-dup dedup: first image per perceptual hash
+    * (dHash, [[graft.multimodal.Multimodal.dHash]]) survives within the
+    * watermark horizon — the ingest-side gate that drops re-uploads and
+    * re-encodes of the same picture before they reach storage. Raster
+    * decode is a codec boundary, so it rides mapPartitions exactly like
+    * the batch extractor; state is ONE long per distinct hash in the
+    * horizon. Non-decodable payloads fall back to the labeled payload
+    * hash, so distinct garbage rows are never merged. Hamming-0 twins
+    * only (re-encodes, metadata changes); batch
+    * [[graft.multimodal.Multimodal.phashPairs]] remains the tool for
+    * hamming > 0.
+    */
+  def imageDedup(media: DataFrame, tsCol: String,
+                 watermark: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(media.schema.fields :+
+      StructField("__phash", LongType, nullable = false))
+    val enc = RowEncoder.encoderFor(schema)
+    val pidx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(pidx)) null else r.getAs[Array[Byte]](pidx)
+        val h = graft.multimodal.Multimodal.dHash(payload)
+          .getOrElse(graft.multimodal.Multimodal.payloadHash(payload))
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__phash")
+      .drop("__phash")
+  }
+
   /** Stream-stream interval join (the attribution shape: click within
     * `lagMinutes` after impression): pairs rows with equal `keyCol` and
     * `r.ts in [l.ts, l.ts + lag)`. Twin of the batch

@@ -338,4 +338,41 @@ class StreamingSpec extends SparkSpec {
       assert(rows(0).n_events == 2 && rows(0).start_ms == base)
     } finally q.stop()
   }
+
+  test("streaming image dedup: re-encoded duplicate suppressed, distinct images and garbage survive") {
+    implicit val sqlCtx = spark.sqlContext
+    def bmp(fmt: String, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val base = 1700000800000L
+    val grad = (x: Int, y: Int) => (x * 3 + y * 2) % 256
+    val checker = (x: Int, y: Int) => if ((x / 8 + y / 8) % 2 == 0) 230 else 20
+    val input = MemoryStream[(Long, Array[Byte], Long)]
+    val df = input.toDF().toDF("media_id", "payload", "ms")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val dd = StreamingOps.imageDedup(df, "ts", watermark = "10 minutes")
+    val q = dd.writeStream.format("memory").queryName("imgdd")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, bmp("bmp", grad), base),
+        (2L, bmp("bmp", checker), base + 1000))
+      q.processAllAvailable()
+      // the SAME picture re-encoded as PNG -> same raster -> same dHash
+      // -> suppressed; two distinct garbage payloads both survive
+      input.addData((3L, bmp("png", grad), base + 2000),
+        (4L, "junk one".getBytes("UTF-8"), base + 3000),
+        (5L, "junk two".getBytes("UTF-8"), base + 4000))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT media_id FROM imgdd").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L, 4L, 5L))
+    } finally q.stop()
+  }
 }
