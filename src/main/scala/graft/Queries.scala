@@ -3730,6 +3730,42 @@ object Queries {
     cast(1 as int) AS within_5pct, cast(1 as int) AS merge_consistent
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** E10 — HLL sketches AT REST: the telemetry pattern at 100 TB is
+    * never "re-scan raw events per question" — it is "aggregate once
+    * into per-shard sketch ROWS, store them, merge stored sketches at
+    * query time". This grades the full round trip: shard sketches
+    * written to parquet (binary column), read back, union-merged — the
+    * stored-merge estimate must EQUAL the direct single-pass estimate
+    * (HLL union is lossless over register maxima, and serialization
+    * must not perturb registers), and land within 5% of exact. Flag
+    * pattern (e10_hll's move): DuckDB can't read datasketches binaries,
+    * so the oracle states the invariant flags.
+    */
+  def e10_hll_rest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val tmp = java.nio.file.Files.createTempDirectory("hll-rest").toString
+    ev.withColumn("__shard", pmod(col("user_id"), lit(4L)))
+      .groupBy("event_type", "__shard")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val atRest = s.read.parquet(tmp)
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("__est_rest"))
+    val direct = ev.groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("__est"))
+    direct.join(atRest, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (col("__est_rest") === col("__est")).cast("int").as("stored_merge_consistent"),
+        (abs(col("__est_rest") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).cast("int").as("within_5pct"))
+      .orderBy("event_type")
+  }
+
+  val e10hrSql = """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+    cast(1 as int) AS stored_merge_consistent, cast(1 as int) AS within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** J — point-in-time join: every order picks up the SCD2 attribute
     * regime VALID AT its own date — the temporal-correctness composition
     * (training-data pipelines use exactly this to avoid feature leakage:
@@ -6390,6 +6426,7 @@ object Queries {
     ("e3_recall_eval", e3_recall_eval _, e3reSql),
     ("e4_dedup_summary", e4_dedup_summary _, e4ddSql),
     ("e10_hll_intersect", e10_hll_intersect _, e10hiSql),
+    ("e10_hll_rest", e10_hll_rest _, e10hrSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
     ("e6_ratio", e6_ratio _, e6rtSql),
     ("e4_ngram_novelty", e4_ngram_novelty _, e4nvSql),
