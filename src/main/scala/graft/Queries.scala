@@ -3766,6 +3766,50 @@ object Queries {
     cast(1 as int) AS stored_merge_consistent, cast(1 as int) AS within_5pct
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** E10 — THETA sketches: native set-INTERSECTION estimates (the
+    * audience-overlap question HLL cannot answer directly —
+    * inclusion–exclusion over HLL unions compounds error and can go
+    * negative; theta intersections are first-class). Purchasers ∩
+    * error-reporters via theta_intersection_agg over the two event
+    * cohorts' sketches, union via theta_union_agg, both flag-graded
+    * against the exact distinct-join answers (e10_hll's move — sketch
+    * binaries can't cross the DuckDB boundary).
+    */
+  def e10_theta(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def cohort(tp: String) = ev.filter(col("event_type") === tp)
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val sketches = cohort("purchase").unionByName(cohort("error"))
+    val est = sketches.agg(
+      expr("theta_sketch_estimate(theta_intersection_agg(sk))").as("__inter"),
+      expr("theta_sketch_estimate(theta_union_agg(sk))").as("__union"))
+    val exact = ev.agg(
+      countDistinct(when(col("event_type") === "purchase",
+        col("user_id"))).as("n_purchase"),
+      countDistinct(when(col("event_type") === "error",
+        col("user_id"))).as("n_error"),
+      countDistinct(when(col("event_type").isin("purchase", "error"),
+        col("user_id"))).as("n_union"))
+      .withColumn("n_both",
+        col("n_purchase") + col("n_error") - col("n_union"))
+    exact.crossJoin(est)
+      .select(col("n_purchase"), col("n_error"), col("n_both"),
+        (abs(col("__inter") - col("n_both")).cast("double") /
+          greatest(col("n_both"), lit(1L)) <= 0.10).cast("int").as("inter_within_10pct"),
+        (abs(col("__union") - col("n_union")).cast("double") /
+          col("n_union") <= 0.05).cast("int").as("union_within_5pct"))
+  }
+
+  val e10thSql = """SELECT
+    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_purchase,
+    count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS n_error,
+    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+      + count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END)
+      - count(DISTINCT CASE WHEN event_type IN ('purchase', 'error') THEN user_id END) AS n_both,
+    cast(1 as int) AS inter_within_10pct,
+    cast(1 as int) AS union_within_5pct
+    FROM events"""
+
   /** J — point-in-time join: every order picks up the SCD2 attribute
     * regime VALID AT its own date — the temporal-correctness composition
     * (training-data pipelines use exactly this to avoid feature leakage:
@@ -6427,6 +6471,7 @@ object Queries {
     ("e4_dedup_summary", e4_dedup_summary _, e4ddSql),
     ("e10_hll_intersect", e10_hll_intersect _, e10hiSql),
     ("e10_hll_rest", e10_hll_rest _, e10hrSql),
+    ("e10_theta", e10_theta _, e10thSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
     ("e6_ratio", e6_ratio _, e6rtSql),
     ("e4_ngram_novelty", e4_ngram_novelty _, e4nvSql),
