@@ -3766,6 +3766,29 @@ object Queries {
     cast(1 as int) AS stored_merge_consistent, cast(1 as int) AS within_5pct
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** E6/SQL — ordered string aggregation (SQL:2016 LISTAGG ... WITHIN
+    * GROUP): the BI export shape "one row per group, members as a
+    * delimited string". The WITHIN GROUP ordering is the whole
+    * operator — unordered string_agg is nondeterministic under
+    * partitioning, so a distributed engine MUST implement the sorted
+    * form to be export-stable. Region → ordered nation list.
+    */
+  def e6_listagg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "region").createOrReplaceTempView("region")
+    s.sql("""SELECT r_name,
+        listagg(n_name, ';') WITHIN GROUP (ORDER BY n_name) AS nations,
+        count(*) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")
+  }
+
+  val e6laSql = """SELECT r_name,
+      string_agg(n_name, ';' ORDER BY n_name) AS nations,
+      count(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name"""
+
   /** E10 — THETA sketches: native set-INTERSECTION estimates (the
     * audience-overlap question HLL cannot answer directly —
     * inclusion–exclusion over HLL unions compounds error and can go
@@ -6472,6 +6495,7 @@ object Queries {
     ("e10_hll_intersect", e10_hll_intersect _, e10hiSql),
     ("e10_hll_rest", e10_hll_rest _, e10hrSql),
     ("e10_theta", e10_theta _, e10thSql),
+    ("e6_listagg", e6_listagg _, e6laSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
     ("e6_ratio", e6_ratio _, e6rtSql),
     ("e4_ngram_novelty", e4_ngram_novelty _, e4nvSql),
