@@ -3766,6 +3766,35 @@ object Queries {
     cast(1 as int) AS stored_merge_consistent, cast(1 as int) AS within_5pct
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** ETL — hierarchy flattening (see [[graft.operators.Hierarchy]]):
+    * root and depth for every node of a parent-pointer forest in
+    * ⌈log₂ depth⌉ pointer-doubling self-joins — the recursive-CTE
+    * capability (org charts, BOM explosions) Spark lacks natively,
+    * graded against DuckDB's actual WITH RECURSIVE. Fixture: a
+    * deterministic forest over dense order ranks (parent = id div 2,
+    * ids 1–7 as roots) so both engines traverse the identical shape.
+    */
+  def etl_hierarchy(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "orders")
+      .select(row_number().over(Window.orderBy("o_orderkey"))
+        .cast("long").as("id"))
+    val e = ids.filter(col("id") >= 8)
+      .select(col("id"), expr("id div 2").as("parent"))
+    graft.operators.Hierarchy.rootAndDepth(e, "id", "parent")
+      .orderBy("id")
+  }
+
+  val etlHierSql = """WITH RECURSIVE ids AS (
+      SELECT row_number() OVER (ORDER BY o_orderkey) AS id FROM orders),
+    e AS (SELECT id, id // 2 AS parent FROM ids WHERE id >= 8),
+    roots AS (SELECT DISTINCT parent AS id FROM e
+      WHERE parent NOT IN (SELECT id FROM e)),
+    rec AS (
+      SELECT id, id AS root, 0 AS depth FROM roots
+      UNION ALL
+      SELECT e.id, rec.root, rec.depth + 1 FROM e JOIN rec ON e.parent = rec.id)
+    SELECT id, root, cast(depth as bigint) AS depth FROM rec ORDER BY id"""
+
   /** E6/SQL — ordered string aggregation (SQL:2016 LISTAGG ... WITHIN
     * GROUP): the BI export shape "one row per group, members as a
     * delimited string". The WITHIN GROUP ordering is the whole
@@ -6496,6 +6525,7 @@ object Queries {
     ("e10_hll_rest", e10_hll_rest _, e10hrSql),
     ("e10_theta", e10_theta _, e10thSql),
     ("e6_listagg", e6_listagg _, e6laSql),
+    ("etl_hierarchy", etl_hierarchy _, etlHierSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
     ("e6_ratio", e6_ratio _, e6rtSql),
     ("e4_ngram_novelty", e4_ngram_novelty _, e4nvSql),

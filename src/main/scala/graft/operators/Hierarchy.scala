@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hierarchy flattening — root and depth for every node of a
+  * parent-pointer forest (org charts, bills of material, category
+  * trees, reply threads). Spark has no recursive CTE; the naive
+  * translation is "join once per LEVEL", O(depth) shuffles — hopeless
+  * for the deep, skewed hierarchies real data has.
+  *
+  * This operator uses POINTER DOUBLING instead (the e4_subword encode
+  * trick applied to graphs): each round every node's known ancestor
+  * pointer jumps from distance 2^i to 2^(i+1) by joining the state
+  * against itself, so a depth-D forest flattens in ⌈log₂ D⌉ keyed
+  * self-joins — a million-deep chain takes 20 rounds, not a million.
+  * Lineage is cut per round (localCheckpoint) and superseded blocks are
+  * freed, same discipline as the components loops; the convergence
+  * check rides the round's own join (a node is settled when its
+  * pointer lands on a root, i.e. joins a d=0 row), costing no extra
+  * shuffle.
+  */
+object Hierarchy {
+
+  /** `edges`: (idCol, parentCol) rows, one per NON-root node; roots are
+    * nodes that appear as parents (or in `extraRoots`) but never as
+    * ids. Returns (id, root, depth) for EVERY node including roots
+    * (depth 0). Cycles are a contract violation (the loop stops at
+    * `maxIter`; nodes on a cycle keep a non-root ancestor).
+    */
+  def rootAndDepth(edges: DataFrame, idCol: String, parentCol: String,
+                   maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("anc"))
+    val roots = e.select(col("anc").as("id"))
+      .except(e.select(col("id")))
+      .distinct()
+    // state: (id, anc, d) — anc is id's 2^i-th ancestor (or its root,
+    // reached early); roots carry (root, root, 0) so every pointer
+    // join hits, and d = 0 marks "settled"
+    var cur = e.withColumn("d", lit(1L))
+      .unionByName(roots.select(col("id"), col("id").as("anc"), lit(0L).as("d")))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = cur.as("a")
+        .join(cur.select(col("id").as("anc"), col("anc").as("anc2"),
+          col("d").as("d2")).as("b"), Seq("anc"))
+        .select(col("id"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"),
+          (col("d2") > 0).cast("long").as("__moved"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(sum(col("__moved")), lit(0L)))
+        .collect()(0).getLong(0)
+      graft.Blocks.free(cur)
+      cur = next.select(col("id"), col("anc"), col("d"))
+      iter += 1
+    }
+    cur.select(col("id"), col("anc").as("root"), col("d").as("depth"))
+  }
+}

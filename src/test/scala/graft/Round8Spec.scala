@@ -222,6 +222,26 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("hierarchy rootAndDepth: 1000-deep chain and a branched forest, exact depths") {
+    import graft.operators.Hierarchy
+    // chain 0 <- 1 <- 2 <- ... <- 1000 (depth 1000 needs ~10 doubling
+    // rounds; a per-level loop would need 1000)
+    val chain = (1L to 1000L).map(i => (i, i - 1)).toDF("id", "parent")
+    val out = Hierarchy.rootAndDepth(chain, "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1000L) == (0L, 1000L))
+    assert(out(1L) == (0L, 1L))
+    assert(out(0L) == (0L, 0L)) // root maps to itself at depth 0
+    // forest: two roots, binary fan
+    val forest = Seq((10L, 1L), (11L, 1L), (20L, 2L), (21L, 20L))
+      .toDF("id", "parent")
+    val f = Hierarchy.rootAndDepth(forest, "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(f(10L) == (1L, 1L) && f(11L) == (1L, 1L))
+    assert(f(20L) == (2L, 1L) && f(21L) == (2L, 2L))
+    assert(f(1L) == (1L, 0L) && f(2L) == (2L, 0L))
+  }
+
   test("etl_entity_res query output is unchanged by the prefix gate (sf0.001 snapshot invariant)") {
     val out = Queries.etl_entity_res(spark, "/root/testdata/sf0.001")
     // blocking is physical: every member of an entity must share the
