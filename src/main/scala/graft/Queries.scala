@@ -3795,6 +3795,35 @@ object Queries {
       SELECT e.id, rec.root, rec.depth + 1 FROM e JOIN rec ON e.parent = rec.id)
     SELECT id, root, cast(depth as bigint) AS depth FROM rec ORDER BY id"""
 
+  /** ETL — materialized paths (the BI breadcrumb for drill-downs):
+    * every node's root-to-self id path over the same deterministic
+    * forest as `etl_hierarchy`, still ⌈log₂ depth⌉ rounds — the
+    * ancestor array doubles alongside the pointer.
+    */
+  def etl_hierarchy_path(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "orders")
+      .select(row_number().over(Window.orderBy("o_orderkey"))
+        .cast("long").as("id"))
+    val e = ids.filter(col("id") >= 8)
+      .select(col("id"), expr("id div 2").as("parent"))
+    graft.operators.Hierarchy.materializedPaths(e, "id", "parent")
+      .orderBy("id")
+  }
+
+  val etlHpSql = """WITH RECURSIVE ids AS (
+      SELECT row_number() OVER (ORDER BY o_orderkey) AS id FROM orders),
+    e AS (SELECT id, id // 2 AS parent FROM ids WHERE id >= 8),
+    roots AS (SELECT DISTINCT parent AS id FROM e
+      WHERE parent NOT IN (SELECT id FROM e)),
+    rec AS (
+      SELECT id, id AS root, 0 AS depth, cast(id as varchar) AS path
+      FROM roots
+      UNION ALL
+      SELECT e.id, rec.root, rec.depth + 1, rec.path || '/' || e.id
+      FROM e JOIN rec ON e.parent = rec.id)
+    SELECT id, root, cast(depth as bigint) AS depth, path
+    FROM rec ORDER BY id"""
+
   /** E6/SQL — ordered string aggregation (SQL:2016 LISTAGG ... WITHIN
     * GROUP): the BI export shape "one row per group, members as a
     * delimited string". The WITHIN GROUP ordering is the whole
@@ -6526,6 +6555,7 @@ object Queries {
     ("e10_theta", e10_theta _, e10thSql),
     ("e6_listagg", e6_listagg _, e6laSql),
     ("etl_hierarchy", etl_hierarchy _, etlHierSql),
+    ("etl_hierarchy_path", etl_hierarchy_path _, etlHpSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
     ("e6_ratio", e6_ratio _, e6rtSql),
     ("e4_ngram_novelty", e4_ngram_novelty _, e4nvSql),

@@ -58,4 +58,44 @@ object Hierarchy {
     }
     cur.select(col("id"), col("anc").as("root"), col("d").as("depth"))
   }
+
+  /** Materialized paths — the BI breadcrumb: every node's full
+    * root-to-self id path ("4/9/19/39"), same pointer-doubling loop
+    * carrying the ancestor ARRAY (arr(x) at round i = x's nearest
+    * 2^i ancestors, nearest first; concat with the jumped-to segment
+    * doubles it). Path payload is O(depth) per node — that is the
+    * OUTPUT's own size, not overhead. Returns (id, root, depth, path).
+    */
+  def materializedPaths(edges: DataFrame, idCol: String, parentCol: String,
+                        sep: String = "/", maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("anc"))
+    val roots = e.select(col("anc").as("id"))
+      .except(e.select(col("id")))
+      .distinct()
+    var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
+        array(col("anc")).as("arr"))
+      .unionByName(roots.select(col("id"), col("id").as("anc"),
+        lit(0L).as("d"), array().cast("array<long>").as("arr")))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = cur.as("a")
+        .join(cur.select(col("id").as("anc"), col("anc").as("anc2"),
+          col("d").as("d2"), col("arr").as("arr2")).as("b"), Seq("anc"))
+        .select(col("id"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"),
+          concat(col("arr"), col("arr2")).as("arr"),
+          (col("d2") > 0).cast("long").as("__moved"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(sum(col("__moved")), lit(0L)))
+        .collect()(0).getLong(0)
+      graft.Blocks.free(cur)
+      cur = next.select(col("id"), col("anc"), col("d"), col("arr"))
+      iter += 1
+    }
+    cur.select(col("id"), col("anc").as("root"), col("d").as("depth"),
+      concat_ws(sep, concat(reverse(col("arr")), array(col("id")))
+        .cast("array<string>")).as("path"))
+  }
 }
