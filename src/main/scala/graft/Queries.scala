@@ -3824,6 +3824,47 @@ object Queries {
     SELECT id, root, cast(depth as bigint) AS depth, path
     FROM rec ORDER BY id"""
 
+  /** ETL — subtree rollup (the BOM cost pattern): every node's subtree
+    * total of a measure via the ancestor closure — closure ⋈ measures,
+    * grouped by ancestor; no recursion at aggregation time. Same
+    * deterministic forest; measure = o_totalprice carried by each
+    * node's underlying order. Output limited to the shallow
+    * nodes (id < 64) whose subtrees are large enough to be
+    * interesting; totals are exact decimal sums.
+    */
+  def etl_subtree_agg(s: SparkSession, dir: String): DataFrame = {
+    val ranked = t(s, dir, "orders")
+      .select(row_number().over(Window.orderBy("o_orderkey"))
+        .cast("long").as("id"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("m"))
+    val e = ranked.filter(col("id") >= 8)
+      .select(col("id"), expr("id div 2").as("parent"))
+    graft.operators.Hierarchy.ancestorClosure(e, "id", "parent")
+      .join(ranked, "id")
+      .groupBy(col("ancestor").as("id"))
+      .agg(count(lit(1)).as("n_subtree"),
+        sum(col("m")).cast("double").as("subtree_total"))
+      .filter(col("id") < 64)
+      .orderBy("id")
+  }
+
+  val etlStSql = """WITH RECURSIVE ids AS (
+      SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
+        o_totalprice AS m
+      FROM orders),
+    e AS (SELECT id, id // 2 AS parent FROM ids WHERE id >= 8),
+    roots AS (SELECT DISTINCT parent AS id FROM e
+      WHERE parent NOT IN (SELECT id FROM e)),
+    cl AS (
+      SELECT id, id AS ancestor FROM roots
+      UNION ALL SELECT id, id AS ancestor FROM e
+      UNION ALL SELECT e.id, cl.ancestor FROM e JOIN cl ON e.parent = cl.id)
+    SELECT cl.ancestor AS id, count(*) AS n_subtree,
+      cast(sum(cast(ids.m as decimal(18,2))) as double) AS subtree_total
+    FROM cl JOIN ids ON ids.id = cl.id
+    WHERE cl.ancestor < 64
+    GROUP BY 1 ORDER BY 1"""
+
   /** E6/SQL — ordered string aggregation (SQL:2016 LISTAGG ... WITHIN
     * GROUP): the BI export shape "one row per group, members as a
     * delimited string". The WITHIN GROUP ordering is the whole
@@ -6556,6 +6597,7 @@ object Queries {
     ("e6_listagg", e6_listagg _, e6laSql),
     ("etl_hierarchy", etl_hierarchy _, etlHierSql),
     ("etl_hierarchy_path", etl_hierarchy_path _, etlHpSql),
+    ("etl_subtree_agg", etl_subtree_agg _, etlStSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
     ("e6_ratio", e6_ratio _, e6rtSql),
     ("e4_ngram_novelty", e4_ngram_novelty _, e4nvSql),

@@ -67,7 +67,28 @@ object Hierarchy {
     * OUTPUT's own size, not overhead. Returns (id, root, depth, path).
     */
   def materializedPaths(edges: DataFrame, idCol: String, parentCol: String,
-                        sep: String = "/", maxIter: Int = 30): DataFrame = {
+                        sep: String = "/", maxIter: Int = 30): DataFrame =
+    doubledArrays(edges, idCol, parentCol, maxIter)
+      .select(col("id"), col("anc").as("root"), col("d").as("depth"),
+        concat_ws(sep, concat(reverse(col("arr")), array(col("id")))
+          .cast("array<string>")).as("path"))
+
+  /** Ancestor closure — every (node, ancestor) pair INCLUDING the node
+    * itself: the join table that turns subtree questions into plain
+    * aggregations (BOM cost rollup = closure ⋈ measures, grouped by
+    * ancestor). Same ⌈log₂ depth⌉ doubling loop; the exploded output is
+    * O(Σ depth) rows — the closure's own size, not overhead.
+    */
+  def ancestorClosure(edges: DataFrame, idCol: String,
+                      parentCol: String): DataFrame =
+    doubledArrays(edges, idCol, parentCol, 30)
+      .select(col("id"),
+        explode(concat(col("arr"), array(col("id")))).as("ancestor"))
+
+  /** Shared doubling state: (id, anc = root once settled, d = depth,
+    * arr = ancestors nearest-first). */
+  private def doubledArrays(edges: DataFrame, idCol: String,
+                            parentCol: String, maxIter: Int): DataFrame = {
     val e = edges.select(col(idCol).cast("long").as("id"),
       col(parentCol).cast("long").as("anc"))
     val roots = e.select(col("anc").as("id"))
@@ -94,8 +115,6 @@ object Hierarchy {
       cur = next.select(col("id"), col("anc"), col("d"), col("arr"))
       iter += 1
     }
-    cur.select(col("id"), col("anc").as("root"), col("d").as("depth"),
-      concat_ws(sep, concat(reverse(col("arr")), array(col("id")))
-        .cast("array<string>")).as("path"))
+    cur
   }
 }
