@@ -3766,6 +3766,35 @@ object Queries {
     cast(1 as int) AS stored_merge_consistent, cast(1 as int) AS within_5pct
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** E11 — consecutive-pattern matching (MATCH_RECOGNIZE-lite): count
+    * per user the occurrences of the exact ADJACENT event trigram
+    * view→click→purchase in event-time order. Adjacency is what the
+    * funnel CAN'T express (funnels allow gaps); a fixed-length
+    * consecutive pattern is a chain of lead()s over one key exchange —
+    * no state machine, no extra shuffle, same plan shape at any scale.
+    */
+  def e11_match_pattern(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("__n1", lead(col("event_type"), 1).over(w))
+      .withColumn("__n2", lead(col("event_type"), 2).over(w))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view" && col("__n1") === "click" &&
+        col("__n2") === "purchase", 1L).otherwise(0L)).as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy("user_id")
+  }
+
+  val e11mpSql = """WITH o AS (SELECT user_id, event_type,
+      lead(event_type, 1) OVER w AS n1, lead(event_type, 2) OVER w AS n2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+    SELECT user_id,
+      cast(sum(CASE WHEN event_type = 'view' AND n1 = 'click'
+        AND n2 = 'purchase' THEN 1 ELSE 0 END) as bigint) AS n_matches
+    FROM o GROUP BY 1 HAVING n_matches > 0 ORDER BY 1"""
+
   /** ETL — hierarchy flattening (see [[graft.operators.Hierarchy]]):
     * root and depth for every node of a parent-pointer forest in
     * ⌈log₂ depth⌉ pointer-doubling self-joins — the recursive-CTE
@@ -6598,6 +6627,7 @@ object Queries {
     ("etl_hierarchy", etl_hierarchy _, etlHierSql),
     ("etl_hierarchy_path", etl_hierarchy_path _, etlHpSql),
     ("etl_subtree_agg", etl_subtree_agg _, etlStSql),
+    ("e11_match_pattern", e11_match_pattern _, e11mpSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
     ("e6_ratio", e6_ratio _, e6rtSql),
     ("e4_ngram_novelty", e4_ngram_novelty _, e4nvSql),
