@@ -6437,6 +6437,135 @@ object Queries {
       round(cast(max_cnt AS double) * n_keys / n_rows, 6) AS skew_factor
     FROM c CROSS JOIN s ORDER BY cnt DESC, l_suppkey LIMIT 10"""
 
+  /** E11 — last-touch attribution: each purchase credits the most recent
+    * click/view STRICTLY BEFORE it by the same user ('none' when the
+    * purchase has no prior touch). One user-hash exchange feeds the
+    * carry-forward window (`last(..., ignoreNulls)` over ROWS UNBOUNDED
+    * PRECEDING..1 PRECEDING — the strict-past frame), then a 5-key
+    * aggregate; revenue sums as exact decimal. Ordering pinned to
+    * (epoch-ms, event_id) so sub-millisecond ties can't flip a credit —
+    * same discipline as e11_transitions.
+    */
+  def e11_attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_millis(col("ts")).as("tms"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("touch",
+        last(when(col("event_type").isin("click", "view"), col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("purchases"), dsum(col("value")).as("revenue"))
+      .orderBy("touch")
+  }
+
+  val e11atSql = """WITH e AS (SELECT event_id, user_id, event_type, value,
+      epoch_ms(ts) AS tms FROM events),
+    t AS (SELECT *, last_value(CASE WHEN event_type IN ('click','view')
+        THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY tms, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch FROM e)
+    SELECT coalesce(touch, 'none') AS touch, count(*) AS purchases,
+      cast(sum(cast(value as decimal(18,2))) as double) AS revenue
+    FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""
+
+  /** E11 — RFM segmentation: per user, recency (hours since last activity
+    * vs the corpus max), purchase frequency, and exact-decimal monetary
+    * sum, each scored 1..5 by ntile with a user_id tie-break (5 = best).
+    * Events compress to user grain in ONE map-side-combined aggregate
+    * before any window touches them; the three ntiles run over the
+    * user-grain frame (|users| ≪ |events|). At 1000-executor scale with
+    * billions of users the single-partition ntile sort is the cliff —
+    * swap for broadcast quantile boundaries (e10_discretize's shape);
+    * the score semantics stay identical.
+    */
+  def e11_rfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      col("value"), unix_millis(col("ts")).as("tms"))
+    val dec = DecimalType(18, 2)
+    val peru = ev.groupBy("user_id").agg(
+      max(col("tms")).as("last_tms"),
+      count(when(col("event_type") === "purchase", lit(1))).as("freq"),
+      sum(when(col("event_type") === "purchase", col("value").cast(dec))
+        .otherwise(lit(0).cast(dec))).cast("double").as("mon"))
+    val g = ev.agg(max(col("tms")).as("gmax"))
+    peru.crossJoin(broadcast(g))
+      .withColumn("r_hours", expr("(gmax - last_tms) div 3600000"))
+      .select(col("user_id"), col("r_hours"), col("freq"), col("mon"),
+        ntile(5).over(Window.orderBy(col("r_hours").desc, col("user_id")))
+          .as("r_score"),
+        ntile(5).over(Window.orderBy(col("freq").asc, col("user_id")))
+          .as("f_score"),
+        ntile(5).over(Window.orderBy(col("mon").asc, col("user_id")))
+          .as("m_score"))
+      .orderBy("user_id")
+  }
+
+  val e11rfSql = """WITH e AS (SELECT user_id, event_type, value,
+      epoch_ms(ts) AS tms FROM events),
+    g AS (SELECT max(tms) AS gmax FROM e),
+    u AS (SELECT user_id, max(tms) AS last_tms,
+        count(CASE WHEN event_type='purchase' THEN 1 END) AS freq,
+        cast(sum(CASE WHEN event_type='purchase' THEN cast(value as decimal(18,2))
+          ELSE cast(0 as decimal(18,2)) END) as double) AS mon
+      FROM e GROUP BY user_id),
+    r AS (SELECT user_id, (gmax - last_tms) // 3600000 AS r_hours, freq, mon
+      FROM u CROSS JOIN g)
+    SELECT user_id, r_hours, freq, mon,
+      cast(ntile(5) OVER (ORDER BY r_hours DESC, user_id) as int) AS r_score,
+      cast(ntile(5) OVER (ORDER BY freq ASC, user_id) as int) AS f_score,
+      cast(ntile(5) OVER (ORDER BY mon ASC, user_id) as int) AS m_score
+    FROM r ORDER BY user_id"""
+
+  /** E11 — lag-1 autocorrelation of the per-type daily event-count
+    * series: does yesterday's volume predict today's? Counts collapse to
+    * (type, day) grain first; consecutive-day pairs come from one lag
+    * window over that tiny frame; the Pearson statistic combines six
+    * exact integer sums (decimal(38,0) so 100 TB daily counts can't
+    * overflow) in ONE fixed double expression — same moment discipline
+    * as e6_corr, so the result is partition-order-independent.
+    */
+  def e11_autocorr(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).cast(DecimalType(19, 0)).as("c"))
+    val p = d.select(col("event_type"), col("c").as("y"),
+      lag(col("c"), 1).over(
+        Window.partitionBy("event_type").orderBy("day")).as("x"))
+      .where(col("x").isNotNull)
+    val m = p.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    m.select(col("event_type"), col("n"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+            sqrt(n * col("syy") - col("sy") * col("sy"))), 6).as("autocorr"))
+      .orderBy("event_type")
+  }
+
+  val e11acSql = """WITH d AS (SELECT event_type,
+      epoch_ms(ts) // 86400000 AS day, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    p AS (SELECT event_type, c AS y,
+      lag(c) OVER (PARTITION BY event_type ORDER BY day) AS x FROM d),
+    m AS (SELECT event_type, count(*) AS n,
+        cast(sum(x) as double) AS sx, cast(sum(y) as double) AS sy,
+        cast(sum(x*y) as double) AS sxy, cast(sum(x*x) as double) AS sxx,
+        cast(sum(y*y) as double) AS syy
+      FROM p WHERE x IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n,
+      round((cast(n as double) * sxy - sx * sy) /
+        (sqrt(cast(n as double) * sxx - sx * sx) *
+         sqrt(cast(n as double) * syy - sy * sy)), 6) AS autocorr
+    FROM m ORDER BY event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -6663,5 +6792,8 @@ object Queries {
     ("e3_pca", e3_pca _, e3pcSql),
     ("llm_curriculum", llm_curriculum _, llmCurrSql),
     ("etl_skew_report", etl_skew_report _, skewSql),
-    ("etl_entity_res", etl_entity_res _, etlErSql))
+    ("etl_entity_res", etl_entity_res _, etlErSql),
+    ("e11_attribution", e11_attribution _, e11atSql),
+    ("e11_rfm", e11_rfm _, e11rfSql),
+    ("e11_autocorr", e11_autocorr _, e11acSql))
 }
