@@ -6566,6 +6566,54 @@ object Queries {
          sqrt(cast(n as double) * syy - sy * sy)), 6) AS autocorr
     FROM m ORDER BY event_type"""
 
+  /** MM — REAL video frame decode, end to end, for the motion-JPEG
+    * family: BMFF demux (stts×stsc×stsz×stco) slices each sample out
+    * of mdat, the pure-JDK JPEG codec decodes it, and the row carries
+    * the raster's true dims plus the dHash of the DECODED PIXELS —
+    * no stub anywhere on this path (inter-frame codecs keep the
+    * labeled `decoded=false` fallback: media 2's samples are not
+    * JPEG). `near_prev` grades the pixels themselves: frame 1 is
+    * frame 0 with a small stamped patch (hamming ≤ 8 → 1), frame 2
+    * is the inverted gradient (every dHash comparison flips → 0);
+    * -1 when either side of the comparison has no decoded raster.
+    * The garbage payload (media 3) must emit NO rows.
+    */
+  def mm_frame_decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      (1L, "video", Multimodal.minimalMp4WithSamples(72, 48, 120L,
+        samples = Seq(
+          Multimodal.gradientJpeg(72, 48),
+          Multimodal.gradientJpeg(72, 48, patch = Some((60, 36, 8))),
+          Multimodal.gradientJpeg(72, 48, invert = true)),
+        sampleDeltaMs = 40L, samplesPerChunk = 2)),
+      (2L, "video", Multimodal.minimalMp4WithSamples(64, 32, 80L,
+        samples = Seq(Array.fill(24)(9.toByte), Array.fill(16)(7.toByte)),
+        sampleDeltaMs = 40L, samplesPerChunk = 2)),
+      (3L, "video", "not a container".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    Multimodal.extractDecodedFrames(media)
+      .withColumn("prev_hash", lag(col("phash"), 1).over(w))
+      .withColumn("prev_dec", lag(col("decoded"), 1).over(w))
+      .select(col("media_id"), col("frame_idx"), col("pts_ms"),
+        col("width"), col("height"), col("decoded").cast("int").as("decoded"),
+        when(!col("decoded") || !coalesce(col("prev_dec"), lit(false)), lit(-1))
+          .otherwise(when(expr("bit_count(phash ^ prev_hash)") <= 8, lit(1))
+            .otherwise(lit(0))).as("near_prev"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val mmFdSql = """SELECT * FROM (VALUES
+      (cast(1 as bigint), cast(0 as int), cast(0 as bigint), cast(72 as int), cast(48 as int), cast(1 as int), cast(-1 as int)),
+      (1, 1, 40, 72, 48, 1, 1),
+      (1, 2, 80, 72, 48, 1, 0),
+      (2, 0, 0, 0, 0, 0, -1),
+      (2, 1, 40, 0, 0, 0, -1))
+    AS t(media_id, frame_idx, pts_ms, width, height, decoded, near_prev)
+    ORDER BY media_id, frame_idx"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -6795,5 +6843,6 @@ object Queries {
     ("etl_entity_res", etl_entity_res _, etlErSql),
     ("e11_attribution", e11_attribution _, e11atSql),
     ("e11_rfm", e11_rfm _, e11rfSql),
-    ("e11_autocorr", e11_autocorr _, e11acSql))
+    ("e11_autocorr", e11_autocorr _, e11acSql),
+    ("mm_frame_decode", mm_frame_decode _, mmFdSql))
 }

@@ -451,6 +451,14 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
+    rasterDHash(img)
+  }
+
+  /** [[dHash]] over an already-decoded raster — the shared tail of the
+    * still-image and video-frame paths, so a frame decoded once is
+    * hashed without a re-encode round trip.
+    */
+  def rasterDHash(img: java.awt.image.BufferedImage): Option[Long] = {
     if (img == null || img.getWidth < 9 || img.getHeight < 8) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -525,6 +533,102 @@ object Multimodal {
         .select(col("media_id").as("id"), lit(0L).as("blk"),
           col("phash").as("sig")),
       maxHamming)
+
+  val decodedFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("pts_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("phash", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** REAL video frame decode for the motion-JPEG family. MJPEG-in-MP4
+    * stores one complete JPEG still per sample, so the BMFF demux
+    * ([[videoSamples]]: stts×stsc×stsz×stco expansion) composed with
+    * the pure-JDK still codec (javax.imageio) IS the genuine
+    * end-to-end decode path for this codec family — no stub anywhere
+    * on it. Each located sample whose bytes open with the JPEG SOI
+    * marker (FF D8) decodes to a raster; the row carries its true
+    * dims and the 64-bit perceptual dHash of the DECODED PIXELS
+    * ([[rasterDHash]] — hashed once, no re-encode round trip), which
+    * is what downstream frame-level near-dup / scene-cut analytics
+    * consume. Samples of inter-frame codecs (H.264/HEVC genuinely
+    * need a bitstream decoder this pure-JDK build doesn't ship) emit
+    * `decoded = false` with the labeled payload-fold stub hash and
+    * zero dims — the row SHAPE is codec-complete, so swapping in a
+    * full codec changes values, never plans. Per-partition streaming;
+    * payload bytes never shuffle, only (dims, hash, pts) leave the
+    * scan. Malformed containers emit nothing (quarantine, not crash).
+    */
+  def extractDecodedFrames(media: DataFrame, everyK: Int = 1): DataFrame = {
+    require(everyK > 0)
+    val enc = RowEncoder.encoderFor(decodedFrameSchema)
+    media.filter(col("kind") === "video")
+      .select("media_id", "kind", "payload").mapPartitions { it =>
+        it.flatMap { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          videoSamples(payload).toSeq.flatten.iterator
+            .filter(s => s.idx % everyK == 0)
+            .filter(s => s.offset >= 0 && s.size >= 2 &&
+              s.offset + s.size <= payload.length)
+            .map { s =>
+              val o = s.offset.toInt
+              val slice = java.util.Arrays.copyOfRange(payload, o, o + s.size)
+              val img =
+                if ((slice(0) & 0xff) == 0xff && (slice(1) & 0xff) == 0xd8)
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(slice))
+                  catch { case _: Exception => null }
+                else null
+              rasterDHash(img) match {
+                case Some(bits) =>
+                  Row(r.getLong(0), s.idx, s.ptsMs,
+                    img.getWidth, img.getHeight, bits, true)
+                case None =>
+                  Row(r.getLong(0), s.idx, s.ptsMs, 0, 0,
+                    payloadHash(slice), false)
+              }
+            }
+        }
+      }(enc)
+  }
+
+  /** A deterministic `w`×`h` horizontal-gradient raster JPEG-encoded
+    * through the same pure-JDK codec the decoder uses — the MJPEG
+    * sample fixture. `invert` flips the gradient (every dHash
+    * comparison changes sign → far hamming); `patch` stamps a small
+    * dark square at (x0, y0, size) (one or two dHash cells move →
+    * near hamming).
+    */
+  def gradientJpeg(w: Int, h: Int, invert: Boolean = false,
+                   patch: Option[(Int, Int, Int)] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (invert) 255 - 255 * x / (w - 1) else 255 * x / (w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    patch.foreach { case (x0, y0, sz) =>
+      var py = y0
+      while (py < math.min(h, y0 + sz)) {
+        var px = x0
+        while (px < math.min(w, x0 + sz)) {
+          img.setRGB(px, py, 0); px += 1
+        }
+        py += 1
+      }
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    baos.toByteArray
+  }
 
   /** Batch feature extraction: binary in, typed metadata out, one pass per
     * partition — the distributed shape of a decode/resize/frame-sample

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Round-8 continuation pins: the MJPEG frame-decode path must agree
+  * with the independent still-image path (same sample bytes through
+  * dHash directly), keep inter-frame codecs on the labeled fallback,
+  * and quarantine malformed containers.
+  */
+class Round8bSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractDecodedFrames: MJPEG frames decode to the still-path dHash, dims, and pts") {
+    for ((w, h, n, delta) <- Seq((72, 48, 5, 40L), (90, 64, 3, 33L), (128, 96, 4, 100L))) {
+      val jpegs = (0 until n).map(i =>
+        Multimodal.gradientJpeg(w, h, invert = i % 2 == 1,
+          patch = if (i % 3 == 2) Some((w / 2, h / 2, 6)) else None))
+      val mp4 = Multimodal.minimalMp4WithSamples(w, h, n * delta,
+        samples = jpegs, sampleDeltaMs = delta, samplesPerChunk = 2)
+      val media = Seq((1L, "video", mp4)).toDF("media_id", "kind", "payload")
+      val rows = Multimodal.extractDecodedFrames(media)
+        .orderBy("frame_idx").collect()
+      assert(rows.length == n)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i)
+        assert(r.getLong(2) == i * delta, "pts from the stts delta run")
+        assert((r.getInt(3), r.getInt(4)) == (w, h), "decoded raster dims")
+        // independent oracle: the same sample bytes through the
+        // still-image path (dHash decodes the JPEG itself)
+        assert(r.getLong(5) == Multimodal.dHash(jpegs(i)).get)
+        assert(r.getBoolean(6), "JPEG samples are REAL decodes")
+      }
+    }
+  }
+
+  test("extractDecodedFrames: non-JPEG samples keep the labeled fallback; garbage emits nothing") {
+    val raw = Seq(Array.fill(32)(1.toByte), Array.fill(40)(2.toByte))
+    val media = Seq(
+      (1L, "video", Multimodal.minimalMp4WithSamples(64, 32, 80L,
+        samples = raw, sampleDeltaMs = 40L)),
+      (2L, "video", "junk".getBytes("UTF-8")),
+      (3L, "image", Multimodal.gradientJpeg(72, 48))) // wrong kind: filtered
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.extractDecodedFrames(media)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(rows.forall(_.getLong(0) == 1L), "only the parseable video emits")
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(!r.getBoolean(6) && r.getInt(3) == 0 && r.getInt(4) == 0)
+    }
+    // the stub hash is the labeled payload fold of the SLICE, so the two
+    // distinct raw samples must not collide
+    assert(rows.map(_.getLong(5)).distinct.length == 2)
+  }
+
+  test("everyK sampling decodes only every k-th frame") {
+    val jpegs = (0 until 6).map(i => Multimodal.gradientJpeg(72, 48, invert = i % 2 == 1))
+    val mp4 = Multimodal.minimalMp4WithSamples(72, 48, 240L,
+      samples = jpegs, sampleDeltaMs = 40L)
+    val media = Seq((9L, "video", mp4)).toDF("media_id", "kind", "payload")
+    val idx = Multimodal.extractDecodedFrames(media, everyK = 3)
+      .orderBy("frame_idx").collect().map(_.getInt(1)).toSeq
+    assert(idx == Seq(0, 3))
+  }
+}
