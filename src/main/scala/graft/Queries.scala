@@ -6614,6 +6614,49 @@ object Queries {
     AS t(media_id, frame_idx, pts_ms, width, height, decoded, near_prev)
     ORDER BY media_id, frame_idx"""
 
+  /** ETL — foreign-key discovery across six candidate column pairs of
+    * the raw star schema (four true FKs, one reversed pair whose parent
+    * is non-unique, one reversed pair with partial containment —
+    * customers who never ordered). Each side distinct-compresses before
+    * the containment join (see DataQuality.fkCandidateReport), so at
+    * 100 TB the facts shrink to key cardinality before anything
+    * shuffles.
+    */
+  def etl_fk_infer(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality.{FkCandidate, fkCandidateReport}
+    val (cu, or, li, su, na) = (t(s, dir, "customer"), t(s, dir, "orders"),
+      t(s, dir, "lineitem"), t(s, dir, "supplier"), t(s, dir, "nation"))
+    fkCandidateReport(Seq(
+      FkCandidate("orders", or, "o_custkey", "customer", cu, "c_custkey"),
+      FkCandidate("lineitem", li, "l_orderkey", "orders", or, "o_orderkey"),
+      FkCandidate("lineitem", li, "l_suppkey", "supplier", su, "s_suppkey"),
+      FkCandidate("customer", cu, "c_nationkey", "nation", na, "n_nationkey"),
+      FkCandidate("orders", or, "o_orderkey", "lineitem", li, "l_orderkey"),
+      FkCandidate("customer", cu, "c_custkey", "orders", or, "o_custkey")))
+  }
+
+  val etlFkSql: String = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"))
+    .map { case (ct, cc, pt, pc) =>
+      s"""SELECT '$ct.$cc' AS child_key, '$pt.$pc' AS parent_key,
+        (SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL) AS n_child_distinct,
+        (SELECT count(DISTINCT $pc) FROM $pt WHERE $pc IS NOT NULL) AS n_parent_distinct,
+        (SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IN (SELECT $pc FROM $pt)) AS n_matched,
+        round(cast((SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IN (SELECT $pc FROM $pt)) as double) /
+          (SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL), 6) AS containment,
+        cast(CASE WHEN (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM $pt WHERE $pc IS NOT NULL GROUP BY $pc)) = 1
+          THEN 1 ELSE 0 END as int) AS parent_unique,
+        cast(CASE WHEN (SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IN (SELECT $pc FROM $pt))
+            = (SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL)
+          AND (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM $pt WHERE $pc IS NOT NULL GROUP BY $pc)) = 1
+          THEN 1 ELSE 0 END as int) AS is_fk"""
+    }.mkString(" UNION ALL ") + " ORDER BY child_key, parent_key"
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -6844,5 +6887,6 @@ object Queries {
     ("e11_attribution", e11_attribution _, e11atSql),
     ("e11_rfm", e11_rfm _, e11rfSql),
     ("e11_autocorr", e11_autocorr _, e11acSql),
-    ("mm_frame_decode", mm_frame_decode _, mmFdSql))
+    ("mm_frame_decode", mm_frame_decode _, mmFdSql),
+    ("etl_fk_infer", etl_fk_infer _, etlFkSql))
 }
