@@ -6657,6 +6657,60 @@ object Queries {
           THEN 1 ELSE 0 END as int) AS is_fk"""
     }.mkString(" UNION ALL ") + " ORDER BY child_key, parent_key"
 
+  /** E10 — count-min sketch point estimates, EXACT-equality graded: the
+    * sketch builds once over the token stream (4×512 cells, O(1) state
+    * per map task — the fixed-payload shuffle that replaces a
+    * billion-distinct-token exchange at 100 TB), broadcasts as one row,
+    * and the top-10 exact tokens probe it with pure column arithmetic
+    * (min over 4 `element_at`s). Because every cell hashes through the
+    * engine-portable polynomial hash, the DuckDB oracle REBUILDS the
+    * sketch cell for cell and the estimates must match exactly — a far
+    * stronger pin than the tolerance flags approx sketches usually get.
+    * `over_ok` additionally grades the one-sided guarantee (estimate ≥
+    * truth, always).
+    */
+  def e10_cms(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.CountMinSketch
+    val (d, wd) = (4, 512)
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tk"))
+    val sk = toks.agg(CountMinSketch.sketch(col("tk"), d, wd).as("sk"))
+    val top = toks.groupBy("tk").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tk")).limit(10)
+    val h = portableStringHash(col("tk"))
+    val est = (0 until d).map { i =>
+      element_at(col("sk"),
+        (lit(i * wd) + pmod(pmod(h * lit(CountMinSketch.SeedA(i)) +
+          lit(CountMinSketch.SeedB(i)), lit(HashPrime)), lit(wd.toLong)))
+          .cast("int") + 1)
+    }.reduce(least(_, _))
+    top.crossJoin(broadcast(sk))
+      .select(col("tk"), col("exact_cnt"), est.as("cms_est"),
+        when(est >= col("exact_cnt"), 1).otherwise(0).as("over_ok"))
+      .orderBy(col("exact_cnt").desc, col("tk"))
+  }
+
+  val e10cmsSql: String = {
+    val seeds = (0 until 4).map(i =>
+      s"(${i}, ${graft.expressions.CountMinSketch.SeedA(i)}, " +
+        s"${graft.expressions.CountMinSketch.SeedB(i)})").mkString(", ")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    h AS (SELECT tk, list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(tk, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) AS hv FROM toks),
+    seeds(i, a, b) AS (SELECT * FROM (VALUES $seeds) t),
+    cells AS (SELECT i, ((a * hv + b) % $HashPrime) % 512 AS bucket, count(*) AS c
+      FROM h CROSS JOIN seeds GROUP BY 1, 2),
+    top AS (SELECT tk, any_value(hv) AS hv, count(*) AS exact_cnt FROM h GROUP BY tk
+      ORDER BY exact_cnt DESC, tk LIMIT 10)
+    SELECT t.tk, t.exact_cnt, min(c.c) AS cms_est,
+      cast(CASE WHEN min(c.c) >= t.exact_cnt THEN 1 ELSE 0 END as int) AS over_ok
+    FROM top t CROSS JOIN seeds s JOIN cells c
+      ON c.i = s.i AND c.bucket = ((s.a * t.hv + s.b) % $HashPrime) % 512
+    GROUP BY t.tk, t.exact_cnt
+    ORDER BY t.exact_cnt DESC, t.tk"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -6888,5 +6942,6 @@ object Queries {
     ("e11_rfm", e11_rfm _, e11rfSql),
     ("e11_autocorr", e11_autocorr _, e11acSql),
     ("mm_frame_decode", mm_frame_decode _, mmFdSql),
-    ("etl_fk_infer", etl_fk_infer _, etlFkSql))
+    ("etl_fk_infer", etl_fk_infer _, etlFkSql),
+    ("e10_cms", e10_cms _, e10cmsSql))
 }

@@ -54,6 +54,31 @@ class Round8bSpec extends SparkSpec {
     assert(rows.map(_.getLong(5)).distinct.length == 2)
   }
 
+  test("CountMinSketch: bit-identical under any partitioning; estimates never undercount") {
+    import graft.expressions.CountMinSketch
+    val items = (0 until 3000).map(i => s"tok${i % 217}") ++
+      Seq.fill(400)("heavy") ++ (0 until 100).map(i => s"rare$i")
+    val (d, w) = (4, 64)
+    val sketches = Seq(1, 3, 16).map { nPart =>
+      items.toDF("tk").repartition(nPart)
+        .agg(CountMinSketch.sketch(col("tk"), d, w))
+        .collect()(0).getSeq[Long](0)
+    }
+    assert(sketches.distinct.length == 1,
+      "CMS cells are plain sums - partitioning cannot perturb them")
+    val cells = sketches.head
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+    truth.foreach { case (tk, n) =>
+      val h = CountMinSketch.portableHash(tk)
+      val est = (0 until d).map(i => cells(i * w + CountMinSketch.bucket(h, i, w))).min
+      assert(est >= n, s"$tk: est $est < truth $n breaks the one-sided guarantee")
+    }
+    // every row's cells sum to the total item count (mass conservation)
+    (0 until d).foreach { i =>
+      assert(cells.slice(i * w, (i + 1) * w).sum == items.length.toLong)
+    }
+  }
+
   test("everyK sampling decodes only every k-th frame") {
     val jpegs = (0 until 6).map(i => Multimodal.gradientJpeg(72, 48, invert = i % 2 == 1))
     val mp4 = Multimodal.minimalMp4WithSamples(72, 48, 240L,
