@@ -6711,6 +6711,51 @@ object Queries {
     ORDER BY t.exact_cnt DESC, t.tk"""
   }
 
+  /** E3 — exact maximum-inner-product top-k: rank by RAW dot, the
+    * retrieval order cosine gets wrong whenever embedding norms carry
+    * signal (trained recommender/retrieval embeddings). Broadcast query
+    * side, corpus in place.
+    */
+  def e3_mips(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.mipsTopK(e.filter(col("id") < 8), e, k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3mipsSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql, 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** E3 — the MIPS→cosine norm-augmentation reduction (Bachrach et al.
+    * 2014), oracle-pinned: scores are augmented-space cosine
+    * q·x/(|q|·M) with M the max corpus norm (an index contract — ONE
+    * broadcast scalar). Monotone in the dot, so the neighbour sets
+    * match e3_mips while the GEOMETRY is the one direction-only ANN
+    * machinery (sign-LSH / IVF / PQ over the augmented column) can
+    * index — the 100 TB path for inner-product retrieval.
+    */
+  def e3_mips_aug(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.mipsAugCosineTopK(e.filter(col("id") < 8), e, k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3mipsAugSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    m AS (SELECT max(list_sum(list_transform(range(1, 65),
+        i -> cast(e[i] as double) * cast(e[i] as double)))) AS m2 FROM v),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql / (${normSql("q")} * sqrt(m.m2)), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id CROSS JOIN m)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -6943,5 +6988,7 @@ object Queries {
     ("e11_autocorr", e11_autocorr _, e11acSql),
     ("mm_frame_decode", mm_frame_decode _, mmFdSql),
     ("etl_fk_infer", etl_fk_infer _, etlFkSql),
-    ("e10_cms", e10_cms _, e10cmsSql))
+    ("e10_cms", e10_cms _, e10cmsSql),
+    ("e3_mips", e3_mips _, e3mipsSql),
+    ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql))
 }

