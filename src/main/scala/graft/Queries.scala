@@ -6756,6 +6756,134 @@ object Queries {
       cand_id, sim FROM sims
     QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
 
+  /** E11 — CUSUM changepoint estimation per event type: the day where
+    * the cumulative deviation from the series mean peaks — where the
+    * level shift, if any, happened. S_d = C_d − d·μ needs only the
+    * EXACT integer cumulative count C_d and rank d from one window over
+    * the (type, day) frame (μ = total/n in one fixed double chain), so
+    * no running float accumulation exists to drift. Argmax resolved
+    * min-day-first — deterministic under ties.
+    */
+  def e11_cusum(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val t = d.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("total"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val dev = d.join(broadcast(t), "event_type")
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("rn", row_number().over(w))
+      .select(col("event_type"), col("day"),
+        abs(col("cum").cast("double") -
+          col("rn").cast("double") * col("total") / col("n")).as("absdev"))
+    val mx = dev.groupBy("event_type").agg(max(col("absdev")).as("mdev"))
+      .withColumnRenamed("event_type", "__et")
+    dev.join(broadcast(mx),
+        col("event_type") === col("__et") && col("absdev") === col("mdev"))
+      .groupBy(col("event_type"), col("mdev"))
+      .agg(min(col("day")).as("cp_day"))
+      .select(col("event_type"), col("cp_day"), round(col("mdev"), 6).as("max_cusum"))
+      .orderBy("event_type")
+  }
+
+  val e11cuSql = """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      count(*) AS c FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, count(*) AS n, sum(c) AS total FROM d GROUP BY 1),
+    s AS (SELECT d.event_type, d.day,
+        sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day) AS cum,
+        row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn,
+        t.n, t.total
+      FROM d JOIN t ON d.event_type = t.event_type),
+    dev AS (SELECT event_type, day,
+        abs(cast(cum as double) - cast(rn as double) * total / n) AS absdev FROM s),
+    mx AS (SELECT event_type, max(absdev) AS mdev FROM dev GROUP BY 1)
+    SELECT d.event_type, min(d.day) AS cp_day, round(m.mdev, 6) AS max_cusum
+    FROM dev d JOIN mx m ON d.event_type = m.event_type AND d.absdev = m.mdev
+    GROUP BY d.event_type, m.mdev ORDER BY d.event_type"""
+
+  /** E11 — top user journeys: trigram event paths from two lags over
+    * each user's (epoch-ms, event_id)-pinned timeline — the Sankey /
+    * flow-analysis aggregation one step beyond e11_transitions'
+    * bigrams. One user-hash exchange feeds both lags; paths compress
+    * map-side before the global top-15.
+    */
+  def e11_paths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tms"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type").as("e3"),
+        unix_millis(col("ts")).as("tms"), col("event_id"))
+      .withColumn("e2", lag(col("e3"), 1).over(w))
+      .withColumn("e1", lag(col("e3"), 2).over(w))
+      .where(col("e1").isNotNull)
+      .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(15)
+  }
+
+  val e11paSql = """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms,
+      event_id FROM events),
+    l AS (SELECT user_id, event_type AS e3,
+        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS e2,
+        lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS e1
+      FROM e)
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+    FROM l WHERE e1 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 15"""
+
+  /** E6 — Welch's two-sample t per event type between the first and
+    * second half of the observed window (the A/B-test statistic over
+    * unequal variances). Means and variances come from exact decimal
+    * sums (Σx at 2 dp, Σx² at 4 dp are exact) combined in ONE fixed
+    * double chain, so the statistic is partition-order-independent —
+    * same moment discipline as e6_corr/e6_moments. The half boundary
+    * derives from the data's own min day (no wall-clock constant).
+    */
+  def e6_ttest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      expr("unix_millis(ts) div 86400000").as("day"),
+      col("value").cast(DecimalType(18, 2)).as("x"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val m = ev.crossJoin(broadcast(d0))
+      .withColumn("half", when(col("day") - col("d0") < 15, 1).otherwise(2))
+      .groupBy("event_type", "half")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+    val a = m.where(col("half") === 1).select(col("event_type"),
+      col("n").as("n1"), col("sx").as("sx1"), col("sxx").as("sxx1"))
+    val b = m.where(col("half") === 2).select(col("event_type"),
+      col("n").as("n2"), col("sx").as("sx2"), col("sxx").as("sxx2"))
+    val j = a.join(b, "event_type")
+      .withColumn("m1", col("sx1") / col("n1"))
+      .withColumn("m2", col("sx2") / col("n2"))
+      .withColumn("v1", (col("sxx1") - col("sx1") * col("sx1") / col("n1")) / (col("n1") - 1))
+      .withColumn("v2", (col("sxx2") - col("sx2") * col("sx2") / col("n2")) / (col("n2") - 1))
+    val tstat = (col("m1") - col("m2")) / sqrt(col("v1") / col("n1") + col("v2") / col("n2"))
+    j.select(col("event_type"), col("n1"), col("n2"),
+        round(tstat, 6).as("t_stat"),
+        when(abs(tstat) > 1.96, 1).otherwise(0).as("significant"))
+      .orderBy("event_type")
+  }
+
+  val e6ttSql = """WITH h AS (SELECT event_type,
+      CASE WHEN epoch_ms(ts) // 86400000
+        - (SELECT min(epoch_ms(ts) // 86400000) FROM events) < 15
+        THEN 1 ELSE 2 END AS half,
+      cast(value as decimal(18,2)) AS x FROM events),
+    m AS (SELECT event_type, half, count(*) AS n,
+        cast(sum(x) as double) AS sx, cast(sum(x*x) as double) AS sxx
+      FROM h GROUP BY 1, 2),
+    w AS (SELECT a.event_type, a.n AS n1, b.n AS n2,
+        a.sx/a.n AS m1, b.sx/b.n AS m2,
+        (a.sxx - a.sx*a.sx/a.n)/(a.n-1) AS v1,
+        (b.sxx - b.sx*b.sx/b.n)/(b.n-1) AS v2
+      FROM m a JOIN m b ON a.event_type = b.event_type AND a.half = 1 AND b.half = 2)
+    SELECT event_type, n1, n2,
+      round((m1 - m2)/sqrt(v1/n1 + v2/n2), 6) AS t_stat,
+      cast(CASE WHEN abs((m1 - m2)/sqrt(v1/n1 + v2/n2)) > 1.96 THEN 1 ELSE 0 END as int) AS significant
+    FROM w ORDER BY event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -6990,5 +7118,8 @@ object Queries {
     ("etl_fk_infer", etl_fk_infer _, etlFkSql),
     ("e10_cms", e10_cms _, e10cmsSql),
     ("e3_mips", e3_mips _, e3mipsSql),
-    ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql))
+    ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql),
+    ("e11_cusum", e11_cusum _, e11cuSql),
+    ("e11_paths", e11_paths _, e11paSql),
+    ("e6_ttest", e6_ttest _, e6ttSql))
 }
