@@ -6884,6 +6884,41 @@ object Queries {
       cast(CASE WHEN abs((m1 - m2)/sqrt(v1/n1 + v2/n2)) > 1.96 THEN 1 ELSE 0 END as int) AS significant
     FROM w ORDER BY event_type"""
 
+  /** ETL — incremental maintenance of a JOIN view (the IVM delta rule):
+    * the customer-revenue view V = orders ⋈ lineitem → Σ per customer
+    * absorbs a late-arriving lineitem batch as ΔV = orders ⋈ ΔL
+    * (aggregated), folded key-wise into the standing snapshot
+    * (Merge.refreshAgg) — maintenance work scales with |Δ| and the
+    * orders dimension, never with the standing fact history. Sums stay
+    * exact decimal through snapshot, delta, and fold, so
+    * incremental == rebuild EXACTLY: the oracle is the full recompute
+    * over the whole fact table — the etl_incr_agg discipline extended
+    * from aggregate-only views to join views.
+    */
+  def etl_ivm_join(s: SparkSession, dir: String): DataFrame = {
+    val or = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_shipdate"), col("l_extendedprice").cast(DecimalType(18, 2)).as("x"))
+    val cut = lit("2001-01-01").cast("timestamp")
+    def viewOf(l: DataFrame): DataFrame =
+      l.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("x")).as("revenue"), count(lit(1)).as("n_items"))
+    val snapshot = viewOf(li.filter(col("l_shipdate") < cut))
+    val deltaAgg = viewOf(li.filter(col("l_shipdate") >= cut))
+    Merge.refreshAgg(snapshot, deltaAgg, Seq("o_custkey"),
+        Seq("revenue", "n_items"))
+      .select(col("o_custkey"), col("revenue").cast("double").as("revenue"),
+        col("n_items"))
+      .orderBy("o_custkey")
+  }
+
+  val etlIvmSql = """SELECT o_custkey,
+      cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS revenue,
+      count(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_custkey ORDER BY o_custkey"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7121,5 +7156,6 @@ object Queries {
     ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql),
     ("e11_cusum", e11_cusum _, e11cuSql),
     ("e11_paths", e11_paths _, e11paSql),
-    ("e6_ttest", e6_ttest _, e6ttSql))
+    ("e6_ttest", e6_ttest _, e6ttSql),
+    ("etl_ivm_join", etl_ivm_join _, etlIvmSql))
 }
