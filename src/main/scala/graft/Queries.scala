@@ -6919,6 +6919,82 @@ object Queries {
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_custkey ORDER BY o_custkey"""
 
+  /** E11 — seasonal-naive forecast backtest: forecast(day) =
+    * count(day − 7), scored by MAPE per event type over every day with a
+    * week-old observation — the baseline any volume-forecasting model
+    * must beat, and the backtest loop that proves it. Per-day absolute
+    * percentage errors quantize to decimal(18,6) before the mean so the
+    * aggregate is exact regardless of partition order (the
+    * quantize-then-exact-sum discipline of e4_unigram_logprob).
+    */
+  def e11_forecast_eval(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val f = d.withColumn("fc",
+      lag(col("c"), 7).over(Window.partitionBy("event_type").orderBy("day")))
+      .where(col("fc").isNotNull)
+      .select(col("event_type"),
+        round(abs(col("c") - col("fc")) * lit(1.0) / col("c"), 6)
+          .cast(DecimalType(18, 6)).as("ape"))
+    f.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("ape")).cast("double") / count(lit(1)), 6).as("mape"))
+      .orderBy("event_type")
+  }
+
+  val e11feSql = """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      count(*) AS c FROM events GROUP BY 1, 2),
+    f AS (SELECT event_type, day, c,
+        lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc FROM d),
+    e AS (SELECT event_type,
+        cast(round(abs(c - fc) * 1.0 / c, 6) as decimal(18,6)) AS ape
+      FROM f WHERE fc IS NOT NULL)
+    SELECT event_type, count(*) AS n_days,
+      round(cast(sum(ape) as double) / count(*), 6) AS mape
+    FROM e GROUP BY 1 ORDER BY 1"""
+
+  /** E11 — time-to-convert: for each user, the delay from first signup
+    * to the first purchase STRICTLY AFTER it, summarized per Monday
+    * signup-cohort week as exact interpolated quartiles. Two user-grain
+    * min-aggregates (events compress before anything joins), one
+    * broadcast-sized join, quartiles over the tiny per-week frames.
+    */
+  def e11_time_to_convert(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("tms"))
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("tms")).as("t0"))
+    val pu = ev.where(col("event_type") === "purchase")
+      .join(su, "user_id").where(col("tms") > col("t0"))
+      .groupBy("user_id").agg(min(col("tms")).as("t1"))
+    su.join(pu, "user_id")
+      .select(
+        expr("(t0 div 86400000) - ((t0 div 86400000 + 3) % 7)").as("wk"),
+        (col("t1") - col("t0")).as("delay_ms"))
+      .groupBy("wk")
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(delay_ms, 0.25)"), 4).as("p25"),
+        round(expr("percentile(delay_ms, 0.5)"), 4).as("p50"),
+        round(expr("percentile(delay_ms, 0.75)"), 4).as("p75"))
+      .orderBy("wk")
+  }
+
+  val e11ttcSql = """WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s.t0
+      GROUP BY e.user_id),
+    d AS (SELECT s.user_id, (p.t1 - s.t0) AS delay_ms,
+        s.t0 // 86400000 - ((s.t0 // 86400000 + 3) % 7) AS wk
+      FROM s JOIN p ON s.user_id = p.user_id)
+    SELECT wk, count(*) AS n_users,
+      round(quantile_cont(delay_ms, 0.25), 4) AS p25,
+      round(quantile_cont(delay_ms, 0.5), 4) AS p50,
+      round(quantile_cont(delay_ms, 0.75), 4) AS p75
+    FROM d GROUP BY wk ORDER BY wk"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7157,5 +7233,7 @@ object Queries {
     ("e11_cusum", e11_cusum _, e11cuSql),
     ("e11_paths", e11_paths _, e11paSql),
     ("e6_ttest", e6_ttest _, e6ttSql),
-    ("etl_ivm_join", etl_ivm_join _, etlIvmSql))
+    ("etl_ivm_join", etl_ivm_join _, etlIvmSql),
+    ("e11_forecast_eval", e11_forecast_eval _, e11feSql),
+    ("e11_time_to_convert", e11_time_to_convert _, e11ttcSql))
 }
