@@ -6995,6 +6995,43 @@ object Queries {
       round(quantile_cont(delay_ms, 0.75), 4) AS p75
     FROM d GROUP BY wk ORDER BY wk"""
 
+  /** E2 — 2-core of the embedding near-dup graph (same edges as
+    * e2_triangles): connected components certify reachability, the
+    * k-core certifies DENSITY — every surviving doc has ≥ k independent
+    * near-dup witnesses within the core, the template/boilerplate
+    * clusters worth pruning wholesale rather than keep-one-per-cluster.
+    * Fixed 6-round peel (converges in 2 on this graph; extra rounds are
+    * no-ops) so the oracle unrolls the identical rounds as chained CTEs
+    * — the e2_pagerank fixed-iteration discipline.
+    */
+  def e2_kcore(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Components.kCoreFixed(
+      Similarity.nearDupPairs(e, threshold = 0.1, bits = 8),
+      "id1", "id2", k = 2, rounds = 6)
+      .orderBy("id")
+  }
+
+  val e2kcSql: String = {
+    val rounds = 6
+    val chain = (1 to rounds).map { r =>
+      s"""d${r - 1} AS (SELECT src, count(*) AS deg FROM e${r - 1} GROUP BY src),
+      k${r - 1} AS (SELECT src FROM d${r - 1} WHERE deg >= 2),
+      e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+        JOIN k${r - 1} a ON e.src = a.src JOIN k${r - 1} b ON e.dst = b.src)"""
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    g AS (SELECT a, b FROM p WHERE sim >= 0.1),
+    e0 AS (SELECT a AS src, b AS dst FROM g UNION ALL SELECT b, a FROM g),
+    $chain
+    SELECT src AS id, count(*) AS deg FROM e$rounds GROUP BY src ORDER BY id"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7235,5 +7272,6 @@ object Queries {
     ("e6_ttest", e6_ttest _, e6ttSql),
     ("etl_ivm_join", etl_ivm_join _, etlIvmSql),
     ("e11_forecast_eval", e11_forecast_eval _, e11feSql),
-    ("e11_time_to_convert", e11_time_to_convert _, e11ttcSql))
+    ("e11_time_to_convert", e11_time_to_convert _, e11ttcSql),
+    ("e2_kcore", e2_kcore _, e2kcSql))
 }

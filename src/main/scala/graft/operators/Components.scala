@@ -339,4 +339,72 @@ object Components {
             (col("deg").cast("double") * (col("deg").cast("double") - lit(1.0))))
           .otherwise(lit(0.0)), 6).as("coeff"))
   }
+
+  /** Fixed-round k-core peel: `rounds` rounds of simultaneously removing
+    * every node of undirected degree < k (and its edges). Peeling is
+    * monotone and idempotent once stable, so when the peel CONVERGES
+    * within the budget the survivors are exactly the k-core and extra
+    * rounds are no-ops — which is what makes a FIXED round count both
+    * engine-portable (the oracle unrolls the same rounds as chained
+    * CTEs — the pageRank discipline) and safe to over-provision.
+    * Returns (id, deg): surviving nodes with their within-core degree.
+    *
+    * The k-core is the graph-based curation gate near-dup analysis
+    * needs beyond connected components: a component can be one chain of
+    * borderline pairs, while a k-core certifies every member has k
+    * independent near-dup witnesses — the dense template/boilerplate
+    * clusters worth pruning wholesale.
+    *
+    * Scale: each round is one map-side-combined degree aggregate and
+    * two semi joins, localCheckpoint'd so the plan stays flat; worst
+    * case needs O(n) rounds (a path peels from the ends), so at unknown
+    * depth prefer `kCore` (convergence-looped, one bounded count scalar
+    * per round).
+    */
+  def kCoreFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                 k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val next = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      graft.Blocks.free(e)
+      e = next
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Convergence-looped [[kCoreFixed]]: peels until a round removes
+    * nothing (one bounded count scalar per round — the minLabel
+    * convergence discipline), so the result is the true k-core at any
+    * graph depth.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 64): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var n = e.count()
+    var done = false
+    var r = 0
+    while (!done && r < maxRounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val next = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val m = next.count()
+      if (m == n) { graft.Blocks.free(next); done = true }
+      else { graft.Blocks.free(e); e = next; n = m }
+      r += 1
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -114,6 +114,35 @@ class Round8bSpec extends SparkSpec {
     var x = x0; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
   }.drop(1)
 
+  test("kCore: fixed-round == convergence-looped == plain-Scala peel on random graphs") {
+    import graft.operators.Components
+    for ((seed, k) <- Seq((11L, 2), (77L, 3), (5001L, 2))) {
+      val rnd = prng(seed)
+      val n = 50
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if math.floorMod(rnd.next(), 100) < 8
+      } yield (a, b)).toSeq
+      val df = edges.toDF("id1", "id2")
+      // independent oracle: simultaneous-removal peel in plain Scala
+      var adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var stable = false
+      while (!stable) {
+        val bad = adj.collect { case (id, nb) if nb.size < k => id }.toSet
+        if (bad.isEmpty) stable = true
+        else adj = adj.collect { case (id, nb) if !bad(id) => id -> (nb -- bad) }
+      }
+      val expected = adj.map { case (id, nb) => id -> nb.size.toLong }
+      val fixed = Components.kCoreFixed(df, "id1", "id2", k, rounds = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val looped = Components.kCore(df, "id1", "id2", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fixed == expected, s"seed=$seed k=$k fixed-round peel diverged")
+      assert(looped == expected, s"seed=$seed k=$k convergence loop diverged")
+    }
+  }
+
   test("everyK sampling decodes only every k-th frame") {
     val jpegs = (0 until 6).map(i => Multimodal.gradientJpeg(72, 48, invert = i % 2 == 1))
     val mp4 = Multimodal.minimalMp4WithSamples(72, 48, 240L,
