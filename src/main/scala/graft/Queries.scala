@@ -7032,6 +7032,88 @@ object Queries {
     SELECT src AS id, count(*) AS deg FROM e$rounds GROUP BY src ORDER BY id"""
   }
 
+  /** E9 — relational division ("for all"): suppliers whose late-window
+    * shipments reached customers in EVERY nation — the universal
+    * quantifier no single join expresses. Implemented as the
+    * distinct-compress + count-match rewrite: reach pairs compress to
+    * DISTINCT (supplier, nation) BEFORE counting (one exchange on the
+    * pair, map-side combined), and the divisor cardinality arrives as a
+    * broadcast 1-row aggregate — never a hardcoded constant, so the
+    * query survives divisor growth.
+    */
+  def e9_division(s: SparkSession, dir: String): DataFrame = {
+    val reach = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("c_nationkey")).distinct()
+    val nn = t(s, dir, "nation").agg(count(lit(1)).as("n_nations"))
+    reach.groupBy("s_suppkey").agg(count(lit(1)).as("n_reached"))
+      .crossJoin(broadcast(nn))
+      .where(col("n_reached") === col("n_nations"))
+      .select("s_suppkey", "n_reached")
+      .orderBy("s_suppkey")
+  }
+
+  val e9dvSql = """WITH reach AS (SELECT DISTINCT l.l_suppkey AS s_suppkey,
+        c.c_nationkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_shipdate >= TIMESTAMP '2001-01-01'),
+    nn AS (SELECT count(*) AS n_nations FROM nation)
+    SELECT s_suppkey, count(*) AS n_reached
+    FROM reach CROSS JOIN nn GROUP BY s_suppkey, nn.n_nations
+    HAVING count(*) = n_nations ORDER BY s_suppkey"""
+
+  /** ETL — right-to-be-forgotten cascade: a deterministic deletion
+    * cohort (user_id ≡ 3 mod 17) is scrubbed from events by anti join,
+    * and the report carries the audit every privacy regime requires:
+    * rows before/after, cohort size, and the LEAK COUNT re-derived from
+    * the scrubbed output itself (a semi join back against the deletion
+    * set — must be 0, proven not asserted). Companion to the
+    * e4_kanon/e4_ldiversity governance tier; at 100 TB the deletion set
+    * broadcasts and the scrub is one scan.
+    */
+  def etl_forget(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val del = ev.where(pmod(col("user_id"), lit(17L)) === 3)
+      .select("user_id").distinct()
+    val scrubbed = ev.join(broadcast(del), Seq("user_id"), "left_anti")
+    val leaks = scrubbed.join(broadcast(del), Seq("user_id"), "left_semi")
+    ev.agg(count(lit(1)).as("n_before")).crossJoin(
+        scrubbed.agg(count(lit(1)).as("n_after")))
+      .crossJoin(del.agg(count(lit(1)).as("n_deleted_users")))
+      .crossJoin(leaks.agg(count(lit(1)).as("n_leaks")))
+  }
+
+  val etlFgSql = """WITH del AS (SELECT DISTINCT user_id FROM events
+      WHERE user_id % 17 = 3),
+    after AS (SELECT e.* FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+      WHERE d.user_id IS NULL)
+    SELECT (SELECT count(*) FROM events) AS n_before,
+      (SELECT count(*) FROM after) AS n_after,
+      (SELECT count(*) FROM del) AS n_deleted_users,
+      (SELECT count(*) FROM after a JOIN del d ON a.user_id = d.user_id) AS n_leaks"""
+
+  /** E10 — exact distinct users per event type via the bitmap aggregate
+    * (graft.expressions.BitmapDistinct): ⌈bound/64⌉ longs of OR-merged
+    * state per (group × partition) — exact like count(DISTINCT) without
+    * shuffling one row per distinct value, approximate-free unlike HLL;
+    * the bounded-dense-key contract bitmap indexes exploit. Graded
+    * directly against DuckDB's true count(DISTINCT).
+    */
+  def e10_bitmap(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("event_type")
+      .agg(graft.expressions.BitmapDistinct
+        .countDistinct(col("user_id"), bound = 65536).as("n_users"))
+      .orderBy("event_type")
+
+  val e10bmSql = """SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7273,5 +7355,8 @@ object Queries {
     ("etl_ivm_join", etl_ivm_join _, etlIvmSql),
     ("e11_forecast_eval", e11_forecast_eval _, e11feSql),
     ("e11_time_to_convert", e11_time_to_convert _, e11ttcSql),
-    ("e2_kcore", e2_kcore _, e2kcSql))
+    ("e2_kcore", e2_kcore _, e2kcSql),
+    ("e9_division", e9_division _, e9dvSql),
+    ("etl_forget", etl_forget _, etlFgSql),
+    ("e10_bitmap", e10_bitmap _, e10bmSql))
 }

@@ -143,6 +143,23 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("BitmapDistinct: exact under any partitioning; domain violations raise") {
+    import graft.expressions.BitmapDistinct
+    val vals = (0 until 5000).map(i => (i * i + 7) % 997L) // dense collisions
+    val truth = vals.distinct.size.toLong
+    Seq(1, 4, 16).foreach { nPart =>
+      val got = vals.toDF("v").repartition(nPart)
+        .agg(BitmapDistinct.countDistinct(col("v"), 1024))
+        .collect()(0).getLong(0)
+      assert(got == truth, s"nPart=$nPart: $got != $truth")
+    }
+    // out-of-domain value must raise, not silently drop
+    val err = intercept[Exception] {
+      Seq(5000L).toDF("v").agg(BitmapDistinct.countDistinct(col("v"), 1024)).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("everyK sampling decodes only every k-th frame") {
     val jpegs = (0 until 6).map(i => Multimodal.gradientJpeg(72, 48, invert = i % 2 == 1))
     val mp4 = Multimodal.minimalMp4WithSamples(72, 48, 240L,
