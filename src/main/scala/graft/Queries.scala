@@ -7114,6 +7114,40 @@ object Queries {
   val e10bmSql = """SELECT event_type, count(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** MM — REAL audio feature extraction over genuinely decoded PCM:
+    * per-frame RMS / zero-crossing / peak (the silence-gate and
+    * clipping diagnostics of a speech-curation pipeline) from 16-bit
+    * samples the JDK codec decodes out of real WAV payloads. The
+    * fixtures are closed-form signals, so the oracle literals are
+    * derivable by hand: a ±1000 square of period 8 (RMS exactly 1000,
+    * 39 within-frame sign transitions per 160 samples), silence (all
+    * zeros), and a +300/−400 alternation (RMS = √((300²+400²)/2) =
+    * 353.553391, a transition at every pair). Garbage emits nothing.
+    */
+  def mm_audio_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      (1L, "audio", Multimodal.pcmWav(320, 8000f,
+        i => if (i % 8 < 4) 1000 else -1000)),
+      (2L, "audio", Multimodal.pcmWav(320, 8000f, _ => 0)),
+      (3L, "audio", Multimodal.pcmWav(160, 16000f,
+        i => if (i % 2 == 0) 300 else -400)),
+      (4L, "audio", "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    Multimodal.extractAudioFeatures(media, frameSamples = 160)
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val mmAfSql = """SELECT * FROM (VALUES
+      (cast(1 as bigint), cast(0 as int), cast(160 as int), cast(1000 as int), cast(39 as int), cast(1000.0 as double)),
+      (1, 1, 160, 1000, 39, 1000.0),
+      (2, 0, 160, 0, 0, 0.0),
+      (2, 1, 160, 0, 0, 0.0),
+      (3, 0, 160, 400, 159, 353.553391))
+    AS t(media_id, frame_idx, n_samples, peak, zcr, rms)
+    ORDER BY media_id, frame_idx"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7358,5 +7392,6 @@ object Queries {
     ("e2_kcore", e2_kcore _, e2kcSql),
     ("e9_division", e9_division _, e9dvSql),
     ("etl_forget", etl_forget _, etlFgSql),
-    ("e10_bitmap", e10_bitmap _, e10bmSql))
+    ("e10_bitmap", e10_bitmap _, e10bmSql),
+    ("mm_audio_features", mm_audio_features _, mmAfSql))
 }

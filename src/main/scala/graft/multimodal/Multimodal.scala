@@ -122,6 +122,112 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL audio SAMPLE decode: channel-0 16-bit PCM samples out of a
+    * WAV/AIFF/AU payload via the JDK codec — the step beyond
+    * [[audioMeta]]'s header-only read. None unless the stream decodes
+    * to signed 16-bit PCM (the codec's own conversion path is not
+    * engaged, so what comes out is exactly what was stored — integer
+    * samples, bit-exact on any JVM).
+    */
+  def audioSamples(payload: Array[Byte]): Option[Array[Int]] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val frameSize = fmt.getFrameSize
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / frameSize
+      val out = new Array[Int](n)
+      val le = !fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        val o = i * frameSize // channel 0 = first 2 bytes of the frame
+        out(i) =
+          if (le) ((bytes(o + 1) << 8) | (bytes(o) & 0xff))
+          else ((bytes(o) << 8) | (bytes(o + 1) & 0xff))
+        i += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("zcr", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** REAL audio feature extraction — the per-frame (RMS energy, zero
+    * crossings, peak) triple a speech-curation pipeline filters on
+    * (silence gating, clipping detection, voice-activity heuristics) —
+    * over genuinely DECODED PCM ([[audioSamples]]). All-integer
+    * arithmetic until the final rms sqrt (sum of squares is exact in
+    * long), so features are bit-identical on any JVM. UDTF-shaped
+    * per-partition flatMap; payloads never shuffle, only the feature
+    * rows leave the scan. Non-decodable or non-PCM16 rows emit nothing
+    * (quarantine, not crash).
+    */
+  def extractAudioFeatures(media: DataFrame, frameSamples: Int): DataFrame = {
+    require(frameSamples > 0)
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    media.filter(col("kind") === "audio")
+      .select("media_id", "kind", "payload").mapPartitions { it =>
+        it.flatMap { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          audioSamples(payload).iterator.flatMap { s =>
+            (0 until s.length / frameSamples).iterator.map { f =>
+              val o = f * frameSamples
+              var sumSq = 0L
+              var peak = 0
+              var zcr = 0
+              var i = 0
+              while (i < frameSamples) {
+                val v = s(o + i)
+                sumSq += v.toLong * v
+                if (math.abs(v) > peak) peak = math.abs(v)
+                // sign transition vs the previous sample (zeros are
+                // non-negative — the usual sgn(x)>=0 convention)
+                if (i > 0 && ((s(o + i - 1) >= 0) != (v >= 0))) zcr += 1
+                i += 1
+              }
+              Row(r.getLong(0), f, frameSamples, peak, zcr,
+                math.rint(math.sqrt(sumSq.toDouble / frameSamples) * 1e6) / 1e6)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: sample i = `wave(i)`,
+    * little-endian, `rate` Hz — the signal-bearing audio fixture
+    * ([[Queries.mm_audio_meta]]'s silence fixtures exercise only the
+    * header path).
+    */
+  def pcmWav(nSamples: Int, rate: Float, wave: Int => Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = wave(i)
+      require(v >= Short.MinValue && v <= Short.MaxValue)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** REAL video header decode: a hand-rolled ISO BMFF (MP4/MOV) box
     * walker — the container layout is public (ISO/IEC 14496-12) and
     * needs no codec: boxes are [u32 size][4cc type][payload], nested.

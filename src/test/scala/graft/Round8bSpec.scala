@@ -160,6 +160,18 @@ class Round8bSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("audioSamples: pcmWav round-trips bit-exactly; non-PCM16 quarantines") {
+    for (seed <- Seq(3L, 456L)) {
+      val rnd = prng(seed)
+      val wave = Array.fill(500)((math.floorMod(rnd.next(), 65536L) - 32768L).toInt)
+      val decoded = Multimodal.audioSamples(
+        Multimodal.pcmWav(500, 8000f, wave(_))).get
+      assert(decoded.toSeq == wave.toSeq, "decoded PCM must be bit-exact")
+    }
+    assert(Multimodal.audioSamples("garbage".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.audioSamples(null).isEmpty)
+  }
+
   test("everyK sampling decodes only every k-th frame") {
     val jpegs = (0 until 6).map(i => Multimodal.gradientJpeg(72, 48, invert = i % 2 == 1))
     val mp4 = Multimodal.minimalMp4WithSamples(72, 48, 240L,
