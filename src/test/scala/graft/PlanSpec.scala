@@ -305,4 +305,55 @@ class PlanSpec extends SparkSpec {
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
     }.nonEmpty, s"purchase-side exchange should be reused:\n$plan")
   }
+
+  test("e11_attribution: carry-forward window + credit agg share the user exchange") {
+    val plan = executed(Queries.e11_attribution(spark, sf))
+    // user-hash exchange for the window, the tiny 3-key credit agg, and
+    // the presentation orderBy — nothing else may move data
+    val shuffles = collectDeep(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 3,
+      s"attribution re-partitioned beyond window+agg+orderBy:\n$plan")
+  }
+
+  test("e10_bitmap: one aggregate exchange carries only sketch state") {
+    val plan = executed(Queries.e10_bitmap(spark, sf))
+    val shuffles = collectDeep(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"expected agg + orderBy exchanges only:\n$plan")
+  }
+
+  test("e10_cms: the 1-row sketch broadcasts; probes never shuffle the corpus twice") {
+    val plan = executed(Queries.e10_cms(spark, sf))
+    // token agg for exact counts, the single-row sketch agg, orderBy —
+    // and the sketch reaches the probe side via BROADCAST, not exchange
+    assert(collectDeep(plan) { case e: ShuffleExchangeExec => e }.size <= 4,
+      s"cms probe re-shuffled:\n$plan")
+    assert(collectDeep(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.nonEmpty, s"1-row sketch should cross-join via broadcast:\n$plan")
+  }
+
+  test("e3_mips: queries broadcast, corpus side reads in place") {
+    val df = Queries.e3_mips(spark, sf)
+    val plan = executed(df)
+    val bnl = collectDeep(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.nonEmpty, s"expected broadcast nested-loop join:\n$plan")
+    // the corpus (streamed) side must not exchange before scoring
+    val streamed = bnl.head.children.filterNot(isBroadcastChild)
+    assert(streamed.forall(s =>
+      collectDeep(s) { case e: ShuffleExchangeExec => e }.isEmpty),
+      s"corpus shuffled before the dot scoring:\n$plan")
+  }
+
+  test("etl_ivm_join: snapshot and delta both broadcast-join the dimension") {
+    val plan = executed(Queries.etl_ivm_join(spark, sf))
+    // at this sf the orders dimension broadcasts into BOTH view branches;
+    // the fact side must never sort-merge
+    assert(collectDeep(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"IVM branches fell back to sort-merge:\n$plan")
+    assert(collectDeep(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"expected the dimension broadcast in snapshot AND delta branches:\n$plan")
+  }
 }
