@@ -33,6 +33,29 @@ object StreamingOps {
       .select(col(keyCol), unix_millis(col("window.start")).as("w_start_ms"),
         col("n_events"), col("sum_value"))
 
+  /** Per-window count-min sketch over a streaming item column: each
+    * tumbling window's sketch accumulates incrementally (the CMS cells
+    * are plain sums, so Spark's streaming state merge — arbitrary
+    * partial order by construction — cannot perturb them; contrast
+    * Misra-Gries, whose decrements make streamed estimates
+    * path-dependent) and emits ONCE when the watermark closes the
+    * window. Downstream consumers probe the emitted array with the same
+    * portable row hashes as the batch twin (Queries.e10_cms), so a
+    * stored stream of window sketches answers "how often did X trend in
+    * window W" forever after, in depth·width longs per window —
+    * the trending-detection shape at 100 TB event rates.
+    */
+  def windowedSketch(events: DataFrame, itemCol: String, tsCol: String,
+                     minutes: Int, depth: Int = 4, width: Int = 256,
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), s"$minutes minutes"))
+      .agg(graft.expressions.CountMinSketch
+        .sketch(col(itemCol), depth, width).as("sketch"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("sketch"))
+
   /** Streaming exact dedup: first occurrence of each key survives; state
     * is one entry per key seen within the watermark horizon, evicted as
     * event time advances — the batch operator's semantics (Dedup.exact

@@ -31,6 +31,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed CMS: incremental state merge equals the batch sketch, estimates never undercount") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.expressions.CountMinSketch
+    val base = 1700000000000L
+    val (d, w) = (4, 64)
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("item", "ms")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val agg = StreamingOps.windowedSketch(df, "item", "ts", minutes = 10,
+      depth = d, width = w, watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("wsk")
+      .outputMode("append").start()
+    try {
+      // one window's items arrive over TWO micro-batches: the sketch
+      // must merge partials exactly
+      val batch1 = Seq.fill(30)("hot") ++ (1 to 10).map(i => s"a$i")
+      val batch2 = Seq.fill(20)("hot") ++ (1 to 10).map(i => s"b$i")
+      input.addData(batch1.map(it => (it, base + 1000)): _*)
+      q.processAllAvailable()
+      input.addData(batch2.map(it => (it, base + 2000)): _*)
+      q.processAllAvailable()
+      input.addData(("flush", base + 3600 * 1000)) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT w_start_ms, sketch FROM wsk").collect()
+      assert(rows.length == 1, s"expected one closed window, got ${rows.length}")
+      val cells = rows.head.getSeq[Long](1)
+      // incremental == batch: rebuild the sketch from the union in one go
+      val batchCells = (batch1 ++ batch2).toDF("item")
+        .agg(CountMinSketch.sketch(col("item"), d, w))
+        .collect()(0).getSeq[Long](0)
+      assert(cells == batchCells,
+        "streamed partial-merge sketch must be bit-identical to the batch sketch")
+      // probe: the hot item's estimate never undercounts its true 50
+      val h = CountMinSketch.portableHash("hot")
+      val est = (0 until d).map(i => cells(i * w + CountMinSketch.bucket(h, i, w))).min
+      assert(est >= 50, s"hot estimate $est < 50")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
