@@ -7148,6 +7148,99 @@ object Queries {
     AS t(media_id, frame_idx, n_samples, peak, zcr, rms)
     ORDER BY media_id, frame_idx"""
 
+  /** ETL — format-heterogeneous lake federation: the same logical table
+    * split across parquet, ORC, and JSON-lines (one physical format per
+    * event_id residue class), read back through per-format readers —
+    * JSONL under the EXPLICIT schema, no inference — and unioned into
+    * one aggregate the single-format oracle must reproduce exactly.
+    * Real lakes accrete formats over years; this grades that the reader
+    * tier round-trips longs, doubles (shortest-round-trip JSON), and
+    * strings identically across all three — the format sibling of
+    * e11_mixed_repr's timestamp-representation drill.
+    */
+  def etl_lake_federation(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_millis(col("ts")).as("tms"))
+    val tmp = java.nio.file.Files.createTempDirectory("lake-fed").toString
+    base.where(pmod(col("event_id"), lit(3L)) === 0)
+      .write.mode("overwrite").parquet(s"$tmp/p")
+    base.where(pmod(col("event_id"), lit(3L)) === 1)
+      .write.mode("overwrite").orc(s"$tmp/o")
+    base.where(pmod(col("event_id"), lit(3L)) === 2)
+      .write.mode("overwrite").json(s"$tmp/j")
+    val back = s.read.parquet(s"$tmp/p")
+      .unionByName(s.read.orc(s"$tmp/o"))
+      .unionByName(s.read.schema(base.schema).json(s"$tmp/j"))
+    back.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("revenue"),
+        min(col("tms")).as("first_ms"), max(col("tms")).as("last_ms"))
+      .orderBy("event_type")
+  }
+
+  val etlLfSql = """SELECT event_type, count(*) AS n,
+      count(DISTINCT user_id) AS n_users,
+      cast(sum(cast(value as decimal(18,2))) as double) AS revenue,
+      min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** E2 — dedup-pipeline quality evaluation: precision and recall of the
+    * MinHash-LSH CANDIDATE tier against exact shingle-Jaccard ≥ 0.3
+    * ground truth — the measurement loop behind every banded-dedup
+    * threshold/band choice (e3_recall_eval's discipline applied to
+    * dedup). Candidates come from the production pipeline itself
+    * (minhashLsh at threshold 0 = every band collision, with its exact
+    * verify score attached); truth is computed independently by the
+    * SCALABLE exact formulation — shingle co-occurrence join, so only
+    * docs sharing a shingle ever pair (zero-overlap pairs can't reach
+    * any positive threshold). Runs over a deterministic doc_id sample
+    * so the eval stays O(sample²)-bounded at any corpus scale — the
+    * standard recall-dial protocol.
+    */
+  def e2_dedup_eval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+    val cands = Dedup.minhashLsh(docs, "doc_id", "text",
+      jaccardThreshold = 0.0)
+    val base = docs
+      .select(col("doc_id").as("id"), Dedup.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("id"), transform(col("tk"), t => portableStringHash(t)).as("th"))
+      .select(col("id"), Dedup.hashedShinglesFromHashes(col("th"), 3).as("sh"))
+    val sizes = base.select(col("id"), size(col("sh")).as("n"))
+    val ex = base.select(col("id"), explode(col("sh")).as("s"))
+    val truth = ex.select(col("id").as("id1"), col("s"))
+      .join(ex.select(col("id").as("id2"), col("s")), "s")
+      .where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .where(col("inter") * lit(1.0) /
+        (col("n1") + col("n2") - col("inter")) >= 0.3)
+    val nc = cands.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nh = cands.where(col("jaccard") >= 0.3)
+      .agg(count(lit(1)).as("n_hits"))
+    nc.crossJoin(nt).crossJoin(nh)
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        round(col("n_hits") * lit(1.0) / col("n_candidates"), 6).as("precision"),
+        round(col("n_hits") * lit(1.0) / col("n_truth"), 6).as("recall"))
+  }
+
+  val e2deSql: String =
+    s"""WITH ${e2mCtesFrom("(SELECT * FROM documents WHERE doc_id < 500)")},
+    truthp AS (SELECT l.doc_id AS id1, r.doc_id AS id2
+      FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+      WHERE len(list_intersect(l.sh, r.sh)) * 1.0 /
+        (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.3)
+    SELECT (SELECT count(*) FROM cand) AS n_candidates,
+      (SELECT count(*) FROM truthp) AS n_truth,
+      (SELECT count(*) FROM cand WHERE jaccard >= 0.3) AS n_hits,
+      round((SELECT count(*) FROM cand WHERE jaccard >= 0.3) * 1.0 /
+        (SELECT count(*) FROM cand), 6) AS precision,
+      round((SELECT count(*) FROM cand WHERE jaccard >= 0.3) * 1.0 /
+        (SELECT count(*) FROM truthp), 6) AS recall"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7393,5 +7486,7 @@ object Queries {
     ("e9_division", e9_division _, e9dvSql),
     ("etl_forget", etl_forget _, etlFgSql),
     ("e10_bitmap", e10_bitmap _, e10bmSql),
-    ("mm_audio_features", mm_audio_features _, mmAfSql))
+    ("mm_audio_features", mm_audio_features _, mmAfSql),
+    ("etl_lake_federation", etl_lake_federation _, etlLfSql),
+    ("e2_dedup_eval", e2_dedup_eval _, e2deSql))
 }
