@@ -54,10 +54,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "portable_hash takes 1 argument")
         PortablePolyHash(children(0))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(
+        classOf[graft.expressions.BitmapDistinct].getName, "bitmap_distinct"),
+      GraftExtensions.bitmapBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("count_min_sketch_portable"),
+      new ExpressionInfo(
+        classOf[graft.expressions.CountMinSketch].getName,
+        "count_min_sketch_portable"),
+      GraftExtensions.cmsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("frequent_items"),
+      new ExpressionInfo(
+        classOf[graft.expressions.FrequentItems].getName, "frequent_items"),
+      GraftExtensions.freqBuilder))
   }
 }
 
 object GraftExtensions {
+
+  /** A size/bound argument of a SQL aggregate constructor must be a
+    * LITERAL integer — it parameterizes the aggregation buffer, which
+    * exists before any row is read.
+    */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a literal integer argument, got $other")
+  }
+
+  private[graft] val bitmapBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "bitmap_distinct(col, bound)")
+    graft.expressions.BitmapDistinct(children(0),
+      litInt(children(1), "bitmap_distinct"))
+  }
+
+  private[graft] val cmsBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 3, "count_min_sketch_portable(item, depth, width)")
+    graft.expressions.CountMinSketch(children(0),
+      litInt(children(1), "count_min_sketch_portable"),
+      litInt(children(2), "count_min_sketch_portable"))
+  }
+
+  private[graft] val freqBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "frequent_items(item, k)")
+    graft.expressions.FrequentItems(children(0),
+      litInt(children(1), "frequent_items"))
+  }
+
   /** Runtime registration for an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -68,5 +115,11 @@ object GraftExtensions {
       "portable_hash",
       (children: Seq[Expression]) => PortablePolyHash(children(0)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmap_distinct", bitmapBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_min_sketch_portable", cmsBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "frequent_items", freqBuilder, "scala_udf")
   }
 }

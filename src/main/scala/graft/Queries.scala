@@ -7241,6 +7241,32 @@ object Queries {
       round((SELECT count(*) FROM cand WHERE jaccard >= 0.3) * 1.0 /
         (SELECT count(*) FROM truthp), 6) AS recall"""
 
+  /** SQL surface — the engine's NATIVE aggregates and scalar functions
+    * reached from pure SQL text (parser → FunctionRegistry → analyzer
+    * aggregate wrap), the path a BI tool or SQL notebook takes:
+    * `bitmap_distinct` (exact distinct in bitmap state) and
+    * `portable_hash` in one statement. The oracle computes the same
+    * semantics with DuckDB built-ins — count(DISTINCT) and the
+    * list_reduce hash fold.
+    */
+  def sql_native_agg(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.register(s)
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql("""SELECT event_type,
+        bitmap_distinct(user_id, 65536) AS n_users,
+        count(*) AS n,
+        min(portable_hash(event_type)) AS type_hash
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  }
+
+  val sqlNaSql = s"""SELECT event_type,
+      count(DISTINCT user_id) AS n_users,
+      count(*) AS n,
+      min(list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(event_type, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)) AS type_hash
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7488,5 +7514,6 @@ object Queries {
     ("e10_bitmap", e10_bitmap _, e10bmSql),
     ("mm_audio_features", mm_audio_features _, mmAfSql),
     ("etl_lake_federation", etl_lake_federation _, etlLfSql),
-    ("e2_dedup_eval", e2_dedup_eval _, e2deSql))
+    ("e2_dedup_eval", e2_dedup_eval _, e2deSql),
+    ("sql_native_agg", sql_native_agg _, sqlNaSql))
 }

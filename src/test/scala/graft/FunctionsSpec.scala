@@ -92,4 +92,23 @@ class FunctionsSpec extends SparkSpec {
       .selectExpr("portable_hash(w)").as[Option[Long]].collect()
     assert(got(0).isDefined && got(1).isEmpty)
   }
+
+  test("native aggregates reach SQL text: bitmap_distinct, cms, frequent_items") {
+    GraftExtensions.register(spark)
+    Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("v").createOrReplaceTempView("__na")
+    assert(spark.sql("SELECT bitmap_distinct(v, 16) FROM __na")
+      .collect()(0).getLong(0) == 3L)
+    val sk = spark.sql(
+      "SELECT count_min_sketch_portable(cast(v as string), 2, 8) FROM __na")
+      .collect()(0).getSeq[Long](0)
+    assert(sk.length == 16 && sk.sum == 12L, "2 rows x 6 items each")
+    val hh = spark.sql("SELECT frequent_items(cast(v as string), 2) FROM __na")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(_.getString(0)).contains("3"), "dominant item survives")
+    // non-literal size parameter must be rejected, not misread
+    val err = intercept[Exception] {
+      spark.sql("SELECT bitmap_distinct(v, cast(v as int)) FROM __na").collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
