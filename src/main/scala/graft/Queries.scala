@@ -7267,6 +7267,122 @@ object Queries {
         (a, b) -> (a * 31 + b) % $HashPrime)) AS type_hash
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** ETL — SCD type-3 dimension (retain ONE prior value in-row): each
+    * customer's current priority regime plus the immediately preceding
+    * one, from the same change-event stream scd2_dim historizes — the
+    * third member of the SCD family (type 1 = etl_merge overwrite,
+    * type 2 = scd2_dim full history, type 3 = previous-value column for
+    * "what changed" reports without a history join). One user-key
+    * window chain: change detection and the last-two pick share the
+    * exchange.
+    */
+  def etl_scd3(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("ts"), col("tb"))
+    val ch = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("tb"), col("o_orderpriority").as("attr"))
+      .withColumn("prev", lag(col("attr"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("attr"))
+    val r = Window.partitionBy("o_custkey").orderBy(col("ts").desc, col("tb").desc)
+    ch.withColumn("rn", row_number().over(r))
+      .withColumn("prior", lead(col("attr"), 1).over(r))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("attr").as("priority"),
+        col("prior").as("prev_priority"),
+        col("ts").cast("date").as("changed_at"))
+      .orderBy("o_custkey")
+  }
+
+  val etlS3Sql = """WITH e AS (SELECT o_custkey, o_orderdate AS ts,
+      o_orderkey AS tb, o_orderpriority AS attr FROM orders),
+    ch AS (SELECT o_custkey, ts, tb, attr FROM (
+        SELECT *, lag(attr) OVER (PARTITION BY o_custkey ORDER BY ts, tb) AS prev
+        FROM e)
+      WHERE prev IS NULL OR prev <> attr),
+    rk AS (SELECT *, row_number() OVER w AS rn, lead(attr) OVER w AS prior
+      FROM ch WINDOW w AS (PARTITION BY o_custkey ORDER BY ts DESC, tb DESC))
+    SELECT o_custkey, attr AS priority, prior AS prev_priority,
+      cast(ts as date) AS changed_at
+    FROM rk WHERE rn = 1 ORDER BY o_custkey"""
+
+  /** E6 — Benford first-digit audit of the price column: observed
+    * leading-digit shares against Benford's log10(1+1/d) expectation,
+    * with each digit's chi-square contribution — the classic
+    * fabricated-data / unit-mix-up screen an ETL audit runs over
+    * monetary measures. Digit extraction is string-exact (first char of
+    * the decimal(18,2) rendering — no float log in the bucketing);
+    * shares and chi-square combine integer counts in one fixed double
+    * chain.
+    */
+  def e6_benford(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem")
+      .select(substring(col("l_extendedprice")
+        .cast(DecimalType(18, 2)).cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).as("total"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total").cast("double"), 6).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford"),
+        round(pow(col("n").cast("double") -
+            col("total").cast("double") *
+              log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 2) /
+          (col("total").cast("double") *
+            log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 6)
+          .as("chi2_part"))
+      .orderBy("digit")
+  }
+
+  val e6bfSql = """WITH d AS (SELECT substr(cast(cast(l_extendedprice as decimal(18,2)) as varchar), 1, 1) AS digit,
+      count(*) AS n FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM d)
+    SELECT digit, n,
+      round(n / cast(total as double), 6) AS share,
+      round(log10(1.0 + 1.0 / cast(digit as double)), 6) AS benford,
+      round(pow(cast(n as double) - cast(total as double) *
+          log10(1.0 + 1.0 / cast(digit as double)), 2) /
+        (cast(total as double) * log10(1.0 + 1.0 / cast(digit as double))), 6)
+        AS chi2_part
+    FROM d CROSS JOIN t ORDER BY digit"""
+
+  /** E4 — Flesch-style readability scoring: words, sentence splits on
+    * [.!?]+ runs, vowel-group syllable estimates, and the classic
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W) score — the
+    * document-difficulty signal curation mixes alongside e4_quality.
+    * Counts are integers from regex constructs RE2 and Java agree on;
+    * the score is one fixed double chain.
+    */
+  def e4_readability(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        greatest(size(filter(split(col("text"), "[.!?]+"),
+          x => length(trim(x)) > 0)), lit(1)).as("n_sentences"),
+        aggregate(transform(split(col("text"), " "),
+            w => size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))),
+          lit(0), (acc, x) => acc + x).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * col("n_words").cast("double") / col("n_sentences").cast("double") -
+          lit(84.6) * col("n_syllables").cast("double") / col("n_words").cast("double"), 4)
+          .as("flesch"))
+      .orderBy("doc_id")
+
+  val e4fleschSql = """WITH d AS (SELECT doc_id,
+      len(string_split(text, ' ')) AS n_words,
+      greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+        x -> len(trim(x)) > 0)), 1) AS n_sentences,
+      list_sum(list_transform(string_split(text, ' '),
+        w -> len(regexp_extract_all(w, '[aeiouy]+')))) AS n_syllables
+    FROM documents)
+    SELECT doc_id, cast(n_words as int) AS n_words,
+      cast(n_sentences as int) AS n_sentences,
+      cast(n_syllables as int) AS n_syllables,
+      round(206.835 - 1.015 * n_words / cast(n_sentences as double)
+        - 84.6 * n_syllables / cast(n_words as double), 4) AS flesch
+    FROM d ORDER BY doc_id"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7515,5 +7631,8 @@ object Queries {
     ("mm_audio_features", mm_audio_features _, mmAfSql),
     ("etl_lake_federation", etl_lake_federation _, etlLfSql),
     ("e2_dedup_eval", e2_dedup_eval _, e2deSql),
-    ("sql_native_agg", sql_native_agg _, sqlNaSql))
+    ("sql_native_agg", sql_native_agg _, sqlNaSql),
+    ("etl_scd3", etl_scd3 _, etlS3Sql),
+    ("e6_benford", e6_benford _, e6bfSql),
+    ("e4_readability", e4_readability _, e4fleschSql))
 }
