@@ -7383,6 +7383,52 @@ object Queries {
         - 84.6 * n_syllables / cast(n_words as double), 4) AS flesch
     FROM d ORDER BY doc_id"""
 
+  /** E3 — the MIPS scale path end to end: IVF cells over the AUGMENTED
+    * geometry (corpus assigns by x·c + ax·ac with its augmented
+    * component, queries probe by q·c — see Similarity.mipsIvfTopK),
+    * candidates scored with the raw inner product. Designated corpus
+    * centroids keep the index oracle-expressible, same contract as
+    * e3_ivf_topk.
+    */
+  def e3_mips_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.mipsIvfTopK(e.filter(col("id") < 8), e,
+      e.filter(col("id") < 8), k = 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3mipsIvfSql: String = {
+    val selfDot = (v: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> cast($v.e[i] as double) * cast($v.e[i] as double)))"
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    m AS (SELECT max(${selfDot("v")}) AS m2 FROM v),
+    a AS (SELECT vec_id, e, sqrt(greatest(m.m2 - ${selfDot("v")}, 0.0)) AS ax
+      FROM v CROSS JOIN m),
+    cents AS (SELECT vec_id AS cid, e AS ce, ax AS ac FROM a WHERE vec_id < 8),
+    scored AS (SELECT a.vec_id, cid,
+        round(list_sum(list_transform(range(1, 65),
+          i -> cast(a.e[i] as double) * cast(cents.ce[i] as double)))
+          + a.ax * cents.ac, 6) AS d
+      FROM a CROSS JOIN cents),
+    cells AS (SELECT vec_id, cid AS cell FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1),
+    qscored AS (SELECT v.vec_id, cid,
+        round(list_sum(list_transform(range(1, 65),
+          i -> cast(v.e[i] as double) * cast(cents.ce[i] as double))), 6) AS d
+      FROM v CROSS JOIN cents WHERE v.vec_id < 8),
+    qcells AS (SELECT vec_id, cid AS cell FROM qscored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql, 6) AS sim
+      FROM v q JOIN qcells qc ON q.vec_id = qc.vec_id
+        JOIN cells cc ON qc.cell = cc.cell
+        JOIN v c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7634,5 +7680,6 @@ object Queries {
     ("sql_native_agg", sql_native_agg _, sqlNaSql),
     ("etl_scd3", etl_scd3 _, etlS3Sql),
     ("e6_benford", e6_benford _, e6bfSql),
-    ("e4_readability", e4_readability _, e4fleschSql))
+    ("e4_readability", e4_readability _, e4fleschSql),
+    ("e3_mips_ivf", e3_mips_ivf _, e3mipsIvfSql))
 }

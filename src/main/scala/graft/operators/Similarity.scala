@@ -159,6 +159,52 @@ object Similarity {
     topKPerQuery(sims, k, corpus.schema("id").dataType)
   }
 
+  /** IVF-accelerated MIPS — the augmentation reduction actually driving
+    * an index: cells are Voronoi regions of the AUGMENTED space. Corpus
+    * rows assign by argmax of round(x·c + ax·ac, roundTo) where
+    * ax = √(M²−|x|²) is the row's augmented component and ac the
+    * centroid's (M² = max corpus self-dot — ONE collected scalar, an
+    * index contract like the K centroids); queries carry augmented
+    * component 0, so their probe cell is argmax round(q·c, roundTo).
+    * Search scores candidates with the RAW dot — the augmented dim
+    * contributes q̂₆₅·x̂₆₅ = 0 — so returned scores are true inner
+    * products while the index partitioning is the direction-only
+    * machinery the sphere property legitimizes. Same plan shape as
+    * [[ivfTopK]]: assignment is one narrow codegen'd projection (no
+    * N×K shuffle), search is one cell-key join with the query side
+    * broadcast.
+    */
+  def mipsIvfTopK(queries: DataFrame, corpus: DataFrame,
+                  centroids: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "mipsIvfTopK needs at least one centroid")
+    val m2 = corpus.agg(max(dot(col("vec"), col("vec"))))
+      .collect()(0).getDouble(0)
+    def selfDot(v: Array[Float]): Double =
+      v.map(x => x.toDouble * x.toDouble).sum
+    val acOf: Map[Long, Double] = cents.map { case (cid, v) =>
+      cid -> math.sqrt(math.max(0.0, m2 - selfDot(v)))
+    }.toMap
+    def augCell(vec: Column, ax: Column): Column =
+      array_min(array(cents.map { case (cid, v) =>
+        struct(negate(round(dot(vec, typedlit(v)) + ax * lit(acOf(cid)),
+          roundTo)).as("nd"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    val c = corpus
+      .select(col("id").as("cand_id"), col("vec").as("cv"),
+        augCell(col("vec"),
+          sqrt(greatest(lit(m2) - dot(col("vec"), col("vec")), lit(0.0))))
+          .as("cell"))
+    val q = queries
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        augCell(col("vec"), lit(0.0)).as("cell"))
+    val sims = broadcast(q).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")), roundTo).as("sim"))
+    topKPerQuery(sims, k, corpus.schema("id").dataType)
+  }
+
   /** LSH-bucketed approximate top-k: candidates restricted to the query's
     * sign bucket. The scale path — each query scans N/2^bits candidates.
     */
