@@ -7429,6 +7429,126 @@ object Queries {
     QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
   }
 
+  /** E11 — TIME-BOUNDED funnel: view → click within 24 h → purchase
+    * within 24 h of the click. Same chained-conditional-window shape as
+    * e11_funnel (one user exchange), but each stage's window ALSO caps
+    * the inter-stage delay — "did they convert promptly", the form
+    * product analytics actually reports, collapsed here to the
+    * per-stage population + conversion rates. Rates divide exact
+    * integer counts in one fixed double chain.
+    */
+  def e11_funnel_windowed(s: SparkSession, dir: String): DataFrame = {
+    val bound = 86400000L // 24 h in ms
+    val w = Window.partitionBy("user_id")
+    val staged = events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tm"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tm"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("tm") > col("t1") &&
+          col("tm") <= col("t1") + bound, col("tm"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("tm") > col("t2") &&
+          col("tm") <= col("t2") + bound, col("tm"))).over(w))
+    val peru = staged.groupBy("user_id")
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    peru.agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_24h"),
+        count(col("t3")).as("n_purchase_24h"))
+      .select(col("n_users"), col("n_view"), col("n_click_24h"),
+        col("n_purchase_24h"),
+        round(col("n_click_24h") / col("n_view").cast("double"), 6)
+          .as("view_to_click"),
+        round(col("n_purchase_24h") / col("n_click_24h").cast("double"), 6)
+          .as("click_to_purchase"))
+  }
+
+  val e11fwSql = """WITH x AS (SELECT user_id, event_type, epoch_ms(ts) AS tm FROM events),
+    a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tm END)
+      OVER (PARTITION BY user_id) AS t1 FROM x),
+    b AS (SELECT *, min(CASE WHEN event_type = 'click' AND tm > t1
+        AND tm <= t1 + 86400000 THEN tm END)
+      OVER (PARTITION BY user_id) AS t2 FROM a),
+    c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tm > t2
+        AND tm <= t2 + 86400000 THEN tm END)
+      OVER (PARTITION BY user_id) AS t3 FROM b),
+    g AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM c GROUP BY user_id)
+    SELECT count(*) AS n_users, count(t1) AS n_view,
+      count(t2) AS n_click_24h, count(t3) AS n_purchase_24h,
+      round(count(t2) / cast(count(t1) as double), 6) AS view_to_click,
+      round(count(t3) / cast(count(t2) as double), 6) AS click_to_purchase
+    FROM g"""
+
+  /** E6 — market concentration (Herfindahl–Hirschman index) of supplier
+    * revenue within each nation: HHI = Σ share² over suppliers. Shares
+    * come from exact decimal revenue; each share² quantizes to
+    * decimal(18,12) BEFORE the per-nation sum, so the index is exact
+    * under any partitioning (the e11_forecast_eval quantize-then-sum
+    * discipline). The antitrust-style skew diagnostic for "is this
+    * market one supplier in a trench coat".
+    */
+  def e6_hhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev"))
+    val tot = rev.groupBy("s_nationkey").agg(sum(col("rev")).as("total"))
+    rev.join(broadcast(tot), "s_nationkey")
+      .select(col("s_nationkey"),
+        round(pow(col("rev").cast("double") / col("total").cast("double"), 2), 12)
+          .cast(DecimalType(18, 12)).as("sh2"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("sh2")).cast("double"), 6).as("hhi"))
+      .orderBy("s_nationkey")
+  }
+
+  val e6hhiSql = """WITH rev AS (SELECT s_nationkey, l_suppkey,
+      sum(cast(l_extendedprice as decimal(18,2))) AS rev
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1, 2),
+    tot AS (SELECT s_nationkey, sum(rev) AS total FROM rev GROUP BY 1),
+    sh AS (SELECT rev.s_nationkey,
+        cast(round(pow(cast(rev.rev as double) / cast(tot.total as double), 2), 12)
+          as decimal(18,12)) AS sh2
+      FROM rev JOIN tot ON rev.s_nationkey = tot.s_nationkey)
+    SELECT s_nationkey, count(*) AS n_suppliers,
+      round(cast(sum(sh2) as double), 6) AS hhi
+    FROM sh GROUP BY s_nationkey ORDER BY s_nationkey"""
+
+  /** E4 — keyword extraction: each document's top-3 terms by tf-idf
+    * (rounded score + term tie-break so the pick is engine-stable) —
+    * the per-doc topical signature a curation index stores beside the
+    * text. Rides the e4_tfidf frame; the rank window runs over the
+    * (doc × distinct-term) grain, never raw tokens.
+    */
+  def e4_keywords(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc")
+      .orderBy(col("tfidf").desc, col("token"))
+    TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc").as("doc_id"), col("rnk"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val e4kwSql = """WITH dt AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc, token),
+    dfreq AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+    n AS (SELECT cast(count(DISTINCT doc_id) as double) AS n_docs FROM documents),
+    sc AS (SELECT doc, dt.token, round(tf * ln(n_docs / df), 6) AS tfidf
+      FROM dt JOIN dfreq ON dt.token = dfreq.token CROSS JOIN n)
+    SELECT doc AS doc_id,
+      cast(row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, token) as int) AS rnk,
+      token, tfidf
+    FROM sc QUALIFY rnk <= 3 ORDER BY doc_id, rnk"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7681,5 +7801,8 @@ object Queries {
     ("etl_scd3", etl_scd3 _, etlS3Sql),
     ("e6_benford", e6_benford _, e6bfSql),
     ("e4_readability", e4_readability _, e4fleschSql),
-    ("e3_mips_ivf", e3_mips_ivf _, e3mipsIvfSql))
+    ("e3_mips_ivf", e3_mips_ivf _, e3mipsIvfSql),
+    ("e11_funnel_windowed", e11_funnel_windowed _, e11fwSql),
+    ("e6_hhi", e6_hhi _, e6hhiSql),
+    ("e4_keywords", e4_keywords _, e4kwSql))
 }
