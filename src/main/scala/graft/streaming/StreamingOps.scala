@@ -206,6 +206,49 @@ object StreamingOps {
   case class SessionOut(key: Long, session_id: Long, n_events: Long,
                         start_ms: Long, end_ms: Long)
 
+  /** One side-tagged as-of input row: `isLeft` marks probe rows (emit
+    * one output each), right rows update the per-key candidate state. */
+  case class AsOfIn(key: Long, tsMs: Long, value: Double, isLeft: Boolean)
+  case class AsOfState(rightTs: Long, rightValue: Double, hasRight: Boolean)
+  case class AsOfOut(key: Long, left_ms: Long, left_value: Double,
+                     right_ms: java.lang.Long, right_value: java.lang.Double)
+
+  /** Streaming BACKWARD as-of join — the state twin of the native batch
+    * exec (plans/AsOfJoinPlan): each left event pairs with the latest
+    * right event at or before it for the same key. State per key is ONE
+    * retained right candidate — the same single-candidate invariant the
+    * batch merge holds per partition, which is what makes as-of state
+    * bounded where a windowed stream-stream join buffers whole
+    * horizons. Within a micro-batch both sides sort by (event time,
+    * side — rights first on ties, matching the batch rt <= lt
+    * inclusive semantics); across batches the candidate carries in
+    * state. Contract: per-key event-time order across batches (the
+    * in-order-ingest case); out-of-order ACROSS batches would need the
+    * watermark-buffered variant — rights that arrive after a left
+    * already emitted do not retro-match, exactly like the batch
+    * operator consuming its inputs in order.
+    */
+  def asOfBackward(in: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[AsOfIn], state: GroupState[AsOfState]) =>
+          // rights sort before lefts on equal timestamps: rt <= lt matches
+          val sorted = it.toSeq.sortBy(e => (e.tsMs, e.isLeft))
+          var st = state.getOption.getOrElse(AsOfState(0L, 0.0, hasRight = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          sorted.foreach { e =>
+            if (!e.isLeft) st = AsOfState(e.tsMs, e.value, hasRight = true)
+            else if (st.hasRight && st.rightTs <= e.tsMs)
+              out += AsOfOut(key, e.tsMs, e.value, st.rightTs, st.rightValue)
+            else out += AsOfOut(key, e.tsMs, e.value, null, null)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessions via flatMapGroupsWithState: emits a session when
     * the gap to the next event exceeds `gapMinutes` (processing-time
     * timeout flushes the final open session). State = one SessionState per

@@ -358,6 +358,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of: single-candidate state matches the batch operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{AsOfIn, AsOfOut}
+    val input = MemoryStream[AsOfIn]
+    val q = StreamingOps.asOfBackward(input.toDS())
+      .writeStream.format("memory").queryName("saof")
+      .outputMode("append").start()
+    try {
+      // batch 1: key 1 gets a right then a left (match), a same-instant
+      // tie (rt == lt matches, inclusive), and key 2 a left with NO right
+      input.addData(
+        AsOfIn(1L, 100L, 10.0, isLeft = false),
+        AsOfIn(1L, 150L, 1.0, isLeft = true),
+        AsOfIn(1L, 200L, 20.0, isLeft = false),
+        AsOfIn(1L, 200L, 2.0, isLeft = true),
+        AsOfIn(2L, 50L, 9.0, isLeft = true))
+      q.processAllAvailable()
+      // batch 2: the key-1 candidate (ts 200) must carry in state; a
+      // newer right then supersedes it
+      input.addData(
+        AsOfIn(1L, 300L, 3.0, isLeft = true),
+        AsOfIn(1L, 400L, 40.0, isLeft = false),
+        AsOfIn(1L, 450L, 4.0, isLeft = true))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM saof ORDER BY key, left_ms")
+        .as[AsOfOut].collect().toSeq
+      val expected = Seq(
+        AsOfOut(1L, 150L, 1.0, 100L, 10.0),
+        AsOfOut(1L, 200L, 2.0, 200L, 20.0), // inclusive same-instant tie
+        AsOfOut(1L, 300L, 3.0, 200L, 20.0), // state carried across batches
+        AsOfOut(1L, 450L, 4.0, 400L, 40.0),
+        AsOfOut(2L, 50L, 9.0, null, null))  // no right ever: null extension
+      assert(got == expected, s"got $got")
+      // and the batch-native operator agrees on the same data
+      import spark.implicits._
+      val left = Seq((1L, 150L, 1.0), (1L, 200L, 2.0), (1L, 300L, 3.0),
+        (1L, 450L, 4.0), (2L, 50L, 9.0)).toDF("k", "ts", "lv")
+      val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 400L, 40.0))
+        .toDF("k", "ts", "rv")
+      val batch = graft.operators.AsOfJoin.nativeBackward(
+        left, right, "k", "ts", Seq("rv"))
+        .select(col("k"), col("ts"), col("lv"), col("rv"))
+        .orderBy("k", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3)))
+      val streamed = got.map(o =>
+        (o.key, o.left_ms, o.left_value, o.right_value))
+      assert(batch.toSeq == streamed,
+        "streaming state twin must equal the native batch as-of")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
