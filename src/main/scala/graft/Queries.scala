@@ -7549,6 +7549,31 @@ object Queries {
       token, tfidf
     FROM sc QUALIFY rnk <= 3 ORDER BY doc_id, rnk"""
 
+  /** E1 — incremental stable ids: a second ingest (full corpus,
+    * overlapping the first) extends the day-1 id mapping — old ids
+    * UNCHANGED (downstream shards reference them), new keys dense above
+    * the high watermark, overlap keys keep their id through the
+    * anti-join. Oracle = the two-epoch row_number recompute; both
+    * epochs go through the range-bucket + offset denseIds (never a
+    * single-partition global sort).
+    */
+  def e1_ids_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val existing = Ids.denseIds(docs.where(col("doc_id") < 400), "doc_id", 8)
+      .select("doc_id", "gid")
+    Ids.extendIds(existing, docs, "doc_id", 8).orderBy("doc_id")
+  }
+
+  val e1iiSql = """WITH oldk AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+    olds AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS gid FROM oldk),
+    newk AS (SELECT doc_id FROM documents WHERE doc_id >= 400)
+    SELECT doc_id, gid FROM olds
+    UNION ALL
+    SELECT doc_id,
+      (SELECT count(*) FROM oldk) + row_number() OVER (ORDER BY doc_id) AS gid
+    FROM newk
+    ORDER BY doc_id"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7804,5 +7829,6 @@ object Queries {
     ("e3_mips_ivf", e3_mips_ivf _, e3mipsIvfSql),
     ("e11_funnel_windowed", e11_funnel_windowed _, e11fwSql),
     ("e6_hhi", e6_hhi _, e6hhiSql),
-    ("e4_keywords", e4_keywords _, e4kwSql))
+    ("e4_keywords", e4_keywords _, e4kwSql),
+    ("e1_ids_incremental", e1_ids_incremental _, e1iiSql))
 }
