@@ -7574,6 +7574,86 @@ object Queries {
     FROM newk
     ORDER BY doc_id"""
 
+  /** E6 — Pareto-80 analysis: per nation, how many suppliers cover 80 %
+    * of revenue — the "how concentrated is this market really" companion
+    * to e6_hhi's index form. Ranks and cumulative shares ride ONE
+    * nation-key window exchange over the supplier-grain frame (facts
+    * compress first); the 0.8 crossing compares exact-decimal cumulative
+    * sums cast once to double.
+    */
+  def e6_pareto(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("rev").desc, col("l_suppkey"))
+    val wp = Window.partitionBy("s_nationkey")
+    val r = rev
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("tot", sum(col("rev")).over(wp))
+      .withColumn("n", count(lit(1)).over(wp))
+    r.groupBy("s_nationkey")
+      .agg(max(col("n")).as("n_suppliers"),
+        min(when(col("cum").cast("double") / col("tot").cast("double") >= 0.8,
+          col("rk"))).as("n80"))
+      .orderBy("s_nationkey")
+  }
+
+  val e6paSql = """WITH rev AS (SELECT s_nationkey, l_suppkey,
+      sum(cast(l_extendedprice as decimal(18,2))) AS rev
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2),
+    r AS (SELECT s_nationkey, l_suppkey, rev,
+      row_number() OVER (PARTITION BY s_nationkey ORDER BY rev DESC, l_suppkey) AS rk,
+      sum(rev) OVER (PARTITION BY s_nationkey ORDER BY rev DESC, l_suppkey) AS cum,
+      sum(rev) OVER (PARTITION BY s_nationkey) AS tot,
+      count(*) OVER (PARTITION BY s_nationkey) AS n
+    FROM rev)
+    SELECT s_nationkey, max(n) AS n_suppliers,
+      cast(min(CASE WHEN cast(cum as double) / cast(tot as double) >= 0.8
+        THEN rk END) as int) AS n80
+    FROM r GROUP BY 1 ORDER BY 1"""
+
+  /** E11 — engagement inequality: the Gini coefficient of per-user
+    * event counts per type, from the exact rank-weighted integer sum
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over counts sorted
+    * (count, user_id) — all integers until one final double chain.
+    * The "is our activity five whales and silence" diagnostic; events
+    * compress to user grain before the window.
+    */
+  def e11_gini(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy(col("c").asc, col("user_id"))
+    val wp = Window.partitionBy("event_type")
+    val r = u
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("s", sum(col("c")).over(wp))
+    r.groupBy("event_type")
+      .agg(max(col("n")).as("n_users"), max(col("s")).as("s"),
+        sum(col("i") * col("c")).as("sic"))
+      .select(col("event_type"), col("n_users"),
+        round((lit(2.0) * col("sic") - (col("n_users") + 1) * col("s")) /
+          (col("n_users") * col("s").cast("double")), 6).as("gini"))
+      .orderBy("event_type")
+  }
+
+  val e11giSql = """WITH u AS (SELECT event_type, user_id, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, user_id, c,
+      row_number() OVER (PARTITION BY event_type ORDER BY c ASC, user_id) AS i,
+      count(*) OVER (PARTITION BY event_type) AS n,
+      sum(c) OVER (PARTITION BY event_type) AS s
+    FROM u),
+    g AS (SELECT event_type, max(n) AS n_users, max(s) AS s,
+      sum(i * c) AS sic FROM r GROUP BY 1)
+    SELECT event_type, n_users,
+      round((2.0 * sic - (n_users + 1) * s) / (n_users * cast(s as double)), 6) AS gini
+    FROM g ORDER BY 1"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7830,5 +7910,7 @@ object Queries {
     ("e11_funnel_windowed", e11_funnel_windowed _, e11fwSql),
     ("e6_hhi", e6_hhi _, e6hhiSql),
     ("e4_keywords", e4_keywords _, e4kwSql),
-    ("e1_ids_incremental", e1_ids_incremental _, e1iiSql))
+    ("e1_ids_incremental", e1_ids_incremental _, e1iiSql),
+    ("e6_pareto", e6_pareto _, e6paSql),
+    ("e11_gini", e11_gini _, e11giSql))
 }
