@@ -7654,6 +7654,92 @@ object Queries {
       round((2.0 * sic - (n_users + 1) * s) / (n_users * cast(s as double)), 6) AS gini
     FROM g ORDER BY 1"""
 
+  /** E6 — CUPED variance reduction (the industry-standard A/B
+    * sensitivity boost): per event type, regress each user's post-period
+    * activity on their PRE-period activity; θ = cov(X,Y)/var(X) and the
+    * achievable variance reduction corr² tell you how much tighter the
+    * e6_ttest confidence gets after covariate adjustment. Five exact
+    * integer moments over the user grain (events compress first), one
+    * fixed double chain — the e6_corr discipline.
+    */
+  def e6_cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"),
+      expr("unix_millis(ts) div 86400000").as("day"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val u = ev.crossJoin(broadcast(d0))
+      .groupBy("event_type", "user_id")
+      .agg(count(when(col("day") - col("d0") < 15, 1)).as("x"),
+        count(when(col("day") - col("d0") >= 15, 1)).as("y"))
+    val m = u.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val covN = n * col("sxy") - col("sx") * col("sy")
+    val varxN = n * col("sxx") - col("sx") * col("sx")
+    val varyN = n * col("syy") - col("sy") * col("sy")
+    m.select(col("event_type"), col("n"),
+        round(covN / varxN, 6).as("theta"),
+        round(covN * covN / (varxN * varyN), 6).as("var_reduction"))
+      .orderBy("event_type")
+  }
+
+  val e6cpSql = """WITH e AS (SELECT event_type, user_id,
+      epoch_ms(ts) // 86400000 AS day FROM events),
+    d0 AS (SELECT min(day) AS d0 FROM e),
+    u AS (SELECT event_type, user_id,
+        count(CASE WHEN day - d0 < 15 THEN 1 END) AS x,
+        count(CASE WHEN day - d0 >= 15 THEN 1 END) AS y
+      FROM e CROSS JOIN d0 GROUP BY 1, 2),
+    m AS (SELECT event_type, count(*) AS n,
+        cast(sum(x) as double) AS sx, cast(sum(y) as double) AS sy,
+        cast(sum(x*y) as double) AS sxy, cast(sum(x*x) as double) AS sxx,
+        cast(sum(y*y) as double) AS syy
+      FROM u GROUP BY 1)
+    SELECT event_type, n,
+      round((cast(n as double) * sxy - sx * sy) /
+        (cast(n as double) * sxx - sx * sx), 6) AS theta,
+      round((cast(n as double) * sxy - sx * sy) * (cast(n as double) * sxy - sx * sy) /
+        ((cast(n as double) * sxx - sx * sx) * (cast(n as double) * syy - sy * sy)), 6)
+        AS var_reduction
+    FROM m ORDER BY event_type"""
+
+  /** E11 — EWMA smoothing of the per-type daily series with a 14-day
+    * lookback and α = ½, EXACT BY CONSTRUCTION: every weight is a power
+    * of two, so each term c_i·2^-(d-i) is a dyadic rational with ≤ 13
+    * fractional bits — every term AND every partial sum is exactly
+    * representable in a double, so the result is order-independent with
+    * no quantization step at all. The weighted pairs come from a band
+    * self-join of the tiny day-grain frame (events compressed first).
+    */
+  def e11_ewma(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val hist = d.select(col("event_type").as("et"), col("day").as("i"),
+      col("c").as("ci"))
+    d.join(hist, col("event_type") === col("et") &&
+        col("i") <= col("day") && col("i") > col("day") - 14)
+      .groupBy(col("event_type"), col("day"), col("c"))
+      .agg(sum(col("ci") * pow(lit(0.5), col("day") - col("i"))).as("num"),
+        sum(pow(lit(0.5), col("day") - col("i"))).as("den"))
+      .select(col("event_type"), col("day"), col("c"),
+        round(col("num") / col("den"), 6).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  val e11ewSql = """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      count(*) AS c FROM events GROUP BY 1, 2),
+    p AS (SELECT d.event_type, d.day, d.c, h.day AS i, h.c AS ci
+      FROM d JOIN d h ON d.event_type = h.event_type
+        AND h.day <= d.day AND h.day > d.day - 14)
+    SELECT event_type, day, c,
+      round(sum(ci * pow(0.5, day - i)) / sum(pow(0.5, day - i)), 6) AS ewma
+    FROM p GROUP BY event_type, day, c ORDER BY event_type, day"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7912,5 +7998,7 @@ object Queries {
     ("e4_keywords", e4_keywords _, e4kwSql),
     ("e1_ids_incremental", e1_ids_incremental _, e1iiSql),
     ("e6_pareto", e6_pareto _, e6paSql),
-    ("e11_gini", e11_gini _, e11giSql))
+    ("e11_gini", e11_gini _, e11giSql),
+    ("e6_cuped", e6_cuped _, e6cpSql),
+    ("e11_ewma", e11_ewma _, e11ewSql))
 }
