@@ -7740,6 +7740,62 @@ object Queries {
       round(sum(ci * pow(0.5, day - i)) / sum(pow(0.5, day - i)), 6) AS ewma
     FROM p GROUP BY event_type, day, c ORDER BY event_type, day"""
 
+  /** E3 — Matryoshka truncation curve: retrieval recall when vectors
+    * are cut to their first d dims (8/16/32/64) against the full-dim
+    * exact top-3 — the measurement behind prefix-truncatable embedding
+    * deployment (store 64, serve 16): how much recall does each
+    * truncation tier actually keep on THIS corpus. Hit counts are exact
+    * integers; recall = hits/(3·|Q|) rounds once.
+    */
+  def e3_matryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 8)
+    val full = Similarity.bruteForceTopK(q, e, k = 3)
+      .select(col("query_id"), col("cand_id"))
+    Seq(8, 16, 32, 64).map { d =>
+      def cut(df: DataFrame): DataFrame =
+        df.select(col("id"), slice(col("vec"), 1, d).as("vec"))
+      val hits = Similarity.bruteForceTopK(cut(q), cut(e), k = 3)
+        .select(col("query_id"), col("cand_id"))
+        .join(full, Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nq = q.agg(count(lit(1)).as("nq"))
+      hits.crossJoin(broadcast(nq))
+        .select(lit(d).as("dims"), col("n_hits"),
+          round(col("n_hits") / (col("nq") * 3).cast("double"), 6).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("dims")
+  }
+
+  val e3mkSql: String = {
+    val blocks = Seq(8, 16, 32, 64).map { d =>
+      val dotD =
+        s"list_sum(list_transform(range(1, ${d + 1}), i -> cast(q.e[i] as double) * cast(c.e[i] as double)))"
+      val normD = (v: String) =>
+        s"sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> cast($v.e[i] as double) * cast($v.e[i] as double))))"
+      s"""SELECT $d AS dims,
+        (SELECT count(*) FROM (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              round($dotD / (${normD("q")} * ${normD("c")}), 6) AS sim
+            FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 3
+        ) t JOIN fullk f ON t.query_id = f.query_id AND t.cand_id = f.cand_id)
+        AS n_hits"""
+    }.mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    fullk AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+        FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 3),
+    nq AS (SELECT count(DISTINCT vec_id) AS nq FROM v WHERE vec_id < 8),
+    hits AS ($blocks)
+    SELECT dims, n_hits,
+      round(n_hits / cast(nq * 3 as double), 6) AS recall
+    FROM hits CROSS JOIN nq ORDER BY dims"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8000,5 +8056,6 @@ object Queries {
     ("e6_pareto", e6_pareto _, e6paSql),
     ("e11_gini", e11_gini _, e11giSql),
     ("e6_cuped", e6_cuped _, e6cpSql),
-    ("e11_ewma", e11_ewma _, e11ewSql))
+    ("e11_ewma", e11_ewma _, e11ewSql),
+    ("e3_matryoshka", e3_matryoshka _, e3mkSql))
 }
