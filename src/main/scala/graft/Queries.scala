@@ -7796,6 +7796,85 @@ object Queries {
     FROM hits CROSS JOIN nq ORDER BY dims"""
   }
 
+  /** ETL — Fellegi–Sunter linkage weights, the probabilistic layer
+    * above etl_entity_res's composite score: per comparison field,
+    * m = P(agree | match) estimated over the labeled near-name pairs
+    * (levenshtein ≤ 2 inside the blocking key) and u = P(agree | random
+    * pair) computed EXACTLY from the value distribution
+    * (Σ c_v(c_v−1) / N(N−1) — no pair sampling), giving the log₂
+    * agreement/disagreement weights a principled matcher sums per pair.
+    * The output separates informative fields (name digits) from noise
+    * (independent balance band ⇒ weight ≈ 0) — which is the point of
+    * FS over hand-tuned scores. Probabilities clamp to [0.001, 0.999]
+    * before the logs (standard practice; degenerate fields stay
+    * finite). Sample-bounded like e2_dedup_eval.
+    */
+  def etl_fs_weights(s: SparkSession, dir: String): DataFrame = {
+    val fields = Seq("bal_band" -> "band", "name_prefix" -> "pfx",
+      "name_last_digit" -> "dig")
+    val c = t(s, dir, "customer").where(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_name"), floor(col("c_acctbal") / 1000).as("band"),
+        substring(col("c_name"), 1, 17).as("pfx"),
+        substring(col("c_name"), 18, 1).as("dig"))
+    val a = c.columns.foldLeft(c)((df, cn) => df.withColumnRenamed(cn, s"a_$cn"))
+    val b = c.columns.foldLeft(c)((df, cn) => df.withColumnRenamed(cn, s"b_$cn"))
+    val m = a.join(b,
+        col("a_c_nationkey") === col("b_c_nationkey") &&
+          col("a_c_mktsegment") === col("b_c_mktsegment") &&
+          col("a_c_custkey") < col("b_c_custkey") &&
+          levenshtein(col("a_c_name"), col("b_c_name")) <= 2)
+      .agg(count(lit(1)).as("n_pairs"), fields.map { case (_, f) =>
+        sum(when(col(s"a_$f") === col(s"b_$f"), 1L).otherwise(0L)).as(s"ag_$f")
+      }: _*)
+    fields.map { case (label, f) =>
+      val u = c.groupBy(f).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt") * (col("cnt") - 1)).as("pairs2"),
+          sum(col("cnt")).as("nn"))
+      val mv = col(s"ag_$f") / col("n_pairs").cast("double")
+      val uv = col("pairs2") / (col("nn") * (col("nn") - 1)).cast("double")
+      val mc = least(greatest(mv, lit(0.001)), lit(0.999))
+      val uc = least(greatest(uv, lit(0.001)), lit(0.999))
+      m.crossJoin(broadcast(u))
+        .select(lit(label).as("field"),
+          round(mv, 6).as("m"), round(uv, 6).as("u"),
+          round(log2(mc / uc), 6).as("w_agree"),
+          round(log2((lit(1.0) - mc) / (lit(1.0) - uc)), 6).as("w_disagree"))
+    }.reduce(_.unionByName(_)).orderBy("field")
+  }
+
+  val etlFsSql: String = {
+    val fields = Seq("bal_band" -> "band", "name_prefix" -> "pfx",
+      "name_last_digit" -> "dig")
+    val blocks = fields.map { case (label, f) =>
+      s"""SELECT '$label' AS field,
+        round(m.ag_$f / cast(m.n_pairs as double), 6) AS m,
+        round(u_$f.pairs2 / cast(u_$f.nn * (u_$f.nn - 1) as double), 6) AS u,
+        round(log2(least(greatest(m.ag_$f / cast(m.n_pairs as double), 0.001), 0.999)
+          / least(greatest(u_$f.pairs2 / cast(u_$f.nn * (u_$f.nn - 1) as double), 0.001), 0.999)), 6) AS w_agree,
+        round(log2((1.0 - least(greatest(m.ag_$f / cast(m.n_pairs as double), 0.001), 0.999))
+          / (1.0 - least(greatest(u_$f.pairs2 / cast(u_$f.nn * (u_$f.nn - 1) as double), 0.001), 0.999))), 6) AS w_disagree
+      FROM m CROSS JOIN u_$f"""
+    }.mkString(" UNION ALL ")
+    val uCtes = fields.map { case (_, f) =>
+      s"""u_$f AS (SELECT sum(cnt * (cnt - 1)) AS pairs2, sum(cnt) AS nn
+        FROM (SELECT $f, count(*) AS cnt FROM s GROUP BY $f))"""
+    }.mkString(",\n")
+    s"""WITH s AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+        floor(c_acctbal / 1000) AS band, substr(c_name, 1, 17) AS pfx,
+        substr(c_name, 18, 1) AS dig
+      FROM customer WHERE c_custkey < 500),
+    m AS (SELECT count(*) AS n_pairs,
+        sum(CASE WHEN a.band = b.band THEN 1 ELSE 0 END) AS ag_band,
+        sum(CASE WHEN a.pfx = b.pfx THEN 1 ELSE 0 END) AS ag_pfx,
+        sum(CASE WHEN a.dig = b.dig THEN 1 ELSE 0 END) AS ag_dig
+      FROM s a JOIN s b ON a.c_nationkey = b.c_nationkey
+        AND a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2),
+    $uCtes
+    $blocks ORDER BY field"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8057,5 +8136,6 @@ object Queries {
     ("e11_gini", e11_gini _, e11giSql),
     ("e6_cuped", e6_cuped _, e6cpSql),
     ("e11_ewma", e11_ewma _, e11ewSql),
-    ("e3_matryoshka", e3_matryoshka _, e3mkSql))
+    ("e3_matryoshka", e3_matryoshka _, e3mkSql),
+    ("etl_fs_weights", etl_fs_weights _, etlFsSql))
 }
