@@ -7875,6 +7875,64 @@ object Queries {
     $blocks ORDER BY field"""
   }
 
+  /** E11 — absorption probability: P(reach 'purchase' within 5 steps)
+    * from each behavior state, by value iteration over the
+    * e11_transitions matrix with 'purchase' absorbing — "how close to
+    * converting is a user doing X right now", the forward-looking
+    * companion to e11_stationary's long-run occupancy. ALL-INTEGER
+    * arithmetic (probabilities in 1e-9 units, floor division per
+    * step) so the fixed iteration count is hash-stable across engines —
+    * the e2_pagerank discipline; the state frame is |types|², so the
+    * loop costs nothing at any corpus scale once counts compress.
+    */
+  def e11_absorption(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tms"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("tms"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull)
+    val c = pairs.groupBy(col("event_type").as("s"), col("nxt").as("t"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val r = c.groupBy("s").agg(sum(col("c")).as("r"))
+    val st = c.select("s").distinct()
+    var p = st.select(col("s"),
+      when(col("s") === "purchase", lit(1000000000L)).otherwise(lit(0L)).as("p"))
+    for (_ <- 1 to 5) {
+      val x = c.join(p.select(col("s").as("t"), col("p")), "t")
+        .groupBy("s").agg(sum(col("c") * col("p")).as("v"))
+      p = st.join(x, Seq("s"), "left").join(r, Seq("s"), "left")
+        .select(col("s"),
+          when(col("s") === "purchase", lit(1000000000L))
+            .otherwise(coalesce(expr("v div r"), lit(0L))).as("p"))
+    }
+    p.select(col("s").as("event_type"), col("p").as("p_units"))
+      .orderBy("event_type")
+  }
+
+  val e11abSql: String = {
+    val steps = (1 to 5).map { k =>
+      s"""p$k AS (SELECT st.s, CASE WHEN st.s = 'purchase'
+          THEN cast(1000000000 as bigint)
+        ELSE cast(coalesce(x.v // r.r, 0) as bigint) END AS p
+      FROM st LEFT JOIN (SELECT c.s, sum(c.c * q.p) AS v
+        FROM c JOIN p${k - 1} q ON c.t = q.s GROUP BY c.s) x ON st.s = x.s
+      LEFT JOIN r ON st.s = r.s)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id
+      FROM events),
+    pr AS (SELECT event_type AS s,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS t
+      FROM e),
+    c AS (SELECT s, t, count(*) AS c FROM pr WHERE t IS NOT NULL GROUP BY s, t),
+    r AS (SELECT s, sum(c) AS r FROM c GROUP BY s),
+    st AS (SELECT DISTINCT s FROM c),
+    p0 AS (SELECT s, CASE WHEN s = 'purchase' THEN cast(1000000000 as bigint)
+      ELSE cast(0 as bigint) END AS p FROM st),
+    $steps
+    SELECT s AS event_type, p AS p_units FROM p5 ORDER BY s"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8137,5 +8195,6 @@ object Queries {
     ("e6_cuped", e6_cuped _, e6cpSql),
     ("e11_ewma", e11_ewma _, e11ewSql),
     ("e3_matryoshka", e3_matryoshka _, e3mkSql),
-    ("etl_fs_weights", etl_fs_weights _, etlFsSql))
+    ("etl_fs_weights", etl_fs_weights _, etlFsSql),
+    ("e11_absorption", e11_absorption _, e11abSql))
 }
