@@ -7933,6 +7933,74 @@ object Queries {
     SELECT s AS event_type, p AS p_units FROM p5 ORDER BY s"""
   }
 
+  /** E7 — rolling 7-day MEDIAN of the per-type daily counts: the
+    * robust smoothing companion to e11_ewma (a single spike day moves
+    * an EWMA, not a median). Exact interpolated percentile as a ROWS
+    * window aggregate over the tiny day-grain frame — one type-key
+    * exchange.
+    */
+  def e7_moving_median(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    d.select(col("event_type"), col("day"), col("c"),
+        round(expr("percentile(c, 0.5)").over(w), 4).as("med"))
+      .orderBy("event_type", "day")
+  }
+
+  val e7mmSql = """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      count(*) AS c FROM events GROUP BY 1, 2)
+    SELECT event_type, day, c,
+      round(quantile_cont(c, 0.5) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med
+    FROM d ORDER BY event_type, day"""
+
+  /** E8 — skyline (Pareto-front) query: documents not DOMINATED on the
+    * (quality, length) plane — no other doc is at least as good on both
+    * axes and strictly better on one. The multi-criteria shortlist
+    * operator single-metric top-k cannot express. Two window passes
+    * over the quality-group grain: per-group max length, then a
+    * strictly-higher-quality running max via one lagged cummax — no
+    * all-pairs dominance join anywhere, so the plan is O(n log n) at
+    * any scale.
+    */
+  def e8_skyline(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextAnalysis.qualityScore(t(s, dir, "documents"),
+      "doc_id", "text")
+      .select("doc_id", "quality")
+      .join(t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+        "doc_id")
+    val grp = docs.groupBy("quality").agg(max(col("n_tokens")).as("gmax"))
+    val wq = Window.orderBy(col("quality").desc)
+    val m1 = grp.withColumn("m1",
+      max(col("gmax")).over(wq.rowsBetween(Window.unboundedPreceding, -1)))
+    docs.join(m1, "quality")
+      .where((col("m1").isNull || col("n_tokens") > col("m1")) &&
+        col("n_tokens") === col("gmax"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
+  val e8skSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH q AS (SELECT doc_id,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double)
+          / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality,
+      len(toks) AS n_tokens
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    g AS (SELECT quality, max(n_tokens) AS gmax FROM q GROUP BY quality),
+    m AS (SELECT quality, gmax, max(gmax) OVER (ORDER BY quality DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1 FROM g)
+    SELECT q.doc_id, q.quality, cast(q.n_tokens as int) AS n_tokens
+    FROM q JOIN m ON q.quality = m.quality
+    WHERE (m.m1 IS NULL OR q.n_tokens > m.m1) AND q.n_tokens = m.gmax
+    ORDER BY q.quality DESC, q.doc_id"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8196,5 +8264,7 @@ object Queries {
     ("e11_ewma", e11_ewma _, e11ewSql),
     ("e3_matryoshka", e3_matryoshka _, e3mkSql),
     ("etl_fs_weights", etl_fs_weights _, etlFsSql),
-    ("e11_absorption", e11_absorption _, e11abSql))
+    ("e11_absorption", e11_absorption _, e11abSql),
+    ("e7_moving_median", e7_moving_median _, e7mmSql),
+    ("e8_skyline", e8_skyline _, e8skSql))
 }
