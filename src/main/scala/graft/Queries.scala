@@ -7207,6 +7207,9 @@ object Queries {
       .filter(size(col("tk")) >= 3)
       .select(col("id"), transform(col("tk"), t => portableStringHash(t)).as("th"))
       .select(col("id"), Dedup.hashedShinglesFromHashes(col("th"), 3).as("sh"))
+      // the shingle frame feeds sizes once and the co-occurrence join
+      // twice — materialize it so the per-character hash fold runs once
+      .localCheckpoint(true)
     val sizes = base.select(col("id"), size(col("sh")).as("n"))
     val ex = base.select(col("id"), explode(col("sh")).as("s"))
     val truth = ex.select(col("id").as("id1"), col("s"))
