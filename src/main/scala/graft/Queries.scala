@@ -8004,6 +8004,94 @@ object Queries {
     ORDER BY q.quality DESC, q.doc_id"""
   }
 
+  /** E11 — linear interpolation of gapped series: daily revenue per
+    * type with every third day withheld, rebuilt on the full day grid
+    * by lerping between the bracketing known points (edges fall back to
+    * nearest-known — the e11_resample forward-fill generalized to
+    * two-sided). Carry-forward/backward windows share one type-key
+    * exchange; the lerp is one fixed double chain on exact-decimal day
+    * sums.
+    */
+  def e11_interpolate(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+    val known = d.where(pmod(col("day"), lit(3L)) =!= 0)
+    val bounds = d.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val grid = d.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val j = grid.join(known, Seq("event_type", "day"), "left")
+    val wb = Window.partitionBy("event_type").orderBy("day")
+    val wf = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val f = j
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wf))
+    f.select(col("event_type"), col("day"),
+        col("v").isNotNull.cast("int").as("known"),
+        round(when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("day") - col("pd")) / (col("nd") - col("pd")).cast("double")),
+          4).as("value"))
+      .orderBy("event_type", "day")
+  }
+
+  val e11ipSql = """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      cast(sum(cast(value as decimal(18,2))) as double) AS v
+    FROM events GROUP BY 1, 2),
+    known AS (SELECT * FROM d WHERE day % 3 <> 0),
+    grid AS (SELECT DISTINCT d.event_type, g.day
+      FROM d, (SELECT unnest(range((SELECT min(day) FROM d),
+        (SELECT max(day) FROM d) + 1)) AS day) g),
+    j AS (SELECT grid.event_type, grid.day, known.v FROM grid
+      LEFT JOIN known ON grid.event_type = known.event_type
+        AND grid.day = known.day),
+    f AS (SELECT *,
+      last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day) AS pv,
+      last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        OVER (PARTITION BY event_type ORDER BY day) AS pd,
+      first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+    FROM j)
+    SELECT event_type, day, cast(v IS NOT NULL as int) AS known,
+      round(CASE WHEN v IS NOT NULL THEN v
+        WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+        ELSE pv + (nv - pv) * (day - pd) / cast(nd - pd as double) END, 4) AS value
+    FROM f ORDER BY event_type, day"""
+
+  /** E2 — INCREMENTAL near-dup clustering: a day-1 component mapping
+    * (docs < 400) absorbs the day-2 edge batch through
+    * Components.minLabelIncremental — only components a batch edge
+    * touches re-solve (as star edges + the batch), everything else
+    * passes through an anti join, new singletons self-map. The oracle
+    * is the FULL-graph recomputation (e2_dedup_clusters' reachability
+    * SQL verbatim), so incremental == rebuild is the graded contract —
+    * the etl_incr_agg discipline applied to the component solve itself.
+    */
+  def e2_cc_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
+      .select("id1", "id2").localCheckpoint(true)
+    val hist = pairs.where(col("id1") < 400 && col("id2") < 400)
+    val batch = pairs.where(!(col("id1") < 400 && col("id2") < 400))
+    val mapping = Components.minLabel(hist, "id1", "id2",
+      docs.select("doc_id").where(col("doc_id") < 400), "doc_id")
+    Components.minLabelIncremental(mapping, batch, "id1", "id2",
+      docs.select("doc_id"), "doc_id")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8269,5 +8357,7 @@ object Queries {
     ("etl_fs_weights", etl_fs_weights _, etlFsSql),
     ("e11_absorption", e11_absorption _, e11abSql),
     ("e7_moving_median", e7_moving_median _, e7mmSql),
-    ("e8_skyline", e8_skyline _, e8skSql))
+    ("e8_skyline", e8_skyline _, e8skSql),
+    ("e11_interpolate", e11_interpolate _, e11ipSql),
+    ("e2_cc_incremental", e2_cc_incremental _, e2ccSql))
 }

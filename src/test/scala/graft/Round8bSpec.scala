@@ -172,6 +172,29 @@ class Round8bSpec extends SparkSpec {
     assert(Multimodal.audioSamples(null).isEmpty)
   }
 
+  test("minLabelIncremental == full rebuild on random graphs and random splits") {
+    import graft.operators.Components
+    for (seed <- Seq(21L, 909L, 31337L)) {
+      val rnd = prng(seed)
+      val n = 60
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if math.floorMod(rnd.next(), 100) < 5
+      } yield (a, b)).toSeq
+      val nodes = (0L until n).toDF("id")
+      val (histE, batchE) = edges.partition { case (a, b) =>
+        math.floorMod(rnd.next(), 2L) == 0 // random split incl. cross-comp merges
+      }
+      val mapping = Components.minLabel(histE.toDF("a", "b"), "a", "b", nodes, "id")
+      val inc = Components.minLabelIncremental(mapping,
+        batchE.toDF("a", "b"), "a", "b", nodes, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Components.minLabel(edges.toDF("a", "b"), "a", "b", nodes, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"seed=$seed incremental diverged from rebuild")
+    }
+  }
+
   test("everyK sampling decodes only every k-th frame") {
     val jpegs = (0 until 6).map(i => Multimodal.gradientJpeg(72, 48, invert = i % 2 == 1))
     val mp4 = Multimodal.minimalMp4WithSamples(72, 48, 240L,
