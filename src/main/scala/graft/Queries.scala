@@ -8092,6 +8092,91 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** E6 — chi-square test of independence between event type and day
+    * of week (is the volume mix weekday-dependent?): observed vs
+    * expected = row·col/N over the 5×7 contingency table, each cell's
+    * (o−e)²/e quantized to decimal(18,8) BEFORE the sum so the
+    * statistic is partition-order exact — the goodness-of-fit sibling
+    * of e6_benford generalized to two-way independence.
+    */
+  def e6_chi2(s: SparkSession, dir: String): DataFrame = {
+    val c = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("(unix_millis(ts) div 86400000 + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rt = c.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val ct = c.groupBy("dow").agg(sum(col("o")).as("cc"))
+    val nn = c.agg(sum(col("o")).as("n"))
+    val e = col("r") * col("cc") / col("n").cast("double")
+    val x = c.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+      .crossJoin(broadcast(nn))
+      .select(round((col("o") - e) * (col("o") - e) / e, 8)
+        .cast(DecimalType(18, 8)).as("term"))
+    val nr = rt.agg(count(lit(1)).as("nrr"))
+    val ncx = ct.agg(count(lit(1)).as("ncc"))
+    x.agg(round(sum(col("term")).cast("double"), 6).as("chi2"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(ncx))
+      .select(col("chi2"), col("nrr").as("n_rows"), col("ncc").as("n_cols"),
+        ((col("nrr") - 1) * (col("ncc") - 1)).cast("int").as("dof"))
+  }
+
+  val e6x2Sql = """WITH c AS (SELECT event_type,
+      (epoch_ms(ts) // 86400000 + 4) % 7 AS dow, count(*) AS o
+    FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(o) AS r FROM c GROUP BY 1),
+    ct AS (SELECT dow, sum(o) AS cc FROM c GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM c),
+    x AS (SELECT cast(round((c.o - rt.r * ct.cc / cast(n.n as double))
+        * (c.o - rt.r * ct.cc / cast(n.n as double))
+        / (rt.r * ct.cc / cast(n.n as double)), 8) as decimal(18,8)) AS term
+      FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n)
+    SELECT round(cast(sum(term) as double), 6) AS chi2,
+      (SELECT count(*) FROM rt) AS n_rows,
+      (SELECT count(*) FROM ct) AS n_cols,
+      cast(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) as int) AS dof
+    FROM x"""
+
+  /** E2 — hub-shingle diagnostic: the 10 highest-document-frequency
+    * shingles with their share of the corpus — the report that decides
+    * whether a co-occurrence join (e2_dedup_eval's truth path, n-gram
+    * novelty, shared-passage) needs a stop-shingle cap before it goes
+    * quadratic on boilerplate. The etl_skew_report discipline applied
+    * to the dedup key space.
+    */
+  def e2_shingle_profile(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), Dedup.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("id"), transform(col("tk"), t => portableStringHash(t)).as("th"))
+      .select(col("id"), Dedup.hashedShinglesFromHashes(col("th"), 3).as("sh"))
+    val nd = base.agg(count(lit(1)).as("n_docs"))
+    base.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .select(col("s").as("shingle_hash"), col("df"),
+        round(col("df") / col("n_docs").cast("double"), 6).as("doc_share"))
+      .orderBy(col("df").desc, col("shingle_hash")).limit(10)
+  }
+
+  val e2shpSql: String = {
+    val phash = (x: String) =>
+      s"""list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split($x, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime)"""
+    val shingleExpr = (0 until 3).foldLeft("cast(7 as bigint)")((acc, j) =>
+      s"(($acc * 31 + th[i + $j]) % $HashPrime)")
+    s"""WITH th AS (SELECT doc_id,
+        list_transform(string_split(text, ' '), t -> ${phash("t")}) AS th,
+        len(string_split(text, ' ')) AS n FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, n - 1),
+        i -> $shingleExpr))) AS s FROM th WHERE n >= 3),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh)
+    SELECT s AS shingle_hash, count(*) AS df,
+      round(count(*) / cast(max(nd.n_docs) as double), 6) AS doc_share
+    FROM sh CROSS JOIN nd GROUP BY s
+    ORDER BY df DESC, shingle_hash LIMIT 10"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8359,5 +8444,7 @@ object Queries {
     ("e7_moving_median", e7_moving_median _, e7mmSql),
     ("e8_skyline", e8_skyline _, e8skSql),
     ("e11_interpolate", e11_interpolate _, e11ipSql),
-    ("e2_cc_incremental", e2_cc_incremental _, e2ccSql))
+    ("e2_cc_incremental", e2_cc_incremental _, e2ccSql),
+    ("e6_chi2", e6_chi2 _, e6x2Sql),
+    ("e2_shingle_profile", e2_shingle_profile _, e2shpSql))
 }
