@@ -8177,6 +8177,69 @@ object Queries {
     ORDER BY df DESC, shingle_hash LIMIT 10"""
   }
 
+  /** LLM — the dataset card: the one-page corpus summary a training
+    * dataset ships with (docs, token volume, vocabulary, duplication at
+    * both exact and near grain, language coverage, quality level,
+    * length median) — every number produced by the engine's own graded
+    * machinery and re-derived independently by the oracle. Each metric
+    * is an isolated aggregate; the union is presentation.
+    */
+  def llm_dataset_card(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("text"),
+      size(split(col("text"), " ")).as("n_tok"))
+    def m(name: String, v: Column, src: DataFrame): DataFrame =
+      src.agg(round(v, 6).cast("double").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    val en = TextAnalysis.langMarkers.toMap.apply("en")
+    val enHit = size(filter(split(col("text"), " "),
+      t => en.foldLeft(lit(false): Column)((acc, m) => acc || t === m))) > 0
+    val near = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("quality").cast(DecimalType(18, 6)).as("q"))
+    Seq(
+      m("n_docs", count(lit(1)).cast("double"), docs),
+      m("total_tokens", sum(col("n_tok")).cast("double"), toks),
+      m("distinct_tokens",
+        countDistinct(col("tk")).cast("double"),
+        toks.select(explode(split(col("text"), " ")).as("tk"))),
+      m("exact_dup_docs",
+        (count(lit(1)) - countDistinct(col("text"))).cast("double"), docs),
+      m("near_dup_pairs", count(lit(1)).cast("double"), near),
+      m("en_marker_doc_share",
+        sum(when(enHit, 1).otherwise(0)) / count(lit(1)).cast("double"), docs),
+      m("mean_quality", sum(col("q")).cast("double") / count(lit(1)), quality),
+      m("p50_tokens", expr("percentile(n_tok, 0.5)"), toks))
+      .reduce(_.unionByName(_)).orderBy("metric")
+  }
+
+  val llmCardSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH $e2mCtes,
+    tk AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok FROM documents),
+    q AS (SELECT cast(round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double)
+          / len(toks) * 5.0, 1.0) * 0.2, 6) as decimal(18,6)) AS q
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+    SELECT 'distinct_tokens' AS metric, round(cast(count(DISTINCT tok) as double), 6) AS value
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    UNION ALL SELECT 'en_marker_doc_share',
+      round(sum(CASE WHEN len(list_filter(string_split(text, ' '),
+        t -> t IN ($en))) > 0 THEN 1 ELSE 0 END) / cast(count(*) as double), 6)
+      FROM documents
+    UNION ALL SELECT 'exact_dup_docs',
+      round(cast(count(*) - count(DISTINCT text) as double), 6) FROM documents
+    UNION ALL SELECT 'mean_quality',
+      round(cast(sum(q) as double) / count(*), 6) FROM q
+    UNION ALL SELECT 'n_docs', round(cast(count(*) as double), 6) FROM documents
+    UNION ALL SELECT 'near_dup_pairs',
+      round(cast(count(*) as double), 6) FROM cand WHERE jaccard >= 0.4
+    UNION ALL SELECT 'p50_tokens', round(quantile_cont(n_tok, 0.5), 6) FROM tk
+    UNION ALL SELECT 'total_tokens', round(cast(sum(n_tok) as double), 6) FROM tk
+    ORDER BY metric"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8446,5 +8509,6 @@ object Queries {
     ("e11_interpolate", e11_interpolate _, e11ipSql),
     ("e2_cc_incremental", e2_cc_incremental _, e2ccSql),
     ("e6_chi2", e6_chi2 _, e6x2Sql),
-    ("e2_shingle_profile", e2_shingle_profile _, e2shpSql))
+    ("e2_shingle_profile", e2_shingle_profile _, e2shpSql),
+    ("llm_dataset_card", llm_dataset_card _, llmCardSql))
 }
