@@ -8149,6 +8149,9 @@ object Queries {
       .filter(size(col("tk")) >= 3)
       .select(col("id"), transform(col("tk"), t => portableStringHash(t)).as("th"))
       .select(col("id"), Dedup.hashedShinglesFromHashes(col("th"), 3).as("sh"))
+      // feeds both the doc count and the explode: materialize so the
+      // per-character hash fold runs once (the e2_dedup_eval lesson)
+      .localCheckpoint(true)
     val nd = base.agg(count(lit(1)).as("n_docs"))
     base.select(col("id"), explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
