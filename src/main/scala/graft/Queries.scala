@@ -8243,6 +8243,64 @@ object Queries {
     ORDER BY metric"""
   }
 
+  /** SQL surface — the PIVOT clause (wide BI cross-tabs from SQL text):
+    * revenue by order priority pivoted across line status. Spark's
+    * PIVOT syntax has no DuckDB twin, so the oracle is the manual
+    * conditional-aggregation rewrite PIVOT desugars to — which also
+    * documents exactly what the clause buys.
+    */
+  def sql_pivot(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql("""SELECT * FROM (
+        SELECT o_orderpriority,
+          l_linestatus,
+          cast(l_extendedprice as decimal(18,2)) AS price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      PIVOT (cast(sum(price) as double) AS rev
+        FOR l_linestatus IN ('F' AS f, 'O' AS o))
+      ORDER BY o_orderpriority""")
+  }
+
+  val sqlPvSql = """SELECT o_orderpriority,
+      cast(sum(CASE WHEN l_linestatus = 'F'
+        THEN cast(l_extendedprice as decimal(18,2)) END) as double) AS f,
+      cast(sum(CASE WHEN l_linestatus = 'O'
+        THEN cast(l_extendedprice as decimal(18,2)) END) as double) AS o
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** E4 — deterministic token-dropout augmentation: each token survives
+    * unless its occurrence-tagged portable hash gates it out (~10 %) —
+    * word-dropout regularization with a reproducible mask, so
+    * augmented corpora are stable across runs and engines (the
+    * e4_sample hash-gate discipline applied inside documents).
+    * Occurrence tagging (token#position) keeps repeated tokens
+    * independently gated.
+    */
+  def e4_augment(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(
+          zip_with(split(col("text"), " "),
+            sequence(lit(1), size(split(col("text"), " "))),
+            (tk, i) => when(
+              pmod(portableStringHash(concat_ws("#", tk, i.cast("string"))),
+                lit(100L)) >= 10, tk)),
+          x => x.isNotNull)).as("augmented"))
+      .orderBy("doc_id")
+
+  val e4agSql = s"""SELECT doc_id,
+      array_to_string(list_filter(
+        list_transform(string_split(text, ' '),
+          (tk, i) -> CASE WHEN list_reduce(list_concat([cast(7 as bigint)],
+              list_transform(string_split(tk || '#' || i, ''),
+                c -> cast(ascii(c) as bigint))),
+              (a, b) -> (a * 31 + b) % $HashPrime) % 100 >= 10
+            THEN tk END),
+        x -> x IS NOT NULL), ' ') AS augmented
+    FROM documents ORDER BY doc_id"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8513,5 +8571,7 @@ object Queries {
     ("e2_cc_incremental", e2_cc_incremental _, e2ccSql),
     ("e6_chi2", e6_chi2 _, e6x2Sql),
     ("e2_shingle_profile", e2_shingle_profile _, e2shpSql),
-    ("llm_dataset_card", llm_dataset_card _, llmCardSql))
+    ("llm_dataset_card", llm_dataset_card _, llmCardSql),
+    ("sql_pivot", sql_pivot _, sqlPvSql),
+    ("e4_augment", e4_augment _, e4agSql))
 }
