@@ -8301,6 +8301,47 @@ object Queries {
         x -> x IS NOT NULL), ' ') AS augmented
     FROM documents ORDER BY doc_id"""
 
+  /** E11 — dispersion diagnostics of the daily series: Fano factor
+    * (variance/mean — 1 for Poisson arrivals, higher = bursty) and the
+    * bounded burstiness index (σ−μ)/(σ+μ) per event type, from the same
+    * exact decimal(38,0) moment sums as e11_autocorr — is this stream
+    * steady, Poisson-like, or bursty, the capacity-planning companion
+    * to e11_anomaly's pointwise alerts.
+    */
+  def e11_dispersion(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).cast(DecimalType(19, 0)).as("c"))
+    val m = d.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("c")).cast("double").as("sx"),
+      sum(col("c") * col("c")).cast("double").as("sxx"))
+    val n = col("n").cast("double")
+    val mean = col("sx") / n
+    val variance = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
+    val sd = sqrt(variance)
+    m.select(col("event_type"), col("n").as("n_days"),
+        round(mean, 6).as("mean"),
+        round(variance / mean, 6).as("fano"),
+        round((sd - mean) / (sd + mean), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  val e11dpSql = """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      count(*) AS c FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, count(*) AS n,
+        cast(sum(c) as double) AS sx, cast(sum(c*c) as double) AS sxx
+      FROM d GROUP BY 1)
+    SELECT event_type, n AS n_days,
+      round(sx / cast(n as double), 6) AS mean,
+      round(((sxx - sx * sx / cast(n as double)) / (cast(n as double) - 1))
+        / (sx / cast(n as double)), 6) AS fano,
+      round((sqrt((sxx - sx * sx / cast(n as double)) / (cast(n as double) - 1))
+          - sx / cast(n as double))
+        / (sqrt((sxx - sx * sx / cast(n as double)) / (cast(n as double) - 1))
+          + sx / cast(n as double)), 6) AS burstiness
+    FROM m ORDER BY event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8573,5 +8614,6 @@ object Queries {
     ("e2_shingle_profile", e2_shingle_profile _, e2shpSql),
     ("llm_dataset_card", llm_dataset_card _, llmCardSql),
     ("sql_pivot", sql_pivot _, sqlPvSql),
-    ("e4_augment", e4_augment _, e4agSql))
+    ("e4_augment", e4_augment _, e4agSql),
+    ("e11_dispersion", e11_dispersion _, e11dpSql))
 }

@@ -195,6 +195,26 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("extendIds: standing ids immutable, new ids dense above the watermark, re-ingest is a no-op") {
+    import graft.operators.Ids
+    val day1 = (0L until 40L).map(i => i * 3).toDF("k") // sparse keys
+    val existing = Ids.denseIds(day1, "k", 4).select("k", "gid")
+    val before = existing.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch: half overlap, half new (interleaved keys)
+    val batch = ((0L until 40L).map(_ * 3) ++ (0L until 25L).map(_ * 3 + 1)).toDF("k")
+    val after = Ids.extendIds(existing, batch, "k", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    before.foreach { case (k, gid) =>
+      assert(after(k) == gid, s"standing id of $k changed") }
+    val newIds = after.filterNot { case (k, _) => before.contains(k) }.values.toSeq.sorted
+    assert(newIds == (41L to 65L), s"new ids not dense above watermark: $newIds")
+    // idempotence: extending again with the same batch changes nothing
+    val again = Ids.extendIds(
+      after.toSeq.toDF("k", "gid"), batch, "k", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == after, "re-ingest must be a no-op")
+  }
+
   test("everyK sampling decodes only every k-th frame") {
     val jpegs = (0 until 6).map(i => Multimodal.gradientJpeg(72, 48, invert = i % 2 == 1))
     val mp4 = Multimodal.minimalMp4WithSamples(72, 48, 240L,
