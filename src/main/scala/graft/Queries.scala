@@ -8342,6 +8342,204 @@ object Queries {
           + sx / cast(n as double)), 6) AS burstiness
     FROM m ORDER BY event_type"""
 
+  /** E6 — Spearman rank correlation per group, the monotone-association
+    * counterpart of e6_corr's Pearson (robust to the heavy price tail).
+    *
+    * Rank-with-tie-averaging is computed by DISTINCT-COMPRESSION, not a
+    * per-row sort: group to (group, value, cnt), one cumulative window
+    * over the distinct-value frame, then join the rank map back to rows.
+    * At 100 TB the windowed frame is bounded by the VALUE DOMAIN (2-dp
+    * decimals compress hard), not the row count — the shape a per-row
+    * rank() window (which must totally sort every group) cannot match.
+    * Ranks live in the doubled-integer domain (2·rank_min + cnt − 1 =
+    * twice the tie-averaged rank, always an integer) so every moment is
+    * an EXACT decimal(38,0) sum; correlation is shift/scale-invariant so
+    * the doubled ranks give the identical rho. One fixed double
+    * expression at the end, round 6 — engine-portable bit-for-bit.
+    */
+  def e6_spearman(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def rankMap(vcol: String) = li
+      .groupBy(col("l_returnflag"), col(vcol))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("l_returnflag"), col(vcol),
+        (sum(col("__c")).over(
+          Window.partitionBy("l_returnflag").orderBy(vcol)) * 2
+          - col("__c") + 1).as(s"r_$vcol"))
+    val ranked = li
+      .join(rankMap("x"), Seq("l_returnflag", "x"))
+      .join(rankMap("y"), Seq("l_returnflag", "y"))
+    val m = ranked.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("r_x").cast(DecimalType(38, 0))).cast("double").as("sx"),
+      sum(col("r_y").cast(DecimalType(38, 0))).cast("double").as("sy"),
+      sum((col("r_x") * col("r_y")).cast(DecimalType(38, 0))).cast("double").as("sxy"),
+      sum((col("r_x") * col("r_x")).cast(DecimalType(38, 0))).cast("double").as("sxx"),
+      sum((col("r_y") * col("r_y")).cast(DecimalType(38, 0))).cast("double").as("syy"))
+    val n = col("n_rows").cast("double")
+    m.select(col("l_returnflag"), col("n_rows"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+            sqrt(n * col("syy") - col("sy") * col("sy"))), 6).as("spearman"))
+      .orderBy("l_returnflag")
+  }
+
+  val e6srSql = """WITH r AS (SELECT l_returnflag,
+      rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) * 2
+        + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+      rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) * 2
+        + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+    FROM lineitem),
+    m AS (SELECT l_returnflag, count(*) AS n_rows,
+      cast(sum(cast(rx as decimal(38,0))) as double) AS sx,
+      cast(sum(cast(ry as decimal(38,0))) as double) AS sy,
+      cast(sum(cast(rx * ry as decimal(38,0))) as double) AS sxy,
+      cast(sum(cast(rx * rx as decimal(38,0))) as double) AS sxx,
+      cast(sum(cast(ry * ry as decimal(38,0))) as double) AS syy
+    FROM r GROUP BY l_returnflag)
+    SELECT l_returnflag, n_rows,
+      round((cast(n_rows as double) * sxy - sx * sy) /
+        (sqrt(cast(n_rows as double) * sxx - sx * sx)
+          * sqrt(cast(n_rows as double) * syy - sy * sy)), 6) AS spearman
+    FROM m ORDER BY l_returnflag"""
+
+  /** E6 — Mann–Whitney U: the nonparametric two-sample test (does
+    * `purchase` carry larger `value` than `click`?) — no normality
+    * assumption, the robust sibling of e6_ttest. Tie-averaged ranks via
+    * the same distinct-compression as e6_spearman: ranks, rank-sums, U,
+    * and the tie-corrected variance all derive from the (value, n1, n2)
+    * compressed frame, so rows shuffle ONCE (the compress) and the
+    * single ordered window runs over distinct values only — bounded by
+    * the value domain at 100 TB (quantized telemetry compresses hard),
+    * never a per-row global sort. Doubled-rank integer domain keeps
+    * every sum exact (decimal(38,0)); the tie term Σ(t³−t) is exact
+    * integer arithmetic; z is one fixed double expression, round 6.
+    */
+  def e6_mannwhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+    val cmp = ev.groupBy("value").agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+    val tie = (col("n1") + col("n2")).as("t")
+    val w = Window.orderBy("value")
+    val ranked = cmp.select(col("value"), col("n1"), col("n2"), tie,
+      (sum(col("n1") + col("n2")).over(w) * 2 - (col("n1") + col("n2")) + 1)
+        .as("r2"))
+    val m = ranked.agg(
+      sum(col("n1")).as("na"), sum(col("n2")).as("nb"),
+      sum((col("r2") * col("n1")).cast(DecimalType(38, 0)))
+        .cast("double").as("r2a"),
+      sum((col("t") * col("t") * col("t") - col("t")).cast(DecimalType(38, 0)))
+        .cast("double").as("ties"))
+    val na = col("na").cast("double")
+    val nb = col("nb").cast("double")
+    val nn = na + nb
+    val u1 = (col("r2a") - na * (na + 1)) / 2.0
+    val variance = na * nb / 12.0 *
+      ((nn + 1) - col("ties") / (nn * (nn - 1)))
+    m.select(col("na").as("n1"), col("nb").as("n2"),
+      round(u1, 1).as("u"),
+      round((u1 - na * nb / 2.0) / sqrt(variance), 6).as("z"))
+  }
+
+  val e6mwSql = """WITH cmp AS (SELECT value,
+      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
+    r AS (SELECT value, n1, n2, n1 + n2 AS t,
+      sum(n1 + n2) OVER (ORDER BY value) * 2 - (n1 + n2) + 1 AS r2
+    FROM cmp),
+    m AS (SELECT sum(n1) AS na, sum(n2) AS nb,
+      cast(sum(cast(r2 * n1 as decimal(38,0))) as double) AS r2a,
+      cast(sum(cast(t*t*t - t as decimal(38,0))) as double) AS ties
+    FROM r)
+    SELECT cast(na as bigint) AS n1, cast(nb as bigint) AS n2,
+      round((r2a - cast(na as double) * (cast(na as double) + 1)) / 2.0, 1) AS u,
+      round(((r2a - cast(na as double) * (cast(na as double) + 1)) / 2.0
+          - cast(na as double) * cast(nb as double) / 2.0)
+        / sqrt(cast(na as double) * cast(nb as double) / 12.0
+          * ((cast(na as double) + cast(nb as double) + 1)
+            - ties / ((cast(na as double) + cast(nb as double))
+              * (cast(na as double) + cast(nb as double) - 1)))), 6) AS z
+    FROM m"""
+
+  /** E6 — two-regressor OLS per group (extendedprice ~ quantity +
+    * discount), closed-form via Cramer's rule on CENTERED exact moments
+    * — the multivariate extension of e6_corr's single-regressor line.
+    * Inputs are 2-dp decimals so every second-order moment is an exact
+    * 4-dp decimal sum (one map-side-combined shuffle; moments are
+    * mergeable — the 100 TB shape); the 3×3 normal system collapses to
+    * a fixed chain of double ops both engines evaluate identically.
+    * R² comes from the same moments (explained/total centered sum of
+    * squares). Round 6.
+    */
+  def e6_ols2(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("x1"),
+      col("l_discount").cast(DecimalType(18, 2)).as("x2"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    val m = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("x1")).cast("double").as("s1"),
+      sum(col("x2")).cast("double").as("s2"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x1") * col("x1")).cast("double").as("s11"),
+      sum(col("x1") * col("x2")).cast("double").as("s12"),
+      sum(col("x2") * col("x2")).cast("double").as("s22"),
+      sum(col("x1") * col("y")).cast("double").as("s1y"),
+      sum(col("x2") * col("y")).cast("double").as("s2y"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val n = col("n_rows").cast("double")
+    val a11 = col("s11") - col("s1") * col("s1") / n
+    val a12 = col("s12") - col("s1") * col("s2") / n
+    val a22 = col("s22") - col("s2") * col("s2") / n
+    val c1 = col("s1y") - col("s1") * col("sy") / n
+    val c2 = col("s2y") - col("s2") * col("sy") / n
+    val det = a11 * a22 - a12 * a12
+    val b1 = (a22 * c1 - a12 * c2) / det
+    val b2 = (a11 * c2 - a12 * c1) / det
+    val tss = col("syy") - col("sy") * col("sy") / n
+    m.select(col("l_returnflag"), col("n_rows"),
+        round(b1, 6).as("b_qty"),
+        round(b2, 6).as("b_disc"),
+        round((col("sy") - b1 * col("s1") - b2 * col("s2")) / n, 4)
+          .as("intercept"),
+        round((b1 * c1 + b2 * c2) / tss, 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val e6olsSql = """WITH m AS (SELECT l_returnflag, count(*) AS n_rows,
+      cast(sum(cast(l_quantity as decimal(18,2))) as double) AS s1,
+      cast(sum(cast(l_discount as decimal(18,2))) as double) AS s2,
+      cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+      cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double) AS s11,
+      cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) AS s12,
+      cast(sum(cast(l_discount as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) AS s22,
+      cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS s1y,
+      cast(sum(cast(l_discount as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS s2y,
+      cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS syy
+    FROM lineitem GROUP BY l_returnflag),
+    c AS (SELECT l_returnflag, n_rows, s1, s2, sy,
+      s11 - s1 * s1 / cast(n_rows as double) AS a11,
+      s12 - s1 * s2 / cast(n_rows as double) AS a12,
+      s22 - s2 * s2 / cast(n_rows as double) AS a22,
+      s1y - s1 * sy / cast(n_rows as double) AS c1,
+      s2y - s2 * sy / cast(n_rows as double) AS c2,
+      syy - sy * sy / cast(n_rows as double) AS tss
+    FROM m)
+    SELECT l_returnflag, n_rows,
+      round((a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12), 6) AS b_qty,
+      round((a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12), 6) AS b_disc,
+      round((sy - (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) * s1
+          - (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) * s2)
+        / cast(n_rows as double), 4) AS intercept,
+      round(((a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) * c1
+          + (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) * c2) / tss, 6) AS r2
+    FROM c ORDER BY l_returnflag"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8615,5 +8813,8 @@ object Queries {
     ("llm_dataset_card", llm_dataset_card _, llmCardSql),
     ("sql_pivot", sql_pivot _, sqlPvSql),
     ("e4_augment", e4_augment _, e4agSql),
-    ("e11_dispersion", e11_dispersion _, e11dpSql))
+    ("e11_dispersion", e11_dispersion _, e11dpSql),
+    ("e6_spearman", e6_spearman _, e6srSql),
+    ("e6_mannwhitney", e6_mannwhitney _, e6mwSql),
+    ("e6_ols2", e6_ols2 _, e6olsSql))
 }

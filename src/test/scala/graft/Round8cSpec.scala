@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 fourth-wave pins: each new statistic is re-derived through an
+  * INDEPENDENT in-engine formulation (per-row rank windows, naive pair
+  * counting, driver-side normal equations) and must agree with the
+  * distinct-compressed / moment-based production query exactly — the
+  * DuckDB oracle then checks cross-engine portability on top.
+  */
+class Round8cSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("e6_spearman: distinct-compressed ranks == per-row rank windows (independent formulation)") {
+    val got = Queries.e6_spearman(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+
+    // independent oracle: tie-averaged ranks via per-row windows (the
+    // formulation the production query avoids for scale), plain double
+    // moments — must agree at the rounded precision
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+    def r2(c: String) =
+      rank().over(Window.partitionBy("l_returnflag").orderBy(c)).cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy("l_returnflag", c)) - 1
+    val naive = li.select(col("l_returnflag"), r2("x").as("rx"), r2("y").as("ry"))
+      .groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("rx").cast("double")).as("sx"), sum(col("ry").cast("double")).as("sy"),
+        sum(col("rx").cast("double") * col("ry")).as("sxy"),
+        sum(col("rx").cast("double") * col("rx")).as("sxx"),
+        sum(col("ry").cast("double") * col("ry")).as("syy"))
+      .collect().map { r =>
+        val (n, sx, sy, sxy, sxx, syy) = (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+        r.getString(0) ->
+          (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      }.toMap
+
+    assert(got.keySet == naive.keySet)
+    got.foreach { case (g, rho) =>
+      assert(math.abs(rho) <= 1.0)
+      assert(math.abs(rho - naive(g)) < 1e-5, s"group $g: $rho vs ${naive(g)}")
+    }
+    // the synthetic lineitem draws price independently of quantity, so
+    // rho is near zero — the pin is the equality above, not the sign
+    assert(got.values.forall(r => math.abs(r) < 0.5))
+  }
+
+  test("e6_mannwhitney: U equals naive pair counting; z is a finite standardization") {
+    val row = Queries.e6_mannwhitney(spark, sf).collect().head
+    val (n1, n2, u, z) = (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+    val a = ev.filter(_.getString(0) == "purchase").map(_.getDouble(1))
+    val b = ev.filter(_.getString(0) == "click").map(_.getDouble(1))
+    assert(n1 == a.length && n2 == b.length)
+    // naive O(n1·n2) definition: U1 = #{va > vb} + ½·#{va == vb}
+    var wins = 0.0
+    for (va <- a; vb <- b) {
+      if (va > vb) wins += 1.0
+      else if (va == vb) wins += 0.5
+    }
+    assert(math.abs(u - wins) < 1e-6, s"U $u vs naive $wins")
+    assert(!z.isNaN && !z.isInfinite)
+    assert(u >= 0 && u <= n1.toDouble * n2)
+  }
+
+  test("e6_ols2: coefficients match driver-side normal equations; R2 in [0,1]") {
+    val got = Queries.e6_ols2(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice").collect()
+    got.keySet.foreach { g =>
+      val sub = rows.filter(_.getString(0) == g)
+      val n = sub.length.toDouble
+      val x1 = sub.map(_.getDouble(1)); val x2 = sub.map(_.getDouble(2))
+      val y = sub.map(_.getDouble(3))
+      def dot(u: Array[Double], v: Array[Double]) = u.zip(v).map { case (p, q) => p * q }.sum
+      val (s1, s2, sy) = (x1.sum, x2.sum, y.sum)
+      val a11 = dot(x1, x1) - s1 * s1 / n
+      val a12 = dot(x1, x2) - s1 * s2 / n
+      val a22 = dot(x2, x2) - s2 * s2 / n
+      val c1 = dot(x1, y) - s1 * sy / n
+      val c2 = dot(x2, y) - s2 * sy / n
+      val det = a11 * a22 - a12 * a12
+      val b1 = (a22 * c1 - a12 * c2) / det
+      val b2 = (a11 * c2 - a12 * c1) / det
+      val b0 = (sy - b1 * s1 - b2 * s2) / n
+      val (gb1, gb2, gb0, r2) = got(g)
+      assert(math.abs(gb1 - b1) < 1e-4 * math.max(1, math.abs(b1)), s"$g b1 $gb1 vs $b1")
+      assert(math.abs(gb2 - b2) < 1e-3 * math.max(1, math.abs(b2)), s"$g b2 $gb2 vs $b2")
+      assert(math.abs(gb0 - b0) < 1e-2 * math.max(1, math.abs(b0)), s"$g b0 $gb0 vs $b0")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+}
