@@ -8540,6 +8540,147 @@ object Queries {
           + (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) * c2) / tss, 6) AS r2
     FROM c ORDER BY l_returnflag"""
 
+  /** E6 — market-basket association (brands bought together in one
+    * order): support / confidence / lift over within-order brand pairs.
+    * The pair generator is the scale-critical part: items first
+    * DISTINCT-compress to (order, brand) — fan-out per order is then
+    * bounded by the order's distinct brands (≤ its line count, ~7 in
+    * TPC-H shape), never the corpus — and the self-join runs on the
+    * order key, so all-pairs across orders is never formed. The
+    * lineitem⋈part brand lookup is a plain keyed shuffle join (part is
+    * NOT assumed broadcastable at 100 TB; AQE may still choose broadcast
+    * at small SF). Counts are exact integers; the three ratios are one
+    * fixed double expression, round 6; top-20 by support with full
+    * lexicographic tie-break.
+    */
+  def e6_basket_lift(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+    val nOrders = items.select("o").distinct().agg(count(lit(1)).as("n_orders"))
+    val single = items.groupBy("b").agg(count(lit(1)).as("nb"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+      .agg(count(lit(1)).as("n_both"))
+    val joined = pairs
+      .join(single.select(col("b").as("b1"), col("nb").as("n1")), "b1")
+      .join(single.select(col("b").as("b2"), col("nb").as("n2")), "b2")
+      .crossJoin(broadcast(nOrders))
+    val nO = col("n_orders").cast("double")
+    joined.select(col("b1"), col("b2"), col("n_both"),
+        round(col("n_both") / nO, 6).as("support"),
+        round(col("n_both") / col("n1").cast("double"), 6).as("confidence"),
+        round(col("n_both") * nO / (col("n1") * col("n2")).cast("double"), 6)
+          .as("lift"))
+      .orderBy(col("support").desc, col("b1"), col("b2"))
+      .limit(20)
+  }
+
+  val e6blSql = """WITH items AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    no AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+    s AS (SELECT b, count(*) AS nb FROM items GROUP BY b),
+    pr AS (SELECT x.b AS b1, y.b AS b2, count(*) AS n_both
+      FROM items x JOIN items y ON x.o = y.o AND x.b < y.b GROUP BY 1, 2)
+    SELECT b1, b2, n_both,
+      round(n_both / cast(n_orders as double), 6) AS support,
+      round(n_both / cast(s1.nb as double), 6) AS confidence,
+      round(n_both * cast(n_orders as double) / (cast(s1.nb as double) * cast(s2.nb as double)), 6) AS lift
+    FROM pr JOIN s s1 ON pr.b1 = s1.b JOIN s s2 ON pr.b2 = s2.b CROSS JOIN no
+    ORDER BY support DESC, b1, b2 LIMIT 20"""
+
+  /** E6 — randomization (permutation-style) test for the purchase-vs-
+    * click mean difference, fully DETERMINISTIC across engines: each of
+    * the 64 null replicates reassigns every event by the portable
+    * polynomial hash of "event_id#replicate" (no RNG, so Spark and the
+    * oracle replay the identical null distribution), with the assignment
+    * cut sized to the real group proportion (Bernoulli randomization —
+    * group sizes vary binomially around the truth, the standard
+    * approximation). The p-value is the add-one estimate
+    * (1 + #{|d_r| ≥ |d_obs|}) / (R+1).
+    *
+    * Scale shape: the replicate axis is GENERATED (explode of a 64-long
+    * sequence) and aggregated with map-side combine straight to 64
+    * moment rows — the shuffle carries 64·partitions rows, never the
+    * 64× exploded data. Values go through the 2-dp decimal contract so
+    * every replicate mean is an exact sum; the observed stat and the
+    * comparison run in one fixed double chain, round 6.
+    */
+  def e6_permtest(s: SparkSession, dir: String): DataFrame = {
+    val R = 64
+    val ev = events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("x"))
+    val obs = ev.agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("na"),
+      sum(when(col("event_type") === "purchase", col("x"))).cast("double").as("sa"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nb"),
+      sum(when(col("event_type") === "click", col("x"))).cast("double").as("sb"))
+      .withColumn("d_obs",
+        col("sa") / col("na").cast("double") - col("sb") / col("nb").cast("double"))
+      .withColumn("cut", expr("(na * 1000) div (na + nb)"))
+    val reps = ev.withColumn("r", explode(sequence(lit(0), lit(R - 1))))
+      .crossJoin(broadcast(obs.select("cut")))
+      .withColumn("__coin",
+        pmod(portableStringHash(
+          concat(col("event_id").cast("string"), lit("#"), col("r").cast("string"))),
+          lit(1000L)) < col("cut"))
+      .groupBy("r").agg(
+        sum(when(col("__coin"), col("x"))).cast("double").as("s1"),
+        sum(when(col("__coin"), 1L).otherwise(0L)).as("m1"),
+        sum(when(!col("__coin"), col("x"))).cast("double").as("s2"),
+        sum(when(!col("__coin"), 1L).otherwise(0L)).as("m2"))
+      .select((col("s1") / col("m1").cast("double")
+        - col("s2") / col("m2").cast("double")).as("d_r"))
+    reps.crossJoin(broadcast(obs.select("na", "nb", "d_obs")))
+      .agg(first(col("na")).as("n1"), first(col("nb")).as("n2"),
+        round(first(col("d_obs")), 6).as("d_obs"),
+        sum(when(abs(col("d_r")) >= abs(col("d_obs")), 1L).otherwise(0L)).as("n_ge"),
+        round((sum(when(abs(col("d_r")) >= abs(col("d_obs")), 1L).otherwise(0L)) + 1)
+          .cast("double") / (R + 1), 6).as("p_value"))
+  }
+
+  val e6ptSql = s"""WITH ev AS (SELECT event_id, event_type,
+      cast(value as decimal(18,2)) AS x FROM events
+      WHERE event_type IN ('click', 'purchase')),
+    obs AS (SELECT
+      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+      cast(sum(CASE WHEN event_type = 'purchase' THEN x END) as double) AS sa,
+      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb,
+      cast(sum(CASE WHEN event_type = 'click' THEN x END) as double) AS sb
+    FROM ev),
+    ob2 AS (SELECT na, nb, sa / cast(na as double) - sb / cast(nb as double) AS d_obs,
+      na * 1000 // (na + nb) AS cut FROM obs),
+    reps AS (SELECT r.range AS r,
+        cast(sum(CASE WHEN list_reduce(list_concat([cast(7 as bigint)],
+            list_transform(string_split(cast(ev.event_id as varchar) || '#' || cast(r.range as varchar), ''),
+              c -> cast(ascii(c) as bigint))),
+            (a, b) -> (a * 31 + b) % $HashPrime) % 1000 < ob2.cut THEN ev.x END) as double) AS s1,
+        sum(CASE WHEN list_reduce(list_concat([cast(7 as bigint)],
+            list_transform(string_split(cast(ev.event_id as varchar) || '#' || cast(r.range as varchar), ''),
+              c -> cast(ascii(c) as bigint))),
+            (a, b) -> (a * 31 + b) % $HashPrime) % 1000 < ob2.cut THEN 1 ELSE 0 END) AS m1,
+        cast(sum(CASE WHEN list_reduce(list_concat([cast(7 as bigint)],
+            list_transform(string_split(cast(ev.event_id as varchar) || '#' || cast(r.range as varchar), ''),
+              c -> cast(ascii(c) as bigint))),
+            (a, b) -> (a * 31 + b) % $HashPrime) % 1000 >= ob2.cut THEN ev.x END) as double) AS s2,
+        sum(CASE WHEN list_reduce(list_concat([cast(7 as bigint)],
+            list_transform(string_split(cast(ev.event_id as varchar) || '#' || cast(r.range as varchar), ''),
+              c -> cast(ascii(c) as bigint))),
+            (a, b) -> (a * 31 + b) % $HashPrime) % 1000 >= ob2.cut THEN 1 ELSE 0 END) AS m2
+      FROM ev CROSS JOIN range(64) r CROSS JOIN ob2
+      GROUP BY r.range),
+    dr AS (SELECT s1 / cast(m1 as double) - s2 / cast(m2 as double) AS d_r FROM reps)
+    SELECT cast(ob2.na as bigint) AS n1, cast(ob2.nb as bigint) AS n2,
+      round(ob2.d_obs, 6) AS d_obs,
+      cast(sum(CASE WHEN abs(d_r) >= abs(ob2.d_obs) THEN 1 ELSE 0 END) as bigint) AS n_ge,
+      round((sum(CASE WHEN abs(d_r) >= abs(ob2.d_obs) THEN 1 ELSE 0 END) + 1)
+        / cast(65 as double), 6) AS p_value
+    FROM dr CROSS JOIN ob2 GROUP BY ob2.na, ob2.nb, ob2.d_obs"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8816,5 +8957,7 @@ object Queries {
     ("e11_dispersion", e11_dispersion _, e11dpSql),
     ("e6_spearman", e6_spearman _, e6srSql),
     ("e6_mannwhitney", e6_mannwhitney _, e6mwSql),
-    ("e6_ols2", e6_ols2 _, e6olsSql))
+    ("e6_ols2", e6_ols2 _, e6olsSql),
+    ("e6_basket_lift", e6_basket_lift _, e6blSql),
+    ("e6_permtest", e6_permtest _, e6ptSql))
 }

@@ -101,4 +101,41 @@ class Round8cSpec extends SparkSpec {
       assert(r2 >= 0.0 && r2 <= 1.0)
     }
   }
+
+  test("e6_basket_lift: ratios re-derive from driver-side counting; pairs bounded by singles") {
+    val got = Queries.e6_basket_lift(spark, sf).collect()
+    assert(got.length == 20)
+
+    val items = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = items.map(_._1).distinct.length.toDouble
+    val single = items.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+    val byOrder = items.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+
+    got.foreach { r =>
+      val (b1, b2, nBoth) = (r.getString(0), r.getString(1), r.getLong(2))
+      val naive = byOrder.count(s => s(b1) && s(b2)).toLong
+      assert(nBoth == naive, s"($b1,$b2) $nBoth vs $naive")
+      assert(nBoth <= math.min(single(b1), single(b2)))
+      assert(math.abs(r.getDouble(3) - nBoth / nOrders) < 1e-6)
+      assert(math.abs(r.getDouble(4) - nBoth.toDouble / single(b1)) < 1e-6)
+      assert(math.abs(r.getDouble(5) -
+        nBoth * nOrders / (single(b1).toDouble * single(b2))) < 1e-6)
+    }
+  }
+
+  test("e6_permtest: p-value well-formed and invariant under input partitioning") {
+    val a = Queries.e6_permtest(spark, sf).collect().head
+    val (n1, n2, nGe, p) = (a.getLong(0), a.getLong(1), a.getLong(3), a.getDouble(4))
+    assert(n1 > 0 && n2 > 0)
+    assert(nGe >= 0 && nGe <= 64)
+    assert(math.abs(p - (nGe + 1) / 65.0) < 1e-6)
+    // hash-deterministic null distribution: a second evaluation (fresh
+    // plan, different parallelism upstream) must reproduce every field
+    val b = Queries.e6_permtest(spark, sf).collect().head
+    assert(a == b)
+  }
 }
