@@ -8681,6 +8681,118 @@ object Queries {
         / cast(65 as double), 6) AS p_value
     FROM dr CROSS JOIN ob2 GROUP BY ob2.na, ob2.nb, ob2.d_obs"""
 
+  /** E2 — multi-source BFS hop distance over the embedding near-dup
+    * graph (same edges as e2_triangles/e2_kcore): how many near-dup
+    * steps separate each doc from a seed set — the "contamination
+    * radius" question (seeds = known-bad docs; everything within k hops
+    * is transitively suspect). Frontier-based expansion
+    * ([[Components.bfsHops]]): each node joins the computation exactly
+    * once, per-round work tracks the frontier, lineage cut per round.
+    * Fixed 4-hop horizon so the oracle unrolls the identical min-plus
+    * rounds as chained CTEs (the e2_pagerank/e2_kcore discipline).
+    */
+  def e2_hops(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Components.bfsHops(
+      Similarity.nearDupPairs(e, threshold = 0.1, bits = 8),
+      "id1", "id2",
+      seeds = e.filter(pmod(col("id"), lit(50L)) === 0).select("id"),
+      idCol = "id", rounds = 4)
+      .select(col("id"), col("hops").cast("int").as("hops"))
+      .orderBy("id")
+  }
+
+  val e2hpSql: String = {
+    val rounds = 4
+    val chain = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT id, min(hops) AS hops FROM (
+        SELECT id, hops FROM d${r - 1}
+        UNION ALL
+        SELECT e.dst AS id, d.hops + 1 AS hops
+        FROM e0 e JOIN d${r - 1} d ON e.src = d.id) GROUP BY id)"""
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    g AS (SELECT a, b FROM p WHERE sim >= 0.1),
+    e0 AS (SELECT a AS src, b AS dst FROM g UNION ALL SELECT b, a FROM g),
+    d0 AS (SELECT vec_id AS id, 0 AS hops FROM embeddings WHERE vec_id % 50 = 0),
+    $chain
+    SELECT id, cast(hops as int) AS hops FROM d$rounds ORDER BY id"""
+  }
+
+  /** E11 — OHLC resampling (open/high/low/close + volume) per event
+    * type per day — the time-series candlestick compaction. First/last
+    * are made deterministic by the (ts, event_id) total order (two
+    * row_number windows sharing ONE (event_type, day) exchange — the
+    * partition key is high-cardinality so no group funnels through a
+    * single task); volume goes through the exact-decimal sum contract.
+    */
+  def e11_ohlc(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+    val w = Window.partitionBy("event_type", "day")
+    ev.withColumn("__ra",
+        row_number().over(w.orderBy(col("ts"), col("event_id"))))
+      .withColumn("__rd",
+        row_number().over(w.orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        round(max(when(col("__ra") === 1, col("value"))), 6).as("open"),
+        round(max(col("value")), 6).as("high"),
+        round(min(col("value")), 6).as("low"),
+        round(max(when(col("__rd") === 1, col("value"))), 6).as("close"),
+        dsum(col("value")).as("volume"))
+      .orderBy("event_type", "day")
+  }
+
+  val e11ohSql = """WITH r AS (SELECT event_type, cast(ts as date) AS day,
+      value,
+      row_number() OVER (PARTITION BY event_type, cast(ts as date)
+        ORDER BY ts, event_id) AS ra,
+      row_number() OVER (PARTITION BY event_type, cast(ts as date)
+        ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events WHERE value IS NOT NULL)
+    SELECT event_type, day, count(*) AS n_events,
+      round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+      round(max(value), 6) AS high,
+      round(min(value), 6) AS low,
+      round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+      cast(sum(cast(value as decimal(18,2))) as double) AS volume
+    FROM r GROUP BY event_type, day ORDER BY event_type, day"""
+
+  /** E4 — language-ID EVALUATION: the confusion matrix of the n-gram
+    * classifier (e4_langid's pred) against the labeled `lang` column,
+    * with per-cell recall share (row-normalized) and precision share
+    * (column-normalized) from two window sums over the tiny cell frame.
+    * The quality loop a real curation pipeline needs on top of the
+    * classifier itself: diagonal cells read as per-class recall /
+    * precision. Cells aggregate BEFORE the windows, so the windowed
+    * frame is |langs|² regardless of corpus size.
+    */
+  def e4_langid_eval(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    cells.select(col("lang"), col("pred"), col("n"),
+        round(col("n") / sum(col("n")).over(Window.partitionBy("lang"))
+          .cast("double"), 6).as("recall_share"),
+        round(col("n") / sum(col("n")).over(Window.partitionBy("pred"))
+          .cast("double"), 6).as("precision_share"))
+      .orderBy("lang", "pred")
+  }
+
+  val e4leSql: String = s"""WITH base AS ($e4lSql),
+    cells AS (SELECT lang, pred, count(*) AS n FROM base GROUP BY lang, pred)
+    SELECT lang, pred, n,
+      round(n / cast(sum(n) OVER (PARTITION BY lang) as double), 6) AS recall_share,
+      round(n / cast(sum(n) OVER (PARTITION BY pred) as double), 6) AS precision_share
+    FROM cells ORDER BY lang, pred"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -8959,5 +9071,8 @@ object Queries {
     ("e6_mannwhitney", e6_mannwhitney _, e6mwSql),
     ("e6_ols2", e6_ols2 _, e6olsSql),
     ("e6_basket_lift", e6_basket_lift _, e6blSql),
-    ("e6_permtest", e6_permtest _, e6ptSql))
+    ("e6_permtest", e6_permtest _, e6ptSql),
+    ("e2_hops", e2_hops _, e2hpSql),
+    ("e11_ohlc", e11_ohlc _, e11ohSql),
+    ("e4_langid_eval", e4_langid_eval _, e4leSql))
 }

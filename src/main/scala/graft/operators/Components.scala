@@ -380,6 +380,46 @@ object Components {
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Multi-source BFS hop distance: shortest hop count from any seed to
+    * every node within `rounds` hops (nodes beyond the horizon are
+    * absent). Returns (id, hops).
+    *
+    * This is the FRONTIER formulation, not naive min-plus relaxation:
+    * hop distance never improves once set, so each round expands only
+    * the nodes discovered LAST round (one keyed join + distinct + one
+    * anti join against the known set) and every node is processed
+    * exactly once across the whole run — at 100 TB the per-round work
+    * tracks the frontier's size, while re-relaxing the full distance
+    * table every round (the naive shape) would rescan everything
+    * discovered so far. Lineage is cut per round (localCheckpoint) so
+    * the plan stays flat at any horizon; seeds deduplicate defensively.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var known = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = known
+    for (r <- 1 to rounds) {
+      val fresh = e
+        .join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(known, Seq("id"), "left_anti")
+        .withColumn("hops", lit(r))
+      val nextKnown = known.union(fresh).localCheckpoint(true)
+      graft.Blocks.free(known)
+      known = nextKnown
+      // re-derive the frontier from the checkpointed union so `fresh`'s
+      // lineage (which still references the previous round) is dropped
+      frontier = known.filter(col("hops") === r)
+    }
+    graft.Blocks.free(e)
+    known
+  }
+
   /** Incremental connected components — fold a batch of NEW edges into
     * a standing (id, comp) mapping, recomputing ONLY what the batch
     * touches: comps containing any batch endpoint reconstruct as star

@@ -138,4 +138,64 @@ class Round8cSpec extends SparkSpec {
     val b = Queries.e6_permtest(spark, sf).collect().head
     assert(a == b)
   }
+
+  test("bfsHops: frontier expansion equals plain-Scala BFS on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = (0 until n * 2).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val seeds = (0 until n by 13).map(_.toLong)
+      val rounds = 3
+      val got = graft.operators.Components.bfsHops(
+        edges.toDF("s", "d"), "s", "d", seeds.toDF("id"), "id", rounds)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+      // oracle: breadth-first over an adjacency map
+      val adj = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+      edges.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+      val dist = scala.collection.mutable.Map[Long, Int]()
+      seeds.foreach(dist(_) = 0)
+      var frontier = seeds.toSet
+      for (r <- 1 to rounds) {
+        frontier = frontier.flatMap(adj).filterNot(dist.contains)
+        frontier.foreach(dist(_) = r)
+      }
+      assert(got == dist.toMap, s"trial $trial")
+    }
+  }
+
+  test("e11_ohlc: open/close/volume re-derive from driver-side ordering") {
+    val got = Queries.e11_ohlc(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.Queries.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val byKey = ev.groupBy(t => (t._1, t._2))
+    got.foreach { r =>
+      val rows = byKey((r.getString(0), r.getDate(1).toString)).sortBy(t => (t._3, t._4))
+      assert(r.getLong(2) == rows.length)
+      assert(math.abs(r.getDouble(3) - rows.head._5) < 1e-6, "open = first by (ts, event_id)")
+      assert(math.abs(r.getDouble(4) - rows.map(_._5).max) < 1e-6)
+      assert(math.abs(r.getDouble(5) - rows.map(_._5).min) < 1e-6)
+      assert(math.abs(r.getDouble(6) - rows.last._5) < 1e-6, "close = last by (ts, event_id)")
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9 && r.getDouble(5) <= r.getDouble(3) + 1e-9)
+    }
+  }
+
+  test("e4_langid_eval: recall shares row-normalize to 1 per labeled lang") {
+    val rows = Queries.e4_langid_eval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val tot = cells.map(_.getDouble(3)).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$lang recall shares sum $tot")
+    }
+    // n is conserved: cell counts sum to the corpus size
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == corpus)
+  }
 }
