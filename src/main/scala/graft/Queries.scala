@@ -8793,6 +8793,113 @@ object Queries {
       round(n / cast(sum(n) OVER (PARTITION BY pred) as double), 6) AS precision_share
     FROM cells ORDER BY lang, pred"""
 
+  /** E6 — Kendall tau-b rank correlation per group (quantity vs
+    * discount), computed from the 2-D CELL HISTOGRAM, not row pairs:
+    * rows compress to (x, y, count) cells first, concordant/discordant
+    * counts come from the cell×cell join (x strictly ordered), and tie
+    * corrections from the marginals. The naive formulation is O(n²) row
+    * pairs — unusable at any scale; the cell join is O((Vx·Vy)²) in the
+    * DISTINCT value domains (50×11 here) and independent of row count,
+    * which is what makes an exact tau possible at 100 TB on quantized
+    * columns. Every count is an exact integer (decimal(38,0) products);
+    * tau is one fixed double expression, round 6.
+    */
+  def e6_kendall(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+      col("l_quantity").as("x"), col("l_discount").as("y"))
+    val cells = li.groupBy("g", "x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val cd = cells.as("a").join(cells.as("b"),
+        col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+      .groupBy(col("a.g").as("g"))
+      .agg(
+        sum(when(col("a.y") < col("b.y"), col("a.c") * col("b.c"))
+          .otherwise(0L).cast(DecimalType(38, 0))).cast("double").as("conc"),
+        sum(when(col("a.y") > col("b.y"), col("a.c") * col("b.c"))
+          .otherwise(0L).cast(DecimalType(38, 0))).cast("double").as("disc"))
+    val nTot = cells.groupBy("g").agg(sum(col("c")).as("n"))
+    val tx = cells.groupBy("g", "x").agg(sum(col("c")).as("t"))
+      .groupBy("g").agg(sum((col("t") * (col("t") - 1) / 2)
+        .cast(DecimalType(38, 0))).cast("double").as("n1"))
+    val ty = cells.groupBy("g", "y").agg(sum(col("c")).as("t"))
+      .groupBy("g").agg(sum((col("t") * (col("t") - 1) / 2)
+        .cast(DecimalType(38, 0))).cast("double").as("n2"))
+    val n = col("n").cast("double")
+    val n0 = n * (n - 1) / 2.0
+    cd.join(nTot, "g").join(tx, "g").join(ty, "g")
+      .select(col("g").as("l_returnflag"), col("n").as("n_rows"),
+        col("conc").cast("long").as("concordant"),
+        col("disc").cast("long").as("discordant"),
+        round((col("conc") - col("disc")) /
+          sqrt((n0 - col("n1")) * (n0 - col("n2"))), 6).as("tau_b"))
+      .orderBy("l_returnflag")
+  }
+
+  val e6kdSql = """WITH cells AS (SELECT l_returnflag AS g, l_quantity AS x,
+      l_discount AS y, count(*) AS c FROM lineitem GROUP BY 1, 2, 3),
+    cd AS (SELECT a.g,
+      cast(sum(cast(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END as decimal(38,0))) as double) AS conc,
+      cast(sum(cast(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END as decimal(38,0))) as double) AS disc
+      FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x GROUP BY a.g),
+    nt AS (SELECT g, sum(c) AS n FROM cells GROUP BY g),
+    tx AS (SELECT g, cast(sum(cast(t * (t - 1) // 2 as decimal(38,0))) as double) AS n1
+      FROM (SELECT g, x, sum(c) AS t FROM cells GROUP BY g, x) GROUP BY g),
+    ty AS (SELECT g, cast(sum(cast(t * (t - 1) // 2 as decimal(38,0))) as double) AS n2
+      FROM (SELECT g, y, sum(c) AS t FROM cells GROUP BY g, y) GROUP BY g)
+    SELECT cd.g AS l_returnflag, cast(nt.n as bigint) AS n_rows,
+      cast(conc as bigint) AS concordant, cast(disc as bigint) AS discordant,
+      round((conc - disc) / sqrt(
+        (cast(nt.n as double) * (cast(nt.n as double) - 1) / 2.0 - n1)
+        * (cast(nt.n as double) * (cast(nt.n as double) - 1) / 2.0 - n2)), 6) AS tau_b
+    FROM cd JOIN nt ON cd.g = nt.g JOIN tx ON cd.g = tx.g JOIN ty ON cd.g = ty.g
+    ORDER BY l_returnflag"""
+
+  /** E11 — Theil–Sen robust trend of daily event volume per type: the
+    * median of pairwise slopes between day-count points (and the median
+    * intercept given that slope) — outlier days cannot drag the trend
+    * the way e6_corr's least-squares line can. The pair join runs over
+    * the DAILY AGGREGATE frame (≤ horizon² pairs per type — ~30 days →
+    * 435 pairs — regardless of event count), so the quadratic lives in
+    * the compressed domain, never the raw rows: the same
+    * distinct-compress discipline as e6_kendall. Medians are exact
+    * interpolated percentiles; slopes are exact integer ratios
+    * evaluated in one double op, round 6.
+    */
+  def e11_theilsen(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.c") - col("a.c")).cast("double") /
+          (col("b.day") - col("a.day")).cast("double")).as("slope"))
+      .groupBy("event_type")
+      .agg(round(expr("percentile(slope, 0.5)"), 6).as("slope"))
+    daily.join(broadcast(slopes), "event_type")
+      .select(col("event_type"), col("slope"),
+        (col("c").cast("double") - col("slope") * col("day").cast("double"))
+          .as("__ic"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), first(col("slope")).as("slope"),
+        round(expr("percentile(__ic, 0.5)"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val e11thSql = """WITH daily AS (SELECT event_type,
+      epoch_ms(ts) // 86400000 AS day, count(*) AS c
+    FROM events GROUP BY 1, 2),
+    sl AS (SELECT a.event_type,
+        round(quantile_cont(cast(b.c - a.c as double) / cast(b.day - a.day as double), 0.5), 6) AS slope
+      FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY a.event_type)
+    SELECT d.event_type, count(*) AS n_days, any_value(sl.slope) AS slope,
+      round(quantile_cont(cast(d.c as double) - sl.slope * cast(d.day as double), 0.5), 6) AS intercept
+    FROM daily d JOIN sl ON d.event_type = sl.event_type
+    GROUP BY d.event_type ORDER BY d.event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -9074,5 +9181,7 @@ object Queries {
     ("e6_permtest", e6_permtest _, e6ptSql),
     ("e2_hops", e2_hops _, e2hpSql),
     ("e11_ohlc", e11_ohlc _, e11ohSql),
-    ("e4_langid_eval", e4_langid_eval _, e4leSql))
+    ("e4_langid_eval", e4_langid_eval _, e4leSql),
+    ("e6_kendall", e6_kendall _, e6kdSql),
+    ("e11_theilsen", e11_theilsen _, e11thSql))
 }

@@ -198,4 +198,51 @@ class Round8cSpec extends SparkSpec {
     val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.map(_.getLong(2)).sum == corpus)
   }
+
+  test("e6_kendall: cell-histogram C/D equal naive O(n^2) pair counting") {
+    val got = Queries.e6_kendall(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_discount").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    got.foreach { case (g, (n, conc, disc, tau)) =>
+      val sub = rows.filter(_._1 == g)
+      assert(n == sub.length)
+      var (c, d) = (0L, 0L)
+      for (i <- sub.indices; j <- (i + 1) until sub.length) {
+        val dx = java.lang.Double.compare(sub(i)._2, sub(j)._2)
+        val dy = java.lang.Double.compare(sub(i)._3, sub(j)._3)
+        if (dx != 0 && dy != 0) { if (dx == dy) c += 1 else d += 1 }
+      }
+      assert(conc == c, s"$g concordant $conc vs $c")
+      assert(disc == d, s"$g discordant $disc vs $d")
+      assert(math.abs(tau) <= 1.0)
+    }
+  }
+
+  test("e11_theilsen: slope/intercept re-derive from driver-side pairwise medians") {
+    val got = Queries.e11_theilsen(spark, sf).collect()
+    assert(got.nonEmpty)
+    val daily = graft.Queries.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) / 2.0
+      val (lo, hi) = (s(h.floor.toInt), s(h.ceil.toInt))
+      lo + (hi - lo) * (h - h.floor)
+    }
+    got.foreach { r =>
+      val (et, nDays, slope, ic) = (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val pts = daily.filter(_._1 == et).map(t => (t._2, t._3)).sortBy(_._1)
+      assert(nDays == pts.length)
+      val slopes = for (i <- pts.indices.toArray; j <- (i + 1) until pts.length)
+        yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1)
+      assert(math.abs(slope - median(slopes)) < 1e-5, s"$et slope")
+      val ics = pts.map { case (d2, c2) => c2.toDouble - slope * d2 }
+      assert(math.abs(ic - median(ics)) < 1e-5, s"$et intercept")
+    }
+  }
 }
