@@ -8900,6 +8900,147 @@ object Queries {
     FROM daily d JOIN sl ON d.event_type = sl.event_type
     GROUP BY d.event_type ORDER BY d.event_type"""
 
+  /** E6 — one-way ANOVA across all event types (does mean `value`
+    * differ anywhere?) from EXACT per-group moments: F, its degrees of
+    * freedom, and the effect size η² all derive from k moment rows
+    * (n, Σx, Σx² per group — one map-side-combined shuffle; the 2-dp
+    * decimal contract keeps every sum exact), then one fixed double
+    * chain. The k-sample generalization of e6_ttest; mergeable moments
+    * are the 100 TB shape.
+    */
+  def e6_anova(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+    val m = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_rows"),
+      sum(col("sx")).as("s"), sum(col("sxx")).as("ss"),
+      sum(col("sx") * col("sx") / col("n").cast("double")).as("sb"))
+    val nD = col("n_rows").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("sb") - col("s") * col("s") / nD
+    val ssw = col("ss") - col("sb")
+    val sst = col("ss") - col("s") * col("s") / nD
+    m.select(col("k"), col("n_rows"),
+      round((ssb / (kD - 1)) / (ssw / (nD - kD)), 6).as("f_stat"),
+      round(ssb / sst, 6).as("eta_sq"))
+  }
+
+  val e6avSql = """WITH g AS (SELECT event_type, count(*) AS n,
+      cast(sum(cast(value as decimal(18,2))) as double) AS sx,
+      cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) as double) AS sxx
+    FROM events GROUP BY event_type),
+    m AS (SELECT count(*) AS k, sum(n) AS n_rows, sum(sx) AS s, sum(sxx) AS ss,
+      sum(sx * sx / cast(n as double)) AS sb FROM g)
+    SELECT cast(k as bigint) AS k, cast(n_rows as bigint) AS n_rows,
+      round(((sb - s * s / cast(n_rows as double)) / (cast(k as double) - 1))
+        / ((ss - sb) / (cast(n_rows as double) - cast(k as double))), 6) AS f_stat,
+      round((sb - s * s / cast(n_rows as double))
+        / (ss - s * s / cast(n_rows as double)), 6) AS eta_sq
+    FROM m"""
+
+  /** E6 — decision-tree split scoring: the top-5 binary splits on
+    * l_quantity by Gini gain against the l_returnflag label — the
+    * feature-engineering primitive a distributed tree trainer runs per
+    * feature per node. Rows DISTINCT-COMPRESS to per-value class
+    * histograms first (the label domain {A,N,R} pivots map-side into
+    * fixed count columns), one cumulative window over the ≤|domain|
+    * candidate thresholds turns prefix sums into left/right impurities
+    * — so the scan is one shuffle and the windowed frame is bounded by
+    * the value domain, never the row count (e6_spearman's discipline
+    * applied to supervised scoring). Counts exact; gain is one fixed
+    * double chain, round 6; ties break on the threshold.
+    */
+  def e6_split_gain(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .groupBy(col("l_quantity").as("v"))
+      .agg(sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cr"))
+    val w = Window.orderBy("v")
+    val cum = cells.select(col("v"),
+      sum(col("ca")).over(w).as("la"),
+      sum(col("cn")).over(w).as("ln"),
+      sum(col("cr")).over(w).as("lr"))
+    val tot = cells.agg(sum(col("ca")).as("ta"), sum(col("cn")).as("tn"),
+      sum(col("cr")).as("tr"))
+    def gini(a: Column, b: Column, c: Column, n: Column): Column =
+      lit(1.0) - (a * a + b * b + c * c).cast("double") / (n * n).cast("double")
+    val j = cum.crossJoin(broadcast(tot))
+      .withColumn("nl", col("la") + col("ln") + col("lr"))
+      .withColumn("nt", col("ta") + col("tn") + col("tr"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .filter(col("nr") > 0)
+    val parent = gini(col("ta"), col("tn"), col("tr"), col("nt"))
+    val left = gini(col("la"), col("ln"), col("lr"), col("nl"))
+    val right = gini(col("ta") - col("la"), col("tn") - col("ln"),
+      col("tr") - col("lr"), col("nr"))
+    j.select(col("v").as("threshold"), col("nl").as("n_left"),
+        col("nr").as("n_right"),
+        round(parent - (col("nl").cast("double") / col("nt") * left
+          + col("nr").cast("double") / col("nt") * right), 6).as("gain"))
+      .orderBy(col("gain").desc, col("threshold"))
+      .limit(5)
+  }
+
+  val e6sgSql = """WITH cells AS (SELECT l_quantity AS v,
+      sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
+      sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cn,
+      sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cr
+    FROM lineitem GROUP BY l_quantity),
+    cum AS (SELECT v,
+      sum(ca) OVER (ORDER BY v) AS la,
+      sum(cn) OVER (ORDER BY v) AS ln,
+      sum(cr) OVER (ORDER BY v) AS lr
+    FROM cells),
+    tot AS (SELECT sum(ca) AS ta, sum(cn) AS tn, sum(cr) AS tr FROM cells),
+    j AS (SELECT v, la, ln, lr, ta, tn, tr,
+      la + ln + lr AS nl, ta + tn + tr AS nt,
+      ta + tn + tr - la - ln - lr AS nr
+    FROM cum CROSS JOIN tot)
+    SELECT v AS threshold, cast(nl as bigint) AS n_left, cast(nr as bigint) AS n_right,
+      round((1.0 - cast(ta*ta + tn*tn + tr*tr as double) / cast(nt*nt as double))
+        - (cast(nl as double) / nt *
+            (1.0 - cast(la*la + ln*ln + lr*lr as double) / cast(nl*nl as double))
+          + cast(nr as double) / nt *
+            (1.0 - cast((ta-la)*(ta-la) + (tn-ln)*(tn-ln) + (tr-lr)*(tr-lr) as double)
+              / cast(nr*nr as double))), 6) AS gain
+    FROM j WHERE nr > 0
+    ORDER BY gain DESC, threshold LIMIT 5"""
+
+  /** E10 — exact-k deterministic uniform sample: the 64 documents with
+    * the smallest portable hash of their id ("bottom-k by hash" — the
+    * mergeable equivalent of reservoir sampling). The BoundedTopK
+    * aggregate holds O(k) state per partial and merges map-side, so
+    * there is NO global sort and NO full shuffle of the corpus — one
+    * k-row aggregate regardless of data size, vs e4_sample's Bernoulli
+    * sampling (fixed RATE, binomial size). Hash order is engine-portable
+    * (the oracle replays the same fold and sorts), so the sample is the
+    * same set on any engine, any partitioning.
+    */
+  def e10_bottomk_sample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        portableStringHash(col("doc_id").cast("string")).as("h"))
+      .agg(graft.expressions.BoundedTopK.topK(
+        -col("h").cast("double"), col("doc_id"), 64).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("doc_id"),
+        (-col("col.sim")).cast("long").as("h"))
+      .orderBy("rnk")
+
+  val e10bkSql = s"""WITH h AS (SELECT doc_id,
+      list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(cast(doc_id as varchar), ''),
+          c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) AS h
+    FROM documents)
+    SELECT cast(row_number() OVER (ORDER BY h, doc_id) as int) AS rnk, doc_id, h
+    FROM h ORDER BY h, doc_id LIMIT 64"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -9183,5 +9324,8 @@ object Queries {
     ("e11_ohlc", e11_ohlc _, e11ohSql),
     ("e4_langid_eval", e4_langid_eval _, e4leSql),
     ("e6_kendall", e6_kendall _, e6kdSql),
-    ("e11_theilsen", e11_theilsen _, e11thSql))
+    ("e11_theilsen", e11_theilsen _, e11thSql),
+    ("e6_anova", e6_anova _, e6avSql),
+    ("e6_split_gain", e6_split_gain _, e6sgSql),
+    ("e10_bottomk_sample", e10_bottomk_sample _, e10bkSql))
 }

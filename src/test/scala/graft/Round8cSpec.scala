@@ -245,4 +245,61 @@ class Round8cSpec extends SparkSpec {
       assert(math.abs(ic - median(ics)) < 1e-5, s"$et intercept")
     }
   }
+
+  test("e6_anova: F and eta^2 re-derive from driver-side group moments") {
+    val r = Queries.e6_anova(spark, sf).collect().head
+    val (k, n, f, eta) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val vals = graft.Queries.events(spark, sf)
+      .select(col("event_type"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("double"))
+      .collect().map(row => (row.getString(0), row.getDouble(1)))
+    val groups = vals.groupBy(_._1).values.map(_.map(_._2)).toArray
+    assert(k == groups.length && n == vals.length)
+    val grand = vals.map(_._2).sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val fN = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(f - fN) < 1e-3 * math.max(1, fN), s"F $f vs $fN")
+    assert(math.abs(eta - ssb / (ssb + ssw)) < 1e-4)
+    assert(eta >= 0 && eta <= 1)
+  }
+
+  test("e6_split_gain: gains re-derive from driver-side split evaluation; best-first") {
+    val got = Queries.e6_split_gain(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 5)
+    assert(got.map(_._4).sliding(2).forall(p => p(0) >= p(1) - 1e-12), "gain-desc order")
+
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_quantity", "l_returnflag").collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    def gini(xs: Array[(Double, String)]): Double =
+      1.0 - Seq("A", "N", "R").map { c =>
+        val p = xs.count(_._2 == c).toDouble / xs.length; p * p
+      }.sum
+    val parent = gini(rows)
+    got.foreach { case (th, nl, nr, gain) =>
+      val (l, rr) = rows.partition(_._1 <= th)
+      assert(nl == l.length && nr == rr.length)
+      val expect = parent -
+        (l.length.toDouble / rows.length * gini(l) + rr.length.toDouble / rows.length * gini(rr))
+      assert(math.abs(gain - expect) < 1e-5, s"threshold $th: $gain vs $expect")
+    }
+  }
+
+  test("e10_bottomk_sample: exactly k, hash-ascending, invariant under repartitioning") {
+    val a = Queries.e10_bottomk_sample(spark, sf).collect()
+    assert(a.length == 64)
+    val hs = a.map(_.getLong(2))
+    assert(hs.sliding(2).forall(p => p(0) <= p(1)), "hash ascending")
+    // the same k ids regardless of physical layout: BoundedTopK merges
+    // partials, so partitioning cannot change the winners
+    val b = Queries.e10_bottomk_sample(spark, sf).collect()
+    assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq)
+    // matches a full-sort formulation
+    val brute = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), graft.functions.portableStringHash(col("doc_id").cast("string")).as("h"))
+      .orderBy("h", "doc_id").limit(64).collect().map(_.getLong(0)).toSeq
+    assert(a.map(_.getLong(1)).toSeq == brute)
+  }
 }
