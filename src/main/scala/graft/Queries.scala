@@ -8558,6 +8558,9 @@ object Queries {
       .join(t(s, dir, "part").select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      // consumed three times (order count, per-brand singles, pair join)
+      // — materialize once or the lineitem⋈part lookup re-runs per use
+      .localCheckpoint(true)
     val nOrders = items.select("o").distinct().agg(count(lit(1)).as("n_orders"))
     val single = items.groupBy("b").agg(count(lit(1)).as("nb"))
     val pairs = items.as("x").join(items.as("y"),

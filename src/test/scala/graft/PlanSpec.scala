@@ -356,4 +356,61 @@ class PlanSpec extends SparkSpec {
     assert(collectDeep(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
       s"expected the dimension broadcast in snapshot AND delta branches:\n$plan")
   }
+
+  test("e10_bottomk_sample: corpus never globally sorted; scan prunes to doc_id") {
+    val df = Queries.e10_bottomk_sample(spark, sf)
+    val plan = executed(df)
+    // the only SortExec allowed is the final 64-row rank sort ABOVE the
+    // aggregate — nothing below the BoundedTopK agg may sort the corpus
+    val sortsBelowAgg = collectDeep(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.flatMap(a => collectDeep(a) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    })
+    // SortAggregate itself implies a sort; BoundedTopK must hash-aggregate
+    assert(sortsBelowAgg.isEmpty, s"corpus sorted below the top-k aggregate:\n$plan")
+    val scans = collectDeep(plan) {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.output.map(_.name).forall(Set("doc_id"))),
+      s"scan must prune to doc_id only:\n$plan")
+  }
+
+  test("e6_kendall: every join runs over compressed cells, never raw scans") {
+    val plan = executed(Queries.e6_kendall(spark, sf))
+    val joins = collectDeep(plan) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(collectDeep(j) {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.isEmpty,
+        s"a join consumes a raw file scan — the quadratic escaped the cell domain:\n$plan")
+    }
+  }
+
+  test("e6_basket_lift: the pair self-join consumes the distinct-compressed items") {
+    val plan = executed(Queries.e6_basket_lift(spark, sf))
+    // items are localCheckpoint'd after DISTINCT, so every join input is
+    // either the compressed RDD or an aggregate of it — no join may reach
+    // back to the lineitem/part file scans
+    val joins = collectDeep(plan) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(collectDeep(j) {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.isEmpty,
+        s"pair join reads a raw file scan — items not compressed first:\n$plan")
+    }
+  }
 }
