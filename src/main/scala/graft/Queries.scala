@@ -9044,6 +9044,161 @@ object Queries {
     SELECT cast(row_number() OVER (ORDER BY h, doc_id) as int) AS rnk, doc_id, h
     FROM h ORDER BY h, doc_id LIMIT 64"""
 
+  /** E6 — Poisson bootstrap CI for the mean purchase value: the
+    * at-scale resampling scheme (Poisson(1) weights approximate
+    * multinomial resampling without coordinating a global n) made fully
+    * DETERMINISTIC — replicate r weights each row by the Poisson(1)
+    * inverse-CDF of the portable hash of "event_id#r", so both engines
+    * replay the identical 64 resamples (e6_permtest's discipline
+    * applied to the bootstrap). Each replicate is two exact sums (Σw·x
+    * decimal, Σw integer) map-side combined to 64 rows; the CI is the
+    * interpolated 2.5/97.5 percentile of replicate means. No RNG, no
+    * driver-side resampling, shuffle carries 64·partitions moment rows.
+    */
+  def e6_bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val R = 64
+    val ev = events(s, dir).where(col("event_type") === "purchase")
+      .select(col("event_id"), col("value").cast(DecimalType(18, 2)).as("x"))
+    val obs = ev.agg(count(lit(1)).as("n"),
+      (sum(col("x")).cast("double") / count(lit(1))).as("mean_obs"))
+    // Poisson(1) inverse CDF on the integer hash (‰): P(0)=.368 P(≤1)=.736
+    // P(≤2)=.920 P(≤3)=.981 P(≤4)=.996
+    def w(h: Column): Column =
+      when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
+        .when(h < 981, 3L).when(h < 996, 4L).otherwise(5L)
+    val means = ev.withColumn("r", explode(sequence(lit(0), lit(R - 1))))
+      .withColumn("__w", w(pmod(portableStringHash(
+        concat(col("event_id").cast("string"), lit("#"), col("r").cast("string"))),
+        lit(1000L))))
+      .groupBy("r")
+      .agg(sum(col("x") * col("__w")).cast("double").as("sw"),
+        sum(col("__w")).as("nw"))
+      .select((col("sw") / col("nw").cast("double")).as("m"))
+    means.crossJoin(broadcast(obs))
+      .agg(first(col("n")).as("n"),
+        round(first(col("mean_obs")), 6).as("mean_obs"),
+        round(expr("percentile(m, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(m, 0.975)"), 6).as("ci_hi"))
+  }
+
+  val e6bsSql = s"""WITH ev AS (SELECT event_id, cast(value as decimal(18,2)) AS x
+      FROM events WHERE event_type = 'purchase'),
+    obs AS (SELECT count(*) AS n, cast(sum(x) as double) / count(*) AS mean_obs FROM ev),
+    hashed AS (SELECT r.range AS r, ev.x,
+        list_reduce(list_concat([cast(7 as bigint)],
+          list_transform(string_split(cast(ev.event_id as varchar) || '#' || cast(r.range as varchar), ''),
+            c -> cast(ascii(c) as bigint))),
+          (a, b) -> (a * 31 + b) % $HashPrime) % 1000 AS h
+      FROM ev CROSS JOIN range(64) r),
+    weighted AS (SELECT r, x,
+        CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 WHEN h < 920 THEN 2
+          WHEN h < 981 THEN 3 WHEN h < 996 THEN 4 ELSE 5 END AS w
+      FROM hashed),
+    reps AS (SELECT r, cast(sum(x * w) as double) / cast(sum(w) as double) AS m
+      FROM weighted GROUP BY r)
+    SELECT cast(obs.n as bigint) AS n, round(obs.mean_obs, 6) AS mean_obs,
+      round(quantile_cont(m, 0.025), 6) AS ci_lo,
+      round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM reps CROSS JOIN obs GROUP BY obs.n, obs.mean_obs"""
+
+  /** E11 — overlapping-interval coalescing: each event opens a 30-minute
+    * activity window; per user, overlapping windows merge into maximal
+    * covered intervals (the union-of-intervals problem — e11_gaps is the
+    * discrete-day special case). The classic single-pass shape: order by
+    * start within user, a new island begins where start exceeds the
+    * running max of prior ends, island id = running sum of those breaks
+    * — ONE (user) exchange, two windows sharing it, no self-join. Output
+    * per user: merged-interval count, covered ms, longest interval.
+    */
+  def e11_interval_merge(s: SparkSession, dir: String): DataFrame = {
+    val iv = events(s, dir).select(col("user_id"),
+      unix_millis(col("ts")).as("st"),
+      (unix_millis(col("ts")) + 1800000L).as("en"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("st", "event_id")
+    val marked = iv
+      .withColumn("__pmax",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("st") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w))
+    marked.groupBy("user_id", "__isl")
+      .agg(min(col("st")).as("s0"), max(col("en")).as("e0"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("e0") - col("s0")).as("covered_ms"),
+        max(col("e0") - col("s0")).as("max_len_ms"))
+      .orderBy("user_id")
+  }
+
+  val e11imSql = """WITH iv AS (SELECT user_id, epoch_ms(ts) AS st,
+      epoch_ms(ts) + 1800000 AS en, event_id FROM events),
+    m AS (SELECT user_id, st, en, event_id,
+      max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM iv),
+    b AS (SELECT user_id, st, en,
+      sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY st, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM m),
+    isles AS (SELECT user_id, isl, min(st) AS s0, max(en) AS e0
+      FROM b GROUP BY user_id, isl)
+    SELECT user_id, count(*) AS n_merged,
+      cast(sum(e0 - s0) as bigint) AS covered_ms,
+      cast(max(e0 - s0) as bigint) AS max_len_ms
+    FROM isles GROUP BY user_id ORDER BY user_id"""
+
+  /** ETL — order-independent table checksum: the cross-engine migration
+    * validator (does the copied table hold EXACTLY the same rows?).
+    * Each row canonicalizes to a '|'-joined string through the portable
+    * type contract (numerics via 2-dp decimal so both engines render
+    * identical digits, timestamps as dates), hashes through the portable
+    * polynomial fold, and the SUM of row hashes — commutative, so NO
+    * ordering, NO shuffle beyond one map-side-combined aggregate —
+    * fingerprints the table. Two engines disagree on even one cell →
+    * different checksum with probability 1 − 1/HashPrime. This query IS
+    * its own cross-engine proof: the oracle recomputes the checksum in
+    * DuckDB and must hash-match.
+    */
+  def etl_checksum(s: SparkSession, dir: String): DataFrame = {
+    def fp(df: DataFrame, name: String, cols: Column*): DataFrame =
+      df.select(portableStringHash(concat_ws("|", cols: _*)).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h")).cast(DecimalType(38, 0)).cast("long").as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    fp(o, "orders", col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+        col("o_orderdate").cast("date").cast("string"), col("o_orderpriority"))
+      .unionAll(fp(c, "customer", col("c_custkey").cast("string"),
+        col("c_name"), col("c_nationkey").cast("string"), col("c_mktsegment"),
+        col("c_acctbal").cast(DecimalType(18, 2)).cast("string")))
+      .orderBy("table_name")
+  }
+
+  val etlCkSql = s"""WITH o AS (SELECT
+      cast(o_orderkey as varchar) || '|' || cast(o_custkey as varchar) || '|'
+        || o_orderstatus || '|' || cast(cast(o_totalprice as decimal(18,2)) as varchar)
+        || '|' || cast(cast(o_orderdate as date) as varchar) || '|' || o_orderpriority AS s
+    FROM orders),
+    c AS (SELECT cast(c_custkey as varchar) || '|' || c_name || '|'
+        || cast(c_nationkey as varchar) || '|' || c_mktsegment || '|'
+        || cast(cast(c_acctbal as decimal(18,2)) as varchar) AS s
+    FROM customer),
+    ho AS (SELECT list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(s, ''), ch -> cast(ascii(ch) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) AS h FROM o),
+    hc AS (SELECT list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(s, ''), ch -> cast(ascii(ch) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) AS h FROM c)
+    SELECT 'orders' AS table_name, count(*) AS n_rows,
+      cast(sum(h) as bigint) AS checksum FROM ho
+    UNION ALL
+    SELECT 'customer', count(*), cast(sum(h) as bigint) FROM hc
+    ORDER BY table_name"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -9330,5 +9485,8 @@ object Queries {
     ("e11_theilsen", e11_theilsen _, e11thSql),
     ("e6_anova", e6_anova _, e6avSql),
     ("e6_split_gain", e6_split_gain _, e6sgSql),
-    ("e10_bottomk_sample", e10_bottomk_sample _, e10bkSql))
+    ("e10_bottomk_sample", e10_bottomk_sample _, e10bkSql),
+    ("e6_bootstrap", e6_bootstrap _, e6bsSql),
+    ("e11_interval_merge", e11_interval_merge _, e11imSql),
+    ("etl_checksum", etl_checksum _, etlCkSql))
 }

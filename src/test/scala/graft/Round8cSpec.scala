@@ -302,4 +302,60 @@ class Round8cSpec extends SparkSpec {
       .orderBy("h", "doc_id").limit(64).collect().map(_.getLong(0)).toSeq
     assert(a.map(_.getLong(1)).toSeq == brute)
   }
+
+  test("e6_bootstrap: deterministic CI brackets the observed mean") {
+    val a = Queries.e6_bootstrap(spark, sf).collect().head
+    val (n, mean, lo, hi) = (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getDouble(3))
+    assert(n > 0 && lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"95% bootstrap CI [$lo, $hi] should bracket the point estimate $mean")
+    assert(Queries.e6_bootstrap(spark, sf).collect().head == a, "hash-deterministic")
+  }
+
+  test("e11_interval_merge: matches driver-side sweep-line merge per user") {
+    val got = Queries.e11_interval_merge(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val iv = graft.Queries.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("st")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(1) + 1800000L))
+    iv.groupBy(_._1).foreach { case (u, xs) =>
+      val sorted = xs.map(t => (t._2, t._3)).sortBy(identity)
+      val merged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      sorted.foreach { case (s0, e0) =>
+        if (merged.nonEmpty && s0 <= merged.last._2)
+          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, e0))
+        else merged += ((s0, e0))
+      }
+      val (n, cov, mx) = got(u)
+      assert(n == merged.length, s"user $u count")
+      assert(cov == merged.map(m => m._2 - m._1).sum, s"user $u coverage")
+      assert(mx == merged.map(m => m._2 - m._1).max, s"user $u max")
+    }
+  }
+
+  test("etl_checksum: invariant under row order/partitioning; sensitive to one cell") {
+    val a = Queries.etl_checksum(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a.keySet == Set("orders", "customer"))
+
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(graft.functions.portableStringHash(concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string"),
+        col("o_orderdate").cast("date").cast("string"), col("o_orderpriority"))).as("h"))
+      .agg(sum(col("h")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).cast("long"))
+      .collect().head.getLong(0)
+
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(fingerprint(orders) == a("orders")._2)
+    // physical layout must not matter: the sum commutes
+    assert(fingerprint(orders.repartition(13)) == a("orders")._2)
+    assert(fingerprint(orders.orderBy(col("o_totalprice").desc)) == a("orders")._2)
+    // one changed cell must move the checksum
+    val perturbed = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") === orders.select(min("o_orderkey")).collect().head.getLong(0),
+        col("o_totalprice") + 0.01).otherwise(col("o_totalprice")))
+    assert(fingerprint(perturbed) != a("orders")._2)
+  }
 }
