@@ -9199,6 +9199,143 @@ object Queries {
     SELECT 'customer', count(*), cast(sum(h) as bigint) FROM hc
     ORDER BY table_name"""
 
+  /** E3 — IVF tuning sweep: recall@3 against the exact top-3 as nprobe
+    * grows 1 → 2 → 4 — the table an index operator reads to pick the
+    * recall/probed-fraction trade-off (THE IVF dial). The exact
+    * baseline computes ONCE (localCheckpoint'd — it is 3 consumers'
+    * denominator); each probe level reuses the same centroid geometry,
+    * so the sweep costs three bucket-pruned searches, not three brute
+    * scans. Totals are exact integers; recall is one double ratio,
+    * round 6.
+    */
+  def e3_probe_sweep(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 8)
+    val exact = Similarity.bruteForceTopK(q, e, k = 3)
+      .select("query_id", "cand_id").localCheckpoint(true)
+    val levels = Seq(1, 2, 4).map { p =>
+      val approx = Similarity.ivfTopK(q, e, q, k = 3, nprobe = p)
+        .select("query_id", "cand_id")
+      exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p).as("nprobe"), col("n_hits"),
+          round(col("n_hits") / lit(24.0), 6).as("recall"))
+    }
+    levels.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  val e3psSql: String = {
+    val per = Seq(1, 2, 4).map { p =>
+      s"""SELECT $p AS nprobe, count(*) AS n_hits, round(count(*) / 24.0, 6) AS recall
+      FROM ex JOIN (SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+          FROM v q JOIN (SELECT vec_id, cid AS cell FROM scored WHERE vec_id < 8
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) <= $p) qc
+            ON q.vec_id = qc.vec_id
+          JOIN cells cc ON qc.cell = cc.cell
+          JOIN v c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id)
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 3) ap
+      USING (query_id, cand_id)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, cid,
+        round(list_sum(list_transform(range(1, 65), i -> cast(v.e[i] as double) * cast(cents.ce[i] as double))), 6) AS d
+      FROM v CROSS JOIN cents),
+    cells AS (SELECT vec_id, cid AS cell FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1),
+    ex AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+        FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 3)
+    SELECT * FROM ($per) ORDER BY nprobe"""
+  }
+
+  /** E2 — structural node similarity over the near-dup graph: Jaccard
+    * of NEIGHBOR SETS for every node pair sharing at least one
+    * neighbor (the wedge join — candidates come from co-citation, so
+    * all-pairs is never formed). The graph-topological counterpart of
+    * the content-similarity tier: two docs whose near-dup NEIGHBORHOODS
+    * coincide are interchangeable cluster members even if their own
+    * edge is below threshold. Common-neighbor counts and degrees are
+    * exact integers off the symmetrized edge list; J = c/(d1+d2−c),
+    * kept at ≥ 0.5. Wedge fan-out is bounded by the hub degree — on
+    * skewed graphs orient through the degree order first (the
+    * e2_triangles discipline; this graph's degrees are
+    * contract-bounded).
+    */
+  def e2_node_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
+      .select(col("id1"), col("id2"))
+    val adj = pairs.unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("id1").as("id")).agg(count(lit(1)).as("deg"))
+    val common = adj.as("a").join(adj.as("b"),
+        col("a.id2") === col("b.id2") && col("a.id1") < col("b.id1"))
+      .groupBy(col("a.id1").as("u"), col("b.id1").as("v"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(deg.select(col("id").as("u"), col("deg").as("d1")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("d2")), "v")
+      .select(col("u"), col("v"), col("c").as("n_common"),
+        round(col("c") / (col("d1") + col("d2") - col("c")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("u", "v")
+  }
+
+  val e2njSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    g AS (SELECT a, b FROM p WHERE sim >= 0.1),
+    e0 AS (SELECT a AS src, b AS dst FROM g UNION ALL SELECT b, a FROM g),
+    deg AS (SELECT src AS id, count(*) AS deg FROM e0 GROUP BY src),
+    com AS (SELECT x.src AS u, y.src AS v, count(*) AS c
+      FROM e0 x JOIN e0 y ON x.dst = y.dst AND x.src < y.src
+      GROUP BY x.src, y.src)
+    SELECT u, v, c AS n_common,
+      round(c / cast(du.deg + dv.deg - c as double), 6) AS jaccard
+    FROM com JOIN deg du ON com.u = du.id JOIN deg dv ON com.v = dv.id
+    WHERE c / cast(du.deg + dv.deg - c as double) >= 0.5
+    ORDER BY u, v"""
+
+  /** E11 — week-over-week growth: weekly event volume per type with
+    * absolute and relative deltas from a lag window over the WEEKLY
+    * AGGREGATE frame (≤ horizon rows per type — the window runs after
+    * compaction, never over raw events).
+    */
+  def e11_growth(s: SparkSession, dir: String): DataFrame = {
+    val weekly = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("(unix_millis(ts) div 86400000 + 3) div 7").as("week"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly.withColumn("__prev", lag(col("n_events"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("event_type"), col("week"), col("n_events"),
+        (col("n_events") - col("__prev")).as("delta"),
+        round((col("n_events") - col("__prev")).cast("double") /
+          col("__prev").cast("double"), 6).as("growth"))
+      .orderBy("event_type", "week")
+  }
+
+  val e11grSql = """WITH weekly AS (SELECT event_type,
+      (epoch_ms(ts) // 86400000 + 3) // 7 AS week, count(*) AS n_events
+    FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, week, n_events,
+      lag(n_events, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev
+    FROM weekly)
+    SELECT event_type, week, n_events, n_events - prev AS delta,
+      round(cast(n_events - prev as double) / cast(prev as double), 6) AS growth
+    FROM lagged WHERE prev IS NOT NULL ORDER BY event_type, week"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -9488,5 +9625,8 @@ object Queries {
     ("e10_bottomk_sample", e10_bottomk_sample _, e10bkSql),
     ("e6_bootstrap", e6_bootstrap _, e6bsSql),
     ("e11_interval_merge", e11_interval_merge _, e11imSql),
-    ("etl_checksum", etl_checksum _, etlCkSql))
+    ("etl_checksum", etl_checksum _, etlCkSql),
+    ("e3_probe_sweep", e3_probe_sweep _, e3psSql),
+    ("e2_node_jaccard", e2_node_jaccard _, e2njSql),
+    ("e11_growth", e11_growth _, e11grSql))
 }

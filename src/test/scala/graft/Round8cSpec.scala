@@ -358,4 +358,55 @@ class Round8cSpec extends SparkSpec {
         col("o_totalprice") + 0.01).otherwise(col("o_totalprice")))
     assert(fingerprint(perturbed) != a("orders")._2)
   }
+
+  test("e3_probe_sweep: recall is monotone in nprobe and capped at 1") {
+    val rows = Queries.e3_probe_sweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1) + 1e-12),
+      "probing more cells can only add candidates")
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= 1.0))
+    assert(rows.forall(r => math.abs(r._3 - r._2 / 24.0) < 1e-6))
+  }
+
+  test("e2_node_jaccard: matches driver-side neighbor-set computation") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = graft.operators.Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+
+    val got = Queries.e2_node_jaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // every reported pair re-derives; every qualifying pair is reported
+    got.foreach { case ((u, v), (c, j)) =>
+      val inter = (adj(u) & adj(v)).size
+      assert(c == inter, s"($u,$v) common $c vs $inter")
+      val expect = inter.toDouble / (adj(u).size + adj(v).size - inter)
+      assert(math.abs(j - expect) < 1e-6)
+    }
+    val all = for {
+      u <- adj.keys; v <- adj.keys if u < v
+      inter = (adj(u) & adj(v)).size if inter > 0
+      j = inter.toDouble / (adj(u).size + adj(v).size - inter) if j >= 0.5 - 1e-9
+    } yield (u, v)
+    assert(all.toSet == got.keySet, "qualifying pair sets agree")
+  }
+
+  test("e11_growth: deltas re-derive from weekly counts") {
+    val got = Queries.e11_growth(spark, sf).collect()
+    assert(got.nonEmpty)
+    val weekly = graft.Queries.events(spark, sf)
+      .groupBy(col("event_type"), expr("(unix_millis(ts) div 86400000 + 3) div 7").as("week"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { r =>
+      val (et, wk, n, d) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == weekly((et, wk)))
+      val prev = weekly((et, wk - 1))
+      assert(d == n - prev, s"$et week $wk delta")
+      assert(math.abs(r.getDouble(4) - (n - prev).toDouble / prev) < 1e-6)
+    }
+  }
 }
