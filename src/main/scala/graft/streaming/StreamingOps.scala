@@ -209,6 +209,9 @@ object StreamingOps {
   /** One side-tagged as-of input row: `isLeft` marks probe rows (emit
     * one output each), right rows update the per-key candidate state. */
   case class AsOfIn(key: Long, tsMs: Long, value: Double, isLeft: Boolean)
+  case class IntervalState(startMs: Long, maxEndMs: Long, n: Long)
+  case class IntervalOut(key: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
   case class AsOfState(rightTs: Long, rightValue: Double, hasRight: Boolean)
   case class AsOfOut(key: Long, left_ms: Long, left_value: Double,
                      right_ms: java.lang.Long, right_value: java.lang.Double)
@@ -243,6 +246,41 @@ object StreamingOps {
             else if (st.hasRight && st.rightTs <= e.tsMs)
               out += AsOfOut(key, e.tsMs, e.value, st.rightTs, st.rightValue)
             else out += AsOfOut(key, e.tsMs, e.value, null, null)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming overlapping-interval coalescing — the state twin of the
+    * batch e11_interval_merge sweep-line: every event opens a
+    * `intervalMs`-long window; per key the state holds ONLY the current
+    * open merged interval (start, running max end, count), a closed
+    * interval is emitted the moment an event's start clears the running
+    * max, and overlapping arrivals just extend the max. State is O(1)
+    * per active key regardless of stream length — the unbounded
+    * "all intervals seen" formulation never materializes. Within a
+    * micro-batch events sort by ts (cross-batch order is the caller's
+    * watermark discipline, as with `sessions`); emitted rows are
+    * identical to the batch operator's islands over the same events.
+    */
+  def intervalMerge(events: Dataset[Event], intervalMs: Long): Dataset[IntervalOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[IntervalState, IntervalOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[Event], state: GroupState[IntervalState]) =>
+          val sorted = it.toSeq.sortBy(_.tsMs)
+          var st = state.getOption.getOrElse(IntervalState(0L, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[IntervalOut]
+          sorted.foreach { e =>
+            if (st.n == 0L) st = IntervalState(e.tsMs, e.tsMs + intervalMs, 1L)
+            else if (e.tsMs > st.maxEndMs) {
+              out += IntervalOut(key, st.startMs, st.maxEndMs, st.n)
+              st = IntervalState(e.tsMs, e.tsMs + intervalMs, 1L)
+            } else st = st.copy(
+              maxEndMs = math.max(st.maxEndMs, e.tsMs + intervalMs), n = st.n + 1)
           }
           state.update(st)
           out.iterator

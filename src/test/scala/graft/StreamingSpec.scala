@@ -430,6 +430,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval merge: closed islands match the batch sweep-line across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val iv = 30 * 60000L // the batch query's 30-minute window
+    val input = MemoryStream[StreamingOps.Event]
+    val out = StreamingOps.intervalMerge(input.toDS(), intervalMs = iv)
+    val q = out.writeStream.format("memory").queryName("ivm")
+      .outputMode("append").start()
+    try {
+      // batch 1: three overlapping events -> one open island
+      input.addData(StreamingOps.Event(5L, base, 1.0),
+        StreamingOps.Event(5L, base + 10 * 60000, 1.0),
+        StreamingOps.Event(5L, base + 25 * 60000, 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ivm").count() == 0, "island still open")
+      // batch 2: beyond the running max end -> island closes
+      input.addData(StreamingOps.Event(5L, base + 90 * 60000, 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM ivm").as[StreamingOps.IntervalOut].collect()
+      assert(rows.length == 1)
+      assert(rows(0).start_ms == base)
+      assert(rows(0).end_ms == base + 25 * 60000 + iv, "end = running max of event ends")
+      assert(rows(0).n_events == 3)
+      // a second key's state is independent
+      input.addData(StreamingOps.Event(6L, base, 1.0),
+        StreamingOps.Event(6L, base + 120 * 60000, 1.0))
+      q.processAllAvailable()
+      val byKey = spark.sql("SELECT * FROM ivm").as[StreamingOps.IntervalOut]
+        .collect().groupBy(_.key)
+      assert(byKey(6L).length == 1 && byKey(6L).head.n_events == 1)
+      assert(byKey(5L).length == 1, "key 5 unchanged")
+    } finally q.stop()
+  }
+
   test("streaming image dedup: re-encoded duplicate suppressed, distinct images and garbage survive") {
     implicit val sqlCtx = spark.sqlContext
     def bmp(fmt: String, f: (Int, Int) => Int): Array[Byte] = {
