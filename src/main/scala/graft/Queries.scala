@@ -9336,6 +9336,162 @@ object Queries {
       round(cast(n_events - prev as double) / cast(prev as double), 6) AS growth
     FROM lagged WHERE prev IS NOT NULL ORDER BY event_type, week"""
 
+  /** ETL — late-arriving dimension repair: facts loaded while a
+    * dimension cohort was missing carry the reference's −1 sentinel
+    * (FullETLGenerator.java:168-170); when the cohort lands, the repair
+    * touches ONLY the orphan facts (the sentinel filter pushes into the
+    * scan) and joins them against the BROADCAST late rows — the
+    * standing fact table is never rewritten wholesale. Report per order
+    * status: facts, orphans before, repaired, orphans after — with the
+    * "after" count re-derived from the repaired output itself (proven,
+    * not asserted — the etl_forget discipline).
+    */
+  def etl_late_dim_repair(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    val late = cust.filter(pmod(col("c_custkey"), lit(19L)) === 4)
+    val early = cust.filter(pmod(col("c_custkey"), lit(19L)) =!= 4)
+    val facts = orders.join(broadcast(early),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        coalesce(col("c_custkey"), lit(-1L)).as("d_key"))
+    val repaired = facts.filter(col("d_key") === -1L)
+      .join(broadcast(late), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderstatus"),
+        coalesce(col("c_custkey"), lit(-1L)).as("d_key"))
+    facts.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_facts"),
+        sum(when(col("d_key") === -1L, 1L).otherwise(0L)).as("n_orphans_before"))
+      .join(repaired.groupBy("o_orderstatus")
+        .agg(sum(when(col("d_key") =!= -1L, 1L).otherwise(0L)).as("n_repaired"),
+          sum(when(col("d_key") === -1L, 1L).otherwise(0L)).as("n_orphans_after")),
+        Seq("o_orderstatus"))
+      .orderBy("o_orderstatus")
+  }
+
+  val etlLdSql = """WITH late AS (SELECT c_custkey FROM customer WHERE c_custkey % 19 = 4),
+    early AS (SELECT c_custkey FROM customer WHERE c_custkey % 19 <> 4),
+    facts AS (SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+        coalesce(e.c_custkey, -1) AS d_key
+      FROM orders o LEFT JOIN early e ON o.o_custkey = e.c_custkey),
+    rep AS (SELECT f.o_orderstatus, coalesce(l.c_custkey, -1) AS d_key
+      FROM facts f LEFT JOIN late l ON f.o_custkey = l.c_custkey
+      WHERE f.d_key = -1),
+    a AS (SELECT o_orderstatus, count(*) AS n_facts,
+        sum(CASE WHEN d_key = -1 THEN 1 ELSE 0 END) AS n_orphans_before
+      FROM facts GROUP BY o_orderstatus),
+    b AS (SELECT o_orderstatus,
+        sum(CASE WHEN d_key <> -1 THEN 1 ELSE 0 END) AS n_repaired,
+        sum(CASE WHEN d_key = -1 THEN 1 ELSE 0 END) AS n_orphans_after
+      FROM rep GROUP BY o_orderstatus)
+    SELECT a.o_orderstatus, a.n_facts,
+      cast(a.n_orphans_before as bigint) AS n_orphans_before,
+      cast(b.n_repaired as bigint) AS n_repaired,
+      cast(b.n_orphans_after as bigint) AS n_orphans_after
+    FROM a JOIN b ON a.o_orderstatus = b.o_orderstatus
+    ORDER BY a.o_orderstatus"""
+
+  /** E4 — quality-score calibration: does the heuristic quality score
+    * actually rank English content first? Docs bucket into DECILES by
+    * exact interpolated cutpoints (computed once as a 1-row broadcast —
+    * never a corpus-wide rank window), and each decile reports its
+    * English fraction and mean score. The monotone-increasing en-rate
+    * across deciles is the evidence a curation gate needs before
+    * thresholding on the score. Mean goes through a 6-dp decimal sum
+    * (quality is round-6 by contract) so it is partition-order exact.
+    */
+  def e4_quality_calibration(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text",
+        carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    // cutpoints round to the same 6-dp contract as quality itself: the
+    // raw interpolated double may differ across engines by an ulp, and a
+    // doc sitting exactly on a cutpoint must bucket identically
+    val cuts = q.agg(expr(
+      "transform(percentile(quality, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), c -> round(c, 6))").as("cuts"))
+    q.crossJoin(broadcast(cuts))
+      .withColumn("decile", expr(
+        "aggregate(cuts, 0, (acc, c) -> acc + IF(quality > c, 1, 0))"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("frac_en"),
+        round(sum(col("quality").cast(DecimalType(28, 6))).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_quality"))
+      .orderBy("decile")
+  }
+
+  val e4qcSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH q AS (SELECT doc_id, lang,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+    cuts AS (SELECT list_transform(quantile_cont(quality,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), c -> round(c, 6)) AS cuts FROM q),
+    b AS (SELECT lang, quality,
+        cast(list_sum(list_transform(cuts, c ->
+          CASE WHEN quality > c THEN 1 ELSE 0 END)) as int) AS decile
+      FROM q CROSS JOIN cuts)
+    SELECT decile, count(*) AS n_docs,
+      round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS frac_en,
+      round(cast(sum(cast(quality as decimal(28,6))) as double) / cast(count(*) as double), 6) AS mean_quality
+    FROM b GROUP BY decile ORDER BY decile"""
+  }
+
+  /** E6 — mutual information between two categorical columns (lang ×
+    * source): how much knowing the source tells you about the language
+    * — the information-theoretic sibling of e6_chi2, and the feature-
+    * redundancy screen a curation pipeline runs before stratifying.
+    * Everything derives from the |langs|·|sources| CELL frame (counts
+    * exact, one shuffle); MI, the two entropies, and the normalized
+    * MI/√(H₁H₂) evaluate in one fixed double chain over natural logs,
+    * round 6.
+    */
+  def e6_mutual_info(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val n = cells.agg(sum(col("c")).as("n"))
+    val ml = cells.groupBy("lang").agg(sum(col("c")).as("cl"))
+    val ms = cells.groupBy("source").agg(sum(col("c")).as("cs"))
+    val joined = cells.join(ml, "lang").join(ms, "source")
+      .crossJoin(broadcast(n))
+    val nD = col("n").cast("double")
+    val mi = joined.agg(
+      first(col("n")).as("n_docs"),
+      sum((col("c") / nD) * log((col("c") * col("n")).cast("double") /
+        (col("cl") * col("cs")).cast("double"))).as("mi"))
+    val hl = ml.crossJoin(broadcast(n))
+      .agg(sum((col("cl") / nD) * -log(col("cl") / nD)).as("h_lang"))
+    val hs = ms.crossJoin(broadcast(n))
+      .agg(sum((col("cs") / nD) * -log(col("cs") / nD)).as("h_source"))
+    mi.crossJoin(hl).crossJoin(hs)
+      .select(col("n_docs"), round(col("mi"), 6).as("mi"),
+        round(col("h_lang"), 6).as("h_lang"),
+        round(col("h_source"), 6).as("h_source"),
+        round(col("mi") / sqrt(col("h_lang") * col("h_source")), 6).as("nmi"))
+  }
+
+  val e6miSql = """WITH cells AS (SELECT lang, source, count(*) AS c
+      FROM documents GROUP BY lang, source),
+    n AS (SELECT sum(c) AS n FROM cells),
+    ml AS (SELECT lang, sum(c) AS cl FROM cells GROUP BY lang),
+    ms AS (SELECT source, sum(c) AS cs FROM cells GROUP BY source),
+    mi AS (SELECT cast(n.n as bigint) AS n_docs,
+        sum((c / cast(n.n as double)) * ln(cast(c * n.n as double) / cast(cl * cs as double))) AS mi
+      FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN n
+      GROUP BY n.n),
+    hl AS (SELECT sum((cl / cast(n.n as double)) * -ln(cl / cast(n.n as double))) AS h_lang
+      FROM ml CROSS JOIN n),
+    hs AS (SELECT sum((cs / cast(n.n as double)) * -ln(cs / cast(n.n as double))) AS h_source
+      FROM ms CROSS JOIN n)
+    SELECT n_docs, round(mi, 6) AS mi, round(h_lang, 6) AS h_lang,
+      round(h_source, 6) AS h_source,
+      round(mi / sqrt(h_lang * h_source), 6) AS nmi
+    FROM mi CROSS JOIN hl CROSS JOIN hs"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -9628,5 +9784,8 @@ object Queries {
     ("etl_checksum", etl_checksum _, etlCkSql),
     ("e3_probe_sweep", e3_probe_sweep _, e3psSql),
     ("e2_node_jaccard", e2_node_jaccard _, e2njSql),
-    ("e11_growth", e11_growth _, e11grSql))
+    ("e11_growth", e11_growth _, e11grSql),
+    ("etl_late_dim_repair", etl_late_dim_repair _, etlLdSql),
+    ("e4_quality_calibration", e4_quality_calibration _, e4qcSql),
+    ("e6_mutual_info", e6_mutual_info _, e6miSql))
 }

@@ -409,4 +409,51 @@ class Round8cSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - (n - prev).toDouble / prev) < 1e-6)
     }
   }
+
+  test("etl_late_dim_repair: orphan accounting conserves; repair closes every orphan") {
+    val rows = Queries.etl_late_dim_repair(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { r =>
+      val (st, nf, before, rep, after) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(before == rep + after, s"$st: orphans must be repaired or remain")
+      assert(after == 0, s"$st: every order FK exists, so repair closes all orphans")
+      val sub = orders.filter(_._2 == st)
+      assert(nf == sub.length)
+      assert(before == sub.count(_._1 % 19 == 4), s"$st: orphan cohort")
+    }
+  }
+
+  test("e4_quality_calibration: deciles partition the corpus") {
+    val rows = Queries.e4_quality_calibration(spark, sf).collect()
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == corpus, "every doc lands in one decile")
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9))
+    assert(rows.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+  }
+
+  test("e6_mutual_info: information inequalities hold; matches driver-side computation") {
+    val r = Queries.e6_mutual_info(spark, sf).collect().head
+    val (n, mi, hl, hs, nmi) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(mi >= -1e-9, "MI is nonnegative")
+    assert(mi <= math.min(hl, hs) + 1e-9, "MI bounded by min entropy")
+    assert(nmi >= -1e-9 && nmi <= 1 + 1e-9)
+
+    val cells = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "source").collect().map(r2 => (r2.getString(0), r2.getString(1)))
+    assert(n == cells.length)
+    val joint = cells.groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+    val pl = cells.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val ps = cells.groupBy(_._2).map { case (k, v) => k -> v.length.toDouble }
+    val nn = cells.length.toDouble
+    val miN = joint.map { case ((l, s0), c) =>
+      (c / nn) * math.log(c * nn / (pl(l) * ps(s0)))
+    }.sum
+    assert(math.abs(mi - miN) < 1e-5, s"MI $mi vs $miN")
+  }
 }
