@@ -9492,6 +9492,124 @@ object Queries {
       round(mi / sqrt(h_lang * h_source), 6) AS nmi
     FROM mi CROSS JOIN hl CROSS JOIN hs"""
 
+  /** E11 — additive seasonal decomposition of daily event volume:
+    * trend = centered 7-day moving average (full windows only),
+    * seasonal = mean detrended value per day-of-week, remainder = the
+    * rest; per type the summary reports SEASONAL STRENGTH
+    * (1 − Σremainder²/Σdetrended², the energy-ratio form of the STL
+    * diagnostic, floored at 0). Every window runs over the DAILY
+    * AGGREGATE frame (≤ horizon rows per type); the detrended series is
+    * kept in the ×49 integer domain (7-day MA of integers ×7 is an
+    * exact integer) so no double drift enters before the final chain.
+    */
+  def e11_decompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    // ×7 keeps the centered MA integral: trend7 = Σ_{-3..3} c
+    val withTrend = daily
+      .withColumn("__t7", sum(col("c") * 7).over(w.rowsBetween(-3, 3)))
+      .withColumn("__nw", count(lit(1)).over(w.rowsBetween(-3, 3)))
+      .filter(col("__nw") === 7)
+      .withColumn("__det7", col("c") * 49 - col("__t7"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7L)))
+    val seas = withTrend.groupBy("event_type", "dow")
+      .agg((sum(col("__det7")).cast("double") / count(lit(1))).as("__s49"))
+    withTrend.join(seas, Seq("event_type", "dow"))
+      .withColumn("__rem49", col("__det7").cast("double") * 7 - col("__s49") * 7)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(greatest(lit(0.0), lit(1.0) - (sum(col("__rem49") * col("__rem49")) /
+          sum((col("__det7") * 7).cast("double") * (col("__det7") * 7)))), 6)
+          .as("seasonal_strength"))
+      .orderBy("event_type")
+  }
+
+  val e11dcSql = """WITH daily AS (SELECT event_type,
+      epoch_ms(ts) // 86400000 AS day, count(*) AS c
+    FROM events GROUP BY 1, 2),
+    tw AS (SELECT event_type, day, c,
+      sum(c * 7) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+      count(*) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+    FROM daily),
+    det AS (SELECT event_type, day, c, c * 49 - t7 AS det7,
+        (day + 4) % 7 AS dow
+      FROM tw WHERE nw = 7),
+    seas AS (SELECT event_type, dow,
+        cast(sum(det7) as double) / count(*) AS s49
+      FROM det GROUP BY event_type, dow),
+    r AS (SELECT d.event_type,
+        cast(d.det7 as double) * 7 - s.s49 * 7 AS rem49,
+        cast(d.det7 * 7 as double) AS det343
+      FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow)
+    SELECT event_type, count(*) AS n_days,
+      round(greatest(0.0, 1.0 - sum(rem49 * rem49) / sum(det343 * det343)), 6) AS seasonal_strength
+    FROM r GROUP BY event_type ORDER BY event_type"""
+
+  /** E6 — Simpson's-paradox screen: the pooled OLS slope of
+    * extendedprice ~ quantity against each return-flag group's own
+    * slope, flagging groups whose association REVERSES the pooled sign
+    * — the confounding check that must run before any "X drives Y"
+    * conclusion ships. One pass of exact per-group moments serves both
+    * grains (the pooled moments are the SUM of the group moments —
+    * mergeable, so the pooled line costs nothing extra).
+    */
+  def e6_simpson(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .localCheckpoint(true)
+    def slope(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column) = {
+      val nD = n.cast("double")
+      (nD * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
+        (nD * sxx.cast("double") - sx.cast("double") * sx.cast("double"))
+    }
+    val pooled = m.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"),
+        sum(col("sxx")).as("sxx"))
+      .select(round(slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")), 6)
+        .as("pooled_slope"))
+    m.crossJoin(broadcast(pooled))
+      .select(col("l_returnflag"), col("n").as("n_rows"),
+        round(slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")), 6)
+          .as("slope"),
+        col("pooled_slope"),
+        (signum(round(slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")), 6))
+          =!= signum(col("pooled_slope"))).as("flipped"))
+      .orderBy("l_returnflag")
+  }
+
+  val e6spSql = """WITH m AS (SELECT l_returnflag, count(*) AS n,
+      sum(cast(l_quantity as decimal(18,2))) AS sx,
+      sum(cast(l_extendedprice as decimal(18,2))) AS sy,
+      sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) AS sxy,
+      sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) AS sxx
+    FROM lineitem GROUP BY l_returnflag),
+    p AS (SELECT round((cast(sum(n) as double) * cast(sum(sxy) as double)
+          - cast(sum(sx) as double) * cast(sum(sy) as double))
+        / (cast(sum(n) as double) * cast(sum(sxx) as double)
+          - cast(sum(sx) as double) * cast(sum(sx) as double)), 6) AS pooled_slope
+      FROM m)
+    SELECT l_returnflag, n AS n_rows,
+      round((cast(n as double) * cast(sxy as double)
+          - cast(sx as double) * cast(sy as double))
+        / (cast(n as double) * cast(sxx as double)
+          - cast(sx as double) * cast(sx as double)), 6) AS slope,
+      pooled_slope,
+      sign(round((cast(n as double) * cast(sxy as double)
+          - cast(sx as double) * cast(sy as double))
+        / (cast(n as double) * cast(sxx as double)
+          - cast(sx as double) * cast(sx as double)), 6)) <> sign(pooled_slope) AS flipped
+    FROM m CROSS JOIN p ORDER BY l_returnflag"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -9787,5 +9905,7 @@ object Queries {
     ("e11_growth", e11_growth _, e11grSql),
     ("etl_late_dim_repair", etl_late_dim_repair _, etlLdSql),
     ("e4_quality_calibration", e4_quality_calibration _, e4qcSql),
-    ("e6_mutual_info", e6_mutual_info _, e6miSql))
+    ("e6_mutual_info", e6_mutual_info _, e6miSql),
+    ("e11_decompose", e11_decompose _, e11dcSql),
+    ("e6_simpson", e6_simpson _, e6spSql))
 }

@@ -456,4 +456,56 @@ class Round8cSpec extends SparkSpec {
     }.sum
     assert(math.abs(mi - miN) < 1e-5, s"MI $mi vs $miN")
   }
+
+  test("e11_decompose: strength in [0,1]; matches driver-side decomposition") {
+    val got = Queries.e11_decompose(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.nonEmpty)
+    val daily = graft.Queries.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (et, (nDays, strength)) =>
+      assert(strength >= 0 && strength <= 1, s"$et strength $strength")
+      val pts = daily.filter(_._1 == et).map(t => (t._2, t._3)).sortBy(_._1)
+      val byDay = pts.toMap
+      // centered MA(7) on interior days only
+      val interior = pts.filter { case (d, _) =>
+        (-3 to 3).forall(o => byDay.contains(d + o)) }
+      assert(nDays == interior.length, s"$et interior days")
+      val det = interior.map { case (d, c) =>
+        (d, c.toDouble - (-3 to 3).map(o => byDay(d + o)).sum / 7.0) }
+      val seas = det.groupBy { case (d, _) => (d + 4) % 7 }
+        .map { case (k, v) => k -> v.map(_._2).sum / v.length }
+      val rem = det.map { case (d, x) => x - seas((d + 4) % 7) }
+      val expect = math.max(0.0,
+        1.0 - rem.map(x => x * x).sum / det.map(_._2).map(x => x * x).sum)
+      assert(math.abs(strength - expect) < 1e-5, s"$et $strength vs $expect")
+    }
+  }
+
+  test("e6_simpson: group slopes re-derive; pooled slope is the moment sum") {
+    val rows = Queries.e6_simpson(spark, sf).collect()
+    assert(rows.length == 3)
+    val pooled = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) == pooled), "one pooled slope")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def slope(xs: Array[(Double, Double)]): Double = {
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxy = xs.map(t => t._1 * t._2).sum
+      val sxx = xs.map(t => t._1 * t._1).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val sub = li.filter(_._1 == g).map(t => (t._2, t._3))
+      assert(math.abs(r.getDouble(2) - slope(sub)) < 1e-3, s"$g slope")
+      assert(r.getBoolean(4) ==
+        (math.signum(r.getDouble(2)) != math.signum(pooled)))
+    }
+    assert(math.abs(pooled - slope(li.map(t => (t._2, t._3)))) < 1e-3)
+  }
 }
