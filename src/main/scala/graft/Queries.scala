@@ -9610,6 +9610,103 @@ object Queries {
           - cast(sx as double) * cast(sx as double)), 6)) <> sign(pooled_slope) AS flipped
     FROM m CROSS JOIN p ORDER BY l_returnflag"""
 
+  /** E4 — PMI collocation mining: the corpus's most-associated adjacent
+    * word pairs (pointwise mutual information with a ≥5 count floor —
+    * the collocation extractor feeding phrase vocabularies/tokenizer
+    * merges). Unigram and bigram counts are two map-side-combined
+    * aggregates over the tokenized corpus; PMI joins the bigram frame
+    * to the unigram frame on each side — high-entropy word keys, never
+    * all-pairs. ln goes through the quantize-then-exact-sum discipline
+    * only at the OUTPUT grain here (one term per row, round 6), so the
+    * ranking is engine-portable; count ties break lexicographically.
+    */
+  def e4_collocations(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val totals = uni.agg(sum(col("cw")).as("n_tok"))
+    val bg = tk.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val nB = tk.filter(size(col("tk")) >= 2)
+      .agg(sum(size(col("tk")) - 1).cast("long").as("n_big"))
+    bg.withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(nB))
+      .select(col("bg").as("bigram"), col("cab").as("n_pair"),
+        round(log((col("cab") * col("n_tok") * col("n_tok")).cast("double") /
+          (col("n_big") * col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val e4clSql = """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    uni AS (SELECT unnest(tk) AS w FROM tk),
+    uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+    tot AS (SELECT sum(cw) AS n_tok FROM uc),
+    ex AS (SELECT unnest(list_transform(range(1, len(tk)),
+        i -> concat_ws(' ', tk[i], tk[i+1]))) AS bg
+      FROM tk WHERE len(tk) >= 2),
+    bc AS (SELECT bg, count(*) AS cab FROM ex GROUP BY bg HAVING count(*) >= 5),
+    nb AS (SELECT cast(sum(len(tk) - 1) as bigint) AS n_big FROM tk WHERE len(tk) >= 2)
+    SELECT bg AS bigram, cab AS n_pair,
+      round(ln(cast(cab * n_tok * n_tok as double)
+        / cast(n_big * u1.cw * u2.cw as double)), 6) AS pmi
+    FROM bc
+    JOIN uc u1 ON string_split(bg, ' ')[1] = u1.w
+    JOIN uc u2 ON string_split(bg, ' ')[2] = u2.w
+    CROSS JOIN tot CROSS JOIN nb
+    ORDER BY pmi DESC, bigram LIMIT 20"""
+
+  /** E2 — global transitivity of the near-dup graph: 3·triangles /
+    * wedges — one scalar aggregate over the degree-oriented per-node
+    * triangle frame ([[Components.triangleStats]]; each triangle counts
+    * once per corner, so Σn_tri = 3T and the ratio needs no separate
+    * triangle pass). Wedges = Σ deg·(deg−1)/2, exact integers; the
+    * summary says how CLIQUE-LIKE the duplicate clusters are (1 = pure
+    * cliques — templates; low = chains — drifting near-dups), which
+    * picks between keep-one-per-cluster and pairwise review.
+    */
+  def e2_transitivity(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val stats = Components.triangleStats(
+      Similarity.nearDupPairs(e, threshold = 0.1, bits = 8), "id1", "id2")
+    stats.agg(
+        count(lit(1)).as("n_nodes"),
+        (sum(col("n_tri")) / 3).cast("long").as("n_triangles"),
+        sum((col("deg") * (col("deg") - 1) / 2).cast(DecimalType(38, 0)))
+          .cast("long").as("n_wedges"))
+      .select(col("n_nodes"), col("n_triangles"), col("n_wedges"),
+        round(col("n_triangles") * 3 / col("n_wedges").cast("double"), 6)
+          .as("transitivity"))
+  }
+
+  val e2tvSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    e AS (SELECT a, b FROM p WHERE sim >= 0.1),
+    tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    deg AS (SELECT id, count(*) AS deg FROM
+      (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+    t AS (SELECT count(*) AS n_tri FROM tri),
+    w AS (SELECT count(*) AS n_nodes,
+        cast(sum(cast(deg * (deg - 1) // 2 as decimal(38,0))) as bigint) AS n_wedges
+      FROM deg)
+    SELECT w.n_nodes, cast(t.n_tri as bigint) AS n_triangles, w.n_wedges,
+      round(t.n_tri * 3 / cast(w.n_wedges as double), 6) AS transitivity
+    FROM t CROSS JOIN w"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -9907,5 +10004,7 @@ object Queries {
     ("e4_quality_calibration", e4_quality_calibration _, e4qcSql),
     ("e6_mutual_info", e6_mutual_info _, e6miSql),
     ("e11_decompose", e11_decompose _, e11dcSql),
-    ("e6_simpson", e6_simpson _, e6spSql))
+    ("e6_simpson", e6_simpson _, e6spSql),
+    ("e4_collocations", e4_collocations _, e4clSql),
+    ("e2_transitivity", e2_transitivity _, e2tvSql))
 }

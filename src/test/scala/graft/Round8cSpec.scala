@@ -508,4 +508,48 @@ class Round8cSpec extends SparkSpec {
     }
     assert(math.abs(pooled - slope(li.map(t => (t._2, t._3)))) < 1e-3)
   }
+
+  test("e4_collocations: PMI re-derives from driver-side counts; floor respected") {
+    val got = Queries.e4_collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 20)
+    assert(got.forall(_._2 >= 5), "count floor")
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1) - 1e-12), "pmi-desc")
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val big = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var nBig = 0L
+    docs.foreach { tk =>
+      tk.foreach(w => uni(w) += 1)
+      if (tk.length >= 2) {
+        tk.sliding(2).foreach(p => big(p.mkString(" ")) += 1)
+        nBig += tk.length - 1
+      }
+    }
+    val nTok = uni.values.sum
+    got.foreach { case (bg, c, pmi) =>
+      assert(c == big(bg), s"$bg count")
+      val Array(w1, w2) = bg.split(" ", 2)
+      val expect = math.log(c.toDouble * nTok * nTok / (nBig.toDouble * uni(w1) * uni(w2)))
+      assert(math.abs(pmi - expect) < 1e-5, s"$bg pmi $pmi vs $expect")
+    }
+  }
+
+  test("e2_transitivity: scalar summary consistent with the per-node triangle frame") {
+    val r = Queries.e2_transitivity(spark, sf).collect().head
+    val (nodes, tri, wedges, t) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(t >= 0 && t <= 1 + 1e-9, "transitivity is a closed-wedge fraction")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val stats = graft.operators.Components.triangleStats(
+      graft.operators.Similarity.nearDupPairs(e, threshold = 0.1, bits = 8),
+      "id1", "id2").collect()
+    assert(nodes == stats.length)
+    assert(tri == stats.map(_.getLong(2)).sum / 3)
+    assert(wedges == stats.map(x => { val d = x.getLong(1); d * (d - 1) / 2 }).sum)
+    assert(math.abs(t - 3.0 * tri / wedges) < 1e-6)
+  }
 }
