@@ -9707,6 +9707,139 @@ object Queries {
       round(t.n_tri * 3 / cast(w.n_wedges as double), 6) AS transitivity
     FROM t CROSS JOIN w"""
 
+  /** E11 — rolling 7-day trend slope of daily volume per type: the OLS
+    * slope over each trailing week, computed from exact integer moment
+    * sums (Σc, Σday, Σc·day, Σday²) in ONE shared window pass over the
+    * daily frame, full windows only. The continuous-monitoring
+    * counterpart of e11_theilsen's global robust trend — what a
+    * freshness/volume alert thresholds on. The slope is shift-invariant
+    * so raw day indexes serve as x; every moment stays an exact long,
+    * and only the final quotient is a double, round 6.
+    */
+  def e11_rolling_slope(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sy", sum(col("c")).over(w))
+      .withColumn("__sx", sum(col("day")).over(w))
+      .withColumn("__sxy", sum(col("c") * col("day")).over(w))
+      .withColumn("__sxx", sum(col("day") * col("day")).over(w))
+      .filter(col("__n") === 7)
+      .select(col("event_type"), col("day"),
+        round((lit(7L) * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (lit(7L) * col("__sxx") - col("__sx") * col("__sx")).cast("double"), 6)
+          .as("slope7"))
+      .orderBy("event_type", "day")
+  }
+
+  val e11slopeSql = """WITH daily AS (SELECT event_type,
+      epoch_ms(ts) // 86400000 AS day, count(*) AS c
+    FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, day,
+      count(*) OVER w AS n,
+      sum(c) OVER w AS sy,
+      sum(day) OVER w AS sx,
+      sum(c * day) OVER w AS sxy,
+      sum(day * day) OVER w AS sxx
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day,
+      round(cast(7 * sxy - sx * sy as double) /
+        cast(7 * sxx - sx * sx as double), 6) AS slope7
+    FROM m WHERE n = 7 ORDER BY event_type, day"""
+
+  /** E11 — weekly churn: of the users active in week w, how many are
+    * absent in w+1 (the retention complement of e11_cohort). Activity
+    * DISTINCT-compresses to (user, week) before anything joins — one
+    * exchange — and churn is a single self anti-join shifted by one
+    * week (same keying, so at scale it co-partitions with the
+    * compress). The final week has no successor and is excluded.
+    */
+  def e11_churn(s: SparkSession, dir: String): DataFrame = {
+    val uw = events(s, dir)
+      .select(col("user_id"),
+        expr("(unix_millis(ts) div 86400000 + 3) div 7").as("week"))
+      .distinct().localCheckpoint(true)
+    val maxW = uw.agg(max(col("week")).as("max_week"))
+    val churned = uw.join(
+        uw.select(col("user_id"), (col("week") - 1).as("week")),
+        Seq("user_id", "week"), "left_anti")
+      .groupBy("week").agg(count(lit(1)).as("n_churned"))
+    uw.groupBy("week").agg(count(lit(1)).as("n_active"))
+      .join(churned, Seq("week"), "left")
+      .crossJoin(broadcast(maxW))
+      .filter(col("week") < col("max_week"))
+      .select(col("week"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        round(coalesce(col("n_churned"), lit(0L)) /
+          col("n_active").cast("double"), 6).as("churn_rate"))
+      .orderBy("week")
+  }
+
+  val e11churnSql = """WITH uw AS (SELECT DISTINCT user_id,
+      (epoch_ms(ts) // 86400000 + 3) // 7 AS week FROM events),
+    mw AS (SELECT max(week) AS max_week FROM uw),
+    ch AS (SELECT a.week, count(*) AS n_churned
+      FROM uw a LEFT JOIN uw b
+        ON a.user_id = b.user_id AND b.week = a.week + 1
+      WHERE b.user_id IS NULL GROUP BY a.week),
+    act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY week)
+    SELECT act.week, act.n_active,
+      coalesce(ch.n_churned, 0) AS n_churned,
+      round(coalesce(ch.n_churned, 0) / cast(act.n_active as double), 6) AS churn_rate
+    FROM act LEFT JOIN ch ON act.week = ch.week CROSS JOIN mw
+    WHERE act.week < mw.max_week ORDER BY act.week"""
+
+  /** E10 — ROLLING 7-day distinct users from DAILY HLL sketches — the
+    * sketch-algebra shape that makes rolling cardinality affordable at
+    * 100 TB: raw events aggregate ONCE into one sketch row per day;
+    * every rolling window then unions 7 stored sketches instead of
+    * re-scanning a week of events (the e10_hll_rest at-rest discipline
+    * extended to window composition). Each day's sketch fans out to the
+    * ≤7 windows it serves (explode of a generated 7-sequence — sketch
+    * rows, not event rows), and union-merge is register-max, so the
+    * window estimate is EXACTLY the estimate of a direct 7-day sketch.
+    * Flag pattern (e10_hll): DuckDB can't read datasketches binaries,
+    * so the oracle recomputes the EXACT rolling distinct and states the
+    * within-5% flag.
+    */
+  def e10_hll_rolling(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val dailySk = ev.groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val est = dailySk
+      .select(explode(expr("sequence(day, day + 6)")).as("w_end"), col("sk"))
+      .groupBy("w_end")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("__est"))
+    val exactRolling = ev
+      .select(explode(expr("sequence(day, day + 6)")).as("w_end"), col("user_id"))
+      .groupBy("w_end").agg(countDistinct(col("user_id")).as("exact_users_7d"))
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    est.join(exactRolling, "w_end").crossJoin(broadcast(bounds))
+      .filter(col("w_end") >= col("d0") + 6 && col("w_end") <= col("d1"))
+      .select(col("w_end").as("day"), col("exact_users_7d"),
+        (abs(col("__est") - col("exact_users_7d")).cast("double") /
+          col("exact_users_7d") <= 0.05).cast("int").as("within_5pct"))
+      .orderBy("day")
+  }
+
+  val e10rollSql = """WITH ev AS (SELECT DISTINCT user_id,
+      epoch_ms(ts) // 86400000 AS day FROM events),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+    win AS (SELECT day AS w_end FROM (SELECT DISTINCT day FROM ev)
+      CROSS JOIN b WHERE day >= d0 + 6),
+    ex AS (SELECT w.w_end, count(DISTINCT e.user_id) AS exact_users_7d
+      FROM win w JOIN ev e ON e.day BETWEEN w.w_end - 6 AND w.w_end
+      GROUP BY w.w_end)
+    SELECT w_end AS day, exact_users_7d, cast(1 as int) AS within_5pct
+    FROM ex ORDER BY day"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10006,5 +10139,8 @@ object Queries {
     ("e11_decompose", e11_decompose _, e11dcSql),
     ("e6_simpson", e6_simpson _, e6spSql),
     ("e4_collocations", e4_collocations _, e4clSql),
-    ("e2_transitivity", e2_transitivity _, e2tvSql))
+    ("e2_transitivity", e2_transitivity _, e2tvSql),
+    ("e11_rolling_slope", e11_rolling_slope _, e11slopeSql),
+    ("e11_churn", e11_churn _, e11churnSql),
+    ("e10_hll_rolling", e10_hll_rolling _, e10rollSql))
 }

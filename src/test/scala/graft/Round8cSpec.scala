@@ -552,4 +552,65 @@ class Round8cSpec extends SparkSpec {
     assert(wedges == stats.map(x => { val d = x.getLong(1); d * (d - 1) / 2 }).sum)
     assert(math.abs(t - 3.0 * tri / wedges) < 1e-6)
   }
+
+  test("e11_rolling_slope: window moments equal driver-side OLS per trailing week") {
+    val got = Queries.e11_rolling_slope(spark, sf).collect()
+    assert(got.nonEmpty)
+    val daily = graft.Queries.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(t => (t._2, t._3)).sortBy(_._1) }
+    got.foreach { r =>
+      val (et, day, slope) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val pts = byType(et)
+      val i = pts.indexWhere(_._1 == day)
+      val wpts = pts.slice(i - 6, i + 1)
+      assert(wpts.length == 7, "full trailing window")
+      val n = 7.0
+      val sx = wpts.map(_._1.toDouble).sum; val sy = wpts.map(_._2.toDouble).sum
+      val sxy = wpts.map(t => t._1.toDouble * t._2).sum
+      val sxx = wpts.map(t => t._1.toDouble * t._1).sum
+      val expect = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - expect) < 1e-4, s"$et day $day: $slope vs $expect")
+    }
+  }
+
+  test("e11_churn: churned + retained == active; last week excluded") {
+    val rows = Queries.e11_churn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val uw = graft.Queries.events(spark, sf)
+      .select(col("user_id"), expr("(unix_millis(ts) div 86400000 + 3) div 7").as("week"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = uw.groupBy(_._2).map { case (w, v) => w -> v.map(_._1).toSet }
+    val maxWeek = byWeek.keys.max
+    assert(rows.forall(_.getLong(0) < maxWeek))
+    rows.foreach { r =>
+      val (wk, active, churned, rate) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(active == byWeek(wk).size)
+      val expect = (byWeek(wk) -- byWeek.getOrElse(wk + 1, Set.empty)).size
+      assert(churned == expect, s"week $wk churned")
+      assert(math.abs(rate - expect.toDouble / active) < 1e-6)
+    }
+  }
+
+  test("e10_hll_rolling: window union equals a direct 7-day sketch; exact within 5%") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.e10_hll_rolling(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) == 1), "estimates within 5% of exact everywhere")
+    // union-of-daily == direct sketch over the same 7 days (register-max
+    // losslessness), probed on one interior day
+    val ev = graft.Queries.events(spark, sf)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val probe = rows(rows.length / 2).getLong(0)
+    val direct = ev.filter(col("day").between(probe - 6, probe))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")).collect().head.getLong(0)
+    val viaUnion = ev.filter(col("day").between(probe - 6, probe))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")).collect().head.getLong(0)
+    assert(direct == viaUnion, "sketch algebra is lossless")
+  }
 }
