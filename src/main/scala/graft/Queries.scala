@@ -9840,6 +9840,90 @@ object Queries {
     SELECT w_end AS day, exact_users_7d, cast(1 as int) AS within_5pct
     FROM ex ORDER BY day"""
 
+  /** E6 — two-proportion z-test: did the purchase share of all events
+    * move between the first and second half of the observation window?
+    * The categorical counterpart of e6_ttest (proportions, not means) —
+    * counts are exact integers from one pass, the pooled-variance z is
+    * one fixed double chain, round 6.
+    */
+  def e6_proptest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      expr("unix_millis(ts) div 86400000").as("day"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val m = ev.crossJoin(broadcast(d0))
+      .withColumn("half", when(col("day") - col("d0") < 15, 1).otherwise(2))
+      .groupBy("half")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+    val a = m.where(col("half") === 1)
+      .select(col("n").as("n1"), col("k").as("k1"))
+    val b = m.where(col("half") === 2)
+      .select(col("n").as("n2"), col("k").as("k2"))
+    val j = a.crossJoin(b)
+    val p1 = col("k1").cast("double") / col("n1").cast("double")
+    val p2 = col("k2").cast("double") / col("n2").cast("double")
+    val pp = (col("k1") + col("k2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    j.select(col("n1"), col("k1"), col("n2"), col("k2"),
+      round(p1 - p2, 6).as("diff"),
+      round((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))), 6)
+        .as("z"))
+  }
+
+  val e6ppSql = """WITH ev AS (SELECT event_type,
+      epoch_ms(ts) // 86400000 AS day FROM events),
+    d0 AS (SELECT min(day) AS d0 FROM ev),
+    m AS (SELECT CASE WHEN day - d0 < 15 THEN 1 ELSE 2 END AS half,
+        count(*) AS n,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+      FROM ev CROSS JOIN d0 GROUP BY 1),
+    j AS (SELECT a.n AS n1, a.k AS k1, b.n AS n2, b.k AS k2
+      FROM m a CROSS JOIN m b WHERE a.half = 1 AND b.half = 2)
+    SELECT n1, cast(k1 as bigint) AS k1, n2, cast(k2 as bigint) AS k2,
+      round(cast(k1 as double) / n1 - cast(k2 as double) / n2, 6) AS diff,
+      round((cast(k1 as double) / n1 - cast(k2 as double) / n2)
+        / sqrt((cast(k1 + k2 as double) / (n1 + n2))
+          * (1.0 - cast(k1 + k2 as double) / (n1 + n2))
+          * (1.0 / n1 + 1.0 / n2)), 6) AS z
+    FROM j"""
+
+  /** E2 — shared-opening boilerplate audit: docs whose FIRST 8 TOKENS
+    * fingerprint identically (the C4 "templated page opening" signal —
+    * full-text exact dedup misses these because the bodies diverge),
+    * with each group's member list and distinct-lang count: a group
+    * spanning >1 labeled language (`cross_lang` = 1) is template
+    * leakage across language shards, which poisons language-stratified
+    * sampling (e4_stratified) silently. One prefix-fingerprint shuffle
+    * — the prefix projects BEFORE hashing, so payloads never widen the
+    * exchange; members sort numerically before listagg so every row is
+    * deterministic.
+    */
+  def e2_cross_lang_dups(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",").as("members"))
+      .filter(col("n_docs") >= 2)
+      .select(col("fp"), col("n_docs"), col("n_langs"),
+        (col("n_langs") >= 2).cast("int").as("cross_lang"), col("members"))
+      .orderBy("fp")
+
+  val e2xlSql = s"""WITH fp AS (SELECT doc_id, lang,
+      list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(array_to_string(string_split(text, ' ')[1:8], ' '), ''),
+          c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) AS fp
+    FROM documents)
+    SELECT fp, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+      cast(CASE WHEN count(DISTINCT lang) >= 2 THEN 1 ELSE 0 END as int) AS cross_lang,
+      string_agg(cast(doc_id as varchar), ',' ORDER BY doc_id) AS members
+    FROM fp GROUP BY fp HAVING count(*) >= 2 ORDER BY fp"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10142,5 +10226,7 @@ object Queries {
     ("e2_transitivity", e2_transitivity _, e2tvSql),
     ("e11_rolling_slope", e11_rolling_slope _, e11slopeSql),
     ("e11_churn", e11_churn _, e11churnSql),
-    ("e10_hll_rolling", e10_hll_rolling _, e10rollSql))
+    ("e10_hll_rolling", e10_hll_rolling _, e10rollSql),
+    ("e6_proptest", e6_proptest _, e6ppSql),
+    ("e2_cross_lang_dups", e2_cross_lang_dups _, e2xlSql))
 }

@@ -613,4 +613,37 @@ class Round8cSpec extends SparkSpec {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")).collect().head.getLong(0)
     assert(direct == viaUnion, "sketch algebra is lossless")
   }
+
+  test("e6_proptest: counts conserve and z matches the pooled formula") {
+    val r = Queries.e6_proptest(spark, sf).collect().head
+    val (n1, k1, n2, k2, diff, z) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+    assert(k1 <= n1 && k2 <= n2)
+    val total = graft.Queries.events(spark, sf).count()
+    assert(n1 + n2 == total, "halves partition the events")
+    val (p1, p2) = (k1.toDouble / n1, k2.toDouble / n2)
+    assert(math.abs(diff - (p1 - p2)) < 1e-6)
+    val pp = (k1 + k2).toDouble / (n1 + n2)
+    val expect = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(z - expect) < 1e-5)
+  }
+
+  test("e2_cross_lang_dups: groups re-derive from driver-side prefix keys") {
+    val got = Queries.e2_cross_lang_dups(spark, sf).collect()
+    assert(got.nonEmpty, "the corpus has shared-prefix groups")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).take(8).mkString(" ")))
+    val groups = docs.groupBy(_._3).filter(_._2.length >= 2)
+    assert(got.length == groups.size)
+    val byMembers = got.map(r => r.getString(4) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    groups.values.foreach { g =>
+      val members = g.map(_._1).sorted.mkString(",")
+      val (nd, nl, xl) = byMembers(members)
+      assert(nd == g.length)
+      assert(nl == g.map(_._2).distinct.length)
+      assert(xl == (if (nl >= 2) 1 else 0))
+    }
+  }
 }
