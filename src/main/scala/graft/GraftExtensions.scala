@@ -70,6 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.expressions.FrequentItems].getName, "frequent_items"),
       GraftExtensions.freqBuilder))
+    // table-valued function: the G1 calendar generator as a SQL relation
+    // source — SELECT * FROM graft_calendar('2001-01-01', '2001-12-31')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_calendar"),
+      new ExpressionInfo(graft.star.CalendarDim.getClass.getName, "graft_calendar"),
+      (children: Seq[Expression]) => graft.star.CalendarDim.tvfPlan(children)))
   }
 }
 
@@ -121,5 +127,9 @@ object GraftExtensions {
       "count_min_sketch_portable", cmsBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "frequent_items", freqBuilder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_calendar",
+      (children: Seq[Expression]) => graft.star.CalendarDim.tvfPlan(children),
+      "scala_udf")
   }
 }

@@ -9924,6 +9924,40 @@ object Queries {
       string_agg(cast(doc_id as varchar), ',' ORDER BY doc_id) AS members
     FROM fp GROUP BY fp HAVING count(*) >= 2 ORDER BY fp"""
 
+  /** SQL — the G1 calendar generator as a TABLE-VALUED FUNCTION in pure
+    * SQL text ([[graft.star.CalendarDim.tvfPlan]], registered through
+    * SparkSessionExtensions.injectTableFunction / the runtime
+    * tableFunctionRegistry): `FROM graft_calendar(lo, hi)` resolves to a
+    * distributed Range + Project plan — no driver-side rows, no temp
+    * view. Grades that the relation surface (not just scalar/aggregate
+    * functions) is SQL-extensible, with the same pt-BR literal-array
+    * names as g1_calendar.
+    */
+  def sql_calendar_tvf(s: SparkSession, dir: String): DataFrame =
+    Graft.tune(s).sql(
+      """SELECT ChaveData, DataCompleta, Ano, MesNumero, NomeMes, Dia,
+        DiaDaSemana, Trimestre
+      FROM graft_calendar('2001-02-20', '2001-05-05')
+      WHERE MesNumero <> 3
+      ORDER BY ChaveData""")
+
+  val sqlCtvSql: String = {
+    val months = Seq("janeiro", "fevereiro", "março", "abril", "maio", "junho",
+      "julho", "agosto", "setembro", "outubro", "novembro", "dezembro")
+    val days = Seq("segunda-feira", "terça-feira", "quarta-feira", "quinta-feira",
+      "sexta-feira", "sábado", "domingo")
+    val mCase = months.zipWithIndex.map { case (m, i) => s"WHEN ${i + 1} THEN '$m'" }.mkString(" ")
+    val dCase = days.zipWithIndex.map { case (d, i) => s"WHEN ${i + 1} THEN '$d'" }.mkString(" ")
+    s"""WITH d AS (SELECT cast(unnest(generate_series(DATE '2001-02-20',
+        DATE '2001-05-05', INTERVAL 1 DAY)) as date) AS d)
+    SELECT cast(strftime(d, '%Y%m%d') as int) AS ChaveData, d AS DataCompleta,
+      cast(year(d) as int) AS Ano, cast(month(d) as int) AS MesNumero,
+      CASE month(d) $mCase END AS NomeMes, cast(day(d) as int) AS Dia,
+      CASE isodow(d) $dCase END AS DiaDaSemana,
+      'T' || cast(quarter(d) as int) AS Trimestre
+    FROM d WHERE month(d) <> 3 ORDER BY ChaveData"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10228,5 +10262,6 @@ object Queries {
     ("e11_churn", e11_churn _, e11churnSql),
     ("e10_hll_rolling", e10_hll_rolling _, e10rollSql),
     ("e6_proptest", e6_proptest _, e6ppSql),
-    ("e2_cross_lang_dups", e2_cross_lang_dups _, e2xlSql))
+    ("e2_cross_lang_dups", e2_cross_lang_dups _, e2xlSql),
+    ("sql_calendar_tvf", sql_calendar_tvf _, sqlCtvSql))
 }

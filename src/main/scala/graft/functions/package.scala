@@ -113,7 +113,7 @@ package object functions {
     * (FullETLGenerator.java:183,197). Literal array, NOT `date_format
     * 'MMMM'`, which is JVM-locale-dependent.
     */
-  private val ptBrMonths = Seq(
+  private[graft] val ptBrMonths = Seq(
     "janeiro", "fevereiro", "março", "abril", "maio", "junho",
     "julho", "agosto", "setembro", "outubro", "novembro", "dezembro")
 
@@ -121,7 +121,7 @@ package object functions {
     * (java.time.DayOfWeek.getDisplayName(TextStyle.FULL, pt-BR), used at
     * FullETLGenerator.java:199).
     */
-  private val ptBrWeekdays = Seq(
+  private[graft] val ptBrWeekdays = Seq(
     "segunda-feira", "terça-feira", "quarta-feira", "quinta-feira",
     "sexta-feira", "sábado", "domingo")
 

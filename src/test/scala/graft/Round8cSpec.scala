@@ -646,4 +646,23 @@ class Round8cSpec extends SparkSpec {
       assert(xl == (if (nl >= 2) 1 else 0))
     }
   }
+
+  test("graft_calendar TVF: SQL relation equals the Column-API generator; literals enforced") {
+    val tuned = graft.Graft.tune(spark)
+    val viaSql = tuned.sql(
+      "SELECT * FROM graft_calendar('2001-07-28', '2001-09-03')").collect()
+    val viaApi = graft.star.CalendarDim
+      .overRange(tuned, "2001-07-28", "2001-09-03").collect()
+    assert(viaSql.length == 38 && viaApi.length == 38)
+    assert(viaSql.map(_.toString).sorted.sameElements(viaApi.map(_.toString).sorted))
+    // date literals (not just strings) also accepted
+    val viaDate = tuned.sql(
+      "SELECT count(*) AS n FROM graft_calendar(DATE'2001-01-01', DATE'2001-12-31')")
+      .collect().head.getLong(0)
+    assert(viaDate == 365)
+    // non-literal bounds must be rejected, not silently mis-planned
+    intercept[Exception] {
+      tuned.sql("SELECT * FROM graft_calendar(current_date(), '2001-02-01')").collect()
+    }
+  }
 }
