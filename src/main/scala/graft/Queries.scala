@@ -9958,6 +9958,188 @@ object Queries {
     FROM d WHERE month(d) <> 3 ORDER BY ChaveData"""
   }
 
+  /** E6 — Cohen's kappa for the language-ID classifier: chance-corrected
+    * agreement between pred and label from the SAME confusion cells as
+    * e4_langid_eval — po (observed agreement) off the diagonal, pe
+    * (chance agreement) off the row/column marginals, κ = (po−pe)/(1−pe).
+    * Accuracy alone overstates a classifier on skewed label mixes;
+    * kappa is the number a labeling pipeline should gate on. Cells
+    * aggregate before anything else — the windowed/joined frame is
+    * |langs|², independent of corpus size.
+    */
+  def e6_kappa(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val n = cells.agg(sum(col("c")).as("n"))
+    val po = cells.filter(col("lang") === col("pred"))
+      .agg(sum(col("c")).as("agree"))
+    val pe = cells.groupBy("lang").agg(sum(col("c")).as("cl"))
+      .join(cells.groupBy("pred").agg(sum(col("c")).as("cp")),
+        col("lang") === col("pred"))
+      .agg(sum((col("cl") * col("cp")).cast(DecimalType(38, 0)))
+        .cast("double").as("pe_num"))
+    n.crossJoin(po).crossJoin(pe)
+      .select(col("n").cast("long").as("n_docs"),
+        col("agree").cast("long").as("n_agree"),
+        round(col("agree") / col("n").cast("double"), 6).as("po"),
+        round(col("pe_num") / (col("n") * col("n")).cast("double"), 6).as("pe"),
+        round((col("agree") / col("n").cast("double")
+          - col("pe_num") / (col("n") * col("n")).cast("double")) /
+          (lit(1.0) - col("pe_num") / (col("n") * col("n")).cast("double")), 6)
+          .as("kappa"))
+  }
+
+  val e6kpSql: String = s"""WITH base AS ($e4lSql),
+    cells AS (SELECT lang, pred, count(*) AS c FROM base GROUP BY lang, pred),
+    n AS (SELECT sum(c) AS n FROM cells),
+    po AS (SELECT sum(c) AS agree FROM cells WHERE lang = pred),
+    pe AS (SELECT cast(sum(cast(cl * cp as decimal(38,0))) as double) AS pe_num
+      FROM (SELECT lang, sum(c) AS cl FROM cells GROUP BY lang) a
+      JOIN (SELECT pred, sum(c) AS cp FROM cells GROUP BY pred) b
+        ON a.lang = b.pred)
+    SELECT cast(n.n as bigint) AS n_docs, cast(po.agree as bigint) AS n_agree,
+      round(po.agree / cast(n.n as double), 6) AS po,
+      round(pe.pe_num / cast(n.n * n.n as double), 6) AS pe,
+      round((po.agree / cast(n.n as double) - pe.pe_num / cast(n.n * n.n as double))
+        / (1.0 - pe.pe_num / cast(n.n * n.n as double)), 6) AS kappa
+    FROM n CROSS JOIN po CROSS JOIN pe"""
+
+  /** E4 — ROC-AUC of the quality score as an English-document detector:
+    * AUC == the Mann–Whitney U statistic normalized by n₁·n₂ (the
+    * probability a random English doc outscores a random non-English
+    * one, ties at half credit), so it reuses e6_mannwhitney's
+    * distinct-compressed tie-averaged rank machinery verbatim — one
+    * compress of (score, n_en, n_other), one window over distinct
+    * scores. The threshold-free companion of e4_quality_calibration's
+    * decile curve.
+    */
+  def e4_quality_auc(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text",
+        carry = Seq("lang"))
+      .select(col("quality"), (col("lang") === "en").as("is_en"))
+    val cmp = q.groupBy("quality").agg(
+      sum(when(col("is_en"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("is_en"), 1L).otherwise(0L)).as("n2"))
+    val w = Window.orderBy("quality")
+    val ranked = cmp.select(col("quality"), col("n1"), col("n2"),
+      (sum(col("n1") + col("n2")).over(w) * 2 - (col("n1") + col("n2")) + 1)
+        .as("r2"))
+    val m = ranked.agg(
+      sum(col("n1")).as("na"), sum(col("n2")).as("nb"),
+      sum((col("r2") * col("n1")).cast(DecimalType(38, 0)))
+        .cast("double").as("r2a"))
+    val na = col("na").cast("double")
+    val nb = col("nb").cast("double")
+    m.select(col("na").as("n_en"), col("nb").as("n_other"),
+      round(((col("r2a") - na * (na + 1)) / 2.0) / (na * nb), 6).as("auc"))
+  }
+
+  val e4aucSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH q AS (SELECT lang = 'en' AS is_en,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+      FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)),
+    cmp AS (SELECT quality,
+      sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n1,
+      sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS n2
+    FROM q GROUP BY quality),
+    r AS (SELECT quality, n1, n2,
+      sum(n1 + n2) OVER (ORDER BY quality) * 2 - (n1 + n2) + 1 AS r2
+    FROM cmp),
+    m AS (SELECT sum(n1) AS na, sum(n2) AS nb,
+      cast(sum(cast(r2 * n1 as decimal(38,0))) as double) AS r2a FROM r)
+    SELECT cast(na as bigint) AS n_en, cast(nb as bigint) AS n_other,
+      round(((r2a - cast(na as double) * (cast(na as double) + 1)) / 2.0)
+        / (cast(na as double) * cast(nb as double)), 6) AS auc
+    FROM m"""
+  }
+
+  /** E2 — Adamic–Adar link prediction over the near-dup graph: for
+    * wedge-connected node pairs, AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)
+    * — common neighbors weighted by how DISCRIMINATIVE they are (a
+    * hub's endorsement is cheap). The link-prediction staple for
+    * "these two docs will turn out to be duplicates once more evidence
+    * arrives". Same wedge join as e2_node_jaccard, but the shared
+    * neighbor carries its own degree into the sum; per-wedge terms are
+    * quantized to 6 dp before the exact decimal sum (the ln-portability
+    * discipline), top-20 by score.
+    */
+  def e2_adamic_adar(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
+      .select(col("id1"), col("id2"))
+    val adj = pairs.unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("id1").as("w")).agg(count(lit(1)).as("dw"))
+    adj.as("a").join(adj.as("b"),
+        col("a.id2") === col("b.id2") && col("a.id1") < col("b.id1"))
+      .select(col("a.id1").as("u"), col("b.id1").as("v"), col("a.id2").as("w"))
+      .join(deg, "w")
+      .filter(col("dw") >= 2)
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"),
+        sum(round(lit(1.0) / log(col("dw").cast("double")), 6)
+          .cast(DecimalType(28, 6))).cast("double").as("aa"))
+      .orderBy(col("aa").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  val e2aaSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    g AS (SELECT a, b FROM p WHERE sim >= 0.1),
+    e0 AS (SELECT a AS src, b AS dst FROM g UNION ALL SELECT b, a FROM g),
+    deg AS (SELECT src AS w, count(*) AS dw FROM e0 GROUP BY src)
+    SELECT x.src AS u, y.src AS v, count(*) AS n_common,
+      cast(sum(cast(round(1.0 / ln(cast(dw as double)), 6) as decimal(28,6))) as double) AS aa
+    FROM e0 x JOIN e0 y ON x.dst = y.dst AND x.src < y.src
+    JOIN deg ON deg.w = x.dst
+    WHERE dw >= 2
+    GROUP BY x.src, y.src ORDER BY aa DESC, u, v LIMIT 20"""
+
+  /** E8 — top-k AT REST: per-source top-20 quality lists materialize to
+    * parquet once (the shard summaries), and the GLOBAL top-20 merges
+    * from the stored lists alone — correct because a global top-k
+    * member must be top-k within its own shard, so the union of shard
+    * lists always contains the global answer. The e10_hll_rest/
+    * e10_hll_rolling at-rest discipline applied to ranking: re-asking
+    * "global best" never re-scans the corpus. Oracle = the direct
+    * global top-20 — grading that the two-level merge IS lossless.
+    */
+  def e8_topk_at_rest(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(t(s, dir, "documents"),
+        "doc_id", "text", carry = Seq("source"))
+      .select(col("source"), col("doc_id"), col("quality"))
+    val tmp = java.nio.file.Files.createTempDirectory("topk-rest").toString
+    scored.groupBy("source")
+      .agg(graft.expressions.BoundedTopK.topK(
+        col("quality"), col("doc_id"), 20).as("tk"))
+      .write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.id").as("doc_id"), col("e.sim").as("quality"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val e8trSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+    s"""WITH q AS (SELECT doc_id,
+      round(least(cast(len(toks) as double) / 100.0, 1.0) * 0.5
+        + cast(len(list_distinct(toks)) as double) / len(toks) * 0.3
+        + least(cast(len(list_filter(toks, t -> t IN ($en))) as double) / len(toks) * 5.0, 1.0) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+    SELECT doc_id, quality FROM q
+    ORDER BY quality DESC, doc_id LIMIT 20"""
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10263,5 +10445,9 @@ object Queries {
     ("e10_hll_rolling", e10_hll_rolling _, e10rollSql),
     ("e6_proptest", e6_proptest _, e6ppSql),
     ("e2_cross_lang_dups", e2_cross_lang_dups _, e2xlSql),
-    ("sql_calendar_tvf", sql_calendar_tvf _, sqlCtvSql))
+    ("sql_calendar_tvf", sql_calendar_tvf _, sqlCtvSql),
+    ("e6_kappa", e6_kappa _, e6kpSql),
+    ("e4_quality_auc", e4_quality_auc _, e4aucSql),
+    ("e2_adamic_adar", e2_adamic_adar _, e2aaSql),
+    ("e8_topk_at_rest", e8_topk_at_rest _, e8trSql))
 }

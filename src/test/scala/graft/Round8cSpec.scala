@@ -665,4 +665,72 @@ class Round8cSpec extends SparkSpec {
       tuned.sql("SELECT * FROM graft_calendar(current_date(), '2001-02-01')").collect()
     }
   }
+
+  test("e6_kappa: po/pe re-derive from the confusion matrix; kappa <= po") {
+    val r = Queries.e6_kappa(spark, sf).collect().head
+    val (n, agree, po, pe, kappa) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val cells = Queries.e4_langid_eval(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(n == cells.map(_._3).sum)
+    assert(agree == cells.filter(c => c._1 == c._2).map(_._3).sum)
+    val peN = cells.groupBy(_._1).map { case (l, v) =>
+      v.map(_._3).sum.toDouble * cells.filter(_._2 == l).map(_._3).sum
+    }.sum / (n.toDouble * n)
+    assert(math.abs(pe - peN) < 1e-5)
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-5)
+    assert(kappa <= po + 1e-9, "chance correction can only reduce agreement")
+  }
+
+  test("e4_quality_auc: equals naive pairwise comparison probability") {
+    val r = Queries.e4_quality_auc(spark, sf).collect().head
+    val (nEn, nOther, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(auc >= 0 && auc <= 1)
+    val q = graft.operators.TextAnalysis.qualityScore(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+        carry = Seq("lang"))
+      .select(col("quality"), (col("lang") === "en").as("is_en")).collect()
+      .map(x => (x.getDouble(0), x.getBoolean(1)))
+    val en = q.filter(_._2).map(_._1); val other = q.filterNot(_._2).map(_._1)
+    assert(nEn == en.length && nOther == other.length)
+    var wins = 0.0
+    for (a <- en; b <- other) {
+      if (a > b) wins += 1.0 else if (a == b) wins += 0.5
+    }
+    assert(math.abs(auc - wins / (en.length.toDouble * other.length)) < 1e-5)
+  }
+
+  test("e2_adamic_adar: scores re-derive from neighbor sets and degrees") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = graft.operators.Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val got = Queries.e2_adamic_adar(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (u, v, nc, aa) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val shared = adj(u) & adj(v)
+      assert(nc == shared.size)
+      val expect = shared.toSeq.map { w =>
+        BigDecimal(1.0 / math.log(adj(w).size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum
+      assert(math.abs(aa - expect) < 1e-5, s"($u,$v) $aa vs $expect")
+    }
+    assert(got.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+  }
+
+  test("e8_topk_at_rest: two-level shard merge equals the direct global top-k") {
+    val got = Queries.e8_topk_at_rest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 20)
+    val direct = graft.operators.TextAnalysis.qualityScore(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .select("doc_id", "quality")
+      .orderBy(col("quality").desc, col("doc_id")).limit(20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == direct.toSeq, "shard-list merge is lossless")
+  }
 }
