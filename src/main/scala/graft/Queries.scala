@@ -10140,6 +10140,170 @@ object Queries {
     ORDER BY quality DESC, doc_id LIMIT 20"""
   }
 
+  /** E2 — modularity of the near-dup clustering: Q = Σ_c (m_c/m −
+    * (d_c/2m)²) over the min-label components — POSITIVE Q says the
+    * dedup clusters are denser than chance, near-zero says the
+    * candidate threshold is slicing noise (the partition-quality gate
+    * on the whole dedup tier). Edge-in-community counts and community
+    * degree sums come from two keyed joins against the component map;
+    * everything is exact integers until the final Q chain, with
+    * per-community terms quantized to 9 dp before the exact decimal
+    * sum (the ln-portability discipline applied to squares).
+    */
+  def e2_modularity(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
+      .select(col("id1"), col("id2")).localCheckpoint(true)
+    val nodes = pairs.select(col("id1").as("id"))
+      .unionAll(pairs.select(col("id2").as("id"))).distinct()
+    val comp = Components.minLabel(pairs, "id1", "id2", nodes, "id")
+      .localCheckpoint(true)
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val mIn = pairs
+      .join(comp.select(col("id").as("id1"), col("comp").as("c1")), "id1")
+      .join(comp.select(col("id").as("id2"), col("comp").as("c2")), "id2")
+      .filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("comp")).agg(count(lit(1)).as("m_in"))
+    val degSum = pairs.select(col("id1").as("id"))
+      .unionAll(pairs.select(col("id2").as("id")))
+      .join(comp, "id")
+      .groupBy("comp").agg(count(lit(1)).as("d_c"))
+    val terms = degSum.join(mIn, Seq("comp"), "left")
+      .crossJoin(broadcast(m))
+      .select(round(
+        coalesce(col("m_in"), lit(0L)).cast("double") / col("m").cast("double")
+          - (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double"))) *
+            (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double"))), 9)
+        .cast(DecimalType(28, 9)).as("q_term"))
+    terms.crossJoin(broadcast(m))
+      .agg(first(col("m")).as("n_edges"),
+        count(lit(1)).as("n_communities"),
+        round(sum(col("q_term")).cast("double"), 6).as("modularity"))
+  }
+
+  val e2mdSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    g AS (SELECT a, b FROM p WHERE sim >= 0.1),
+    e0 AS (SELECT a AS src, b AS dst FROM g UNION ALL SELECT b, a FROM g),
+    nodes AS (SELECT DISTINCT src AS id FROM e0),
+    comp AS (
+      WITH RECURSIVE cc(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e0.dst, least(cc.lbl, e0.dst)
+        FROM cc JOIN e0 ON cc.id = e0.src)
+      SELECT id, min(lbl) AS comp FROM cc GROUP BY id),
+    m AS (SELECT count(*) AS m FROM g),
+    min_ AS (SELECT c1.comp AS comp, count(*) AS m_in
+      FROM g JOIN comp c1 ON g.a = c1.id JOIN comp c2 ON g.b = c2.id
+      WHERE c1.comp = c2.comp GROUP BY c1.comp),
+    degs AS (SELECT comp.comp, count(*) AS d_c
+      FROM e0 JOIN comp ON e0.src = comp.id GROUP BY comp.comp),
+    terms AS (SELECT cast(round(coalesce(m_in, 0) / cast(m.m as double)
+        - (d_c / (2.0 * m.m)) * (d_c / (2.0 * m.m)), 9) as decimal(28,9)) AS q_term
+      FROM degs LEFT JOIN min_ USING (comp) CROSS JOIN m)
+    SELECT cast(m.m as bigint) AS n_edges,
+      (SELECT count(*) FROM degs) AS n_communities,
+      round(cast(sum(q_term) as double), 6) AS modularity
+    FROM terms CROSS JOIN m GROUP BY m.m"""
+
+  /** E4 — Zipf-law fit of the token frequency spectrum: OLS slope of
+    * ln(freq) against ln(rank) over the DISTINCT-term frequency table
+    * (natural text lands near −1; templated/synthetic corpora drift,
+    * making the exponent a cheap corpus-health fingerprint). Ranks are
+    * deterministic (count desc, term asc); both logs quantize to 6 dp
+    * per term before the exact decimal moment sums — the e6_corr
+    * moment discipline composed with the ln-portability rule. The
+    * windowed frame is the VOCABULARY, not the corpus.
+    */
+  def e4_zipf(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = freq.select(
+      row_number().over(Window.orderBy(col("c").desc, col("w"))).as("rk"),
+      col("c"))
+    // quantize via floor(v·1e6 + 0.5): engine round() implementations
+    // disagree at half boundaries (HALF_UP on decimal digits vs scaled-
+    // double rounding); floor over the same double product is bit-
+    // identical everywhere, and the scaled logs become exact integers
+    val pts = ranked.select(
+      floor(log(col("rk").cast("double")) * 1e6 + 0.5).cast("long").as("x6"),
+      floor(log(col("c").cast("double")) * 1e6 + 0.5).cast("long").as("y6"))
+    val mo = pts.agg(count(lit(1)).as("n"),
+      sum(col("x6").cast(DecimalType(38, 0))).cast("double").as("sx"),
+      sum(col("y6").cast(DecimalType(38, 0))).cast("double").as("sy"),
+      sum((col("x6") * col("y6")).cast(DecimalType(38, 0))).cast("double").as("sxy"),
+      sum((col("x6") * col("x6")).cast(DecimalType(38, 0))).cast("double").as("sxx"))
+    val n = col("n").cast("double")
+    // x and y carry the SAME 1e6 scale, so the slope is scale-free; the
+    // intercept is in y6 units -> divide back by 1e6
+    mo.select(col("n").as("n_terms"),
+      round((n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+      round((col("sy") - (n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sxx") - col("sx") * col("sx")) * col("sx")) / n / 1e6, 6)
+        .as("intercept"))
+  }
+
+  val e4zfSql = """WITH freq AS (SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    fc AS (SELECT w, count(*) AS c FROM freq GROUP BY w),
+    ranked AS (SELECT row_number() OVER (ORDER BY c DESC, w) AS rk, c FROM fc),
+    pts AS (SELECT cast(floor(ln(cast(rk as double)) * 1e6 + 0.5) as bigint) AS x6,
+        cast(floor(ln(cast(c as double)) * 1e6 + 0.5) as bigint) AS y6
+      FROM ranked),
+    m AS (SELECT count(*) AS n,
+      cast(sum(cast(x6 as decimal(38,0))) as double) AS sx,
+      cast(sum(cast(y6 as decimal(38,0))) as double) AS sy,
+      cast(sum(cast(x6 * y6 as decimal(38,0))) as double) AS sxy,
+      cast(sum(cast(x6 * x6 as decimal(38,0))) as double) AS sxx
+    FROM pts)
+    SELECT n AS n_terms,
+      round((cast(n as double) * sxy - sx * sy)
+        / (cast(n as double) * sxx - sx * sx), 6) AS zipf_slope,
+      round((sy - (cast(n as double) * sxy - sx * sy)
+        / (cast(n as double) * sxx - sx * sx) * sx) / cast(n as double) / 1e6, 6) AS intercept
+    FROM m"""
+
+  /** E11 — maximum drawdown of daily volume per type: the worst
+    * peak-to-trough collapse of the running-maximum curve — the
+    * "did ingestion fall off a cliff and how far" number, computed as
+    * one running-max window plus one aggregate over the daily frame.
+    * Counts exact; the relative drawdown is one ratio, round 6.
+    */
+  def e11_drawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("__peak", max(col("c")).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max(col("__peak") - col("c")).as("max_drop"),
+        round(max((col("__peak") - col("c")).cast("double") /
+          col("__peak").cast("double")), 6).as("max_drawdown"))
+      .orderBy("event_type")
+  }
+
+  val e11ddSql = """WITH daily AS (SELECT event_type,
+      epoch_ms(ts) // 86400000 AS day, count(*) AS c
+    FROM events GROUP BY 1, 2),
+    p AS (SELECT event_type, day, c,
+      max(c) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+    FROM daily)
+    SELECT event_type, count(*) AS n_days,
+      cast(max(peak - c) as bigint) AS max_drop,
+      round(max(cast(peak - c as double) / cast(peak as double)), 6) AS max_drawdown
+    FROM p GROUP BY event_type ORDER BY event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10449,5 +10613,8 @@ object Queries {
     ("e6_kappa", e6_kappa _, e6kpSql),
     ("e4_quality_auc", e4_quality_auc _, e4aucSql),
     ("e2_adamic_adar", e2_adamic_adar _, e2aaSql),
-    ("e8_topk_at_rest", e8_topk_at_rest _, e8trSql))
+    ("e8_topk_at_rest", e8_topk_at_rest _, e8trSql),
+    ("e2_modularity", e2_modularity _, e2mdSql),
+    ("e4_zipf", e4_zipf _, e4zfSql),
+    ("e11_drawdown", e11_drawdown _, e11ddSql))
 }

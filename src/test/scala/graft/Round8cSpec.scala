@@ -733,4 +733,74 @@ class Round8cSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == direct.toSeq, "shard-list merge is lossless")
   }
+
+  test("e2_modularity: Q re-derives from components and is within [-0.5, 1]") {
+    val r = Queries.e2_modularity(spark, sf).collect().head
+    val (m, nc, q) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(q >= -0.5 && q <= 1.0)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = graft.operators.Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
+      .select("id1", "id2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(m == pairs.length)
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r0 = find(p); parent(x) = r0; r0 }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val comp = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> find(x)).toMap
+    assert(nc == comp.values.toSet.size)
+    val comms: Seq[Long] = comp.values.toSet.toSeq
+    val mIn: Map[Long, Int] = comms.map { (c: Long) =>
+      c -> pairs.count(p => comp(p._1) == c && comp(p._2) == c) }.toMap
+    val dC: Map[Long, Int] = comms.map { (c: Long) =>
+      c -> pairs.map(p => Seq(p._1, p._2).count(comp(_) == c)).sum }.toMap
+    val expect: Double = comms.map { (c: Long) =>
+      BigDecimal(mIn(c).toDouble / m - math.pow(dC(c) / (2.0 * m), 2))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble }.sum
+    assert(math.abs(q - expect) < 1e-5, s"Q $q vs $expect")
+  }
+
+  test("e4_zipf: slope/intercept re-derive from the frequency spectrum") {
+    val r = Queries.e4_zipf(spark, sf).collect().head
+    val (n, slope, ic) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val freq = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, v) => (w, v.length) }.toSeq
+    assert(n == freq.length)
+    val ranked = freq.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((_, c), i) =>
+        (math.floor(math.log(i + 1.0) * 1e6 + 0.5), math.floor(math.log(c.toDouble) * 1e6 + 0.5)) }
+    val nn = ranked.length.toDouble
+    val sx = ranked.map(_._1).sum; val sy = ranked.map(_._2).sum
+    val sxy = ranked.map(t => t._1 * t._2).sum; val sxx = ranked.map(t => t._1 * t._1).sum
+    val sl = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(math.abs(slope - sl) < 1e-4, s"slope $slope vs $sl")
+    assert(math.abs(ic - (sy - sl * sx) / nn / 1e6) < 1e-4)
+    assert(slope < 0, "frequency decreases with rank")
+  }
+
+  test("e11_drawdown: peak-to-trough re-derives from the daily series") {
+    val got = Queries.e11_drawdown(spark, sf).collect()
+    assert(got.nonEmpty)
+    val daily = graft.Queries.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { r =>
+      val (et, nd, drop, dd) = (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val pts = daily.filter(_._1 == et).sortBy(_._2).map(_._3)
+      assert(nd == pts.length)
+      var peak = Long.MinValue; var worst = 0L; var worstRel = 0.0
+      pts.foreach { c =>
+        peak = math.max(peak, c)
+        worst = math.max(worst, peak - c)
+        worstRel = math.max(worstRel, (peak - c).toDouble / peak)
+      }
+      assert(drop == worst, s"$et drop")
+      assert(math.abs(dd - worstRel) < 1e-6)
+    }
+  }
 }
