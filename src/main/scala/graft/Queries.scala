@@ -10304,6 +10304,131 @@ object Queries {
       round(max(cast(peak - c as double) / cast(peak as double)), 6) AS max_drawdown
     FROM p GROUP BY event_type ORDER BY event_type"""
 
+  /** E3 — FEATURE-HASHED document vectors without a model (Weinberger
+    * et al.'s hashing trick): each token maps to one of 16 buckets by
+    * the portable hash, a doc's vector is its bucket-count profile, and
+    * top-3 cosine neighbors compute SPARSELY — the (doc, bucket, count)
+    * cells join on the bucket like an inverted index, partial products
+    * sum per pair, and no dense vector ever shuffles (the shape that
+    * holds when the hash width is 2²⁰ at 100 TB, where materialized
+    * dense vectors would be mostly zeros). Counts exact; cosine is one
+    * double chain, round 6; rank ties break on cand_id.
+    */
+  def e3_hash_embed(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), pmod(portableStringHash(col("tok")), lit(16L)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val norms = cells.groupBy("doc_id")
+      .agg(sqrt(sum((col("c") * col("c")).cast(DecimalType(38, 0))).cast("double"))
+        .as("nrm"))
+    val q = cells.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("b"), col("c").as("cq"))
+    val dots = q.join(cells.select(col("doc_id").as("cand_id"), col("b"),
+        col("c").as("cc")), "b")
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum((col("cq") * col("cc")).cast(DecimalType(38, 0)))
+        .cast("double").as("dot"))
+    val sims = dots
+      .join(norms.select(col("doc_id").as("query_id"), col("nrm").as("nq")), "query_id")
+      .join(norms.select(col("doc_id").as("cand_id"), col("nrm").as("nc")), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        round(col("dot") / (col("nq") * col("nc")), 6).as("sim"))
+    sims.withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("cand_id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3heSql = s"""WITH toks AS (SELECT doc_id,
+      unnest(string_split(text, ' ')) AS tok FROM documents),
+    cells AS (SELECT doc_id,
+        list_reduce(list_concat([cast(7 as bigint)],
+          list_transform(string_split(tok, ''), ch -> cast(ascii(ch) as bigint))),
+          (a, b) -> (a * 31 + b) % $HashPrime) % 16 AS b,
+        count(*) AS c
+      FROM toks GROUP BY doc_id, b),
+    norms AS (SELECT doc_id,
+        sqrt(cast(sum(cast(c * c as decimal(38,0))) as double)) AS nrm
+      FROM cells GROUP BY doc_id),
+    dots AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+        cast(sum(cast(q.c * c.c as decimal(38,0))) as double) AS dot
+      FROM cells q JOIN cells c ON q.b = c.b AND q.doc_id < 8
+        AND q.doc_id <> c.doc_id
+      GROUP BY q.doc_id, c.doc_id),
+    sims AS (SELECT query_id, cand_id,
+        round(dot / (nq.nrm * nc.nrm), 6) AS sim
+      FROM dots JOIN norms nq ON dots.query_id = nq.doc_id
+      JOIN norms nc ON dots.cand_id = nc.doc_id)
+    SELECT query_id,
+      cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
+  /** E10 — HISTOGRAM ALGEBRA AT REST: per-day (value, count) histograms
+    * of purchase values materialize to parquet ONCE (the histogram is a
+    * LOSSLESS distinct-compression of a 2-dp-quantized column), and
+    * every later quantile question merges stored histogram rows —
+    * never the raw events. Exact weighted percentiles over the merged
+    * histogram equal percentiles over the raw column by construction,
+    * and the oracle grades exactly that (DuckDB computes from raw
+    * events). The e10_hll_rest / e8_topk_at_rest discipline for the
+    * one aggregate family where the summary is EXACT, not approximate.
+    */
+  def e10_hist_rest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).where(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val tmp = java.nio.file.Files.createTempDirectory("hist-rest").toString
+    ev.groupBy("day", "v").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(tmp)
+    val atRest = s.read.parquet(tmp)
+    // weighted quantile over the merged histogram, spelled out with the
+    // (N-1)-index linear-interpolation convention so it is EXACTLY
+    // quantile_cont over the expanded multiset (Spark's own
+    // percentile(v, p, freq) interpolates between distinct values, a
+    // different and non-portable convention)
+    val hist = atRest.groupBy("v").agg(sum(col("cnt")).as("cnt"))
+    val w = Window.orderBy("v")
+    val cum = hist.select(col("v").cast("double").as("v"), col("cnt"),
+      (sum(col("cnt")).over(w) - col("cnt")).as("lo_idx"),
+      (sum(col("cnt")).over(w) - 1).as("hi_idx"))
+    val n = atRest.agg(sum(col("cnt")).as("n"))
+    val ps = n.select(col("n"),
+      explode(array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("p"))
+      .withColumn("h", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("k0", floor(col("h")).cast("long"))
+      .withColumn("k1", ceil(col("h")).cast("long"))
+    val q = ps.join(cum,
+        (col("k0") >= col("lo_idx") && col("k0") <= col("hi_idx")) ||
+        (col("k1") >= col("lo_idx") && col("k1") <= col("hi_idx")))
+      .groupBy("p").agg(first(col("n")).as("n"), first(col("h")).as("h"),
+        first(col("k0")).as("k0"),
+        max(when(col("k0") >= col("lo_idx") && col("k0") <= col("hi_idx"),
+          col("v"))).as("vlo"),
+        max(when(col("k1") >= col("lo_idx") && col("k1") <= col("hi_idx"),
+          col("v"))).as("vhi"))
+      .select(col("p"), col("n"),
+        (col("vlo") + (col("vhi") - col("vlo")) *
+          (col("h") - col("k0").cast("double"))).as("q"))
+    q.groupBy().agg(first(col("n")).cast("long").as("n"),
+      round(max(when(col("p") === 0.25, col("q"))), 6).as("p25"),
+      round(max(when(col("p") === 0.5, col("q"))), 6).as("p50"),
+      round(max(when(col("p") === 0.75, col("q"))), 6).as("p75"),
+      round(max(when(col("p") === 0.95, col("q"))), 6).as("p95"))
+  }
+
+  val e10htSql = """SELECT count(*) AS n,
+      round(quantile_cont(cast(cast(value as decimal(18,2)) as double), 0.25), 6) AS p25,
+      round(quantile_cont(cast(cast(value as decimal(18,2)) as double), 0.5), 6) AS p50,
+      round(quantile_cont(cast(cast(value as decimal(18,2)) as double), 0.75), 6) AS p75,
+      round(quantile_cont(cast(cast(value as decimal(18,2)) as double), 0.95), 6) AS p95
+    FROM events WHERE event_type = 'purchase'"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10616,5 +10741,7 @@ object Queries {
     ("e8_topk_at_rest", e8_topk_at_rest _, e8trSql),
     ("e2_modularity", e2_modularity _, e2mdSql),
     ("e4_zipf", e4_zipf _, e4zfSql),
-    ("e11_drawdown", e11_drawdown _, e11ddSql))
+    ("e11_drawdown", e11_drawdown _, e11ddSql),
+    ("e3_hash_embed", e3_hash_embed _, e3heSql),
+    ("e10_hist_rest", e10_hist_rest _, e10htSql))
 }

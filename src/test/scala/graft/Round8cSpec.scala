@@ -803,4 +803,60 @@ class Round8cSpec extends SparkSpec {
       assert(math.abs(dd - worstRel) < 1e-6)
     }
   }
+
+  test("e3_hash_embed: sparse inverted-index cosine equals driver-side dense vectors") {
+    val got = Queries.e3_hash_embed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // dense 16-dim reference via the same portable hash
+    def hashTok(t: String): Int = {
+      var a = 7L
+      t.foreach(ch => a = (a * 31 + ch.toLong) % graft.functions.HashPrime)
+      (a % 16).toInt
+    }
+    val vecs = docs.map { case (id, text) =>
+      val v = new Array[Double](16)
+      text.split(" ", -1).foreach(t => v(hashTok(t)) += 1.0)
+      id -> v
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case ((q, _), (cand, sim)) =>
+      assert(math.abs(sim - cos(vecs(q), vecs(cand))) < 1e-5, s"($q,$cand)")
+    }
+    // per query the ranked sims are the true top-3
+    got.keys.map(_._1).toSeq.distinct.foreach { q0 =>
+      val best = vecs.filter(_._1 != q0).map { case (c, v) => (c, cos(vecs(q0), v)) }
+        .toSeq.sortBy { case (c, s0) =>
+          (-BigDecimal(s0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, c) }
+        .take(3).map(_._1)
+      val gotIds = (1 to 3).flatMap(rk => got.get((q0, rk)).map(_._1))
+      assert(gotIds == best, s"query $q0: $gotIds vs $best")
+    }
+  }
+
+  test("e10_hist_rest: merged-histogram quantiles equal raw-column percentiles") {
+    val r = Queries.e10_hist_rest(spark, sf).collect().head
+    val (n, p25, p50, p75, p95) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val vals = graft.Queries.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .cast("double")).collect().map(_.getDouble(0)).sorted
+    assert(n == vals.length)
+    def qc(p: Double): Double = {
+      val h = p * (vals.length - 1)
+      val (k0, k1) = (h.floor.toInt, h.ceil.toInt)
+      vals(k0) + (vals(k1) - vals(k0)) * (h - k0)
+    }
+    assert(math.abs(p25 - qc(0.25)) < 1e-6)
+    assert(math.abs(p50 - qc(0.5)) < 1e-6)
+    assert(math.abs(p75 - qc(0.75)) < 1e-6)
+    assert(math.abs(p95 - qc(0.95)) < 1e-6)
+  }
 }
