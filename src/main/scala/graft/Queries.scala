@@ -10429,6 +10429,71 @@ object Queries {
       round(quantile_cont(cast(cast(value as decimal(18,2)) as double), 0.95), 6) AS p95
     FROM events WHERE event_type = 'purchase'"""
 
+  /** ETL — keyed pseudonymization: user ids map to stable pseudonyms by
+    * the portable hash of "salt#id" (same id → same pseudonym forever,
+    * so longitudinal joins still work; without the salt the mapping is
+    * unrecoverable from the output — the GDPR-grade companion of
+    * etl_forget's hard deletion and e4_kanon's generalization). The
+    * audit every privacy reviewer asks for is in the row: distinct
+    * users vs distinct pseudonyms and the COLLISION count (two users
+    * sharing a pseudonym silently merges their histories), re-derived
+    * from the pseudonymized output itself.
+    */
+  def etl_pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val mapped = events(s, dir).select(col("user_id"),
+        portableStringHash(
+          concat(lit("s8#"), col("user_id").cast("string"))).as("pseudo"))
+      .distinct()
+    val collisions = mapped.groupBy("pseudo")
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") >= 2)
+    mapped.agg(count(lit(1)).as("n_users"),
+        countDistinct(col("pseudo")).as("n_pseudonyms"))
+      .crossJoin(broadcast(collisions.agg(
+        coalesce(sum(col("n_ids")), lit(0L)).as("n_colliding_users"))))
+      .select(col("n_users"), col("n_pseudonyms"),
+        (col("n_users") - col("n_pseudonyms")).as("n_lost"),
+        col("n_colliding_users"))
+  }
+
+  val etlPsSql = s"""WITH mapped AS (SELECT DISTINCT user_id,
+      list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split('s8#' || cast(user_id as varchar), ''),
+          c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) AS pseudo
+    FROM events),
+    coll AS (SELECT coalesce(sum(n_ids), 0) AS n_colliding_users
+      FROM (SELECT pseudo, count(*) AS n_ids FROM mapped GROUP BY pseudo
+        HAVING count(*) >= 2))
+    SELECT count(*) AS n_users, count(DISTINCT pseudo) AS n_pseudonyms,
+      count(*) - count(DISTINCT pseudo) AS n_lost,
+      cast(coll.n_colliding_users as bigint) AS n_colliding_users
+    FROM mapped CROSS JOIN coll GROUP BY coll.n_colliding_users"""
+
+  /** E11 — day-of-week × hour load profile: the traffic heatmap ops
+    * teams size capacity from, with each cell's share of total volume.
+    * One map-side-combined aggregate to ≤ 168 cells; shares from a
+    * broadcast total — raw events shuffle once.
+    */
+  def e11_dow_hour(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      pmod(expr("unix_millis(ts) div 86400000") + 4, lit(7L)).as("dow"),
+      expr("(unix_millis(ts) div 3600000) % 24").as("hour"))
+    val cells = ev.groupBy("dow", "hour").agg(count(lit(1)).as("n_events"))
+    cells.crossJoin(broadcast(cells.agg(sum(col("n_events")).as("__tot"))))
+      .select(col("dow"), col("hour"), col("n_events"),
+        round(col("n_events") / col("__tot").cast("double"), 6).as("share"))
+      .orderBy("dow", "hour")
+  }
+
+  val e11dhSql = """WITH c AS (SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+      (epoch_ms(ts) // 3600000) % 24 AS hour, count(*) AS n_events
+    FROM events GROUP BY 1, 2),
+    t AS (SELECT sum(n_events) AS tot FROM c)
+    SELECT dow, hour, n_events,
+      round(n_events / cast(tot as double), 6) AS share
+    FROM c CROSS JOIN t ORDER BY dow, hour"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10743,5 +10808,7 @@ object Queries {
     ("e4_zipf", e4_zipf _, e4zfSql),
     ("e11_drawdown", e11_drawdown _, e11ddSql),
     ("e3_hash_embed", e3_hash_embed _, e3heSql),
-    ("e10_hist_rest", e10_hist_rest _, e10htSql))
+    ("e10_hist_rest", e10_hist_rest _, e10htSql),
+    ("etl_pseudonymize", etl_pseudonymize _, etlPsSql),
+    ("e11_dow_hour", e11_dow_hour _, e11dhSql))
 }

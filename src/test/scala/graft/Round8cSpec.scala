@@ -859,4 +859,32 @@ class Round8cSpec extends SparkSpec {
     assert(math.abs(p75 - qc(0.75)) < 1e-6)
     assert(math.abs(p95 - qc(0.95)) < 1e-6)
   }
+
+  test("etl_pseudonymize: stable mapping, loss accounting, collisions re-derive") {
+    val r = Queries.etl_pseudonymize(spark, sf).collect().head
+    val (nu, np, lost, ncoll) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(lost == nu - np)
+    val ids = graft.Queries.events(spark, sf)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    assert(nu == ids.length)
+    def pseudo(id: Long): Long = {
+      var a = 7L
+      s"s8#$id".foreach(ch => a = (a * 31 + ch.toLong) % graft.functions.HashPrime)
+      a
+    }
+    val groups = ids.groupBy(pseudo)
+    assert(np == groups.size)
+    assert(ncoll == groups.values.filter(_.length >= 2).map(_.length).sum)
+    // stability: a second run maps identically
+    assert(Queries.etl_pseudonymize(spark, sf).collect().head == r)
+  }
+
+  test("e11_dow_hour: cells partition all events; shares sum to 1") {
+    val rows = Queries.e11_dow_hour(spark, sf).collect()
+    val total = graft.Queries.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 6))
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 23))
+  }
 }
