@@ -10494,6 +10494,109 @@ object Queries {
       round(n_events / cast(tot as double), 6) AS share
     FROM c CROSS JOIN t ORDER BY dow, hour"""
 
+  /** E6 — Cramér's V for lang × source: the [0,1]-normalized effect
+    * size of e6_chi2's family (chi-square says WHETHER association
+    * exists; V says HOW MUCH, comparable across tables of any shape).
+    * χ² accumulates per cell against expected counts from the
+    * marginals; V = √(χ²/(n·min(r−1, c−1))). Same cell frame as
+    * e6_mutual_info — exact integers until the final chain, per-cell
+    * χ² terms quantized 9 dp before the exact decimal sum.
+    */
+  def e6_cramers_v(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val n = cells.agg(sum(col("c")).as("n"),
+      countDistinct(col("lang")).as("r"),
+      countDistinct(col("source")).as("k"))
+    val ml = cells.groupBy("lang").agg(sum(col("c")).as("cl"))
+    val ms = cells.groupBy("source").agg(sum(col("c")).as("cs"))
+    val chi = cells.join(ml, "lang").join(ms, "source")
+      .crossJoin(broadcast(n))
+      .select(round(
+        ((col("c") - (col("cl") * col("cs")).cast("double") / col("n")) *
+          (col("c") - (col("cl") * col("cs")).cast("double") / col("n"))) /
+          ((col("cl") * col("cs")).cast("double") / col("n")), 9)
+        .cast(DecimalType(28, 9)).as("term"))
+      .agg(sum(col("term")).cast("double").as("chi2"))
+    chi.crossJoin(broadcast(n))
+      .select(col("n").cast("long").as("n_docs"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n") * least(col("r") - 1, col("k") - 1)).cast("double")), 6)
+          .as("cramers_v"))
+  }
+
+  val e6cvSql2 = """WITH cells AS (SELECT lang, source, count(*) AS c
+      FROM documents GROUP BY lang, source),
+    n AS (SELECT sum(c) AS n, count(DISTINCT lang) AS r,
+      count(DISTINCT source) AS k FROM cells),
+    ml AS (SELECT lang, sum(c) AS cl FROM cells GROUP BY lang),
+    ms AS (SELECT source, sum(c) AS cs FROM cells GROUP BY source),
+    chi AS (SELECT cast(sum(cast(round(
+        ((c - cast(cl * cs as double) / n.n) * (c - cast(cl * cs as double) / n.n))
+          / (cast(cl * cs as double) / n.n), 9) as decimal(28,9))) as double) AS chi2
+      FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN n)
+    SELECT cast(n.n as bigint) AS n_docs, round(chi.chi2, 6) AS chi2,
+      round(sqrt(chi.chi2 / cast(n.n * least(n.r - 1, n.k - 1) as double)), 6) AS cramers_v
+    FROM chi CROSS JOIN n"""
+
+  /** E11 — inter-arrival statistics per user stream, pooled by event
+    * type: mean gap, coefficient of variation (CV ≈ 1 signals Poisson
+    * arrivals, CV ≫ 1 bursts — the traffic-model selector), and the
+    * exact median gap from the plain exact percentile (NOT
+    * percentile-with-frequency — that variant's interpolation
+    * convention is not portable; see e10_hist_rest). Gaps come from one
+    * lag window per user (the exchange every session operator shares);
+    * moments are exact integer sums of ms gaps.
+    */
+  def e11_interarrival(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"),
+      unix_millis(col("ts")).as("tms"), col("event_id"))
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy("tms", "event_id")
+    val gaps = ev.withColumn("__gap", col("tms") - lag(col("tms"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .select(col("event_type"), col("__gap"))
+    val mom = gaps.groupBy("event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("__gap")).as("sg"),
+      sum((col("__gap") * col("__gap")).cast(DecimalType(38, 0)))
+        .cast("double").as("sgg"))
+    val med = gaps.groupBy("event_type")
+      .agg(round(expr("percentile(__gap, 0.5)"), 4).as("p50_gap_ms"))
+    val n = col("n_gaps").cast("double")
+    val mean = col("sg").cast("double") / n
+    val variance = (col("sgg") - col("sg").cast("double") * col("sg").cast("double") / n) /
+      (n - 1)
+    mom.join(med, "event_type")
+      .select(col("event_type"), col("n_gaps"),
+        round(mean, 4).as("mean_gap_ms"),
+        round(sqrt(variance) / mean, 6).as("cv"),
+        col("p50_gap_ms"))
+      .orderBy("event_type")
+  }
+
+  val e11iaSql = """WITH ev AS (SELECT event_type, user_id,
+      epoch_ms(ts) AS tms, event_id FROM events),
+    g AS (SELECT event_type,
+      tms - lag(tms, 1) OVER (PARTITION BY event_type, user_id
+        ORDER BY tms, event_id) AS gap
+    FROM ev),
+    gaps AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+    mom AS (SELECT event_type, count(*) AS n_gaps,
+      sum(gap) AS sg,
+      cast(sum(cast(gap * gap as decimal(38,0))) as double) AS sgg
+    FROM gaps GROUP BY event_type),
+    med AS (SELECT event_type, round(quantile_cont(gap, 0.5), 4) AS p50_gap_ms
+      FROM gaps GROUP BY event_type)
+    SELECT mom.event_type, mom.n_gaps,
+      round(cast(sg as double) / n_gaps, 4) AS mean_gap_ms,
+      round(sqrt((sgg - cast(sg as double) * cast(sg as double) / n_gaps)
+        / (n_gaps - 1)) / (cast(sg as double) / n_gaps), 6) AS cv,
+      med.p50_gap_ms
+    FROM mom JOIN med ON mom.event_type = med.event_type
+    ORDER BY mom.event_type"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10810,5 +10913,7 @@ object Queries {
     ("e3_hash_embed", e3_hash_embed _, e3heSql),
     ("e10_hist_rest", e10_hist_rest _, e10htSql),
     ("etl_pseudonymize", etl_pseudonymize _, etlPsSql),
-    ("e11_dow_hour", e11_dow_hour _, e11dhSql))
+    ("e11_dow_hour", e11_dow_hour _, e11dhSql),
+    ("e6_cramers_v", e6_cramers_v _, e6cvSql2),
+    ("e11_interarrival", e11_interarrival _, e11iaSql))
 }

@@ -887,4 +887,52 @@ class Round8cSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 6))
     assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 23))
   }
+
+  test("e6_cramers_v: chi2 consistent with V; V in [0,1]") {
+    val r = Queries.e6_cramers_v(spark, sf).collect().head
+    val (n, chi2, v) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(v >= 0 && v <= 1 + 1e-9)
+    val cells = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(n == cells.length)
+    val rDim = cells.map(_._1).distinct.length
+    val kDim = cells.map(_._2).distinct.length
+    assert(math.abs(v - math.sqrt(chi2 / (n.toDouble * math.min(rDim - 1, kDim - 1)))) < 1e-5)
+    // chi2 against a driver-side computation
+    val nn = cells.length.toDouble
+    val joint = cells.groupBy(identity).map { case (k2, x) => k2 -> x.length.toDouble }
+    val pl = cells.groupBy(_._1).map { case (k2, x) => k2 -> x.length.toDouble }
+    val ps = cells.groupBy(_._2).map { case (k2, x) => k2 -> x.length.toDouble }
+    val expect = joint.map { case ((l, s0), c) =>
+      val e0 = pl(l) * ps(s0) / nn
+      (c - e0) * (c - e0) / e0
+    }.sum
+    assert(math.abs(chi2 - expect) < 1e-3, s"chi2 $chi2 vs $expect")
+  }
+
+  test("e11_interarrival: moments and median re-derive from per-user gaps") {
+    val got = Queries.e11_interarrival(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.Queries.events(spark, sf)
+      .select(col("event_type"), col("user_id"), unix_millis(col("ts")).as("t"),
+        col("event_id")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    got.foreach { r =>
+      val (et, nG, meanG, cv, p50) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val gaps: Array[Double] = ev.filter(_._1 == et).groupBy(_._2).values.flatMap { u =>
+        val ts = u.sortBy(x => (x._3, x._4)).map(_._3)
+        ts.zip(ts.drop(1)).map { case (a, b) => (b - a).toDouble }
+      }.toArray.sorted
+      assert(nG == gaps.length)
+      val m = gaps.sum / gaps.length
+      assert(math.abs(meanG - m) < 1e-2)
+      val vr = gaps.map(g => (g - m) * (g - m)).sum / (gaps.length - 1)
+      assert(math.abs(cv - math.sqrt(vr) / m) < 1e-4, s"$et cv")
+      val h = 0.5 * (gaps.length - 1)
+      val medN = gaps(h.floor.toInt) + (gaps(h.ceil.toInt) - gaps(h.floor.toInt)) * (h - h.floor)
+      assert(math.abs(p50 - medN) < 1e-2, s"$et median")
+    }
+  }
 }
