@@ -10597,6 +10597,68 @@ object Queries {
     FROM mom JOIN med ON mom.event_type = med.event_type
     ORDER BY mom.event_type"""
 
+  /** E6 — partial correlation of quantity and extendedprice CONTROLLING
+    * for discount, per group: r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)) — does the raw association survive once the
+    * confounder is held fixed, the quantitative cousin of e6_simpson's
+    * sign screen. All three pairwise correlations derive from ONE pass
+    * of exact decimal moments (the e6_ols2 moment set reused), then one
+    * fixed double chain, round 6.
+    */
+  def e6_partial_corr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("y"),
+      col("l_discount").cast(DecimalType(18, 2)).as("z"))
+    val m = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("z")).cast("double").as("sz"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("z")).cast("double").as("sxz"),
+      sum(col("y") * col("z")).cast("double").as("syz"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(col("z") * col("z")).cast("double").as("szz"))
+    val n = col("n").cast("double")
+    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+      (n * sab - sa * sb) /
+        (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    m.select(col("l_returnflag"), col("n").as("n_rows"),
+        round(rxy, 6).as("r_xy"),
+        round((rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+          .as("r_xy_given_z"))
+      .orderBy("l_returnflag")
+  }
+
+  val e6pcSql = """WITH m AS (SELECT l_returnflag, count(*) AS n,
+      cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+      cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+      cast(sum(cast(l_discount as decimal(18,2))) as double) AS sz,
+      cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS sxy,
+      cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) AS sxz,
+      cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) AS syz,
+      cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double) AS sxx,
+      cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS syy,
+      cast(sum(cast(l_discount as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) AS szz
+    FROM lineitem GROUP BY l_returnflag),
+    rr AS (SELECT l_returnflag, n,
+      (cast(n as double) * sxy - sx * sy)
+        / (sqrt(cast(n as double) * sxx - sx * sx) * sqrt(cast(n as double) * syy - sy * sy)) AS rxy,
+      (cast(n as double) * sxz - sx * sz)
+        / (sqrt(cast(n as double) * sxx - sx * sx) * sqrt(cast(n as double) * szz - sz * sz)) AS rxz,
+      (cast(n as double) * syz - sy * sz)
+        / (sqrt(cast(n as double) * syy - sy * sy) * sqrt(cast(n as double) * szz - sz * sz)) AS ryz
+    FROM m)
+    SELECT l_returnflag, n AS n_rows, round(rxy, 6) AS r_xy,
+      round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) AS r_xy_given_z
+    FROM rr ORDER BY l_returnflag"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10915,5 +10977,6 @@ object Queries {
     ("etl_pseudonymize", etl_pseudonymize _, etlPsSql),
     ("e11_dow_hour", e11_dow_hour _, e11dhSql),
     ("e6_cramers_v", e6_cramers_v _, e6cvSql2),
-    ("e11_interarrival", e11_interarrival _, e11iaSql))
+    ("e11_interarrival", e11_interarrival _, e11iaSql),
+    ("e6_partial_corr", e6_partial_corr _, e6pcSql))
 }

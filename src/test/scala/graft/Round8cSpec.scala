@@ -935,4 +935,29 @@ class Round8cSpec extends SparkSpec {
       assert(math.abs(p50 - medN) < 1e-2, s"$et median")
     }
   }
+
+  test("e6_partial_corr: matches driver-side three-way correlation algebra") {
+    val got = Queries.e6_partial_corr(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map { case (p, q) => p * q }.sum
+      val (saa, sbb) = (a.map(p => p * p).sum, b.map(p => p * p).sum)
+      (n * sab - sa * sb) / (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    }
+    got.foreach { case (g, (rxy, rpart)) =>
+      val sub = li.filter(_._1 == g)
+      val (x, y, z) = (sub.map(_._2), sub.map(_._3), sub.map(_._4))
+      assert(math.abs(rxy - corr(x, y)) < 1e-4)
+      val (rxz, ryz) = (corr(x, z), corr(y, z))
+      val expect = (corr(x, y) - rxz * ryz) /
+        math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+      assert(math.abs(rpart - expect) < 1e-4, s"$g partial")
+      assert(math.abs(rpart) <= 1 + 1e-9)
+    }
+  }
 }
