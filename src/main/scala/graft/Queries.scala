@@ -10659,6 +10659,70 @@ object Queries {
       round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) AS r_xy_given_z
     FROM rr ORDER BY l_returnflag"""
 
+  /** E4 — Heaps'-law vocabulary growth: distinct types V(n) against
+    * tokens scanned n at 10 doc-id-ordered checkpoints, plus the Heaps
+    * exponent β (slope of ln V vs ln n — natural text sits near
+    * 0.4–0.6; a flat curve means the corpus is template spam, a linear
+    * one means near-random strings — the companion fingerprint to
+    * e4_zipf's frequency slope). Checkpoint thresholds derive from the
+    * max doc id (deterministic); each checkpoint is a filtered
+    * distinct-count over the token frame (tokens × 10 checkpoint rows,
+    * never materialized per-prefix); the log-log fit uses the
+    * floor(v·1e6 + 0.5) quantization (engine round() disagrees at half
+    * boundaries — the e4_zipf lesson).
+    */
+  def e4_heaps(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .localCheckpoint(true)
+    val mx = toks.agg(max(col("doc_id")).as("mx"))
+    val cps = mx.select(explode(sequence(lit(1), lit(10))).as("i"), col("mx"))
+      .select(col("i"), ((col("mx") * col("i")) / 10).cast("long").as("th"))
+    val curve = toks.crossJoin(broadcast(cps))
+      .filter(col("doc_id") <= col("th"))
+      .groupBy("i", "th")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+    val pts = curve.select(
+      floor(log(col("n_tokens").cast("double")) * 1e6 + 0.5).cast("long").as("x6"),
+      floor(log(col("n_types").cast("double")) * 1e6 + 0.5).cast("long").as("y6"))
+    val mo = pts.agg(count(lit(1)).as("n"),
+      sum(col("x6").cast(DecimalType(38, 0))).cast("double").as("sx"),
+      sum(col("y6").cast(DecimalType(38, 0))).cast("double").as("sy"),
+      sum((col("x6") * col("y6")).cast(DecimalType(38, 0))).cast("double").as("sxy"),
+      sum((col("x6") * col("x6")).cast(DecimalType(38, 0))).cast("double").as("sxx"))
+    val n = col("n").cast("double")
+    val beta = mo.select(
+      round((n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sxx") - col("sx") * col("sx")), 6).as("heaps_beta"))
+    curve.select(col("i").cast("int").as("checkpoint"),
+        col("n_tokens"), col("n_types"))
+      .crossJoin(broadcast(beta))
+      .orderBy("checkpoint")
+  }
+
+  val e4hpSql = """WITH toks AS (SELECT doc_id,
+      unnest(string_split(text, ' ')) AS tok FROM documents),
+    mx AS (SELECT max(doc_id) AS mx FROM toks),
+    cps AS (SELECT i.range AS i, (mx * i.range) // 10 AS th
+      FROM range(1, 11) i CROSS JOIN mx),
+    curve AS (SELECT i, th, count(*) AS n_tokens,
+        count(DISTINCT tok) AS n_types
+      FROM toks JOIN cps ON toks.doc_id <= cps.th GROUP BY i, th),
+    pts AS (SELECT cast(floor(ln(cast(n_tokens as double)) * 1e6 + 0.5) as bigint) AS x6,
+        cast(floor(ln(cast(n_types as double)) * 1e6 + 0.5) as bigint) AS y6
+      FROM curve),
+    m AS (SELECT count(*) AS n,
+      cast(sum(cast(x6 as decimal(38,0))) as double) AS sx,
+      cast(sum(cast(y6 as decimal(38,0))) as double) AS sy,
+      cast(sum(cast(x6 * y6 as decimal(38,0))) as double) AS sxy,
+      cast(sum(cast(x6 * x6 as decimal(38,0))) as double) AS sxx
+    FROM pts),
+    beta AS (SELECT round((cast(n as double) * sxy - sx * sy)
+        / (cast(n as double) * sxx - sx * sx), 6) AS heaps_beta FROM m)
+    SELECT cast(i as int) AS checkpoint, n_tokens, n_types, heaps_beta
+    FROM curve CROSS JOIN beta ORDER BY checkpoint"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10978,5 +11042,6 @@ object Queries {
     ("e11_dow_hour", e11_dow_hour _, e11dhSql),
     ("e6_cramers_v", e6_cramers_v _, e6cvSql2),
     ("e11_interarrival", e11_interarrival _, e11iaSql),
-    ("e6_partial_corr", e6_partial_corr _, e6pcSql))
+    ("e6_partial_corr", e6_partial_corr _, e6pcSql),
+    ("e4_heaps", e4_heaps _, e4hpSql))
 }

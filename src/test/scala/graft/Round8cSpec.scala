@@ -960,4 +960,29 @@ class Round8cSpec extends SparkSpec {
       assert(math.abs(rpart) <= 1 + 1e-9)
     }
   }
+
+  test("e4_heaps: growth curve is monotone and matches driver-side prefixes") {
+    val rows = Queries.e4_heaps(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 10)
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)), "tokens monotone")
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)), "types monotone")
+    val beta = rows.head._4
+    assert(rows.forall(_._4 == beta), "one global exponent")
+    // the synthetic corpus draws from a ~31-term vocabulary that
+    // saturates by the first checkpoint, so beta lands at 0 — exactly
+    // the "template corpus" signature the fingerprint exists to expose
+    assert(beta >= 0 && beta <= 1.05, s"Heaps exponent $beta")
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val mx = docs.map(_._1).max
+    rows.foreach { case (i, nTok, nTyp, _) =>
+      val th = mx * i / 10
+      val pre = docs.filter(_._1 <= th).flatMap(_._2)
+      assert(nTok == pre.length, s"checkpoint $i tokens")
+      assert(nTyp == pre.distinct.length, s"checkpoint $i types")
+    }
+  }
 }
