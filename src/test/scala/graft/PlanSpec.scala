@@ -395,6 +395,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e3_hash_embed: bucket joins run over compressed cells; scan prunes to (doc_id, text)") {
+    val df = Queries.e3_hash_embed(spark, sf)
+    val plan = executed(df)
+    val joins = collectDeep(plan) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(collectDeep(j) {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.isEmpty,
+        s"a join consumes a raw file scan — cells not compressed first:\n$plan")
+    }
+  }
+
+  test("e8_topk_at_rest: the merge plan reads ONLY the stored shard summaries") {
+    val df = Queries.e8_topk_at_rest(spark, sf)
+    val plan = executed(df)
+    val scans = collectDeep(plan) {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { sc =>
+      assert(!sc.toString.contains("testdata"),
+        s"the at-rest merge re-scanned the corpus:\n$plan")
+    }
+  }
+
+  test("e4_heaps: the checkpoint fan-out broadcasts the 10-row threshold frame") {
+    val plan = executed(Queries.e4_heaps(spark, sf))
+    // tokens x checkpoints must be a broadcast nested-loop/hash join of
+    // the TINY checkpoint frame — never a shuffle of the token frame
+    // keyed by anything checkpoint-derived
+    val bcast = collectDeep(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bcast.nonEmpty, s"checkpoint fan-out did not broadcast:\n$plan")
+  }
+
   test("e6_basket_lift: the pair self-join consumes the distinct-compressed items") {
     val plan = executed(Queries.e6_basket_lift(spark, sf))
     // items are localCheckpoint'd after DISTINCT, so every join input is
