@@ -10723,6 +10723,59 @@ object Queries {
     SELECT cast(i as int) AS checkpoint, n_tokens, n_types, heaps_beta
     FROM curve CROSS JOIN beta ORDER BY checkpoint"""
 
+  /** ETL — fact-to-detail reconciliation: does each order header's
+    * o_totalprice agree with the total derived from its lineitems
+    * (Σ extendedprice·(1+tax)·(1−discount)) within a money tolerance —
+    * the source-to-target audit a warehouse runs after every load (the
+    * row-grain complement of etl_checksum's table fingerprint). Exact
+    * decimal per-line amounts aggregate per order (one keyed shuffle,
+    * map-side combined); headers join in; the report carries match/
+    * mismatch counts, the worst absolute gap, and orphan counts BOTH
+    * ways (headers without lines, lines without headers) — the full
+    * reconciliation triangle. (This synthetic data draws header and
+    * line prices independently, so the mismatch count is the honest
+    * answer, not a bug.)
+    */
+  def etl_reconcile(s: SparkSession, dir: String): DataFrame = {
+    val derived = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(BigDecimal(1)) + col("l_tax").cast(DecimalType(18, 2))) *
+          (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(28, 6)).as("amt"))
+      .groupBy("l_orderkey").agg(sum(col("amt")).as("derived"))
+    val hdr = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("stated"))
+    val j = hdr.join(derived, col("o_orderkey") === col("l_orderkey"), "full_outer")
+    j.agg(
+      sum(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull, 1L)
+        .otherwise(0L)).as("n_joined"),
+      sum(when(col("o_orderkey").isNotNull && col("l_orderkey").isNull, 1L)
+        .otherwise(0L)).as("n_headers_only"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_lines_only"),
+      sum(when(abs(col("stated") - col("derived")) <= 0.01, 1L)
+        .otherwise(0L)).as("n_matched"),
+      round(max(abs(col("stated") - col("derived"))).cast("double"), 2)
+        .as("max_abs_gap"))
+  }
+
+  val etlRcSql = """WITH derived AS (SELECT l_orderkey,
+      sum(cast(cast(l_extendedprice as decimal(18,2))
+        * (1 + cast(l_tax as decimal(18,2)))
+        * (1 - cast(l_discount as decimal(18,2))) as decimal(28,6))) AS derived
+    FROM lineitem GROUP BY l_orderkey),
+    hdr AS (SELECT o_orderkey, cast(o_totalprice as decimal(18,2)) AS stated
+      FROM orders),
+    j AS (SELECT hdr.o_orderkey, derived.l_orderkey, stated, derived
+      FROM hdr FULL OUTER JOIN derived ON hdr.o_orderkey = derived.l_orderkey)
+    SELECT
+      cast(sum(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_joined,
+      cast(sum(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_headers_only,
+      cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_lines_only,
+      cast(sum(CASE WHEN abs(stated - derived) <= 0.01 THEN 1 ELSE 0 END) as bigint) AS n_matched,
+      round(cast(max(abs(stated - derived)) as double), 2) AS max_abs_gap
+    FROM j"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -11043,5 +11096,6 @@ object Queries {
     ("e6_cramers_v", e6_cramers_v _, e6cvSql2),
     ("e11_interarrival", e11_interarrival _, e11iaSql),
     ("e6_partial_corr", e6_partial_corr _, e6pcSql),
-    ("e4_heaps", e4_heaps _, e4hpSql))
+    ("e4_heaps", e4_heaps _, e4hpSql),
+    ("etl_reconcile", etl_reconcile _, etlRcSql))
 }

@@ -985,4 +985,22 @@ class Round8cSpec extends SparkSpec {
       assert(nTyp == pre.distinct.length, s"checkpoint $i types")
     }
   }
+
+  test("etl_reconcile: the reconciliation triangle accounts for every key") {
+    val r = Queries.etl_reconcile(spark, sf).collect().head
+    val (joined, hOnly, lOnly, matched, maxGap) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val lines = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    assert(joined == (orders & lines).size)
+    assert(hOnly == (orders -- lines).size)
+    assert(lOnly == (lines -- orders).size)
+    assert(matched <= joined, "a match requires both sides")
+    assert(maxGap >= 0)
+    // on this synthetic data header and line prices are independent, so
+    // near-universal mismatch is the CORRECT verdict, not a bug
+    assert(matched < joined)
+  }
 }
