@@ -10776,6 +10776,102 @@ object Queries {
       round(cast(max(abs(stated - derived)) as double), 2) AS max_abs_gap
     FROM j"""
 
+  /** E11 — cohort LTV triangle: cumulative purchase value per signup
+    * cohort by weeks-since-signup — the VALUE companion of e11_cohort's
+    * retention counts (what a growth team discounts to price
+    * acquisition). Purchases aggregate to the (cohort, offset) grain
+    * FIRST (exact decimal sums, one keyed shuffle), then one cumulative
+    * window runs over the tiny triangle; per-user normalization uses
+    * the cohort's signup census as a broadcast.
+    */
+  def e11_ltv(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("(unix_millis(ts) div 86400000 + 3) div 7").as("week"),
+      col("value").cast(DecimalType(18, 2)).as("v"))
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("week")).as("cohort"))
+    val census = su.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val tri = ev.where(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("week") >= col("cohort"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(sum(col("v")).as("rev"))
+    val w = Window.partitionBy("cohort").orderBy("week_offset")
+    tri.withColumn("cum_rev", sum(col("rev")).over(w))
+      .join(broadcast(census), "cohort")
+      .select(col("cohort"), col("week_offset").cast("int").as("week_offset"),
+        col("n_users"),
+        round(col("rev").cast("double"), 2).as("week_rev"),
+        round(col("cum_rev").cast("double") / col("n_users").cast("double"), 4)
+          .as("cum_ltv_per_user"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  val e11ltvSql = """WITH ev AS (SELECT user_id, event_type,
+      (epoch_ms(ts) // 86400000 + 3) // 7 AS week,
+      cast(value as decimal(18,2)) AS v FROM events),
+    su AS (SELECT user_id, min(week) AS cohort FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id),
+    census AS (SELECT cohort, count(*) AS n_users FROM su GROUP BY cohort),
+    tri AS (SELECT su.cohort, ev.week - su.cohort AS week_offset,
+        sum(ev.v) AS rev
+      FROM ev JOIN su ON ev.user_id = su.user_id
+      WHERE ev.event_type = 'purchase' AND ev.week >= su.cohort
+      GROUP BY su.cohort, ev.week - su.cohort),
+    c AS (SELECT cohort, week_offset, rev,
+      sum(rev) OVER (PARTITION BY cohort ORDER BY week_offset
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+    FROM tri)
+    SELECT c.cohort, cast(week_offset as int) AS week_offset,
+      census.n_users,
+      round(cast(rev as double), 2) AS week_rev,
+      round(cast(cum_rev as double) / census.n_users, 4) AS cum_ltv_per_user
+    FROM c JOIN census ON c.cohort = census.cohort
+    ORDER BY c.cohort, week_offset"""
+
+  /** E6 — sample-ratio-mismatch (SRM) check of the deterministic hash
+    * split: users assign A/B by the portable hash exactly as an
+    * experimentation platform would, and the chi-square goodness-of-fit
+    * against the intended 50/50 says whether the allocator is biased —
+    * the FIRST gate any A/B readout must pass (SRM invalidates the
+    * experiment before any metric is read). Counts exact; χ² and the
+    * >3.84 flag (α=0.05, df=1) in one double chain.
+    */
+  def e6_srm(s: SparkSession, dir: String): DataFrame = {
+    val users = events(s, dir).select(col("user_id")).distinct()
+      .withColumn("arm",
+        pmod(portableStringHash(concat(lit("ab1#"), col("user_id").cast("string"))),
+          lit(2L)))
+    val m = users.agg(count(lit(1)).as("n"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"))
+    val n = col("n").cast("double")
+    val na = col("n_a").cast("double")
+    val chi2 = (na - n / 2) * (na - n / 2) / (n / 2) +
+      ((n - na) - n / 2) * ((n - na) - n / 2) / (n / 2)
+    m.select(col("n").as("n_users"), col("n_a"),
+      (col("n") - col("n_a")).as("n_b"),
+      round(chi2, 6).as("chi2"),
+      (chi2 > 3.841).cast("int").as("srm_flag"))
+  }
+
+  val e6srmSql = s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (SELECT user_id,
+      list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split('ab1#' || cast(user_id as varchar), ''),
+          c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) % 2 AS arm
+    FROM u),
+    m AS (SELECT count(*) AS n,
+      sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a FROM arms)
+    SELECT n AS n_users, cast(n_a as bigint) AS n_a,
+      cast(n - n_a as bigint) AS n_b,
+      round((n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
+        + ((n - n_a) - n / 2.0) * ((n - n_a) - n / 2.0) / (n / 2.0), 6) AS chi2,
+      cast(CASE WHEN (n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
+        + ((n - n_a) - n / 2.0) * ((n - n_a) - n / 2.0) / (n / 2.0) > 3.841
+        THEN 1 ELSE 0 END as int) AS srm_flag
+    FROM m"""
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -11097,5 +11193,7 @@ object Queries {
     ("e11_interarrival", e11_interarrival _, e11iaSql),
     ("e6_partial_corr", e6_partial_corr _, e6pcSql),
     ("e4_heaps", e4_heaps _, e4hpSql),
-    ("etl_reconcile", etl_reconcile _, etlRcSql))
+    ("etl_reconcile", etl_reconcile _, etlRcSql),
+    ("e11_ltv", e11_ltv _, e11ltvSql),
+    ("e6_srm", e6_srm _, e6srmSql))
 }

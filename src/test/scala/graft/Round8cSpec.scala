@@ -1003,4 +1003,42 @@ class Round8cSpec extends SparkSpec {
     // near-universal mismatch is the CORRECT verdict, not a bug
     assert(matched < joined)
   }
+
+  test("e11_ltv: cumulative per-user value re-derives from signup cohorts") {
+    val got = Queries.e11_ltv(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.Queries.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("(unix_millis(ts) div 86400000 + 3) div 7").as("week"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val cohort = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, v) => u -> v.map(_._3).min }
+    got.groupBy(_.getLong(0)).foreach { case (c, rows) =>
+      val users = cohort.filter(_._2 == c).keys.toSet
+      assert(rows.head.getLong(2) == users.size, s"cohort $c census")
+      var cum = 0.0
+      rows.sortBy(_.getInt(1)).foreach { r =>
+        val off = r.getInt(1)
+        val wk = ev.filter(e => e._2 == "purchase" && users(e._1) && e._3 == c + off)
+          .map(_._4).sum
+        assert(math.abs(r.getDouble(3) - wk) < 1e-2, s"cohort $c offset $off weekly")
+        cum += wk
+        assert(math.abs(r.getDouble(4) - cum / users.size) < 1e-3, s"cohort $c offset $off ltv")
+      }
+    }
+  }
+
+  test("e6_srm: arm counts partition the users; chi2 matches the GOF formula") {
+    val r = Queries.e6_srm(spark, sf).collect().head
+    val (n, na, nb, chi2, flag) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getInt(4))
+    assert(na + nb == n)
+    val e0 = n / 2.0
+    val expect = (na - e0) * (na - e0) / e0 + (nb - e0) * (nb - e0) / e0
+    assert(math.abs(chi2 - expect) < 1e-5)
+    assert(flag == (if (expect > 3.841) 1 else 0))
+    // a healthy hash allocator must NOT trip SRM on this population
+    assert(flag == 0, s"hash split is biased: $na vs $nb (chi2 $chi2)")
+  }
 }
