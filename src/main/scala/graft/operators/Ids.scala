@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,63 @@ object Ids {
         col("__off") + row_number().over(
           Window.partitionBy("__b").orderBy(col(keyCol))))
       .drop("__b", "__off")
+  }
+
+  /** Global 1..N rank over (primary asc|desc, tieBreak asc) WITHOUT a
+    * single-partition sort — the building block that lets rank-family
+    * semantics (ntile, row_number-over-everything) survive corpus-sized
+    * frames (round-8 verdict item 2). Same two-phase shape as
+    * [[denseIds]], generalized to a composite order: fixed-width range
+    * buckets on the primary metric make bucket assignment a pure
+    * function of the VALUE (ties land in one bucket, where the
+    * in-bucket window breaks them by `tieBreak`), so
+    * `__rank` == `row_number() OVER (ORDER BY primary [DESC], tieBreak)`
+    * while every data-sized sort stays per-bucket parallel. Production
+    * on skewed metrics would sample boundaries like RangePartitioner —
+    * the offset algebra is unchanged (same note as [[denseIds]]).
+    */
+  def globalRank(df: DataFrame, primary: Column, asc: Boolean,
+                 tieBreak: Column, buckets: Int = 64): DataFrame = {
+    val v = (if (asc) primary else -primary).cast("double")
+    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") <= col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((v - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets)).cast("int"))))
+      .drop("__lo", "__hi")
+    // <= buckets rows; the only global window is over this bounded frame
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__c")
+    val ord =
+      if (asc) Seq(primary.asc, tieBreak.asc)
+      else Seq(primary.desc, tieBreak.asc)
+    bucketed.join(broadcast(offsets), "__b")
+      .withColumn("__rank",
+        col("__off") + row_number().over(
+          Window.partitionBy("__b").orderBy(ord: _*)))
+      .drop("__b", "__off")
+  }
+
+  /** Exact `ntile(k)` from a global 1-based rank and the frame size —
+    * pure arithmetic, so [[globalRank]] + this reproduces the window
+    * function bit-for-bit without its single-partition sort. SQL ntile
+    * semantics: the first `n mod k` buckets hold `n div k + 1` rows,
+    * the rest `n div k` (bucket sizes differ by at most one, larger
+    * first). floor-division on doubles is exact below 2^52 rows.
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k)          // base bucket size
+    val rem = n - q * k           // buckets that get one extra row
+    val cap = rem * (q + 1)       // rows covered by the larger buckets
+    when(rank <= cap, floor((rank - 1) / (q + 1)) + 1)
+      .otherwise(rem + floor((rank - cap - 1) / q) + 1)
+      .cast("int")
   }
 
   /** Incremental id extension — the ingest-time contract that makes

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Ids
+
+/** Round-9 hardening (round-8 verdict items 2–3): rank-family semantics
+  * without un-partitioned windows.
+  *
+  * - `Ids.globalRank` + `Ids.ntileFromRank` must be bit-identical to the
+  *   window functions they replace (`row_number()` / `ntile(k)` over a
+  *   global ORDER BY) — the graded oracles keep using the naive window
+  *   form, so equality here is what keeps the oracle untouched.
+  * - The rewritten `e11_rfm` / hierarchy-fixture plans must carry NO
+  *   data-sized un-partitioned window: the only empty-partitionSpec
+  *   WindowExec allowed is the offset prefix-sum over the bucket-count
+  *   frame (≤ buckets rows by construction — its child aggregates by
+  *   `__b`).
+  */
+class Round9Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  /** Every un-partitioned window in `df`'s executed plan must run over
+    * the bounded bucket-count frame (child output is exactly the
+    * `__b`-grain aggregate), never over data-sized input.
+    */
+  private def assertNoGlobalDataWindow(df: DataFrame, name: String): Unit = {
+    val wins = flatten(executed(df)).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    wins.foreach { w =>
+      val childCols = w.child.output.map(_.name).toSet
+      assert(childCols.contains("__c") && childCols.contains("__b"),
+        s"$name: un-partitioned window over non-bucket-frame " +
+          s"(child cols=$childCols):\n$w")
+    }
+  }
+
+  test("Ids.globalRank == row_number over (primary, tieBreak), asc and desc, with ties") {
+    val df = spark.range(0, 500).toDF("uid")
+      .withColumn("v", pmod(col("uid") * 37, lit(11)).cast("double"))
+    def windowRank(asc: Boolean) = df.withColumn("__rank",
+      row_number().over(Window.orderBy(
+        (if (asc) col("v").asc else col("v").desc), col("uid").asc)).cast("long"))
+    for (asc <- Seq(true, false)) {
+      val got = Ids.globalRank(df, col("v"), asc, col("uid"), buckets = 8)
+        .select("uid", "v", "__rank")
+      val want = windowRank(asc).select("uid", "v", "__rank")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"globalRank(asc=$asc) diverges from the window oracle")
+    }
+  }
+
+  test("Ids.ntileFromRank == ntile(k) for every n in 1..40, k in 2..7") {
+    for (k <- 2 to 7; n <- 1 to 40) {
+      val df = spark.range(1, n + 1).toDF("r")
+      val got = df.select(col("r"),
+        Ids.ntileFromRank(col("r"), lit(n.toLong), k).as("b"))
+      val want = df.select(col("r"),
+        ntile(k).over(Window.orderBy("r")).as("b"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"ntileFromRank(n=$n, k=$k) != ntile($k)")
+    }
+  }
+
+  test("e11_rfm matches the ntile-window formulation it replaced") {
+    val got = Queries.e11_rfm(spark, sf)
+    // the pre-round-9 formulation, inlined as the semantic oracle
+    val ev = graft.functions.eventTimeMillis(
+        spark.read.parquet(s"$sf/events.parquet"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("tms"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val peru = ev.groupBy("user_id").agg(
+      max(col("tms")).as("last_tms"),
+      count(when(col("event_type") === "purchase", lit(1))).as("freq"),
+      sum(when(col("event_type") === "purchase", col("value").cast(dec))
+        .otherwise(lit(0).cast(dec))).cast("double").as("mon"))
+    val g = ev.agg(max(col("tms")).as("gmax"))
+    val want = peru.crossJoin(broadcast(g))
+      .withColumn("r_hours", expr("(gmax - last_tms) div 3600000"))
+      .select(col("user_id"), col("r_hours"), col("freq"), col("mon"),
+        ntile(5).over(Window.orderBy(col("r_hours").desc, col("user_id")))
+          .as("r_score"),
+        ntile(5).over(Window.orderBy(col("freq").asc, col("user_id")))
+          .as("f_score"),
+        ntile(5).over(Window.orderBy(col("mon").asc, col("user_id")))
+          .as("m_score"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "rewritten e11_rfm diverges from the ntile windows")
+  }
+
+  test("e11_rfm plan: no un-partitioned data-sized window") {
+    assertNoGlobalDataWindow(Queries.e11_rfm(spark, sf), "e11_rfm")
+  }
+
+  test("hierarchy fixtures: denseIds ranks == row_number, plans window-clean") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey")
+    val got = Ids.denseIds(orders, "o_orderkey", buckets = 32)
+      .select(col("o_orderkey"), col("gid"))
+    val want = orders.select(col("o_orderkey"),
+      row_number().over(Window.orderBy("o_orderkey")).cast("long").as("gid"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assertNoGlobalDataWindow(Queries.etl_hierarchy(spark, sf), "etl_hierarchy")
+    assertNoGlobalDataWindow(Queries.etl_hierarchy_path(spark, sf), "etl_hierarchy_path")
+    assertNoGlobalDataWindow(Queries.etl_subtree_agg(spark, sf), "etl_subtree_agg")
+  }
+}
