@@ -8405,9 +8405,16 @@ object Queries {
       count(lit(1)).as("n_rows"),
       sum(col("r_x").cast(DecimalType(38, 0))).cast("double").as("sx"),
       sum(col("r_y").cast(DecimalType(38, 0))).cast("double").as("sy"),
-      sum((col("r_x") * col("r_y")).cast(DecimalType(38, 0))).cast("double").as("sxy"),
-      sum((col("r_x") * col("r_x")).cast(DecimalType(38, 0))).cast("double").as("sxx"),
-      sum((col("r_y") * col("r_y")).cast(DecimalType(38, 0))).cast("double").as("syy"))
+      // operands cast to decimal BEFORE the product so the squared-rank
+      // moments are computed in decimal(38,0), never long/double — a
+      // long product overflows past ~2^31 rows per group (round-8
+      // advice item 2); decimal(19,0)×decimal(19,0) is exact to 10^38
+      sum(col("r_x").cast(DecimalType(19, 0)) *
+        col("r_y").cast(DecimalType(19, 0))).cast("double").as("sxy"),
+      sum(col("r_x").cast(DecimalType(19, 0)) *
+        col("r_x").cast(DecimalType(19, 0))).cast("double").as("sxx"),
+      sum(col("r_y").cast(DecimalType(19, 0)) *
+        col("r_y").cast(DecimalType(19, 0))).cast("double").as("syy"))
     val n = col("n_rows").cast("double")
     m.select(col("l_returnflag"), col("n_rows"),
         round((n * col("sxy") - col("sx") * col("sy")) /
@@ -8425,9 +8432,9 @@ object Queries {
     m AS (SELECT l_returnflag, count(*) AS n_rows,
       cast(sum(cast(rx as decimal(38,0))) as double) AS sx,
       cast(sum(cast(ry as decimal(38,0))) as double) AS sy,
-      cast(sum(cast(rx * ry as decimal(38,0))) as double) AS sxy,
-      cast(sum(cast(rx * rx as decimal(38,0))) as double) AS sxx,
-      cast(sum(cast(ry * ry as decimal(38,0))) as double) AS syy
+      cast(sum(cast(rx as decimal(19,0)) * cast(ry as decimal(19,0))) as double) AS sxy,
+      cast(sum(cast(rx as decimal(19,0)) * cast(rx as decimal(19,0))) as double) AS sxx,
+      cast(sum(cast(ry as decimal(19,0)) * cast(ry as decimal(19,0))) as double) AS syy
     FROM r GROUP BY l_returnflag)
     SELECT l_returnflag, n_rows,
       round((cast(n_rows as double) * sxy - sx * sy) /
@@ -8461,9 +8468,13 @@ object Queries {
         .as("r2"))
     val m = ranked.agg(
       sum(col("n1")).as("na"), sum(col("n2")).as("nb"),
-      sum((col("r2") * col("n1")).cast(DecimalType(38, 0)))
-        .cast("double").as("r2a"),
-      sum((col("t") * col("t") * col("t") - col("t")).cast(DecimalType(38, 0)))
+      // decimal operands BEFORE multiplying (round-8 advice item 2):
+      // r2·n1 to 10^38 exact; t³ in decimal(12,0)³ = decimal(38,0),
+      // exact to 10^12 rows per tie group (vs long's 2^21)
+      sum(col("r2").cast(DecimalType(19, 0)) *
+        col("n1").cast(DecimalType(19, 0))).cast("double").as("r2a"),
+      sum(col("t").cast(DecimalType(12, 0)) * col("t").cast(DecimalType(12, 0))
+          * col("t").cast(DecimalType(12, 0)) - col("t").cast(DecimalType(12, 0)))
         .cast("double").as("ties"))
     val na = col("na").cast("double")
     val nb = col("nb").cast("double")
@@ -8484,8 +8495,9 @@ object Queries {
       sum(n1 + n2) OVER (ORDER BY value) * 2 - (n1 + n2) + 1 AS r2
     FROM cmp),
     m AS (SELECT sum(n1) AS na, sum(n2) AS nb,
-      cast(sum(cast(r2 * n1 as decimal(38,0))) as double) AS r2a,
-      cast(sum(cast(t*t*t - t as decimal(38,0))) as double) AS ties
+      cast(sum(cast(r2 as decimal(19,0)) * cast(n1 as decimal(19,0))) as double) AS r2a,
+      cast(sum(cast(t as decimal(12,0)) * cast(t as decimal(12,0))
+        * cast(t as decimal(12,0)) - cast(t as decimal(12,0))) as double) AS ties
     FROM r)
     SELECT cast(na as bigint) AS n1, cast(nb as bigint) AS n2,
       round((r2a - cast(na as double) * (cast(na as double) + 1)) / 2.0, 1) AS u,
@@ -8847,17 +8859,24 @@ object Queries {
         col("a.g") === col("b.g") && col("a.x") < col("b.x"))
       .groupBy(col("a.g").as("g"))
       .agg(
-        sum(when(col("a.y") < col("b.y"), col("a.c") * col("b.c"))
-          .otherwise(0L).cast(DecimalType(38, 0))).cast("double").as("conc"),
-        sum(when(col("a.y") > col("b.y"), col("a.c") * col("b.c"))
-          .otherwise(0L).cast(DecimalType(38, 0))).cast("double").as("disc"))
+        // cell-count products in decimal BEFORE multiplying, so conc/disc
+        // stay exact past long's ~2^31-per-cell bound (round-8 advice 2)
+        sum(when(col("a.y") < col("b.y"),
+            col("a.c").cast(DecimalType(19, 0)) * col("b.c").cast(DecimalType(19, 0)))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).cast("double").as("conc"),
+        sum(when(col("a.y") > col("b.y"),
+            col("a.c").cast(DecimalType(19, 0)) * col("b.c").cast(DecimalType(19, 0)))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).cast("double").as("disc"))
     val nTot = cells.groupBy("g").agg(sum(col("c")).as("n"))
+    // Σt(t−1) summed in decimal, halved once at the end (each term is
+    // even, so the halving is exact; a per-term long product overflows
+    // first, and a per-term double divide drops bits past 2^53)
     val tx = cells.groupBy("g", "x").agg(sum(col("c")).as("t"))
-      .groupBy("g").agg(sum((col("t") * (col("t") - 1) / 2)
-        .cast(DecimalType(38, 0))).cast("double").as("n1"))
+      .groupBy("g").agg((sum(col("t").cast(DecimalType(19, 0)) *
+        (col("t") - 1).cast(DecimalType(19, 0))).cast("double") / 2).as("n1"))
     val ty = cells.groupBy("g", "y").agg(sum(col("c")).as("t"))
-      .groupBy("g").agg(sum((col("t") * (col("t") - 1) / 2)
-        .cast(DecimalType(38, 0))).cast("double").as("n2"))
+      .groupBy("g").agg((sum(col("t").cast(DecimalType(19, 0)) *
+        (col("t") - 1).cast(DecimalType(19, 0))).cast("double") / 2).as("n2"))
     val n = col("n").cast("double")
     val n0 = n * (n - 1) / 2.0
     cd.join(nTot, "g").join(tx, "g").join(ty, "g")
@@ -8872,13 +8891,15 @@ object Queries {
   val e6kdSql = """WITH cells AS (SELECT l_returnflag AS g, l_quantity AS x,
       l_discount AS y, count(*) AS c FROM lineitem GROUP BY 1, 2, 3),
     cd AS (SELECT a.g,
-      cast(sum(cast(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END as decimal(38,0))) as double) AS conc,
-      cast(sum(cast(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END as decimal(38,0))) as double) AS disc
+      cast(sum(CASE WHEN a.y < b.y THEN cast(a.c as decimal(19,0)) * cast(b.c as decimal(19,0))
+        ELSE cast(0 as decimal(38,0)) END) as double) AS conc,
+      cast(sum(CASE WHEN a.y > b.y THEN cast(a.c as decimal(19,0)) * cast(b.c as decimal(19,0))
+        ELSE cast(0 as decimal(38,0)) END) as double) AS disc
       FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x GROUP BY a.g),
     nt AS (SELECT g, sum(c) AS n FROM cells GROUP BY g),
-    tx AS (SELECT g, cast(sum(cast(t * (t - 1) // 2 as decimal(38,0))) as double) AS n1
+    tx AS (SELECT g, cast(sum(cast(t as decimal(19,0)) * cast(t - 1 as decimal(19,0))) as double) / 2 AS n1
       FROM (SELECT g, x, sum(c) AS t FROM cells GROUP BY g, x) GROUP BY g),
-    ty AS (SELECT g, cast(sum(cast(t * (t - 1) // 2 as decimal(38,0))) as double) AS n2
+    ty AS (SELECT g, cast(sum(cast(t as decimal(19,0)) * cast(t - 1 as decimal(19,0))) as double) / 2 AS n2
       FROM (SELECT g, y, sum(c) AS t FROM cells GROUP BY g, y) GROUP BY g)
     SELECT cd.g AS l_returnflag, cast(nt.n as bigint) AS n_rows,
       cast(conc as bigint) AS concordant, cast(disc as bigint) AS discordant,
@@ -9376,6 +9397,13 @@ object Queries {
     * status: facts, orphans before, repaired, orphans after — with the
     * "after" count re-derived from the repaired output itself (proven,
     * not asserted — the etl_forget discipline).
+    *
+    * The early/sentinel SETUP join is a plain keyed join (round-8
+    * advice item 4): `early` is ~18/19 of the whole dimension — the
+    * simulation scaffolding that manufactures orphans — and a broadcast
+    * hint on it would contradict the scale story this query
+    * demonstrates. Only the small `late` cohort broadcasts; that join
+    * is the operator.
     */
   def etl_late_dim_repair(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -9383,7 +9411,7 @@ object Queries {
     val cust = t(s, dir, "customer").select(col("c_custkey"))
     val late = cust.filter(pmod(col("c_custkey"), lit(19L)) === 4)
     val early = cust.filter(pmod(col("c_custkey"), lit(19L)) =!= 4)
-    val facts = orders.join(broadcast(early),
+    val facts = orders.join(early,
         col("o_custkey") === col("c_custkey"), "left")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         coalesce(col("c_custkey"), lit(-1L)).as("d_key"))
@@ -9712,7 +9740,10 @@ object Queries {
     stats.agg(
         count(lit(1)).as("n_nodes"),
         (sum(col("n_tri")) / 3).cast("long").as("n_triangles"),
-        sum((col("deg") * (col("deg") - 1) / 2).cast(DecimalType(38, 0)))
+        // deg·(deg−1) as a decimal product, halved once after the sum
+        // (every term even → exact; round-8 advice item 2)
+        (sum(col("deg").cast(DecimalType(19, 0)) *
+          (col("deg") - 1).cast(DecimalType(19, 0))) / 2)
           .cast("long").as("n_wedges"))
       .select(col("n_nodes"), col("n_triangles"), col("n_wedges"),
         round(col("n_triangles") * 3 / col("n_wedges").cast("double"), 6)
@@ -9732,7 +9763,8 @@ object Queries {
       (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
     t AS (SELECT count(*) AS n_tri FROM tri),
     w AS (SELECT count(*) AS n_nodes,
-        cast(sum(cast(deg * (deg - 1) // 2 as decimal(38,0))) as bigint) AS n_wedges
+        cast(cast(sum(cast(deg as decimal(19,0)) * cast(deg - 1 as decimal(19,0)))
+          as hugeint) // 2 as bigint) AS n_wedges
       FROM deg)
     SELECT w.n_nodes, cast(t.n_tri as bigint) AS n_triangles, w.n_wedges,
       round(t.n_tri * 3 / cast(w.n_wedges as double), 6) AS transitivity
@@ -9838,6 +9870,15 @@ object Queries {
     * Flag pattern (e10_hll): DuckDB can't read datasketches binaries,
     * so the oracle recomputes the EXACT rolling distinct and states the
     * within-5% flag.
+    *
+    * Window enumeration contract (round-8 advice item 1): a window is
+    * emitted only for OBSERVED end days. The sequence(day, day+6)
+    * fan-out fabricates a w_end for every day within 6 of any observed
+    * day — on a corpus with a dark day that emits rows the oracle
+    * (which enumerates days that exist) never produces — so the
+    * estimate frame is semi-joined back to the observed-day set; both
+    * engines then enumerate the identical window set on ANY input, not
+    * just a gap-free one.
     */
   def e10_hll_rolling(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
@@ -9848,6 +9889,7 @@ object Queries {
       .select(explode(expr("sequence(day, day + 6)")).as("w_end"), col("sk"))
       .groupBy("w_end")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("__est"))
+      .join(dailySk.select(col("day").as("w_end")), Seq("w_end"), "left_semi")
     val exactRolling = ev
       .select(explode(expr("sequence(day, day + 6)")).as("w_end"), col("user_id"))
       .groupBy("w_end").agg(countDistinct(col("user_id")).as("exact_users_7d"))
@@ -10059,8 +10101,9 @@ object Queries {
         .as("r2"))
     val m = ranked.agg(
       sum(col("n1")).as("na"), sum(col("n2")).as("nb"),
-      sum((col("r2") * col("n1")).cast(DecimalType(38, 0)))
-        .cast("double").as("r2a"))
+      // decimal operands BEFORE the product (round-8 advice item 2)
+      sum(col("r2").cast(DecimalType(19, 0)) *
+        col("n1").cast(DecimalType(19, 0))).cast("double").as("r2a"))
     val na = col("na").cast("double")
     val nb = col("nb").cast("double")
     m.select(col("na").as("n_en"), col("nb").as("n_other"),
@@ -10082,7 +10125,7 @@ object Queries {
       sum(n1 + n2) OVER (ORDER BY quality) * 2 - (n1 + n2) + 1 AS r2
     FROM cmp),
     m AS (SELECT sum(n1) AS na, sum(n2) AS nb,
-      cast(sum(cast(r2 * n1 as decimal(38,0))) as double) AS r2a FROM r)
+      cast(sum(cast(r2 as decimal(19,0)) * cast(n1 as decimal(19,0))) as double) AS r2a FROM r)
     SELECT cast(na as bigint) AS n_en, cast(nb as bigint) AS n_other,
       round(((r2a - cast(na as double) * (cast(na as double) + 1)) / 2.0)
         / (cast(na as double) * cast(nb as double)), 6) AS auc

@@ -127,4 +127,57 @@ class Round9Spec extends SparkSpec {
     assertNoGlobalDataWindow(Queries.etl_hierarchy_path(spark, sf), "etl_hierarchy_path")
     assertNoGlobalDataWindow(Queries.etl_subtree_agg(spark, sf), "etl_subtree_agg")
   }
+
+  /** Poll the memory sink instead of `processAllAvailable`: a registered
+    * processing-time timeout keeps the continuous trigger running
+    * no-data batches, so the "caught up" latch processAllAvailable waits
+    * on never sets — the hang that made the flush opt-in.
+    */
+  private def awaitRows(table: String, n: Long, timeoutMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline) {
+      if (spark.sql(s"SELECT * FROM $table").count() >= n) return true
+      Thread.sleep(100L)
+    }
+    false
+  }
+
+  test("streaming intervalMerge / sessions flush the final open state on timeout (opt-in)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000000L
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.intervalMerge(input.toDS(), intervalMs = 1000L,
+        flushTimeoutMs = 300L)
+      .writeStream.format("memory").queryName("ivflush")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamingOps.Event(1L, base, 0.0),
+        StreamingOps.Event(1L, base + 500L, 0.0))
+      // no closing arrival ever comes; the expired timeout alone must
+      // surface the open island (a no-data batch fires it)
+      assert(awaitRows("ivflush", 1, 30000L), "timeout flush never emitted")
+      val rows = spark.sql("SELECT * FROM ivflush")
+        .as[StreamingOps.IntervalOut].collect()
+      assert(rows.length == 1 && rows(0).key == 1L && rows(0).n_events == 2,
+        s"timeout must flush the open island: ${rows.toSeq}")
+    } finally q.stop()
+
+    val sin = MemoryStream[StreamingOps.Event]
+    val sq = StreamingOps.sessions(sin.toDS(), gapMinutes = 10,
+        flushTimeoutMs = 300L)
+      .writeStream.format("memory").queryName("sessflush")
+      .outputMode("append").start()
+    try {
+      sin.addData(StreamingOps.Event(1L, base, 0.0),
+        StreamingOps.Event(1L, base + 60000L, 0.0))
+      assert(awaitRows("sessflush", 1, 30000L), "session flush never emitted")
+      val rows = spark.sql("SELECT * FROM sessflush")
+        .as[StreamingOps.SessionOut].collect()
+      assert(rows.length == 1 && rows(0).key == 1L && rows(0).n_events == 2,
+        s"timeout must flush the open session: ${rows.toSeq}")
+    } finally sq.stop()
+  }
 }
