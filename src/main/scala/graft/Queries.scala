@@ -6742,6 +6742,70 @@ object Queries {
     ORDER BY t.exact_cnt DESC, t.tk"""
   }
 
+  /** E10/streaming — the STREAMING windowed count-min sketch operator
+    * itself, oracle-graded (round-8 verdict item 8: put the streaming
+    * tier under the same correctness regime as batch). The graded plan
+    * runs `StreamingOps.windowedSketch` — the exact operator a
+    * readStream pipeline deploys — on the batch events frame
+    * (`withWatermark` is a no-op in batch, the j_stream_interval move),
+    * producing one 4×256-cell sketch row per event-time day. Every
+    * (day, event_type) then probes its day's sketch with the same
+    * portable column arithmetic as e10_cms, and because the cells hash
+    * through the engine-portable polynomial, the DuckDB oracle REBUILDS
+    * every per-window cell and the estimates must match EXACTLY —
+    * plus the one-sided `over_ok` guarantee. This pins the stored
+    * stream-of-sketches contract: a window's emitted sketch answers
+    * later frequency probes identically to a batch-built one.
+    */
+  def e10_stream_cms(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.CountMinSketch
+    val (d, wd) = (4, 256)
+    val ev = events(s, dir).select(col("ts"), col("event_type"))
+    val sk = graft.streaming.StreamingOps.windowedSketch(
+      ev, "event_type", "ts", minutes = 1440, depth = d, width = wd)
+    val exact = ev.groupBy(
+        expr("unix_millis(ts) div 86400000 * 86400000").as("w_start_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val h = portableStringHash(col("event_type"))
+    val est = (0 until d).map { i =>
+      element_at(col("sketch"),
+        (lit(i * wd) + pmod(pmod(h * lit(CountMinSketch.SeedA(i)) +
+          lit(CountMinSketch.SeedB(i)), lit(HashPrime)), lit(wd.toLong)))
+          .cast("int") + 1)
+    }.reduce(least(_, _))
+    exact.join(sk, "w_start_ms")
+      .select(col("w_start_ms"), col("event_type"), col("exact_cnt"),
+        est.as("cms_est"),
+        when(est >= col("exact_cnt"), 1).otherwise(0).as("over_ok"))
+      .orderBy("w_start_ms", "event_type")
+  }
+
+  val e10scmsSql: String = {
+    val seeds = (0 until 4).map(i =>
+      s"(${i}, ${graft.expressions.CountMinSketch.SeedA(i)}, " +
+        s"${graft.expressions.CountMinSketch.SeedB(i)})").mkString(", ")
+    s"""WITH e AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS w,
+        event_type AS tk FROM events),
+    h AS (SELECT w, tk, list_reduce(list_concat([cast(7 as bigint)],
+        list_transform(string_split(tk, ''), c -> cast(ascii(c) as bigint))),
+        (a, b) -> (a * 31 + b) % $HashPrime) AS hv FROM e),
+    seeds(i, a, b) AS (SELECT * FROM (VALUES $seeds) t),
+    cells AS (SELECT w, i, ((a * hv + b) % $HashPrime) % 256 AS bucket,
+        count(*) AS c
+      FROM h CROSS JOIN seeds GROUP BY 1, 2, 3),
+    ex AS (SELECT w, tk, any_value(hv) AS hv, count(*) AS exact_cnt
+      FROM h GROUP BY w, tk)
+    SELECT ex.w AS w_start_ms, ex.tk AS event_type, ex.exact_cnt,
+      min(c.c) AS cms_est,
+      cast(CASE WHEN min(c.c) >= ex.exact_cnt THEN 1 ELSE 0 END as int) AS over_ok
+    FROM ex CROSS JOIN seeds s JOIN cells c
+      ON c.w = ex.w AND c.i = s.i
+      AND c.bucket = ((s.a * ex.hv + s.b) % $HashPrime) % 256
+    GROUP BY ex.w, ex.tk, ex.exact_cnt
+    ORDER BY w_start_ms, event_type"""
+  }
+
   /** E3 — exact maximum-inner-product top-k: rank by RAW dot, the
     * retrieval order cosine gets wrong whenever embedding norms carry
     * signal (trained recommender/retrieval embeddings). Broadcast query
@@ -11179,6 +11243,7 @@ object Queries {
     ("mm_frame_decode", mm_frame_decode _, mmFdSql),
     ("etl_fk_infer", etl_fk_infer _, etlFkSql),
     ("e10_cms", e10_cms _, e10cmsSql),
+    ("e10_stream_cms", e10_stream_cms _, e10scmsSql),
     ("e3_mips", e3_mips _, e3mipsSql),
     ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql),
     ("e11_cusum", e11_cusum _, e11cuSql),
