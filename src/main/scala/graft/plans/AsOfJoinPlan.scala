@@ -131,82 +131,6 @@ object AsOfJoinPlan {
   }
 }
 
-/** Right-side scanner for the whole-stage-codegen'd as-of merge: owns the
-  * buffered right iterator and the single retained candidate. Public so
-  * generated Java can construct it; all hot-path arguments are primitive
-  * longs (the codegen path only engages for long-backed key/time types).
-  *
-  * `kind` encodes the physical accessor (0=long, 1=int, 2=short, 3=byte)
-  * so temporal/integral types all compare as raw longs.
-  */
-final class AsOfScanner(iter: Iterator[InternalRow], rkOrd: Int, rtOrd: Int,
-                        rkKind: Int, rtKind: Int, rFields: Int) {
-  private var head: InternalRow = _
-  private val candBuf = new UnsafeRow(rFields)
-  candBuf.pointTo(new Array[Byte](64), 64)
-  private var candValid = false
-  private var candKey = 0L
-  private var candRow: InternalRow = _
-
-  private def get(r: InternalRow, ord: Int, kind: Int): Long = kind match {
-    case 0 => r.getLong(ord)
-    case 1 => r.getInt(ord).toLong
-    case 2 => r.getShort(ord).toLong
-    case _ => r.getByte(ord).toLong
-  }
-  // one-slot buffer: `head` stays valid until the next fill() after a
-  // consume (iterator rows are reused by sort output)
-  private def fill(): Boolean = {
-    if (head == null && iter.hasNext) head = iter.next()
-    head != null
-  }
-  private def consumeHead(): Unit = head = null
-
-  /** Latest right row with key == k and time <= t, else null. NULL
-    * key/time right rows are consumed and discarded (SQL semantics).
-    */
-  def advanceBackward(k: Long, t: Long): InternalRow = {
-    var advancing = true
-    while (advancing && fill()) {
-      if (head.isNullAt(rkOrd)) consumeHead()
-      else {
-        val hk = get(head, rkOrd, rkKind)
-        if (hk < k) { consumeHead(); candValid = false; candRow = null }
-        else if (hk > k) advancing = false
-        else if (head.isNullAt(rtOrd)) consumeHead()
-        else if (get(head, rtOrd, rtKind) <= t) {
-          head match {
-            case u: UnsafeRow => candBuf.copyFrom(u); candRow = candBuf
-            case other => candRow = other.copy()
-          }
-          candKey = hk; candValid = true; consumeHead()
-        } else advancing = false
-      }
-    }
-    if (candValid && candKey == k) candRow else null
-  }
-
-  /** Earliest right row with key == k and time >= t, else null; the match
-    * is the un-consumed head (later left rows may match it too).
-    */
-  def advanceForward(k: Long, t: Long): InternalRow = {
-    var advancing = true
-    while (advancing && fill()) {
-      if (head.isNullAt(rkOrd)) consumeHead()
-      else {
-        val hk = get(head, rkOrd, rkKind)
-        if (hk < k) consumeHead()
-        else if (hk == k &&
-          (head.isNullAt(rtOrd) || get(head, rtOrd, rtKind) < t)) consumeHead()
-        else advancing = false
-      }
-    }
-    if (head != null && !head.isNullAt(rkOrd) &&
-      get(head, rkOrd, rkKind) == k) head
-    else null
-  }
-}
-
 /** Streaming-merge as-of join: children arrive clustered on the key and
   * sorted by (key, time); each partition is one merge pass.
   *
@@ -261,9 +185,11 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     } yield Array(a, b, c, d)
   }
 
-  // ---- whole-stage codegen (SMJ-shaped: this node HEADS its stage, the
-  // generated loop drives the left input and delegates right-side
-  // advancement to AsOfScanner — primitive args, no boxing) ----
+  // ---- whole-stage codegen (SMJ-shaped: this node HEADS its stage; the
+  // generated loop drives the left input and the right-side merge is
+  // INLINED as generated Java — raw long reads/compares, the buffered
+  // head and retained candidate as generated-class fields, no helper
+  // call per row; round-8 verdict item 5) ----
 
   override def supportCodegen: Boolean = primOrds.isDefined
 
@@ -284,12 +210,23 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       case _ => s"(long) $row.getByte($ord)"
     }
     val rowCls = classOf[InternalRow].getName
-    val scannerCls = classOf[AsOfScanner].getName
+    val unsafeCls = classOf[UnsafeRow].getName
     val leftInput = ctx.addMutableState("scala.collection.Iterator",
       "asofLeftInput", v => s"$v = inputs[0];")
-    val scanner = ctx.addMutableState(scannerCls, "asofScanner",
-      v => s"$v = new $scannerCls(inputs[1], $rkOrd, $rtOrd, $rkKind, " +
-        s"$rtKind, ${right.output.length});")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    // the merge's cross-row state, all generated-class fields: the
+    // buffered right head, and (backward only) the single retained
+    // candidate — a reusable UnsafeRow copy target, exactly the
+    // interpreted path's discipline (sort output reuses row objects, so
+    // retention must copy; 64 bytes grows on demand inside copyFrom)
+    val head = ctx.addMutableState(rowCls, "asofHead")
+    val candValid = ctx.addMutableState("boolean", "asofCandValid")
+    val candKey = ctx.addMutableState("long", "asofCandKey")
+    val candRow = ctx.addMutableState(rowCls, "asofCandRow")
+    val candBuf = ctx.addMutableState(unsafeCls, "asofCandBuf",
+      v => s"$v = new $unsafeCls(${right.output.length}); " +
+        s"$v.pointTo(new byte[64], 64);")
     val leftRow = ctx.addMutableState(rowCls, "asofLeftRow")
     val cand = ctx.freshName("asofCand")
     // left columns evaluate straight off the left row
@@ -312,15 +249,72 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       ExprCode(code, JavaCode.isNullVariable(isNull),
         JavaCode.variable(value, a.dataType))
     }
-    val advance = if (forward) "advanceForward" else "advanceBackward"
+    val lk = ctx.freshName("asofLk")
+    val lt = ctx.freshName("asofLt")
+    val adv = ctx.freshName("asofAdvancing")
+    val hk = ctx.freshName("asofHk")
+    // the merge loop INLINE in the generated Java (round-8 verdict item
+    // 5 — previously a per-left-row call into the AsOfScanner helper):
+    // one-slot right buffer in `head`, null = consumed. `continue`
+    // re-enters the fill; `break` leaves the candidate/head as the
+    // match state for this left row.
+    val advanceCode = if (forward)
+      s"""
+         |boolean $adv = true;
+         |while ($adv) {
+         |  if ($head == null) {
+         |    if (!$rightInput.hasNext()) break;
+         |    $head = ($rowCls) $rightInput.next();
+         |  }
+         |  if ($head.isNullAt($rkOrd)) { $head = null; continue; }
+         |  long $hk = ${getExpr(head, rkOrd, rkKind)};
+         |  if ($hk < $lk) { $head = null; continue; }
+         |  if ($hk == $lk && ($head.isNullAt($rtOrd)
+         |      || ${getExpr(head, rtOrd, rtKind)} < $lt)) {
+         |    $head = null; continue;
+         |  }
+         |  $adv = false;
+         |}
+         |if ($head != null && !$head.isNullAt($rkOrd)
+         |    && ${getExpr(head, rkOrd, rkKind)} == $lk) {
+         |  $cand = $head;
+         |}
+       """.stripMargin
+    else
+      s"""
+         |boolean $adv = true;
+         |while ($adv) {
+         |  if ($head == null) {
+         |    if (!$rightInput.hasNext()) break;
+         |    $head = ($rowCls) $rightInput.next();
+         |  }
+         |  if ($head.isNullAt($rkOrd)) { $head = null; continue; }
+         |  long $hk = ${getExpr(head, rkOrd, rkKind)};
+         |  if ($hk < $lk) { $head = null; $candValid = false; $candRow = null; continue; }
+         |  if ($hk > $lk) { $adv = false; continue; }
+         |  if ($head.isNullAt($rtOrd)) { $head = null; continue; }
+         |  if (${getExpr(head, rtOrd, rtKind)} <= $lt) {
+         |    if ($head instanceof $unsafeCls) {
+         |      $candBuf.copyFrom(($unsafeCls) $head);
+         |      $candRow = $candBuf;
+         |    } else {
+         |      $candRow = $head.copy();
+         |    }
+         |    $candKey = $hk; $candValid = true; $head = null;
+         |  } else {
+         |    $adv = false;
+         |  }
+         |}
+         |if ($candValid && $candKey == $lk) { $cand = $candRow; }
+       """.stripMargin
     s"""
        |while ($leftInput.hasNext()) {
        |  $leftRow = ($rowCls) $leftInput.next();
        |  $rowCls $cand = null;
        |  if (!$leftRow.isNullAt($lkOrd) && !$leftRow.isNullAt($ltOrd)) {
-       |    $cand = $scanner.$advance(
-       |      ${getExpr(leftRow, lkOrd, lkKind)},
-       |      ${getExpr(leftRow, ltOrd, ltKind)});
+       |    long $lk = ${getExpr(leftRow, lkOrd, lkKind)};
+       |    long $lt = ${getExpr(leftRow, ltOrd, ltKind)};
+       |    $advanceCode
        |  }
        |  ${consume(ctx, leftVars ++ rightVars)}
        |  if (shouldStop()) return;
