@@ -6515,9 +6515,12 @@ object Queries {
       sum(when(col("event_type") === "purchase", col("value").cast(dec))
         .otherwise(lit(0).cast(dec))).cast("double").as("mon"))
     val g = ev.agg(max(col("tms")).as("gmax"))
+    // the user-grain frame feeds three rank lineages, the size scalar,
+    // and the final join — checkpoint so events compress exactly once
     val base = peru.crossJoin(broadcast(g))
       .withColumn("r_hours", expr("(gmax - last_tms) div 3600000"))
       .select(col("user_id"), col("r_hours"), col("freq"), col("mon"))
+      .localCheckpoint(true)
     val nUsers = base.agg(count(lit(1)).as("__n"))
     def score(metric: String, asc: Boolean, name: String): DataFrame =
       Ids.globalRank(base.select(col("user_id"), col(metric)),
