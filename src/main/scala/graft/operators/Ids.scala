@@ -60,27 +60,28 @@ object Ids {
   /** Global 1..N rank over (primary asc|desc, tieBreak asc) WITHOUT a
     * single-partition sort — the building block that lets rank-family
     * semantics (ntile, row_number-over-everything) survive corpus-sized
-    * frames (round-8 verdict item 2). Same two-phase shape as
-    * [[denseIds]], generalized to a composite order: fixed-width range
-    * buckets on the primary metric make bucket assignment a pure
-    * function of the VALUE (ties land in one bucket, where the
-    * in-bucket window breaks them by `tieBreak`), so
+    * frames (round-8 verdict item 2). Two-phase like [[denseIds]], but
+    * bucketing is `repartitionByRange` on the COMPOSITE
+    * (primary, tieBreak) key: the composite is unique (tieBreak is a
+    * key), so RangePartitioner's sampled boundaries stay balanced under
+    * ANY metric skew — a fixed-width value bucketing would funnel every
+    * tied value (freq = 0 for most users, say) through one task, the
+    * very cliff this function exists to remove. Partition boundaries
+    * don't need to be deterministic: the output rank is the row's
+    * position in the unique total order, identical for every
+    * order-consistent bucketing, so
     * `__rank` == `row_number() OVER (ORDER BY primary [DESC], tieBreak)`
-    * while every data-sized sort stays per-bucket parallel. Production
-    * on skewed metrics would sample boundaries like RangePartitioner —
-    * the offset algebra is unchanged (same note as [[denseIds]]).
+    * bit-for-bit while every data-sized sort stays per-bucket parallel
+    * (and the two consumers of the bucketed frame share one exchange —
+    * ReusedExchange — so boundaries can't diverge between them).
     */
   def globalRank(df: DataFrame, primary: Column, asc: Boolean,
                  tieBreak: Column, buckets: Int = 64): DataFrame = {
-    val v = (if (asc) primary else -primary).cast("double")
-    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
-    val bucketed = df.crossJoin(broadcast(bounds))
-      .withColumn("__b",
-        when(col("__hi") <= col("__lo"), lit(0))
-          .otherwise(least(lit(buckets - 1),
-            floor((v - col("__lo")) /
-              ((col("__hi") - col("__lo")) / buckets)).cast("int"))))
-      .drop("__lo", "__hi")
+    val ord =
+      if (asc) Seq(primary.asc, tieBreak.asc)
+      else Seq(primary.desc, tieBreak.asc)
+    val bucketed = df.repartitionByRange(buckets, ord: _*)
+      .withColumn("__b", spark_partition_id())
     // <= buckets rows; the only global window is over this bounded frame
     val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
       .withColumn("__off",
@@ -88,9 +89,6 @@ object Ids {
           Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .drop("__c")
-    val ord =
-      if (asc) Seq(primary.asc, tieBreak.asc)
-      else Seq(primary.desc, tieBreak.asc)
     bucketed.join(broadcast(offsets), "__b")
       .withColumn("__rank",
         col("__off") + row_number().over(

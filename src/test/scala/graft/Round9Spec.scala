@@ -73,6 +73,26 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("Ids.globalRank stays balanced AND correct under a 90%-tied metric") {
+    // 90% of rows share one metric value — fixed-width VALUE bucketing
+    // would funnel them all through one task; composite-key range
+    // partitioning must both stay correct and spread the tie across
+    // buckets (the tieBreak is part of the range key)
+    val df = spark.range(0, 2000).toDF("uid")
+      .withColumn("v", when(pmod(col("uid"), lit(10)) === 0,
+        col("uid").cast("double")).otherwise(lit(42.0)))
+    val got = Ids.globalRank(df, col("v"), asc = true, col("uid"), buckets = 16)
+    val want = df.withColumn("__rank",
+      row_number().over(Window.orderBy(col("v").asc, col("uid").asc)).cast("long"))
+    assert(got.select("uid", "v", "__rank")
+      .exceptAll(want.select("uid", "v", "__rank")).isEmpty)
+    val shares = df.repartitionByRange(16, col("v").asc, col("uid").asc)
+      .groupBy(spark_partition_id().as("p")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(shares < 1000,
+      s"one range bucket holds $shares of 2000 rows — tie not spread")
+  }
+
   test("Ids.ntileFromRank == ntile(k) for every n in 1..40, k in 2..7") {
     for (k <- 2 to 7; n <- 1 to 40) {
       val df = spark.range(1, n + 1).toDF("r")
