@@ -6809,6 +6809,29 @@ object Queries {
     ORDER BY w_start_ms, event_type"""
   }
 
+  /** E11/streaming — the STREAMING tumbling-window aggregate operator
+    * itself, oracle-graded (the e10_stream_cms move, extending the
+    * streaming correctness regime): `StreamingOps.tumbling` — watermark,
+    * event-time window, decimal-exact sum, the exact transformation a
+    * readStream pipeline deploys — runs on the batch events frame
+    * (watermark no-ops in batch) and must match DuckDB's day-grain
+    * GROUP BY exactly. Grades the window-boundary alignment (epoch-
+    * anchored), the count, and the association-order-independent
+    * decimal sum in one row set.
+    */
+  def e11_stream_tumbling(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("ts"), col("value"))
+    graft.streaming.StreamingOps.tumbling(
+        ev, "event_type", "ts", "value", minutes = 1440)
+      .orderBy("event_type", "w_start_ms")
+  }
+
+  val e11stumSql = """SELECT event_type,
+      (epoch_ms(ts) // 86400000) * 86400000 AS w_start_ms,
+      count(*) AS n_events,
+      round(cast(sum(cast(value as decimal(18,2))) as double), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY event_type, w_start_ms"""
+
   /** E3 — exact maximum-inner-product top-k: rank by RAW dot, the
     * retrieval order cosine gets wrong whenever embedding norms carry
     * signal (trained recommender/retrieval embeddings). Broadcast query
@@ -11247,6 +11270,7 @@ object Queries {
     ("etl_fk_infer", etl_fk_infer _, etlFkSql),
     ("e10_cms", e10_cms _, e10cmsSql),
     ("e10_stream_cms", e10_stream_cms _, e10scmsSql),
+    ("e11_stream_tumbling", e11_stream_tumbling _, e11stumSql),
     ("e3_mips", e3_mips _, e3mipsSql),
     ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql),
     ("e11_cusum", e11_cusum _, e11cuSql),

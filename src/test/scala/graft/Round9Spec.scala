@@ -148,6 +148,20 @@ class Round9Spec extends SparkSpec {
     assertNoGlobalDataWindow(Queries.etl_subtree_agg(spark, sf), "etl_subtree_agg")
   }
 
+  test("native as-of: AsOfJoinExec heads a whole-stage-codegen stage") {
+    // supportCodegen regressing to false would silently fall back to the
+    // interpreted merge — pin that the executed plan wraps the exec in a
+    // WholeStageCodegen span (the inlined-merge contract)
+    val df = Queries.j_asof_native(spark, sf)
+    val plan = executed(df)
+    val hasCodegenAsOf = flatten(plan).exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.collect { case a: graft.plans.AsOfJoinExec => a }.nonEmpty
+      case _ => false
+    }
+    assert(hasCodegenAsOf, s"AsOfJoinExec not inside WholeStageCodegen:\n$plan")
+  }
+
   /** Poll the memory sink instead of `processAllAvailable`: a registered
     * processing-time timeout keeps the continuous trigger running
     * no-data batches, so the "caught up" latch processAllAvailable waits
