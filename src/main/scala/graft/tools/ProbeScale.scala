@@ -47,6 +47,8 @@ import org.apache.spark.sql.functions._
   *   j_salted            1.91 →  9.61 s  (5.04×)  the only data-dominated one: genuine
   *                                                 10× shuffle volume, ×salt replication
   *   llm_ingest_incr     2.54 →  4.25 s  (1.68×)  batch×corpus cross-banding, never old×old
+  *   e11_rfm             1.26 →  2.53 s  (2.00×)  post-rewrite run: three composite-key
+  *                                                 range-partitioned ranks, no one-task sort
   *
   * Conclusion: at sf0.1 the iterative tier is fixed-cost-dominated
   * (stage scheduling, checkpoints, codebook/index contracts); the
@@ -136,7 +138,8 @@ object ProbeScale {
     ("etl_hierarchy_path", graft.Queries.etl_hierarchy_path _),
     ("etl_subtree_agg", graft.Queries.etl_subtree_agg _),
     ("j_salted", graft.Queries.j_salted _),
-    ("llm_ingest_incr", graft.Queries.llm_ingest_incr _))
+    ("llm_ingest_incr", graft.Queries.llm_ingest_incr _),
+    ("e11_rfm", graft.Queries.e11_rfm _))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
