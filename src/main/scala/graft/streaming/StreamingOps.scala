@@ -311,6 +311,102 @@ object StreamingOps {
       }
   }
 
+  /** Event-time row: `ts` mirrors `tsMs` as a real timestamp so a
+    * watermark can be declared (watermarks attach to TimestampType
+    * columns only). */
+  case class EventT(key: Long, tsMs: Long, value: Double, ts: Timestamp)
+
+  /** Overlapping-interval coalescing with an EVENT-TIME flush — the
+    * production-correct close of [[intervalMerge]]'s final-island gap
+    * (round-8 advice item 3, done right): each key's open island sets an
+    * event-time timeout at its running max end, and the timeout fires
+    * when the WATERMARK passes it — i.e. exactly when the stream
+    * guarantees no event can extend the island any more. Contrast the
+    * opt-in processing-time flush: no wall-clock dependence, no no-data
+    * batch spin (event-time timeouts only fire when data advances the
+    * watermark), and NO straggler tradeoff — emitted islands equal the
+    * batch sweep-line over the non-late events, because an event that
+    * could have merged into a flushed island is by the watermark
+    * contract late. State remains one open island per active key.
+    */
+  def intervalMergeEventTime(events: Dataset[Event], intervalMs: Long,
+                             watermark: String = "10 minutes"): Dataset[IntervalOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis(col("tsMs"))).as[EventT]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[IntervalState, IntervalOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[EventT], state: GroupState[IntervalState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.n > 0L) Iterator(IntervalOut(key, st.startMs, st.maxEndMs, st.n))
+            else Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(_.tsMs)
+            var st = state.getOption.getOrElse(IntervalState(0L, Long.MinValue, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[IntervalOut]
+            sorted.foreach { e =>
+              if (st.n == 0L) st = IntervalState(e.tsMs, e.tsMs + intervalMs, 1L)
+              else if (e.tsMs > st.maxEndMs) {
+                out += IntervalOut(key, st.startMs, st.maxEndMs, st.n)
+                st = IntervalState(e.tsMs, e.tsMs + intervalMs, 1L)
+              } else st = st.copy(
+                maxEndMs = math.max(st.maxEndMs, e.tsMs + intervalMs), n = st.n + 1)
+            }
+            state.update(st)
+            // fire once nothing can extend the island; a timeout in the
+            // watermark's past would throw, so clamp just above it
+            state.setTimeoutTimestamp(
+              math.max(st.maxEndMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** Gap-based sessions with the same EVENT-TIME flush: a session closes
+    * when the watermark passes `last event + gap` — the moment the gap
+    * rule guarantees no in-contract event can continue it. Emitted
+    * sessions equal the batch sessionizer's over non-late events.
+    */
+  def sessionsEventTime(events: Dataset[Event], gapMinutes: Int,
+                        watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withColumn("ts", timestamp_millis(col("tsMs"))).as[EventT]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[EventT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.n > 0L)
+              Iterator(SessionOut(key, st.sessionId, st.n, st.startMs, st.lastMs))
+            else Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(_.tsMs)
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              if (st.n == 0L || e.tsMs - st.lastMs > gapMs) {
+                if (st.n > 0L)
+                  out += SessionOut(key, st.sessionId, st.n, st.startMs, st.lastMs)
+                st = SessionState(st.sessionId + 1, e.tsMs, e.tsMs, 1L)
+              } else st = st.copy(lastMs = e.tsMs, n = st.n + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Gap-based sessions via flatMapGroupsWithState: emits a session when
     * the gap to the next event exceeds `gapMinutes`; the final open
     * session per key stays in state under the default

@@ -176,6 +176,58 @@ class Round9Spec extends SparkSpec {
     false
   }
 
+  test("event-time flush: watermark passing the island/session end emits it, no wall clock") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000000L
+
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.intervalMergeEventTime(input.toDS(),
+        intervalMs = 1000L, watermark = "1 second")
+      .writeStream.format("memory").queryName("ivet")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamingOps.Event(1L, base, 0.0),
+        StreamingOps.Event(1L, base + 500L, 0.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ivet").count() == 0, "island open")
+      // key-2 event far in the future advances the watermark past the
+      // island's end; the NEXT batch fires key 1's event-time timeout
+      input.addData(StreamingOps.Event(2L, base + 3600000L, 0.0))
+      q.processAllAvailable()
+      input.addData(StreamingOps.Event(2L, base + 3600001L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM ivet WHERE key = 1")
+        .as[StreamingOps.IntervalOut].collect()
+      assert(rows.length == 1 && rows(0).n_events == 2
+          && rows(0).start_ms == base && rows(0).end_ms == base + 1500L,
+        s"watermark must flush key 1's island: ${rows.toSeq}")
+    } finally q.stop()
+
+    val sin = MemoryStream[StreamingOps.Event]
+    val sq = StreamingOps.sessionsEventTime(sin.toDS(), gapMinutes = 10,
+        watermark = "1 second")
+      .writeStream.format("memory").queryName("sesset")
+      .outputMode("append").start()
+    try {
+      sin.addData(StreamingOps.Event(1L, base, 0.0),
+        StreamingOps.Event(1L, base + 60000L, 0.0))
+      sq.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sesset").count() == 0, "session open")
+      sin.addData(StreamingOps.Event(2L, base + 7200000L, 0.0))
+      sq.processAllAvailable()
+      sin.addData(StreamingOps.Event(2L, base + 7200001L, 0.0))
+      sq.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sesset WHERE key = 1")
+        .as[StreamingOps.SessionOut].collect()
+      assert(rows.length == 1 && rows(0).n_events == 2
+          && rows(0).start_ms == base && rows(0).end_ms == base + 60000L,
+        s"watermark must flush key 1's session: ${rows.toSeq}")
+    } finally sq.stop()
+  }
+
   test("streaming intervalMerge / sessions flush the final open state on timeout (opt-in)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps
