@@ -80,8 +80,17 @@ object Ids {
     val ord =
       if (asc) Seq(primary.asc, tieBreak.asc)
       else Seq(primary.desc, tieBreak.asc)
+    // One range exchange + in-partition sort is ALL the data-sized work:
+    // monotonically_increasing_id over the sorted partitions encodes
+    // (partition id << 33 | in-partition position), so both the bucket
+    // and the intra-bucket rank come for free — a partitionBy("__b")
+    // window here would re-shuffle rows the range exchange already
+    // co-located (Catalyst can't prove spark_partition_id clusters).
+    // Per-partition capacity 2^33 rows; partition count is `buckets`.
     val bucketed = df.repartitionByRange(buckets, ord: _*)
-      .withColumn("__b", spark_partition_id())
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__b", shiftrightunsigned(col("__mid"), 33).cast("int"))
     // <= buckets rows; the only global window is over this bounded frame
     val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
       .withColumn("__off",
@@ -91,9 +100,8 @@ object Ids {
       .drop("__c")
     bucketed.join(broadcast(offsets), "__b")
       .withColumn("__rank",
-        col("__off") + row_number().over(
-          Window.partitionBy("__b").orderBy(ord: _*)))
-      .drop("__b", "__off")
+        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("__mid", "__b", "__off")
   }
 
   /** Exact `ntile(k)` from a global 1-based rank and the frame size —
