@@ -25,37 +25,18 @@ object Ids {
 
   /** Dense 1..N ids in `keyCol` order (key must be numeric and unique —
     * ties would make the intra-bucket order, and thus the ids,
-    * nondeterministic).
-    *
-    * Buckets here are fixed-width over [min, max] for DETERMINISM (the
-    * oracle must reproduce the bucketing); production on skewed keys
-    * would compute boundaries from a sample exactly like
-    * RangePartitioner — the two-phase offset algebra is unchanged.
+    * nondeterministic). Thin wrapper over [[globalRank]] with the key
+    * as its own tie-break: the id is the key's position in the unique
+    * total order, which is bucketing-invariant, so the sampled range
+    * boundaries need no determinism of their own (round 9 — this
+    * replaced a fixed-width [min, max] bucketing whose value-gaps
+    * clustered real key spaces into few hot buckets, plus a
+    * partitionBy-bucket window that re-shuffled what the bucketing
+    * exchange had already co-located).
     */
-  def denseIds(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
-    val k = col(keyCol).cast("long")
-    // bounds: one 1-row aggregate, broadcast back (no driver collect)
-    val bounds = df.agg(min(k).as("__lo"), max(k).as("__hi"))
-    val bucketed = df.crossJoin(broadcast(bounds))
-      .withColumn("__b",
-        least(lit(buckets - 1),
-          ((k - col("__lo")) * buckets / (col("__hi") - col("__lo") + 1))
-            .cast("int")))
-      .drop("__lo", "__hi")
-    // B rows; the global window is over this bounded frame only
-    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
-      .withColumn("__off",
-        coalesce(sum(col("__c")).over(
-          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .drop("__c")
-    bucketed
-      .join(broadcast(offsets), "__b")
-      .withColumn("gid",
-        col("__off") + row_number().over(
-          Window.partitionBy("__b").orderBy(col(keyCol))))
-      .drop("__b", "__off")
-  }
+  def denseIds(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
+    globalRank(df, col(keyCol), asc = true, col(keyCol), buckets)
+      .withColumnRenamed("__rank", "gid")
 
   /** Global 1..N rank over (primary asc|desc, tieBreak asc) WITHOUT a
     * single-partition sort — the building block that lets rank-family
@@ -67,13 +48,23 @@ object Ids {
     * ANY metric skew — a fixed-width value bucketing would funnel every
     * tied value (freq = 0 for most users, say) through one task, the
     * very cliff this function exists to remove. Partition boundaries
-    * don't need to be deterministic: the output rank is the row's
-    * position in the unique total order, identical for every
+    * don't need to be deterministic ACROSS runs: the output rank is the
+    * row's position in the unique total order, identical for every
     * order-consistent bucketing, so
     * `__rank` == `row_number() OVER (ORDER BY primary [DESC], tieBreak)`
-    * bit-for-bit while every data-sized sort stays per-bucket parallel
-    * (and the two consumers of the bucketed frame share one exchange —
-    * ReusedExchange — so boundaries can't diverge between them).
+    * bit-for-bit while every data-sized sort stays per-bucket parallel.
+    *
+    * They DO need to be consistent WITHIN one computation: the bucketed
+    * frame feeds both the offset aggregate and the final join, and
+    * RangePartitioner's sample seed includes the RDD id, so two
+    * separate materializations draw different boundaries — mixing
+    * offsets from one with positions from another is garbage. Exchange
+    * reuse usually merges the two consumers but is an optimization, not
+    * a guarantee (and never spans the extra actions a downstream
+    * checkpoint triggers — caught by etl_subtree_agg's oracle in round
+    * 9), so the frame is pinned with an eager localCheckpoint: the
+    * same explicit two-pass materialization zipWithIndex does, kept in
+    * the DataFrame world.
     */
   def globalRank(df: DataFrame, primary: Column, asc: Boolean,
                  tieBreak: Column, buckets: Int = 64): DataFrame = {
@@ -91,6 +82,7 @@ object Ids {
       .sortWithinPartitions(ord: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__b", shiftrightunsigned(col("__mid"), 33).cast("int"))
+      .localCheckpoint(true)
     // <= buckets rows; the only global window is over this bounded frame
     val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
       .withColumn("__off",
