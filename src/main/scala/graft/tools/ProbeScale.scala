@@ -50,6 +50,14 @@ import org.apache.spark.sql.functions._
   *   e11_rfm             1.26 →  2.53 s  (2.00×)  post-rewrite run: three composite-key
   *                                                 range-partitioned ranks, no one-task sort
   *
+  * Re-measured after the globalRank soundness checkpoint (the eager
+  * localCheckpoint pinning the double-consumed bucketed frame): curves
+  * stay sublinear — etl_hierarchy 3.05 → 8.10 s (2.65×),
+  * etl_hierarchy_path 3.06 → 10.25 s (3.35×), etl_subtree_agg
+  * 4.01 → 11.63 s (2.90×), e11_rfm 2.32 → 4.37 s (1.88×). The
+  * checkpoint's cost is itself linear in the ranked frame, so it moves
+  * constants, not the shape.
+  *
   * Conclusion: at sf0.1 the iterative tier is fixed-cost-dominated
   * (stage scheduling, checkpoints, codebook/index contracts); the
   * data-dominated path (j_salted) is plainly linear in shuffle volume.
