@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *  - fact-ish tables (customer/orders/lineitem/events/documents/
   *    embeddings) replicate; keys shift by copy·(max+1) so each copy's
   *    FKs resolve inside its own copy and id spaces stay dense-ish
-  *    (Ids.denseIds' fixed-width buckets keep balance);
+  *    (Ids.denseIds' sampled range buckets stay balanced regardless);
   *  - dimension tables (region/nation/supplier/part) stay 1× — dims grow
   *    slower than facts, and replicating them would break FK semantics;
   *  - document text is rotated through a per-copy character bijection
