@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Global dense ID assignment without a single-partition sort.
   *
@@ -23,18 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Ids {
 
-  /** Dense 1..N ids in `keyCol` order (key must be numeric and unique —
-    * ties would make the intra-bucket order, and thus the ids,
-    * nondeterministic). Thin wrapper over [[globalRank]] with the key
-    * as its own tie-break: the id is the key's position in the unique
-    * total order, which is bucketing-invariant, so the sampled range
-    * boundaries need no determinism of their own (round 9 — this
-    * replaced a fixed-width [min, max] bucketing whose value-gaps
-    * clustered real key spaces into few hot buckets, plus a
-    * partitionBy-bucket window that re-shuffled what the bucketing
-    * exchange had already co-located).
+  /** Dense 1..N ids in `keyCol` order (key must be unique — ties would
+    * make the intra-bucket order, and thus the ids, nondeterministic).
+    * Thin wrapper over [[globalRank]] with the key as its own tie-break:
+    * the id is the key's position in the unique total order, which is
+    * bucketing-invariant, so cut-point placement affects only balance,
+    * never the ids. `buckets <= 0` derives the count from the cluster
+    * (see [[globalRank]]).
     */
-  def denseIds(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
+  def denseIds(df: DataFrame, keyCol: String, buckets: Int = 0): DataFrame =
     globalRank(df, col(keyCol), asc = true, col(keyCol), buckets)
       .withColumnRenamed("__rank", "gid")
 
