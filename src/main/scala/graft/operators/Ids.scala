@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.DataType
 
 /** Global dense ID assignment without a single-partition sort.
   *
@@ -40,59 +40,96 @@ object Ids {
   /** Global 1..N rank over (primary asc|desc, tieBreak asc) WITHOUT a
     * single-partition sort — the building block that lets rank-family
     * semantics (ntile, row_number-over-everything) survive corpus-sized
-    * frames (round-8 verdict item 2). Two-phase like [[denseIds]], but
-    * bucketing is `repartitionByRange` on the COMPOSITE
-    * (primary, tieBreak) key: the composite is unique (tieBreak is a
-    * key), so RangePartitioner's sampled boundaries stay balanced under
-    * ANY metric skew — a fixed-width value bucketing would funnel every
-    * tied value (freq = 0 for most users, say) through one task, the
-    * very cliff this function exists to remove. Partition boundaries
-    * don't need to be deterministic ACROSS runs: the output rank is the
-    * row's position in the unique total order, identical for every
-    * order-consistent bucketing, so
-    * `__rank` == `row_number() OVER (ORDER BY primary [DESC], tieBreak)`
-    * bit-for-bit while every data-sized sort stays per-bucket parallel.
+    * frames (round-8 verdict item 2). Bucketing is by DETERMINISTIC cut
+    * points on the COMPOSITE (primary, tieBreak) key: the composite is
+    * unique (tieBreak is a key), so sampled boundaries stay balanced
+    * under ANY metric skew — a fixed-width value bucketing would funnel
+    * every tied value (freq = 0 for most users, say) through one task,
+    * the very cliff this function exists to remove.
     *
-    * They DO need to be consistent WITHIN one computation: the bucketed
-    * frame feeds both the offset aggregate and the final join, and
-    * RangePartitioner's sample seed includes the RDD id, so two
-    * separate materializations draw different boundaries — mixing
-    * offsets from one with positions from another is garbage. Exchange
-    * reuse usually merges the two consumers but is an optimization, not
-    * a guarantee (and never spans the extra actions a downstream
-    * checkpoint triggers — caught by etl_subtree_agg's oracle in round
-    * 9), so the frame is pinned with an eager localCheckpoint: the
-    * same explicit two-pass materialization zipWithIndex does, kept in
-    * the DataFrame world.
+    * Cut points are computed ONCE on the driver — a bounded uniform
+    * sample (distributed top-`s` by `rand(seed)`, so no count pass and
+    * no unbounded collect), sorted, cut at every s/B-th position — and
+    * frozen into the bucket expression as literals. The bucket id is
+    * then a PURE FUNCTION of the row's key values: re-materializing any
+    * branch of the plan reproduces identical buckets, so the offset
+    * aggregate and the rank window may each recompute freely. This is
+    * what `repartitionByRange` could not give us (its RangePartitioner
+    * seeds on the RDD id, so two materializations draw different
+    * boundaries — caught by etl_subtree_agg's oracle in round 9), and
+    * it removes the eager `localCheckpoint` that used to pin the
+    * bucketed frame: no lineage truncation, so a lost executor at the
+    * 100 TB scale this primitive targets recomputes instead of killing
+    * the job, and the corpus is never materialized per call. Callers
+    * with an expensive upstream should `persist` their input themselves
+    * (three key-pruned passes read it: sample, bucket counts, rank).
+    *
+    * `buckets <= 0` (the default) derives the count from the cluster:
+    * `max(64, sparkContext.defaultParallelism)`.
     */
   def globalRank(df: DataFrame, primary: Column, asc: Boolean,
-                 tieBreak: Column, buckets: Int = 64): DataFrame = {
+                 tieBreak: Column, buckets: Int = 0): DataFrame = {
+    val b = if (buckets > 0) buckets
+      else math.max(64, df.sparkSession.sparkContext.defaultParallelism)
     val ord =
       if (asc) Seq(primary.asc, tieBreak.asc)
       else Seq(primary.desc, tieBreak.asc)
-    // One range exchange + in-partition sort is ALL the data-sized work:
-    // monotonically_increasing_id over the sorted partitions encodes
-    // (partition id << 33 | in-partition position), so both the bucket
-    // and the intra-bucket rank come for free — a partitionBy("__b")
-    // window here would re-shuffle rows the range exchange already
-    // co-located (Catalyst can't prove spark_partition_id clusters).
-    // Per-partition capacity 2^33 rows; partition count is `buckets`.
-    val bucketed = df.repartitionByRange(buckets, ord: _*)
-      .sortWithinPartitions(ord: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__b", shiftrightunsigned(col("__mid"), 33).cast("int"))
-      .localCheckpoint(true)
-    // <= buckets rows; the only global window is over this bounded frame
-    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+
+    // Bounded sample in sort order: top-s by rand is a uniform sample
+    // that needs no count pass; the final orderBy sorts only s rows.
+    val keyed = df.select(primary.as("__p"), tieBreak.as("__t"))
+    val pType = keyed.schema("__p").dataType
+    val tType = keyed.schema("__t").dataType
+    val sOrd =
+      if (asc) Seq(col("__p").asc, col("__t").asc)
+      else Seq(col("__p").desc, col("__t").asc)
+    val sampleSize = math.max(b * 128, 1 << 13)
+    val sample = keyed.withColumn("__r", rand(2654435761L))
+      .orderBy(col("__r")).limit(sampleSize).drop("__r")
+      .orderBy(sOrd: _*).collect()
+    val cuts: Seq[Row] =
+      if (sample.isEmpty) Seq.empty
+      else (1 until b).map(i => sample((i.toLong * sample.length / b).toInt))
+
+    // Row's composite key >= cut point, in (primary asc|desc nulls
+    // first|last, tieBreak asc nulls first) order — Spark's default
+    // null placement, mirrored explicitly because literal comparisons
+    // yield null on null input.
+    def litOf(v: Any, dt: DataType): Column =
+      GraftSqlBridge.column(Literal.create(v, dt))
+    def gteCut(cut: Row): Column = {
+      val cp = cut.get(0); val ct = cut.get(1)
+      val pAfter: Column =
+        if (cp == null) { if (asc) primary.isNotNull else lit(false) }
+        else if (asc) coalesce(primary > litOf(cp, pType), lit(false))
+        else coalesce(primary < litOf(cp, pType), primary.isNull)
+      val pEq: Column =
+        if (cp == null) primary.isNull else primary <=> litOf(cp, pType)
+      val tGte: Column =
+        if (ct == null) lit(true)
+        else coalesce(tieBreak >= litOf(ct, tType), lit(false))
+      pAfter || (pEq && tGte)
+    }
+    // bucket = #cuts at-or-before the row: monotone along the sort
+    // order, so per-bucket ranks + prefix-summed bucket counts stitch
+    // into the global rank. Duplicate cuts (tiny frames) only skip
+    // bucket ids — offsets never assume contiguity.
+    val bucketCol = cuts.map(r => when(gteCut(r), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0)).cast("int")
+
+    val withB = df.withColumn("__b", bucketCol)
+    // <= b rows; the only global window is over this bounded frame
+    val offsets = withB.groupBy("__b").agg(count(lit(1)).as("__c"))
       .withColumn("__off",
         coalesce(sum(col("__c")).over(
           Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .drop("__c")
-    bucketed.join(broadcast(offsets), "__b")
-      .withColumn("__rank",
-        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
-      .drop("__mid", "__b", "__off")
+    withB.withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__b")).orderBy(ord: _*)))
+      .join(broadcast(offsets), "__b")
+      .withColumn("__rank", col("__off") + col("__rn"))
+      .drop("__rn", "__b", "__off")
   }
 
   /** Exact `ntile(k)` from a global 1-based rank and the frame size —
@@ -124,7 +161,7 @@ object Ids {
     * general append case is exactly what the graded query pins.
     */
   def extendIds(existing: DataFrame, incoming: DataFrame, keyCol: String,
-                buckets: Int): DataFrame = {
+                buckets: Int = 0): DataFrame = {
     val newKeys = incoming.select(keyCol).distinct()
       .join(existing.select(keyCol), Seq(keyCol), "left_anti")
     val base = existing.agg(coalesce(max(col("gid")), lit(0L)).as("__base"))

@@ -110,6 +110,31 @@ class Round7bSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 1L), (4L, 2L), (5L, 3L)))
   }
 
+  test("denseIds: default bucket count (cluster-derived) matches the window oracle") {
+    // buckets <= 0 derives max(64, defaultParallelism) — the documented
+    // contract; pins the path no production caller exercises yet
+    val keys = (1L to 300L).map(k => k * 7 % 311)
+    val df = keys.distinct.toDF("k")
+    val got = Ids.denseIds(df, "k")
+      .select("k", "gid").as[(Long, Long)].collect().sortBy(_._1)
+    val want = keys.distinct.sorted.zipWithIndex.map { case (k, i) => (k, i + 1L) }
+    assert(got.toSeq == want)
+  }
+
+  test("denseIds: re-materialization is deterministic without a checkpoint pin") {
+    // the bucket id is a pure function of the key (literal cut points),
+    // so two independent actions over the same plan agree — the property
+    // the old RangePartitioner bucketing (RDD-id-seeded sampler) lacked
+    val df = (1L to 2000L).map(k => (k * 2654435761L) % 99991L).distinct.toDF("k")
+    val ids = Ids.denseIds(df, "k", buckets = 16)
+    val first = ids.select("k", "gid").as[(Long, Long)].collect().sortBy(_._1)
+    val second = ids.select("k", "gid").as[(Long, Long)].collect().sortBy(_._1)
+    assert(first.toSeq == second.toSeq)
+    // and no lineage truncation: the logical plan carries no checkpoint
+    assert(!ids.queryExecution.analyzed.toString.contains("LogicalRDD"),
+      "plan contains a materialized RDD scan — checkpoint crept back in")
+  }
+
   // --- triangles -------------------------------------------------------
 
   test("triangleStats: K4 gives every node 3 triangles and coeff 1; a path gives 0") {
