@@ -6832,6 +6832,85 @@ object Queries {
       round(cast(sum(cast(value as decimal(18,2))) as double), 4) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY event_type, w_start_ms"""
 
+  /** E11/streaming — the STREAMING watermarked dedup operator itself,
+    * oracle-graded by actually RUNNING it (`dropDuplicatesWithinWatermark`
+    * refuses batch frames, so the e10_stream_cms batch-lowering move
+    * doesn't apply): the events parquet becomes a one-batch file stream,
+    * `StreamingOps.dedup` dedupes it under its watermark, and the
+    * survivors land in a memory sink — bounded by the distinct-key
+    * domain, the same contract the operator's state store carries. All
+    * duplicates share one batch, where the watermark (still at its
+    * batch-1 floor) evicts nothing, so survivors = one row per distinct
+    * (user_id, event_type). WHICH row survives is engine-chosen, so the
+    * graded surface counts survivors per event_type — distinct users
+    * per type, deterministic no matter the winner.
+    */
+  def e11_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val qn = "e11_stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingOps
+      .dedup(src, "ts", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+      .groupBy("event_type").agg(count(lit(1)).as("n_unique_users"))
+      .orderBy("event_type")
+  }
+
+  val e11sdedupSql = """SELECT event_type,
+      count(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** E11/streaming — the STREAMING gap-sessionizer itself
+    * (`StreamingOps.sessions`, flatMapGroupsWithState), oracle-graded in
+    * batch mode: each key's whole history arrives as one group over
+    * empty state, so the output is every CLOSED session while the final
+    * open session per key stays in state — the operator's append-mode
+    * emission contract, mirrored by the oracle's QUALIFY that drops each
+    * user's last session. Grades the gap rule (> 10 min), per-key
+    * session numbering, counts, and boundary timestamps of the exact
+    * function a readStream pipeline deploys. The event-time-flush twins
+    * (`sessionsEventTime`/`intervalMergeEventTime`) stay spec-pinned
+    * only: they read `getCurrentWatermarkMs`, which batch execution
+    * (watermark eliminated) refuses.
+    */
+  def e11_stream_sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select(col("user_id").as("key"), unix_millis(col("ts")).as("tsMs"),
+        col("value")).as[graft.streaming.StreamingOps.Event]
+    graft.streaming.StreamingOps.sessions(ev, gapMinutes = 10).toDF()
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "session_id")
+  }
+
+  val e11ssessSql = """WITH g AS (
+      SELECT user_id, event_id, ts,
+        epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN gap IS NULL OR gap > 600000 THEN 1 ELSE 0 END AS new_session
+      FROM g),
+    sess AS (
+      SELECT user_id, ts,
+        cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+      FROM marked),
+    agg AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+      FROM sess GROUP BY user_id, session_id)
+    SELECT user_id, session_id, n_events, start_ms, end_ms FROM agg
+    QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+    ORDER BY user_id, session_id"""
+
   /** E3 — exact maximum-inner-product top-k: rank by RAW dot, the
     * retrieval order cosine gets wrong whenever embedding norms carry
     * signal (trained recommender/retrieval embeddings). Broadcast query
@@ -11271,6 +11350,8 @@ object Queries {
     ("e10_cms", e10_cms _, e10cmsSql),
     ("e10_stream_cms", e10_stream_cms _, e10scmsSql),
     ("e11_stream_tumbling", e11_stream_tumbling _, e11stumSql),
+    ("e11_stream_dedup", e11_stream_dedup _, e11sdedupSql),
+    ("e11_stream_sessions", e11_stream_sessions _, e11ssessSql),
     ("e3_mips", e3_mips _, e3mipsSql),
     ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql),
     ("e11_cusum", e11_cusum _, e11cuSql),
