@@ -223,8 +223,9 @@ object Queries {
     * Spark's CSV reader (whitespace-only and empty -> NULL), NULLS FIRST
     * in every SK ordering (Spark's orderBy default), null-safe FK joins
     * (resolveFk's `<=>`), and the same BR-number / prefix-date coercions.
+    * The CTE block is shared with the sink-roundtrip oracle.
     */
-  val starE2eSql: String = {
+  private val starCteSql: String = {
     val brNum = (c: String) =>
       s"coalesce(try_cast(replace(replace(s.$c, '.', ''), ',', '.') as double), 0.0)"
     """WITH raw AS (
@@ -267,14 +268,10 @@ object Queries {
         """ + brNum("MdaPotenciaOutorgadaKw") + """ AS v1,
         """ + brNum("MdaPotenciaFiscalizadaKw") + """ AS v2,
         """ + brNum("MdaGarantiaFisicaKw") + """ AS v3
-      FROM src s)
-    SELECT f.CodCEG, g.ID_Geracao, st.ID_Status, l.ID_Localizacao,
-      g.SigTipoGeracao, g.DscOrigemCombustivel, g.DscFonteCombustivel,
-      st.DscFaseUsina, st.DscTipoOutorga, st.IdcGeracaoQualificada,
-      l.SigUFPrincipal, l.DscMuninicpios, e.NomEmpreendimento,
-      f.FK_DataOperacao, f.v1 AS MdaPotenciaOutorgadaKw,
-      f.v2 AS MdaPotenciaFiscalizadaKw, f.v3 AS MdaGarantiaFisicaKw,
-      1 AS QtdEmpreendimentos
+      FROM src s)"""
+  }
+
+  private val starJoinsSql = """
     FROM fact f
     JOIN dim_g g ON f.SigTipoGeracao IS NOT DISTINCT FROM g.SigTipoGeracao
       AND f.DscOrigemCombustivel IS NOT DISTINCT FROM g.DscOrigemCombustivel
@@ -286,7 +283,58 @@ object Queries {
       AND f.DscMuninicpios IS NOT DISTINCT FROM l.DscMuninicpios
     LEFT JOIN dim_e e ON f.CodCEG = e.CodCEG
     ORDER BY f.CodCEG, f.FK_DataOperacao, v1"""
+
+  val starE2eSql: String = starCteSql + """
+    SELECT f.CodCEG, g.ID_Geracao, st.ID_Status, l.ID_Localizacao,
+      g.SigTipoGeracao, g.DscOrigemCombustivel, g.DscFonteCombustivel,
+      st.DscFaseUsina, st.DscTipoOutorga, st.IdcGeracaoQualificada,
+      l.SigUFPrincipal, l.DscMuninicpios, e.NomEmpreendimento,
+      f.FK_DataOperacao, f.v1 AS MdaPotenciaOutorgadaKw,
+      f.v2 AS MdaPotenciaFiscalizadaKw, f.v3 AS MdaGarantiaFisicaKw,
+      1 AS QtdEmpreendimentos""" + starJoinsSql
+
+  /** S2 — the CSV sink itself, oracle-graded by ROUNDTRIP: the full
+    * `StarSchemaJob.run` writes all six star CSVs with the reference's
+    * codec (ISO-8859-1, `;`, header, F5 decimal-comma measures); the
+    * fact and dim_localizacao come BACK through the S1 reader, the F1
+    * parser undoes the F5 formatting, and the result must hash-match
+    * DuckDB running the same pipeline from the same fixture — so the
+    * delimiter, header, encoding (accents land in dim_localizacao's
+    * city names), null→empty→null, %.2f quantization (the oracle's
+    * round(v, 2)) and the sentinel ints all survive a disk trip or the
+    * row breaks. Closes the last reference operator (S2) that had only
+    * ScalaTest coverage.
+    */
+  def star_sink_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val outDir = "/tmp/graft_star_sink"
+    StarSchemaJob.run(s, graft.star.AneelFixture.ensure(), outDir)
+    val fato = StarSchemaJob.readSource(s, s"$outDir/fato_geracao")
+    val dimL = StarSchemaJob.readSource(s, s"$outDir/dim_localizacao")
+      .select(col("ID_Localizacao").cast("long").as("ID_Localizacao"),
+        col("SigUFPrincipal"), col("DscMuninicpios"))
+    fato.select(
+        col("ID_Geracao").cast("long").as("ID_Geracao"),
+        col("ID_Status").cast("long").as("ID_Status"),
+        col("ID_Localizacao").cast("long").as("ID_Localizacao"),
+        col("CodCEG"),
+        col("FK_DataOperacao").cast("int").as("FK_DataOperacao"),
+        graft.functions.parseBrDouble(col("MdaPotenciaOutorgadaKw"))
+          .as("MdaPotenciaOutorgadaKw"),
+        graft.functions.parseBrDouble(col("MdaPotenciaFiscalizadaKw"))
+          .as("MdaPotenciaFiscalizadaKw"),
+        graft.functions.parseBrDouble(col("MdaGarantiaFisicaKw"))
+          .as("MdaGarantiaFisicaKw"),
+        col("QtdEmpreendimentos").cast("int").as("QtdEmpreendimentos"))
+      .join(dimL, Seq("ID_Localizacao"))
+      .orderBy("CodCEG", "FK_DataOperacao", "MdaPotenciaOutorgadaKw")
   }
+
+  val starSinkSql: String = starCteSql + """
+    SELECT f.CodCEG, g.ID_Geracao, st.ID_Status, l.ID_Localizacao,
+      f.FK_DataOperacao, round(f.v1, 2) AS MdaPotenciaOutorgadaKw,
+      round(f.v2, 2) AS MdaPotenciaFiscalizadaKw,
+      round(f.v3, 2) AS MdaGarantiaFisicaKw, 1 AS QtdEmpreendimentos,
+      l.SigUFPrincipal, l.DscMuninicpios""" + starJoinsSql
 
   // ======================================================================
   // Extensions E5-E11: SQL-surface operators (SURVEY.md §2.4)
@@ -11226,6 +11274,7 @@ object Queries {
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e11_session_window", e11_session_window _, e11wSql),
     ("star_etl_e2e", star_etl_e2e _, starE2eSql),
+    ("star_sink_roundtrip", star_sink_roundtrip _, starSinkSql),
     ("e4_chunks", e4_chunks _, e4chSql),
     ("e4_sample", e4_sample _, e4smSql),
     ("e4_redact", e4_redact _, e4rSql),
