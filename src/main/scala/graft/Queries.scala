@@ -6959,6 +6959,65 @@ object Queries {
     QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
     ORDER BY user_id, session_id"""
 
+  /** E11/streaming — the CDC upsert micro-batch itself
+    * (`StreamingOps.cdcApplyBatch`, the exact foreachBatch body
+    * `cdcUpsert` deploys), oracle-graded end-to-end against a DuckDB
+    * MERGE twin: snapshot = customer projected to (key, name, acctbal)
+    * written to parquet; changeset = two ordered update versions for
+    * keys ≡0 (mod 10) — compaction must keep seq 2 — deletes for ≡1,
+    * inserts of brand-new keys for ≡2. The query applies ONE micro-batch
+    * (compact → merge → two-rename swap, including the crash-recovery
+    * probe) and returns the swapped-in table, so the graded row covers
+    * Dedup.exact compaction, Merge's union-window semantics, AND the
+    * Layout swap a real stream commits through.
+    */
+  def e11_stream_cdc(s: SparkSession, dir: String): DataFrame = {
+    val snapPath = "/tmp/graft_cdc_snapshot"
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    base.write.mode("overwrite").parquet(snapPath)
+    val upd1 = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100).as("c_acctbal"),
+        lit("U").as("op"), lit(1).as("seq"))
+    val upd2 = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 200).as("c_acctbal"),
+        lit("U").as("op"), lit(2).as("seq"))
+    val del = base.filter(col("c_custkey") % 10 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("D").as("op"), lit(1).as("seq"))
+    val ins = base.filter(col("c_custkey") % 10 === 2)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
+        lit(0.0).as("c_acctbal"), lit("U").as("op"), lit(1).as("seq"))
+    graft.streaming.StreamingOps.cdcApplyBatch(
+      upd1.unionByName(upd2).unionByName(del).unionByName(ins),
+      snapPath, Seq("c_custkey"), "seq")
+    s.read.parquet(snapPath).orderBy("c_custkey")
+  }
+
+  val e11scdcSql = """WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer),
+    changes AS (
+      SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal, 'U' AS op, 1 AS seq
+        FROM base WHERE c_custkey % 10 = 0
+      UNION ALL SELECT c_custkey, c_name, c_acctbal + 200, 'U', 2
+        FROM base WHERE c_custkey % 10 = 0
+      UNION ALL SELECT c_custkey, c_name, c_acctbal, 'D', 1
+        FROM base WHERE c_custkey % 10 = 1
+      UNION ALL SELECT c_custkey + 10000000, c_name, 0.0, 'U', 1
+        FROM base WHERE c_custkey % 10 = 2),
+    compacted AS (
+      SELECT c_custkey, c_name, c_acctbal, op FROM changes
+      QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) = 1),
+    tagged AS (
+      SELECT c_custkey, c_name, c_acctbal, 'U' AS op, 0 AS src FROM base
+      UNION ALL SELECT c_custkey, c_name, c_acctbal, op, 1 FROM compacted)
+    SELECT c_custkey, c_name, c_acctbal FROM tagged
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY src DESC) = 1
+      AND op <> 'D'
+    ORDER BY c_custkey"""
+
   /** E3 — exact maximum-inner-product top-k: rank by RAW dot, the
     * retrieval order cosine gets wrong whenever embedding norms carry
     * signal (trained recommender/retrieval embeddings). Broadcast query
@@ -11401,6 +11460,7 @@ object Queries {
     ("e11_stream_tumbling", e11_stream_tumbling _, e11stumSql),
     ("e11_stream_dedup", e11_stream_dedup _, e11sdedupSql),
     ("e11_stream_sessions", e11_stream_sessions _, e11ssessSql),
+    ("e11_stream_cdc", e11_stream_cdc _, e11scdcSql),
     ("e3_mips", e3_mips _, e3mipsSql),
     ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql),
     ("e11_cusum", e11_cusum _, e11cuSql),

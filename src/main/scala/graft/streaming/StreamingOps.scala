@@ -185,21 +185,33 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        // a replayed batch after a crash mid-swap finds the snapshot at
-        // its .old name — roll it back before reading
-        graft.sources.Layout.recoverSwap(spark, snapshotPath)
-        val compacted = graft.operators.Dedup.exact(
-          batch.toDF(), key, Seq(col(orderCol).desc))
-        val base = spark.read.parquet(snapshotPath)
-        val merged = graft.operators.Merge.merge(
-          base, compacted.drop(orderCol), key, opCol)
-        val tmp = snapshotPath.stripSuffix("/") + ".merge-tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        graft.sources.Layout.swapInto(spark, tmp, snapshotPath)
-        ()
+        cdcApplyBatch(batch.toDF(), snapshotPath, key, orderCol, opCol)
       }
       .start()
+
+  /** One micro-batch of [[cdcUpsert]] — the exact foreachBatch body,
+    * exposed so the merge-and-swap path is callable (and oracle-graded,
+    * `e11_stream_cdc`) without streaming machinery: crash-recover a
+    * half-finished swap, compact the changeset to one row per key
+    * (latest by `orderCol`), MERGE into the parquet snapshot, two-rename
+    * swap the result into place.
+    */
+  def cdcApplyBatch(batch: DataFrame, snapshotPath: String, key: Seq[String],
+                    orderCol: String, opCol: String = "op"): Unit = {
+    val spark = batch.sparkSession
+    // a replayed batch after a crash mid-swap finds the snapshot at
+    // its .old name — roll it back before reading
+    graft.sources.Layout.recoverSwap(spark, snapshotPath)
+    val compacted = graft.operators.Dedup.exact(
+      batch, key, Seq(col(orderCol).desc))
+    val base = spark.read.parquet(snapshotPath)
+    val merged = graft.operators.Merge.merge(
+      base, compacted.drop(orderCol), key, opCol)
+    val tmp = snapshotPath.stripSuffix("/") + ".merge-tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    graft.sources.Layout.swapInto(spark, tmp, snapshotPath)
+    ()
+  }
 
   case class Event(key: Long, tsMs: Long, value: Double)
   case class SessionState(sessionId: Long, lastMs: Long, startMs: Long, n: Long)
