@@ -7018,6 +7018,81 @@ object Queries {
       AND op <> 'D'
     ORDER BY c_custkey"""
 
+  /** E11/streaming — the STREAMING backward as-of join
+    * (`StreamingOps.asOfBackward`, flatMapGroupsWithState), oracle-graded
+    * in batch mode against DuckDB's native ASOF LEFT JOIN: per key each
+    * error event pairs with the latest purchase at-or-before it. The
+    * right side pre-reduces to one row per (key, ts) — the operator's
+    * single-candidate state makes the last equal-ts right win, which in
+    * a distributed read is arrival order, so the reduction is what makes
+    * the graded surface deterministic (the j_asof queries make the same
+    * move). Batch mode = one group call per key over empty state —
+    * exactly one in-order micro-batch, the operator's documented
+    * contract.
+    */
+  def e11_stream_asof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val lefts = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("key"), unix_millis(col("ts")).as("tsMs"),
+        col("value"), lit(true).as("isLeft"))
+    val rights = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("key"), unix_millis(col("ts")).as("tsMs"))
+      .agg(max(col("value")).as("value"))
+      .withColumn("isLeft", lit(false))
+    graft.streaming.StreamingOps.asOfBackward(
+        lefts.unionByName(rights).as[graft.streaming.StreamingOps.AsOfIn])
+      .toDF()
+      .orderBy("key", "left_ms", "left_value")
+  }
+
+  val e11sasofSql = """WITH l AS (
+      SELECT user_id AS key, epoch_ms(ts) AS left_ms, value AS left_value
+      FROM events WHERE event_type = 'error'),
+    r AS (
+      SELECT user_id AS key, epoch_ms(ts) AS right_ms, max(value) AS right_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.key, l.left_ms, l.left_value, r.right_ms, r.right_value
+    FROM l ASOF LEFT JOIN r ON l.key = r.key AND l.left_ms >= r.right_ms
+    ORDER BY l.key, left_ms, left_value"""
+
+  /** E11/streaming — the STREAMING overlapping-interval coalescer
+    * (`StreamingOps.intervalMerge`, flatMapGroupsWithState sweep-line),
+    * oracle-graded in batch mode: all closed islands emit, each key's
+    * final open island stays in state, mirrored by the oracle's QUALIFY
+    * dropping the last island per user. Same 30-minute windows as the
+    * batch e11_interval_merge, so the two rows together pin that the
+    * streaming state machine and the batch two-window sweep agree on
+    * island boundaries, coverage, and counts.
+    */
+  def e11_stream_interval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select(col("user_id").as("key"), unix_millis(col("ts")).as("tsMs"),
+        col("value")).as[graft.streaming.StreamingOps.Event]
+    graft.streaming.StreamingOps.intervalMerge(ev, intervalMs = 1800000L)
+      .toDF()
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "start_ms")
+  }
+
+  val e11sintSql = """WITH iv AS (SELECT user_id, epoch_ms(ts) AS st,
+      epoch_ms(ts) + 1800000 AS en, event_id FROM events),
+    m AS (SELECT user_id, st, en, event_id,
+      max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM iv),
+    b AS (SELECT user_id, st, en,
+      sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY st, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM m),
+    isles AS (SELECT user_id, isl, min(st) AS start_ms, max(en) AS end_ms,
+      count(*) AS n_events FROM b GROUP BY user_id, isl)
+    SELECT user_id, start_ms, end_ms, n_events FROM isles
+    QUALIFY isl < max(isl) OVER (PARTITION BY user_id)
+    ORDER BY user_id, start_ms"""
+
   /** E3 — exact maximum-inner-product top-k: rank by RAW dot, the
     * retrieval order cosine gets wrong whenever embedding norms carry
     * signal (trained recommender/retrieval embeddings). Broadcast query
@@ -11461,6 +11536,8 @@ object Queries {
     ("e11_stream_dedup", e11_stream_dedup _, e11sdedupSql),
     ("e11_stream_sessions", e11_stream_sessions _, e11ssessSql),
     ("e11_stream_cdc", e11_stream_cdc _, e11scdcSql),
+    ("e11_stream_asof", e11_stream_asof _, e11sasofSql),
+    ("e11_stream_interval", e11_stream_interval _, e11sintSql),
     ("e3_mips", e3_mips _, e3mipsSql),
     ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql),
     ("e11_cusum", e11_cusum _, e11cuSql),

@@ -149,6 +149,48 @@ object ProbeScale {
     ("llm_ingest_incr", graft.Queries.llm_ingest_incr _),
     ("e11_rfm", graft.Queries.e11_rfm _))
 
+  /** The worst shuffle-heavy probes, re-run under MEMORY PRESSURE
+    * (round-10 verdict item 7): `spark.memory.fraction` shrunk 0.6 → 0.05
+    * so the execution pool that normally absorbs the whole sort/agg
+    * working set can't, and the spill path (UnsafeExternalSorter →
+    * disk) actually runs — the regime a 100 TB shuffle partition lives
+    * in, which the comfortable 128 GiB local heap otherwise never
+    * exercises. A SparkListener accumulates task memory/disk spill
+    * bytes, so the probe both proves the spill happened (bytes > 0, not
+    * just slower wall time) and measures the degradation factor.
+    *
+    * Usage: runMain graft.tools.ProbeSpill [dataDir]
+    * (default /tmp/graft-scale/x10 — build it with ProbeScale first).
+    */
+  def spillProbe(spark: SparkSession, dir: String): Unit = {
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    val spilledDisk = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spilled.addAndGet(m.memoryBytesSpilled)
+          spilledDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    Seq(("j_salted", graft.Queries.j_salted _),
+        ("etl_subtree_agg", graft.Queries.etl_subtree_agg _))
+      .foreach { case (name, f) =>
+        spilled.set(0); spilledDisk.set(0)
+        val t0 = System.nanoTime()
+        val n = f(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.Blocks.sweep(spark.sparkContext)
+        println(f"[spill] $name%-18s $secs%7.2f s  rows=$n  " +
+          f"memSpill=${spilled.get / (1 << 20)}%d MiB  " +
+          f"diskSpill=${spilledDisk.get / (1 << 20)}%d MiB")
+      }
+    spark.sparkContext.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
@@ -195,6 +237,27 @@ object ProbeScale {
         else "SUPRALINEAR - investigate"
       println(f"[scale] $name%-22s ${a}%6.2f -> ${b}%6.2f s  ratio=$ratio%5.2f  $verdict")
     }
+    spark.stop()
+  }
+}
+
+/** Memory-pressure twin of [[ProbeScale]] — its own main because
+  * `spark.memory.fraction` is fixed at SparkContext creation. See
+  * [[ProbeScale.spillProbe]].
+  */
+object ProbeSpill {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-scale/x10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.memory.fraction", "0.05")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.Graft.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(100000).selectExpr("sum(id * 2)").collect()
+    ProbeScale.spillProbe(spark, dir)
     spark.stop()
   }
 }
