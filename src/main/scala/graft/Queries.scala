@@ -7093,6 +7093,63 @@ object Queries {
     QUALIFY isl < max(isl) OVER (PARTITION BY user_id)
     ORDER BY user_id, start_ms"""
 
+  /** E11/streaming — stream-static enrichment (`StreamingOps.enrich`):
+    * per micro-batch a broadcast left join against the slowly-changing
+    * dimension, graded in batch mode (a stateless map-side join is the
+    * same plan per batch either way). The dimension is restricted to
+    * c_custkey < 100 so the no-match path (stream rows keeping NULL
+    * dimension attrs — the −1-sentinel pattern's streaming face) is in
+    * the graded rows, not just the matched path.
+    */
+  def e11_stream_enrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"))
+    val dim = t(s, dir, "customer")
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.streaming.StreamingOps.enrich(ev, dim, "user_id")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_events"))
+      .orderBy("c_mktsegment")
+  }
+
+  val e11senrSql = """SELECT c.c_mktsegment, count(*) AS n_events
+    FROM events e LEFT JOIN (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 100) c
+      ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c_mktsegment NULLS FIRST"""
+
+  /** E11/streaming — the stream-stream interval join
+    * (`StreamingOps.intervalJoin`, the attribution shape: click within
+    * 30 min after a view), graded in batch mode: the watermarks no-op
+    * and the two-sided time-bounded predicate — the exact condition that
+    * makes streaming state evictable — becomes a plain range-join, so
+    * the graded rows pin the pairing semantics the incremental execution
+    * must reproduce. Microsecond-precision bounds in the oracle
+    * (epoch_us) so a sub-ms boundary pair can't diverge.
+    */
+  def e11_stream_ijoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    graft.streaming.StreamingOps.intervalJoin(
+        views, clicks, "user_id", "view_ts", "click_ts", lagMinutes = 30)
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        unix_millis(col("view_ts")).as("view_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+      .orderBy("view_id", "click_id")
+  }
+
+  val e11sijSql = """SELECT l.event_id AS view_id, r.event_id AS click_id,
+      l.user_id, epoch_ms(l.ts) AS view_ms, epoch_ms(r.ts) AS click_ms
+    FROM events l JOIN events r ON l.user_id = r.user_id
+      AND l.event_type = 'view' AND r.event_type = 'click'
+      AND epoch_us(r.ts) >= epoch_us(l.ts)
+      AND epoch_us(r.ts) < epoch_us(l.ts) + 1800000000
+    ORDER BY view_id, click_id"""
+
   /** E3 — exact maximum-inner-product top-k: rank by RAW dot, the
     * retrieval order cosine gets wrong whenever embedding norms carry
     * signal (trained recommender/retrieval embeddings). Broadcast query
@@ -11538,6 +11595,8 @@ object Queries {
     ("e11_stream_cdc", e11_stream_cdc _, e11scdcSql),
     ("e11_stream_asof", e11_stream_asof _, e11sasofSql),
     ("e11_stream_interval", e11_stream_interval _, e11sintSql),
+    ("e11_stream_enrich", e11_stream_enrich _, e11senrSql),
+    ("e11_stream_ijoin", e11_stream_ijoin _, e11sijSql),
     ("e3_mips", e3_mips _, e3mipsSql),
     ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql),
     ("e11_cusum", e11_cusum _, e11cuSql),
