@@ -7184,6 +7184,171 @@ object Queries {
   val e11sndSql: String =
     s"WITH $e2sigCte SELECT DISTINCT s AS simhash FROM sigs ORDER BY simhash"
 
+  /** E11/streaming — the EVENT-TIME-flush gap sessionizer
+    * (`StreamingOps.sessionsEventTime`), oracle-graded as a real
+    * one-batch file stream (it reads `getCurrentWatermarkMs`, which
+    * batch lowering refuses). Semantics under one batch: the batch runs
+    * at watermark 0 (nothing late, per-key history processed in order ==
+    * batch sessionization), then the watermark jumps to max(ts) − 10 min
+    * and the no-data micro-batch fires `EventTimeTimeout` for every key
+    * whose timeout (last event + gap) now lies strictly below it. So the
+    * graded surface is every CLOSED session plus the open tail sessions
+    * old enough for the watermark to have flushed — the oracle mirrors
+    * both emission paths exactly (QUALIFY non-last OR end+gap < wm).
+    */
+  def e11_stream_sessions_et(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id").as("key"),
+        unix_millis(col("ts").cast("timestamp")).as("tsMs"), col("value"))
+      .as[graft.streaming.StreamingOps.Event]
+    val qn = "e11_stream_sessions_et_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingOps
+      .sessionsEventTime(src, gapMinutes = 10, watermark = "10 minutes")
+      .toDF()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "session_id")
+  }
+
+  val e11ssetSql = """WITH g AS (
+      SELECT user_id, event_id, ts,
+        epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN gap IS NULL OR gap > 600000 THEN 1 ELSE 0 END AS new_session
+      FROM g),
+    sess AS (
+      SELECT user_id, ts,
+        cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+      FROM marked),
+    agg AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+      FROM sess GROUP BY user_id, session_id),
+    wm AS (SELECT max(epoch_ms(ts)) - 600000 AS w FROM events)
+    SELECT user_id, session_id, n_events, start_ms, end_ms FROM agg, wm
+    QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+      OR end_ms + 600000 < w
+    ORDER BY user_id, session_id"""
+
+  /** E11/streaming — the EVENT-TIME-flush interval coalescer
+    * (`StreamingOps.intervalMergeEventTime`), same one-batch file-stream
+    * grading as [[e11_stream_sessions_et]]: batch 1 reproduces the batch
+    * sweep-line island decomposition, then the no-data batch's watermark
+    * (max(ts) − 10 min) times out exactly the open islands whose end
+    * (max covered instant, ts + 30 min) lies strictly below it. Oracle =
+    * the batch island CTE with the emission rule QUALIFY non-last OR
+    * end < wm.
+    */
+  def e11_stream_interval_et(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id").as("key"),
+        unix_millis(col("ts").cast("timestamp")).as("tsMs"), col("value"))
+      .as[graft.streaming.StreamingOps.Event]
+    val qn = "e11_stream_interval_et_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingOps
+      .intervalMergeEventTime(src, intervalMs = 1800000L,
+        watermark = "10 minutes")
+      .toDF()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "start_ms")
+  }
+
+  val e11sietSql = """WITH iv AS (SELECT user_id, epoch_ms(ts) AS st,
+      epoch_ms(ts) + 1800000 AS en, event_id FROM events),
+    m AS (SELECT user_id, st, en, event_id,
+      max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM iv),
+    b AS (SELECT user_id, st, en,
+      sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY st, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM m),
+    isles AS (SELECT user_id, isl, min(st) AS start_ms, max(en) AS end_ms,
+      count(*) AS n_events FROM b GROUP BY user_id, isl),
+    wm AS (SELECT max(epoch_ms(ts)) - 600000 AS w FROM events)
+    SELECT user_id, start_ms, end_ms, n_events FROM isles, wm
+    QUALIFY isl < max(isl) OVER (PARTITION BY user_id) OR end_ms < w
+    ORDER BY user_id, start_ms"""
+
+  /** MM/streaming — the STREAMING perceptual image dedup
+    * (`StreamingOps.imageDedup`: per-row dHash with payload-hash
+    * fallback + dropDuplicatesWithinWatermark), oracle-graded via the
+    * literal-flag pattern over a real MemoryStream run: the SAME raster
+    * encoded twice (BMP and PNG — different bytes, identical dHash)
+    * must collapse to one survivor, a structurally different image
+    * survives separately, and byte-identical garbage payloads collapse
+    * on the fallback hash. WHICH row survives per hash is
+    * engine-chosen, so survivors project back to their recomputed
+    * hashes through `Multimodal.extractPhash` — the same three
+    * deterministic literals `mm_image_phash` already pins.
+    */
+  def e11_stream_imagededup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def bmp(fmt: String, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val grad = (x: Int, y: Int) => (x * 3 + y * 2) % 256
+    val checker = (x: Int, y: Int) => if ((x / 8 + y / 8) % 2 == 0) 230 else 20
+    val base = 1700000800000L
+    val input = MemoryStream[(Long, Array[Byte], Long)]
+    val df = input.toDF().toDF("media_id", "payload", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val qn = "e11_stream_imagededup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingOps
+      .imageDedup(df, "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, bmp("bmp", grad), base),
+        (2L, bmp("png", grad), base + 1000), // re-encode: same dHash
+        (3L, bmp("bmp", checker), base + 2000),
+        (4L, "not an image".getBytes("UTF-8"), base + 3000),
+        (5L, "not an image".getBytes("UTF-8"), base + 4000))
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.multimodal.Multimodal
+      .extractPhash(s.table(qn).withColumn("kind", lit("image")))
+      .select(col("phash"), col("is_real").cast("int").as("is_real"))
+      .orderBy("phash")
+  }
+
+  val e11simgSql = """SELECT * FROM (VALUES
+      (cast(209970766 as bigint), cast(0 as int)),
+      (5955256952276996773, 1),
+      (6971713510413697024, 1)) AS t(phash, is_real)
+    ORDER BY phash"""
+
   /** E3 — exact maximum-inner-product top-k: rank by RAW dot, the
     * retrieval order cosine gets wrong whenever embedding norms carry
     * signal (trained recommender/retrieval embeddings). Broadcast query
@@ -11632,6 +11797,9 @@ object Queries {
     ("e11_stream_enrich", e11_stream_enrich _, e11senrSql),
     ("e11_stream_ijoin", e11_stream_ijoin _, e11sijSql),
     ("e11_stream_neardup", e11_stream_neardup _, e11sndSql),
+    ("e11_stream_sessions_et", e11_stream_sessions_et _, e11ssetSql),
+    ("e11_stream_interval_et", e11_stream_interval_et _, e11sietSql),
+    ("e11_stream_imagededup", e11_stream_imagededup _, e11simgSql),
     ("e3_mips", e3_mips _, e3mipsSql),
     ("e3_mips_aug", e3_mips_aug _, e3mipsAugSql),
     ("e11_cusum", e11_cusum _, e11cuSql),
