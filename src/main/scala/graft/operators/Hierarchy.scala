@@ -14,11 +14,20 @@ import org.apache.spark.sql.functions._
   * pointer jumps from distance 2^i to 2^(i+1) by joining the state
   * against itself, so a depth-D forest flattens in ⌈log₂ D⌉ keyed
   * self-joins — a million-deep chain takes 20 rounds, not a million.
-  * Lineage is cut per round (localCheckpoint) and superseded blocks are
-  * freed, same discipline as the components loops; the convergence
-  * check rides the round's own join (a node is settled when its
-  * pointer lands on a root, i.e. joins a d=0 row), costing no extra
-  * shuffle.
+  *
+  * The loop is FRONTIER-SPLIT: a node whose pointer has landed on a
+  * root is settled and leaves the join's probe side for good (it rides
+  * each round's state union untouched); only the active frontier keeps
+  * joining. Real hierarchies are shallow-majority — most of a 100 TB
+  * forest settles in the first two or three rounds — so late rounds
+  * shuffle only the deep tail instead of re-proving the settled bulk
+  * N times (round-11: the all-rows probe side was the loop's dominant
+  * redundant work). The build side must stay the FULL state: an active
+  * node's 2^i-jump may land on any settled node, and that hop is
+  * exactly what teleports it to its root in one more round. Lineage is
+  * cut per round (localCheckpoint) and superseded blocks are freed,
+  * same discipline as the components loops; convergence = empty
+  * frontier, read from the round's own cached blocks.
   */
 object Hierarchy {
 
@@ -35,25 +44,28 @@ object Hierarchy {
     val roots = e.select(col("anc").as("id"))
       .except(e.select(col("id")))
       .distinct()
-    // state: (id, anc, d) — anc is id's 2^i-th ancestor (or its root,
-    // reached early); roots carry (root, root, 0) so every pointer
-    // join hits, and d = 0 marks "settled"
-    var cur = e.withColumn("d", lit(1L))
-      .unionByName(roots.select(col("id"), col("id").as("anc"), lit(0L).as("d")))
+    // state: (id, anc, d, s) — anc is id's 2^i-th ancestor (or its
+    // root, reached early), d the distance to it, s whether anc is
+    // known to BE the root (settled: full depth reached). Roots carry
+    // (root, root, 0, true) so every pointer join hits.
+    var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
+        lit(false).as("s"))
+      .unionByName(roots.select(col("id"), col("id").as("anc"),
+        lit(0L).as("d"), lit(true).as("s")))
       .localCheckpoint(true)
-    var changed = 1L
+    var active = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val next = cur.as("a")
+    while (active > 0 && iter < maxIter) {
+      val jumped = cur.filter(!col("s")).as("a")
         .join(cur.select(col("id").as("anc"), col("anc").as("anc2"),
-          col("d").as("d2")).as("b"), Seq("anc"))
-        .select(col("id"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"),
-          (col("d2") > 0).cast("long").as("__moved"))
+          col("d").as("d2"), col("s").as("s2")).as("b"), Seq("anc"))
+        .select(col("id"), col("anc2").as("anc"),
+          (col("d") + col("d2")).as("d"), col("s2").as("s"))
+      val next = cur.filter(col("s")).unionByName(jumped)
         .localCheckpoint(true)
-      changed = next.agg(coalesce(sum(col("__moved")), lit(0L)))
-        .collect()(0).getLong(0)
+      active = next.filter(!col("s")).count()
       graft.Blocks.free(cur)
-      cur = next.select(col("id"), col("anc"), col("d"))
+      cur = next
       iter += 1
     }
     cur.select(col("id"), col("anc").as("root"), col("d").as("depth"))
@@ -86,7 +98,10 @@ object Hierarchy {
         explode(concat(col("arr"), array(col("id")))).as("ancestor"))
 
   /** Shared doubling state: (id, anc = root once settled, d = depth,
-    * arr = ancestors nearest-first). */
+    * arr = ancestors nearest-first, s = settled). Same frontier split
+    * as [[rootAndDepth]] — settled rows carry their finished array
+    * through the union; the per-round concat work is frontier-sized.
+    */
   private def doubledArrays(edges: DataFrame, idCol: String,
                             parentCol: String, maxIter: Int): DataFrame = {
     val e = edges.select(col(idCol).cast("long").as("id"),
@@ -95,26 +110,28 @@ object Hierarchy {
       .except(e.select(col("id")))
       .distinct()
     var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
-        array(col("anc")).as("arr"))
+        array(col("anc")).as("arr"), lit(false).as("s"))
       .unionByName(roots.select(col("id"), col("id").as("anc"),
-        lit(0L).as("d"), array().cast("array<long>").as("arr")))
+        lit(0L).as("d"), array().cast("array<long>").as("arr"),
+        lit(true).as("s")))
       .localCheckpoint(true)
-    var changed = 1L
+    var active = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val next = cur.as("a")
+    while (active > 0 && iter < maxIter) {
+      val jumped = cur.filter(!col("s")).as("a")
         .join(cur.select(col("id").as("anc"), col("anc").as("anc2"),
-          col("d").as("d2"), col("arr").as("arr2")).as("b"), Seq("anc"))
-        .select(col("id"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"),
-          concat(col("arr"), col("arr2")).as("arr"),
-          (col("d2") > 0).cast("long").as("__moved"))
+          col("d").as("d2"), col("arr").as("arr2"), col("s").as("s2"))
+          .as("b"), Seq("anc"))
+        .select(col("id"), col("anc2").as("anc"),
+          (col("d") + col("d2")).as("d"),
+          concat(col("arr"), col("arr2")).as("arr"), col("s2").as("s"))
+      val next = cur.filter(col("s")).unionByName(jumped)
         .localCheckpoint(true)
-      changed = next.agg(coalesce(sum(col("__moved")), lit(0L)))
-        .collect()(0).getLong(0)
+      active = next.filter(!col("s")).count()
       graft.Blocks.free(cur)
-      cur = next.select(col("id"), col("anc"), col("d"), col("arr"))
+      cur = next
       iter += 1
     }
-    cur
+    cur.drop("s")
   }
 }
