@@ -4,7 +4,7 @@ import org.apache.spark.SparkContext
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.LogicalRDD
 
-/** Storage-block hygiene for eagerly localCheckpoint'ed frames.
+/** Lineage-cut + storage-block hygiene for iterative operators.
   *
   * `Dataset.localCheckpoint(eager = true)` persists the materialized rows
   * as storage blocks that `Dataset.unpersist` CANNOT release (unpersist
@@ -17,8 +17,45 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Blocks {
 
+  /** Cut lineage between rounds of an iterative operator, materializing
+    * the frame eagerly. Which checkpoint runs is a DEPLOYMENT decision,
+    * read from the session:
+    *
+    *   - a cluster job that has called `sparkContext.setCheckpointDir`
+    *     (standard practice for any iterative workload on a real
+    *     cluster) gets a RELIABLE checkpoint — rounds are written to
+    *     the fault-tolerant store, so losing an executor mid-loop costs
+    *     a re-read, not the job (localCheckpoint blocks die with their
+    *     executor and their lineage is truncated: unrecoverable);
+    *   - no checkpoint dir (local runs, tests, the bench harness) falls
+    *     back to `localCheckpoint` — executor == driver, so reliability
+    *     adds nothing and the memory-block path is strictly faster;
+    *   - `spark.graft.checkpoint.local=true` forces the local path even
+    *     with a dir set (escape hatch for jobs whose dir serves other
+    *     streams).
+    *
+    * Reliable-checkpoint files are reclaimed by Spark's ContextCleaner
+    * when `spark.cleaner.referenceTracking.cleanCheckpoints=true`;
+    * otherwise they age out with the directory (the cluster-operator
+    * norm). [[free]] stays correct on both: unpersist is a no-op on a
+    * reliably-checkpointed RDD (its rows live in files, not blocks).
+    */
+  def cut[T](ds: Dataset[T]): Dataset[T] = {
+    val sc = ds.sparkSession.sparkContext
+    val forceLocal = ds.sparkSession.conf
+      .getOption("spark.graft.checkpoint.local").contains("true")
+    if (!forceLocal && sc.getCheckpointDir.isDefined) ds.checkpoint(eager = true)
+    else ds.localCheckpoint(eager = true)
+  }
+
+  /** `ds.cut` syntax for [[cut]] at the end of an operator chain. */
+  implicit class CutSyntax[T](private val ds: Dataset[T]) extends AnyVal {
+    def cut: Dataset[T] = Blocks.cut(ds)
+  }
+
   /** Release the storage blocks behind an eager localCheckpoint. No-op on
-    * frames that are not checkpoint-backed.
+    * frames that are not checkpoint-backed (including reliable
+    * checkpoints, whose rows live in files).
     */
   def free(df: Dataset[_]): Unit = df.queryExecution.logical match {
     case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)

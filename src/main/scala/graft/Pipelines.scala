@@ -1,5 +1,6 @@
 package graft
 
+import graft.Blocks.CutSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, Dedup, TextAnalysis}
@@ -32,7 +33,7 @@ object Pipelines {
       .filter(col("quality") >= minQuality)
       .select(keep: _*)
     val exact = Dedup.exact(kept, Seq(textCol), Seq(col(idCol)))
-      .localCheckpoint(true)
+      .cut
     val pairs = Dedup.minhashLsh(exact, idCol, textCol,
         jaccardThreshold = jaccardThreshold)
       .select("id1", "id2")
@@ -98,13 +99,13 @@ object Pipelines {
     // re-derives it) — measured 80x on this stage. The flags frame is
     // |docs| rows of six ints; materializing it is cheap at any scale.
     val keptIds = TextAnalysis.c4FilterFlags(docs, idCol, textCol)
-      .localCheckpoint(true)
+      .cut
       .filter(col("kept") === 1).select(idCol)
     val cleaned = Dedup.stripSharedPassages(
         docs.join(keptIds, Seq(idCol), "left_semi"), idCol, textCol, window)
       .filter(length(col("clean_text")) > 0)
       .join(docs.select(idCol, langCol, sourceCol), Seq(idCol))
-      .localCheckpoint(true)
+      .cut
     val rebalanced = TextAnalysis.mixtureSample(cleaned, idCol, langCol)
     TextAnalysis.packSequences(rebalanced, idCol, "clean_text", sourceCol, ctx)
   }

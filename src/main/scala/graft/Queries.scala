@@ -3889,6 +3889,30 @@ object Queries {
       SELECT e.id, rec.root, rec.depth + 1 FROM e JOIN rec ON e.parent = rec.id)
     SELECT id, root, cast(depth as bigint) AS depth FROM rec ORDER BY id"""
 
+  /** ETL — INCREMENTAL hierarchy maintenance
+    * ([[graft.operators.Hierarchy.extend]]): day 1 flattens the
+    * sub-2048 forest, day 2 attaches every later node as one new
+    * batch — with multi-level new-on-new chains (node 15000's parent
+    * 7500 is itself new), so the batch-only doubling loop actually
+    * iterates, and the old map joins the loop only through its attach
+    * points (per-round cost is batch-sized, not corpus-sized). The
+    * graded invariant is the strong one: incremental == DuckDB's full
+    * WITH RECURSIVE recompute over the complete edge set, old rows
+    * verbatim — attaching leaves below a node never changes it.
+    */
+  def etl_hierarchy_incr(s: SparkSession, dir: String): DataFrame = {
+    val ids = Ids.denseIds(t(s, dir, "orders").select("o_orderkey"),
+        "o_orderkey", buckets = 32)
+      .select(col("gid").as("id"))
+    val e = ids.filter(col("id") >= 8)
+      .select(col("id"), expr("id div 2").as("parent"))
+    val day1 = graft.operators.Hierarchy.rootAndDepth(
+      e.filter(col("id") < 2048), "id", "parent")
+    graft.operators.Hierarchy.extend(
+        day1, e.filter(col("id") >= 2048), "id", "parent")
+      .orderBy("id")
+  }
+
   /** ETL — materialized paths (the BI breadcrumb for drill-downs):
     * every node's root-to-self id path over the same deterministic
     * forest as `etl_hierarchy`, still ⌈log₂ depth⌉ rounds — the
@@ -11742,6 +11766,7 @@ object Queries {
     ("e10_theta", e10_theta _, e10thSql),
     ("e6_listagg", e6_listagg _, e6laSql),
     ("etl_hierarchy", etl_hierarchy _, etlHierSql),
+    ("etl_hierarchy_incr", etl_hierarchy_incr _, etlHierSql),
     ("etl_hierarchy_path", etl_hierarchy_path _, etlHpSql),
     ("etl_subtree_agg", etl_subtree_agg _, etlStSql),
     ("e11_match_pattern", e11_match_pattern _, e11mpSql),

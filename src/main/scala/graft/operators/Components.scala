@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Blocks.CutSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -37,7 +38,7 @@ object Components {
     // pair-generation plan executes once per branch (round 8: resolve's
     // candidate join ran twice inside round 1's materialization)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .cut
     // persist (not checkpoint): read every round, released on exit —
     // Dataset.unpersist works for persists, so no block can leak.
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -49,7 +50,7 @@ object Components {
     // previously every round carried all |nodes| labels).
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .cut
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -63,7 +64,7 @@ object Components {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
-        .localCheckpoint(true)
+        .cut
       changed = next.filter(col("comp") < col("prev")).count()
       // the superseded round's checkpoint blocks are dead the moment
       // `changed` is computed — free them NOW, don't wait for GC
@@ -104,7 +105,7 @@ object Components {
                        broadcastMaxEdges: Long = 1L << 17): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
+      .cut
     val n = e.count()
     if (n > broadcastMaxEdges) {
       // cast nodes to long too, so both paths emit the same schema
@@ -177,7 +178,7 @@ object Components {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .cut
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))),
         lit(0L))).collect()(0)
@@ -211,7 +212,7 @@ object Components {
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .cut
       val nextSig = signature(ss)
       stable = nextSig == sig
       sig = nextSig
@@ -225,7 +226,7 @@ object Components {
     val out = nodes.select(col(idCol).as("id"))
       .join(parents, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-      .localCheckpoint(true)
+      .cut
     graft.Blocks.free(cur)
     out
   }
@@ -259,7 +260,7 @@ object Components {
     val init = 1000000000L / n
     val base = (15L * init) / 100L
     var pr = nodes.select(col(idCol).as("id"), lit(init).as("pr"))
-      .localCheckpoint(true)
+      .cut
     for (_ <- 1 to iters) {
       val contrib = sym.join(deg, "src")
         .join(pr.select(col("id").as("src"), col("pr")), "src")
@@ -269,7 +270,7 @@ object Components {
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(cs, 0)) div 100")).as("pr"))
-        .localCheckpoint(true)
+        .cut
       graft.Blocks.free(pr)
       pr = next
     }
@@ -309,7 +310,7 @@ object Components {
     val deg = e.select(col("a").as("id"))
       .union(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .cut
     // orient: src = the (deg, id)-smaller endpoint; carry the dst's
     // rank struct so the wedge join can order the two out-neighbors
     // rank structs share field names (d, i) so when/otherwise unifies them
@@ -366,14 +367,14 @@ object Components {
     require(k >= 1 && rounds >= 1)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .cut
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
       val next = e.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint(true)
+        .cut
       graft.Blocks.free(e)
       e = next
     }
@@ -399,9 +400,9 @@ object Components {
     require(rounds >= 0)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .cut
     var known = seeds.select(col(idCol).as("id")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint(true)
+      .withColumn("hops", lit(0)).cut
     var frontier = known
     for (r <- 1 to rounds) {
       val fresh = e
@@ -409,7 +410,7 @@ object Components {
         .select(col("dst").as("id")).distinct()
         .join(known, Seq("id"), "left_anti")
         .withColumn("hops", lit(r))
-      val nextKnown = known.union(fresh).localCheckpoint(true)
+      val nextKnown = known.union(fresh).cut
       graft.Blocks.free(known)
       known = nextKnown
       // re-derive the frontier from the checkpointed union so `fresh`'s
@@ -439,13 +440,13 @@ object Components {
                           srcCol: String, dstCol: String,
                           allNodes: DataFrame, idCol: String): DataFrame = {
     val e = newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .cut
     val endpoints = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val touched = mapping.join(endpoints, Seq("id"), "left_semi")
       .select("comp").distinct()
     val affected = mapping.join(touched, Seq("comp"), "left_semi")
-      .localCheckpoint(true)
+      .cut
     val star = affected.select(col("id").as("src"), col("comp").as("dst"))
     val subNodes = affected.select("id").union(endpoints).distinct()
     val solved = minLabel(star.union(e), "src", "dst", subNodes, "id")
@@ -468,7 +469,7 @@ object Components {
             maxRounds: Int = 64): DataFrame = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .cut
     var n = e.count()
     var done = false
     var r = 0
@@ -478,7 +479,7 @@ object Components {
       val next = e.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint(true)
+        .cut
       val m = next.count()
       if (m == n) { graft.Blocks.free(next); done = true }
       else { graft.Blocks.free(e); e = next; n = m }

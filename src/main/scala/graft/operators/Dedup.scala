@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Blocks.CutSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -260,7 +261,7 @@ object Dedup {
       .select(col("new_id"), col("old_id"),
         round(jaccardOf(col("__shn"), col("__sho")), 6).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
-    val result = verified.localCheckpoint(true)
+    val result = verified.cut
     baseN.unpersist(); baseO.unpersist()
     result
   }
@@ -291,7 +292,7 @@ object Dedup {
         array((0 until m).map(j => col(s"s$j")): _*).as("sig"))
       .join(base, "id")
       .select("id", "sh", "sig")
-      .localCheckpoint(true)
+      .cut
     base.unpersist()
     rest
   }
@@ -324,7 +325,7 @@ object Dedup {
       .groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
       .select(col("id"),
         array((0 until m).map(j => col(s"s$j")): _*).as("sig"))
-      .localCheckpoint(true)
+      .cut
     base.unpersist()
     sigs
   }
@@ -460,7 +461,7 @@ object Dedup {
         measure(col("sh1"), col("sh2")).as(measureName))
       .filter(col(measureName) >= threshold)
     // materialize the (small) pair set now, then release the shingle cache
-    val result = verified.localCheckpoint(true)
+    val result = verified.cut
     base.unpersist()
     result
   }
@@ -594,7 +595,7 @@ object Dedup {
       .distinct()
     // materialize the (small) pair set, then release the signature cache
     // (same persist/release discipline as lshVerifiedPairs)
-    val result = verified.localCheckpoint(true)
+    val result = verified.cut
     sigs.unpersist()
     result
   }
@@ -770,7 +771,7 @@ object Dedup {
       struct(blockCols: _*).as("block"))
     // both paths are read ~4x downstream (prefix self-join + two verify
     // joins) — materialize once either way
-    if (!rareFirst) lex.localCheckpoint(true)
+    if (!rareFirst) lex.cut
     else {
       // one corpus pass: document frequency per distinct token, then
       // re-gather each doc's tokens sorted (freq, token) — two shuffles,
@@ -789,7 +790,7 @@ object Dedup {
           array_sort(collect_list(struct(col("freq"), col("t")))),
           s => s.getField("t")).as("tok"))
         .select(col("id"), col("tok"), col("block"))
-        .localCheckpoint(true)
+        .cut
       ex.unpersist()
       out
     }

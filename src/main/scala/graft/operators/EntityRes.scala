@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Blocks.CutSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -95,7 +96,7 @@ object EntityRes {
         // whole gram/frequency lineage for each side. (k·q+1) rows per
         // record — bounded, and freed with the session.
         val pfx = prefixGramKeys(records, idCol, nameCol, blockCols, qgram, k)
-          .localCheckpoint(true)
+          .cut
         val cand = pfx.as("x").join(pfx.as("y"),
             blockCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
               col("x.g") === col("y.g") && col("x.occ") === col("y.occ") &&

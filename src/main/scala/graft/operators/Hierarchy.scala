@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Blocks.CutSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -25,9 +26,11 @@ import org.apache.spark.sql.functions._
   * redundant work). The build side must stay the FULL state: an active
   * node's 2^i-jump may land on any settled node, and that hop is
   * exactly what teleports it to its root in one more round. Lineage is
-  * cut per round (localCheckpoint) and superseded blocks are freed,
-  * same discipline as the components loops; convergence = empty
-  * frontier, read from the round's own cached blocks.
+  * cut per round (`Blocks.cut` — reliable checkpoint when the session
+  * has a checkpoint dir, localCheckpoint otherwise) and superseded
+  * blocks are freed, same discipline as the components loops;
+  * convergence = empty frontier, read from the round's own cached
+  * blocks.
   */
 object Hierarchy {
 
@@ -52,7 +55,7 @@ object Hierarchy {
         lit(false).as("s"))
       .unionByName(roots.select(col("id"), col("id").as("anc"),
         lit(0L).as("d"), lit(true).as("s")))
-      .localCheckpoint(true)
+      .cut
     var active = 1L
     var iter = 0
     while (active > 0 && iter < maxIter) {
@@ -62,7 +65,7 @@ object Hierarchy {
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"), col("s2").as("s"))
       val next = cur.filter(col("s")).unionByName(jumped)
-        .localCheckpoint(true)
+        .cut
       active = next.filter(!col("s")).count()
       graft.Blocks.free(cur)
       cur = next
@@ -97,6 +100,75 @@ object Hierarchy {
       .select(col("id"),
         explode(concat(col("arr"), array(col("id")))).as("ancestor"))
 
+  /** Incremental maintenance — attach a batch of NEW nodes to an
+    * already-flattened forest without re-proving it. `settled` is a
+    * prior [[rootAndDepth]] result (id, root, depth); `newEdges` holds
+    * one (idCol, parentCol) row per new non-root node, each parent
+    * either an existing node, another new node, or a brand-new root
+    * (a parent that is neither). Returns the UPDATED full map —
+    * settled rows verbatim (ids are stable by construction: nothing
+    * above an existing node changes when leaves attach below it) plus
+    * (id, root, depth) for every new node and new root.
+    *
+    * The loop is the [[rootAndDepth]] frontier doubling restricted to
+    * the new batch, with one extra trick: the only EXISTING rows a new
+    * node's pointer can ever probe are the direct attach parents (a
+    * pointer walks/jumps through new ancestors until it crosses the
+    * attachment edge, and the moment it lands on an existing node it
+    * teleports to that node's root and settles — it never probes
+    * deeper history). So the old map joins the loop through ONE
+    * semi-join that keeps just the attach points, and each round is
+    * O(|batch|) regardless of corpus size — the property that makes
+    * daily ingest into a 100 TB hierarchy a batch-sized job, not a
+    * corpus-sized one.
+    */
+  def extend(settled: DataFrame, newEdges: DataFrame, idCol: String,
+             parentCol: String, maxIter: Int = 30): DataFrame = {
+    val base = settled.select(col("id").cast("long").as("id"),
+      col("root").cast("long").as("anc"),
+      col("depth").cast("long").as("d"), lit(true).as("s"))
+    val e = newEdges.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("anc"))
+    val parents = e.select(col("anc").as("id")).distinct()
+    // attach points: existing nodes directly referenced by the batch
+    val attach = base.join(parents, Seq("id"), "leftsemi")
+    // brand-new roots: referenced as parent, not existing, not in the batch
+    val newRoots = parents
+      .join(base.select("id"), Seq("id"), "left_anti")
+      .join(e.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("anc"), lit(0L).as("d"),
+        lit(true).as("s"))
+    val fixed = attach.unionByName(newRoots).cut
+    var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
+      lit(false).as("s")).cut
+    var active = 1L
+    var iter = 0
+    while (active > 0 && iter < maxIter) {
+      val target = fixed.unionByName(cur)
+        .select(col("id").as("anc"), col("anc").as("anc2"),
+          col("d").as("d2"), col("s").as("s2"))
+      val jumped = cur.filter(!col("s"))
+        .join(target, Seq("anc"))
+        .select(col("id"), col("anc2").as("anc"),
+          (col("d") + col("d2")).as("d"), col("s2").as("s"))
+      val next = cur.filter(col("s")).unionByName(jumped).cut
+      active = next.filter(!col("s")).count()
+      graft.Blocks.free(cur)
+      cur = next
+      iter += 1
+    }
+    val out = settled
+      .select(col("id").cast("long").as("id"),
+        col("root").cast("long").as("root"),
+        col("depth").cast("long").as("depth"))
+      .unionByName(newRoots.select(col("id"), col("anc").as("root"),
+        col("d").as("depth")))
+      .unionByName(cur.select(col("id"), col("anc").as("root"),
+        col("d").as("depth")))
+    graft.Blocks.free(fixed)
+    out
+  }
+
   /** Shared doubling state: (id, anc = root once settled, d = depth,
     * arr = ancestors nearest-first, s = settled). Same frontier split
     * as [[rootAndDepth]] — settled rows carry their finished array
@@ -114,7 +186,7 @@ object Hierarchy {
       .unionByName(roots.select(col("id"), col("id").as("anc"),
         lit(0L).as("d"), array().cast("array<long>").as("arr"),
         lit(true).as("s")))
-      .localCheckpoint(true)
+      .cut
     var active = 1L
     var iter = 0
     while (active > 0 && iter < maxIter) {
@@ -126,7 +198,7 @@ object Hierarchy {
           (col("d") + col("d2")).as("d"),
           concat(col("arr"), col("arr2")).as("arr"), col("s2").as("s"))
       val next = cur.filter(col("s")).unionByName(jumped)
-        .localCheckpoint(true)
+        .cut
       active = next.filter(!col("s")).count()
       graft.Blocks.free(cur)
       cur = next

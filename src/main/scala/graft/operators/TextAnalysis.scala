@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Blocks.CutSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions._
@@ -208,7 +209,7 @@ object TextAnalysis {
     // exact-verify join broadcasts the same frame — uncheckpointed, the
     // eval shingle pipeline would run twice
     val evalIndex = grams(eval).select(explode(col("g")).as("x")).distinct()
-      .localCheckpoint(true)
+      .cut
     val bloom = Bloom.build(evalIndex, mBits, k)
     val trainGrams = grams(train)
     val hits = trainGrams.select(col("id"), explode(col("g")).as("x"))
@@ -310,7 +311,7 @@ object TextAnalysis {
         // split-on-empty keeps a TRAILING "" (Pattern.split limit -1);
         // drop empties so symbols are exactly the codepoints
         filter(split(col("pt"), ""), s => s =!= lit("")).as("syms"))
-      .localCheckpoint(true)
+      .cut
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     for (_ <- 1 to nMerges if !done) {
@@ -336,7 +337,7 @@ object TextAnalysis {
               size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(ab))))
               .otherwise(concat(acc, array(s)))).as("syms"))
-          .localCheckpoint(true)
+          .cut
         graft.Blocks.free(words)
         words = next
       }
@@ -1031,7 +1032,7 @@ object TextAnalysis {
       .select(col("id"),
         pmod(portableStringHash(col("tok")), lit(buckets.toLong)).as("b"))
       .groupBy("id", "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // reused: dots + norms, one materialization
+      .cut // reused: dots + norms, one materialization
     val norms = hist.groupBy("id").agg(sum(col("c") * col("c")).as("n2"))
     val q = hist.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("b"), col("c").as("cq"))

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.GraftTestCoreBridge
+import org.apache.spark.sql.functions._
+
+/** `Blocks.cut` deployment contract: with a checkpoint dir configured
+  * (the cluster posture for iterative jobs) every loop round goes
+  * through a RELIABLE checkpoint — rounds survive executor loss — and
+  * the operators' results are unchanged; without one, the local fast
+  * path runs. The dir is cleared in a finally so the shared test
+  * session's later suites keep the local path.
+  */
+class ReliableCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCheckpointDir[A](body: java.nio.file.Path => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try body(dir)
+    finally GraftTestCoreBridge.clearCheckpointDir(spark.sparkContext)
+  }
+
+  test("cut takes the reliable path when a checkpoint dir is set, local otherwise") {
+    val df = Seq(1, 2, 3).toDF("x")
+    withCheckpointDir { dir =>
+      val cp = Blocks.cut(df)
+      assert(cp.as[Int].collect().sorted === Array(1, 2, 3))
+      // reliable checkpoints materialize as files under the dir
+      val files = java.nio.file.Files.walk(dir).count()
+      assert(files > 1, "expected checkpoint files under the checkpoint dir")
+      Blocks.free(cp) // must be a safe no-op on file-backed rows
+      assert(cp.as[Int].collect().sorted === Array(1, 2, 3))
+    }
+    // dir cleared: cut must fall back to localCheckpoint, not throw
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    assert(Blocks.cut(df).as[Int].collect().sorted === Array(1, 2, 3))
+  }
+
+  test("spark.graft.checkpoint.local=true forces the local path under a dir") {
+    val df = Seq(7).toDF("x")
+    withCheckpointDir { dir =>
+      spark.conf.set("spark.graft.checkpoint.local", "true")
+      try {
+        val before = java.nio.file.Files.walk(dir).count()
+        assert(Blocks.cut(df).as[Int].head() === 7)
+        assert(java.nio.file.Files.walk(dir).count() === before,
+          "forced-local cut must not write checkpoint files")
+      } finally spark.conf.unset("spark.graft.checkpoint.local")
+    }
+  }
+
+  test("hierarchy and components loops are unchanged under reliable checkpoints") {
+    // depth-5 chain + a bushy 2-level tree, plus a 3-component graph
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L),
+      (11L, 10L), (12L, 10L), (13L, 11L)).toDF("id", "parent")
+    val expect = Map(2L -> (1L, 1L), 3L -> (1L, 2L), 4L -> (1L, 3L),
+      5L -> (1L, 4L), 6L -> (1L, 5L), 1L -> (1L, 0L),
+      11L -> (10L, 1L), 12L -> (10L, 1L), 13L -> (10L, 2L), 10L -> (10L, 0L))
+    val g = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("id")
+    withCheckpointDir { _ =>
+      val rd = operators.Hierarchy.rootAndDepth(edges, "id", "parent")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(rd === expect)
+      val cc = operators.Components
+        .largeStarSmallStar(g, "src", "dst", nodes, "id")
+        .as[(Long, Long)].collect().toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+    }
+  }
+}

@@ -242,6 +242,29 @@ class Round8Spec extends SparkSpec {
     assert(f(1L) == (1L, 0L) && f(2L) == (2L, 0L))
   }
 
+  test("hierarchy extend == full recompute: attach chains, old rows verbatim, new roots") {
+    import graft.operators.Hierarchy
+    // full forest: 0 <- 1..1000 chain plus a bushy pair; day 1 = ids < 600
+    val all = (1L to 1000L).map(i => (i, i - 1)).toDF("id", "parent")
+    val full = Hierarchy.rootAndDepth(all, "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val day1 = Hierarchy.rootAndDepth(
+      all.filter(col("id") < 600), "id", "parent")
+    // batch: 401-deep new-on-new chain hanging off attach point 599
+    val inc = Hierarchy.extend(day1, all.filter(col("id") >= 600),
+        "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(inc == full)
+    // a batch referencing a brand-new root gets (root, root, 0) plus its tree
+    val nr = Hierarchy.extend(day1,
+        Seq((5000L, 4000L), (5001L, 5000L)).toDF("id", "parent"),
+        "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nr(4000L) == (4000L, 0L) && nr(5000L) == (4000L, 1L) &&
+      nr(5001L) == (4000L, 2L))
+    assert(nr(599L) == (0L, 599L)) // old rows pass through untouched
+  }
+
   test("etl_entity_res query output is unchanged by the prefix gate (sf0.001 snapshot invariant)") {
     val out = Queries.etl_entity_res(spark, "/root/testdata/sf0.001")
     // blocking is physical: every member of an entity must share the
