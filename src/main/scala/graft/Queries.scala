@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.Blocks.CutSyntax
 import graft.functions._
 import graft.operators._
 import graft.star._
@@ -214,7 +215,7 @@ object Queries {
       // eager materialization cuts lineage to the cached scan, so the
       // cache is releasable NOW instead of at session end; the grader's
       // later count() replays the checkpoint, not the pipeline.
-      .localCheckpoint(true)
+      .cut
     star.release()
     out
   }
@@ -2784,7 +2785,7 @@ object Queries {
     val b1 = docs.filter(m10 === 0)
     val b2 = docs.filter(m10 === 5)
     val r1 = Pipelines.ingestReport(h, b1, "doc_id", "text")
-      .localCheckpoint(true) // day-1 report feeds BOTH outputs below
+      .cut // day-1 report feeds BOTH outputs below
     val acc1 = b1.join(r1.filter(col("status") === "accepted")
       .select("doc_id"), Seq("doc_id"))
     val r2 = Pipelines.ingestReport(h.unionByName(acc1), b2, "doc_id", "text")
@@ -5295,7 +5296,7 @@ object Queries {
     // instead of inlining the 20+-exchange subword DAG into its own
     // plan (measured round 7: 2.16 → ~1.0 s at sf0.1)
     val counts = TextAnalysis.subwordCounts(docs, "doc_id", "text",
-      vocabSize = 256, maxSubLen = 6).localCheckpoint(true)
+      vocabSize = 256, maxSubLen = 6).cut
     TextAnalysis.tokenBudget(docs, "doc_id", "text", groupCol = "source",
       budget = 8000L, tokenCounts = Some(counts))
       .orderBy("source", "doc_id")
@@ -6592,7 +6593,7 @@ object Queries {
     val base = peru.crossJoin(broadcast(g))
       .withColumn("r_hours", expr("(gmax - last_tms) div 3600000"))
       .select(col("user_id"), col("r_hours"), col("freq"), col("mon"))
-      .localCheckpoint(true)
+      .cut
     val nUsers = base.agg(count(lit(1)).as("__n"))
     def score(metric: String, asc: Boolean, name: String): DataFrame =
       Ids.globalRank(base.select(col("user_id"), col(metric)),
@@ -7871,7 +7872,7 @@ object Queries {
       .select(col("id"), Dedup.hashedShinglesFromHashes(col("th"), 3).as("sh"))
       // the shingle frame feeds sizes once and the co-occurrence join
       // twice — materialize it so the per-character hash fold runs once
-      .localCheckpoint(true)
+      .cut
     val sizes = base.select(col("id"), size(col("sh")).as("n"))
     val ex = base.select(col("id"), explode(col("sh")).as("s"))
     val truth = ex.select(col("id").as("id1"), col("s"))
@@ -8558,7 +8559,7 @@ object Queries {
       .withColumn("nxt", lead(col("event_type"), 1).over(w))
       .where(col("nxt").isNotNull)
     val c = pairs.groupBy(col("event_type").as("s"), col("nxt").as("t"))
-      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      .agg(count(lit(1)).as("c")).cut
     val r = c.groupBy("s").agg(sum(col("c")).as("r"))
     val st = c.select("s").distinct()
     var p = st.select(col("s"),
@@ -8743,7 +8744,7 @@ object Queries {
   def e2_cc_incremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
-      .select("id1", "id2").localCheckpoint(true)
+      .select("id1", "id2").cut
     val hist = pairs.where(col("id1") < 400 && col("id2") < 400)
     val batch = pairs.where(!(col("id1") < 400 && col("id2") < 400))
     val mapping = Components.minLabel(hist, "id1", "id2",
@@ -8813,7 +8814,7 @@ object Queries {
       .select(col("id"), Dedup.hashedShinglesFromHashes(col("th"), 3).as("sh"))
       // feeds both the doc count and the explode: materialize so the
       // per-character hash fold runs once (the e2_dedup_eval lesson)
-      .localCheckpoint(true)
+      .cut
     val nd = base.agg(count(lit(1)).as("n_docs"))
     base.select(col("id"), explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
@@ -9234,7 +9235,7 @@ object Queries {
       .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
       // consumed three times (order count, per-brand singles, pair join)
       // — materialize once or the lineitem⋈part lookup re-runs per use
-      .localCheckpoint(true)
+      .cut
     val nOrders = items.select("o").distinct().agg(count(lit(1)).as("n_orders"))
     val single = items.groupBy("b").agg(count(lit(1)).as("nb"))
     val pairs = items.as("x").join(items.as("y"),
@@ -9485,7 +9486,7 @@ object Queries {
     val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
       col("l_quantity").as("x"), col("l_discount").as("y"))
     val cells = li.groupBy("g", "x", "y").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .cut
     val cd = cells.as("a").join(cells.as("b"),
         col("a.g") === col("b.g") && col("a.x") < col("b.x"))
       .groupBy(col("a.g").as("g"))
@@ -9556,7 +9557,7 @@ object Queries {
       .groupBy(col("event_type"),
         expr("unix_millis(ts) div 86400000").as("day"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .cut
     val slopes = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
       .select(col("a.event_type").as("event_type"),
@@ -9885,7 +9886,7 @@ object Queries {
   /** E3 — IVF tuning sweep: recall@3 against the exact top-3 as nprobe
     * grows 1 → 2 → 4 — the table an index operator reads to pick the
     * recall/probed-fraction trade-off (THE IVF dial). The exact
-    * baseline computes ONCE (localCheckpoint'd — it is 3 consumers'
+    * baseline computes ONCE (Blocks.cut — it is 3 consumers'
     * denominator); each probe level reuses the same centroid geometry,
     * so the sweep costs three bucket-pruned searches, not three brute
     * scans. Totals are exact integers; recall is one double ratio,
@@ -9896,7 +9897,7 @@ object Queries {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") < 8)
     val exact = Similarity.bruteForceTopK(q, e, k = 3)
-      .select("query_id", "cand_id").localCheckpoint(true)
+      .select("query_id", "cand_id").cut
     val levels = Seq(1, 2, 4).map { p =>
       val approx = Similarity.ivfTopK(q, e, q, k = 3, nprobe = p)
         .select("query_id", "cand_id")
@@ -9956,7 +9957,7 @@ object Queries {
     val pairs = Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
       .select(col("id1"), col("id2"))
     val adj = pairs.unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(true)
+      .cut
     val deg = adj.groupBy(col("id1").as("id")).agg(count(lit(1)).as("deg"))
     val common = adj.as("a").join(adj.as("b"),
         col("a.id2") === col("b.id2") && col("a.id1") < col("b.id1"))
@@ -10142,7 +10143,7 @@ object Queries {
     */
   def e6_mutual_info(s: SparkSession, dir: String): DataFrame = {
     val cells = t(s, dir, "documents").groupBy("lang", "source")
-      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      .agg(count(lit(1)).as("c")).cut
     val n = cells.agg(sum(col("c")).as("n"))
     val ml = cells.groupBy("lang").agg(sum(col("c")).as("cl"))
     val ms = cells.groupBy("source").agg(sum(col("c")).as("cs"))
@@ -10256,7 +10257,7 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-      .localCheckpoint(true)
+      .cut
     def slope(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column) = {
       val nD = n.cast("double")
       (nD * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
@@ -10458,7 +10459,7 @@ object Queries {
     val uw = events(s, dir)
       .select(col("user_id"),
         expr("(unix_millis(ts) div 86400000 + 3) div 7").as("week"))
-      .distinct().localCheckpoint(true)
+      .distinct().cut
     val maxW = uw.agg(max(col("week")).as("max_week"))
     val churned = uw.join(
         uw.select(col("user_id"), (col("week") - 1).as("week")),
@@ -10675,7 +10676,7 @@ object Queries {
     val cells = t(s, dir, "documents")
       .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .cut
     val n = cells.agg(sum(col("c")).as("n"))
     val po = cells.filter(col("lang") === col("pred"))
       .agg(sum(col("c")).as("agree"))
@@ -10779,7 +10780,7 @@ object Queries {
     val pairs = Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
       .select(col("id1"), col("id2"))
     val adj = pairs.unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(true)
+      .cut
     val deg = adj.groupBy(col("id1").as("w")).agg(count(lit(1)).as("dw"))
     adj.as("a").join(adj.as("b"),
         col("a.id2") === col("b.id2") && col("a.id1") < col("b.id1"))
@@ -10859,11 +10860,11 @@ object Queries {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val pairs = Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
-      .select(col("id1"), col("id2")).localCheckpoint(true)
+      .select(col("id1"), col("id2")).cut
     val nodes = pairs.select(col("id1").as("id"))
       .unionAll(pairs.select(col("id2").as("id"))).distinct()
     val comp = Components.minLabel(pairs, "id1", "id2", nodes, "id")
-      .localCheckpoint(true)
+      .cut
     val m = pairs.agg(count(lit(1)).as("m"))
     val mIn = pairs
       .join(comp.select(col("id").as("id1"), col("comp").as("c1")), "id1")
@@ -11024,7 +11025,7 @@ object Queries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), pmod(portableStringHash(col("tok")), lit(16L)).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .cut
     val norms = cells.groupBy("doc_id")
       .agg(sqrt(sum((col("c") * col("c")).cast(DecimalType(38, 0))).cast("double"))
         .as("nrm"))
@@ -11209,7 +11210,7 @@ object Queries {
     */
   def e6_cramers_v(s: SparkSession, dir: String): DataFrame = {
     val cells = t(s, dir, "documents").groupBy("lang", "source")
-      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      .agg(count(lit(1)).as("c")).cut
     val n = cells.agg(sum(col("c")).as("n"),
       countDistinct(col("lang")).as("r"),
       countDistinct(col("source")).as("k"))
@@ -11379,7 +11380,7 @@ object Queries {
   def e4_heaps(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .localCheckpoint(true)
+      .cut
     val mx = toks.agg(max(col("doc_id")).as("mx"))
     val cps = mx.select(explode(sequence(lit(1), lit(10))).as("i"), col("mx"))
       .select(col("i"), ((col("mx") * col("i")) / 10).cast("long").as("th"))

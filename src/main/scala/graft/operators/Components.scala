@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * neighbours' labels; fixpoint = every node carries the min id of its
   * component. Each round is one join + one map-side-combined min
   * aggregation (both hash-partitioned on id), and lineage is cut per
-  * round with a localCheckpoint, so the plan stays flat at any iteration
+  * round with Blocks.cut, so the plan stays flat at any iteration
   * count. Rounds needed = graph diameter — near-dup graphs are unions of
   * small dense clusters, so this converges in a handful of rounds. For
   * adversarially long path graphs use `largeStarSmallStar` below:
@@ -163,7 +163,7 @@ object Components {
     * every non-root points directly at its component minimum (a star);
     * detected by an order-insensitive edge-set signature (count +
     * xxhash64 sum) instead of a full EXCEPT. Per round the edge set is
-    * localCheckpoint'd (flat plan at any round count) and the superseded
+    * cut (flat plan at any round count) and the superseded
     * round's blocks are freed immediately.
     *
     * Returns (id, comp), comp = min id of the component; vertices in
@@ -357,7 +357,7 @@ object Components {
     * clusters worth pruning wholesale.
     *
     * Scale: each round is one map-side-combined degree aggregate and
-    * two semi joins, localCheckpoint'd so the plan stays flat; worst
+    * two semi joins, lineage-cut so the plan stays flat; worst
     * case needs O(n) rounds (a path peels from the ends), so at unknown
     * depth prefer `kCore` (convergence-looped, one bounded count scalar
     * per round).
@@ -392,7 +392,7 @@ object Components {
     * exactly once across the whole run — at 100 TB the per-round work
     * tracks the frontier's size, while re-relaxing the full distance
     * table every round (the naive shape) would rescan everything
-    * discovered so far. Lineage is cut per round (localCheckpoint) so
+    * discovered so far. Lineage is cut per round (Blocks.cut) so
     * the plan stays flat at any horizon; seeds deduplicate defensively.
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,

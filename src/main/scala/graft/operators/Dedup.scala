@@ -426,7 +426,7 @@ object Dedup {
     *
     * The shingle sets are persisted for the duration of the computation
     * (sigs + two verify joins read them) and UNPERSISTED before returning:
-    * the result is materialized via an eager localCheckpoint, which also
+    * the result is materialized via Blocks.cut, which also
     * cuts the lineage so the released cache can never be recomputed into.
     * Round 1 leaked this persist across the whole bench session
     * ("Block rdd_* already exists" warnings). The returned frame is

@@ -295,7 +295,7 @@ object TextAnalysis {
     *      its symbol array (greedy non-overlapping — matching the
     *      sequential algorithm exactly because the fold compares
     *      against the POST-merge last symbol).
-    * Lineage is cut per round with an eager localCheckpoint, so the
+    * Lineage is cut per round (Blocks.cut), so the
     * plan stays flat at any merge count.
     *
     * Determinism: ties on pair frequency break by (left, right)
