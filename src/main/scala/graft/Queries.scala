@@ -7201,7 +7201,7 @@ object Queries {
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     s.table(qn)
-      .select(Dedup.simhash(Dedup.tokens(col("text")), 24).as("simhash"))
+      .select(Dedup.simhashText(col("text"), 24).as("simhash"))
       .distinct()
       .orderBy("simhash")
   }

@@ -470,9 +470,23 @@ object Dedup {
     * sum over tokens of (bit i of token-hash ? +1 : -1). Near-dups have
     * small Hamming distance. Bits come from the 30-bit portable hash so
     * the whole computation is reproducible in any engine; b <= 30.
+    *
+    * Reference (interpreted-HOF) formulation — `bits` lambda sweeps over
+    * the token array per row. Hot paths that hash raw TEXT should use
+    * [[simhashText]], the fused codegen twin (test-pinned identical).
     */
   def simhash(toks: Column, bits: Int = 24): Column =
     simhashFromHashes(transform(toks, t => portableStringHash(t)), bits)
+
+  /** Fused per-ROW SimHash of a text column — `simhash(tokens(text))`
+    * bit for bit, as ONE codegen'd pass (tokenize + polyhash + tally,
+    * no materialized arrays; graft.expressions.SimHashText). The form
+    * for per-row hot paths like the streaming near-dup state key, where
+    * the batch explode-to-aggregate rewrite ([[simhashSignatures]])
+    * can't apply without changing the row grain.
+    */
+  def simhashText(text: Column, bits: Int = 24): Column =
+    graft.expressions.SimHashText(text, bits)
 
   /** SimHash over a materialized token-hash column — use this form in
     * operators (see hashedShinglesFromHashes for why).

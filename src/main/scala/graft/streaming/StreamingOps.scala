@@ -84,8 +84,7 @@ object StreamingOps {
                    watermark: String = "30 minutes"): DataFrame =
     docs
       .withColumn("__sig",
-        graft.operators.Dedup.simhash(
-          graft.operators.Dedup.tokens(col(textCol)), bits))
+        graft.operators.Dedup.simhashText(col(textCol), bits))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Round-11 hardening: the fused per-row SimHash expression
+  * (`Dedup.simhashText` / graft.expressions.SimHashText) must be
+  * bit-identical to the reference HOF pipeline
+  * `simhash(split(text, " "))` it replaces on the streaming hot path —
+  * including the tokenization corner cases Java's regex split on `" "`
+  * (limit -1) produces: consecutive / leading / trailing spaces emit
+  * EMPTY tokens (hash = seed 7), `""` is one empty token, and non-BMP
+  * codepoints fold as single codepoints.
+  */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val tricky = Seq(
+    "plain tokens here",
+    "",                      // one empty token
+    " ",                     // two empty tokens
+    "a  b",                  // empty token between a and b
+    " leading",
+    "trailing ",
+    "  ",
+    "café naïve",  // accented latin
+    "你好 世界", // CJK
+    "emoji 😀 pair",   // surrogate pair
+    "x",
+    "repeated repeated repeated repeated"
+  )
+
+  test("simhashText == simhash(tokens(text)) on tokenization corner cases, bits 1/24/63") {
+    for (bits <- Seq(1, 24, 63)) {
+      val df = tricky.toDF("text")
+        .select(col("text"),
+          Dedup.simhashText(col("text"), bits).as("fused"),
+          Dedup.simhash(Dedup.tokens(col("text")), bits).as("hof"))
+      val bad = df.filter(!(col("fused") <=> col("hof"))).collect()
+      assert(bad.isEmpty, s"bits=$bits mismatches: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("simhashText null propagates; matches HOF on the documents corpus") {
+    val one = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(Dedup.simhashText(col("text"), 24).as("s")).collect()
+    assert(one(0).isNullAt(0))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs
+      .select(Dedup.simhashText(col("text"), 24).as("fused"),
+        Dedup.simhash(Dedup.tokens(col("text")), 24).as("hof"))
+      .filter(!(col("fused") <=> col("hof"))).count()
+    assert(n === 0L)
+  }
+
+  test("simhashText survives both codegen and interpreted eval") {
+    // interpreted path: wrap in a filter over a non-codegen boundary by
+    // evaluating via collect on a tiny frame with codegen forced off
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val out = tricky.toDF("text")
+        .select(Dedup.simhashText(col("text"), 24).as("fused"),
+          Dedup.simhash(Dedup.tokens(col("text")), 24).as("hof"))
+        .filter(!(col("fused") <=> col("hof"))).count()
+      assert(out === 0L)
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
