@@ -48,9 +48,25 @@ object Blocks {
     else ds.localCheckpoint(eager = true)
   }
 
-  /** `ds.cut` syntax for [[cut]] at the end of an operator chain. */
+  /** Lazy twin of [[cut]] — the same deployment decision, but
+    * materialization rides the first action instead of its own job. For
+    * plan BARRIERS (codegen-deferral stops, index builds read by one
+    * downstream join) where an extra eager pass would be pure cost.
+    */
+  def cutLazy[T](ds: Dataset[T]): Dataset[T] = {
+    val sc = ds.sparkSession.sparkContext
+    val forceLocal = ds.sparkSession.conf
+      .getOption("spark.graft.checkpoint.local").contains("true")
+    if (!forceLocal && sc.getCheckpointDir.isDefined) ds.checkpoint(eager = false)
+    else ds.localCheckpoint(eager = false)
+  }
+
+  /** `ds.cut` / `ds.cutLazy` syntax for [[cut]]/[[cutLazy]] at the end
+    * of an operator chain.
+    */
   implicit class CutSyntax[T](private val ds: Dataset[T]) extends AnyVal {
     def cut: Dataset[T] = Blocks.cut(ds)
+    def cutLazy: Dataset[T] = Blocks.cutLazy(ds)
   }
 
   /** Release the storage blocks behind an eager localCheckpoint. No-op on

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Blocks.CutSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
@@ -574,7 +575,7 @@ object Similarity {
         negate(col("sim")).as("adc"))
   }
 
-  /** One-shot encode + search. The encode is MATERIALIZED (localCheckpoint)
+  /** One-shot encode + search. The encode is MATERIALIZED (Blocks.cutLazy)
     * before the search join on purpose: whole-stage codegen defers
     * stream-side variable evaluation into the broadcast join's inner
     * loop, so without the barrier the entire m×ksub argmin tree
@@ -591,7 +592,7 @@ object Similarity {
     // lazy: the barrier (LogicalRDD) is what stops the codegen deferral;
     // materialization can ride the first action instead of its own job
     pqTopKFromCodesWith(queries,
-      pqEncodeWith(corpus, cents, m, sub, roundTo).localCheckpoint(false),
+      pqEncodeWith(corpus, cents, m, sub, roundTo).cutLazy,
       cents, k, m, sub, roundTo)
   }
 
@@ -635,7 +636,7 @@ object Similarity {
       residual(corpus, cellExpr(cents, roundTo)(col("vec"))),
       cbCents, m, sub, roundTo, carry = Seq("cell"))
       .withColumnRenamed("id", "cand_id")
-      .localCheckpoint(false)
+      .cutLazy
     // ---- search: per probed cell, the query's residual distance tables
     val qresid = residual(
       queries.select(col("id"), col("vec"),

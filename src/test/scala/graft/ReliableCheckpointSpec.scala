@@ -36,6 +36,17 @@ class ReliableCheckpointSpec extends SparkSpec {
     assert(Blocks.cut(df).as[Int].collect().sorted === Array(1, 2, 3))
   }
 
+  test("cutLazy takes the reliable path under a dir and stays correct on both") {
+    val df = Seq(4, 5, 6).toDF("x")
+    withCheckpointDir { dir =>
+      val cp = Blocks.cutLazy(df)
+      assert(cp.as[Int].collect().sorted === Array(4, 5, 6))
+      assert(java.nio.file.Files.walk(dir).count() > 1,
+        "first action on a lazy reliable checkpoint must write files")
+    }
+    assert(Blocks.cutLazy(df).as[Int].collect().sorted === Array(4, 5, 6))
+  }
+
   test("spark.graft.checkpoint.local=true forces the local path under a dir") {
     val df = Seq(7).toDF("x")
     withCheckpointDir { dir =>
