@@ -3930,6 +3930,27 @@ object Queries {
       .orderBy("id")
   }
 
+  /** ETL — INCREMENTAL materialized-path maintenance
+    * ([[graft.operators.Hierarchy.extendPaths]]): same day-1/day-2
+    * split as `etl_hierarchy_incr`, over the PATH map — attach points'
+    * ancestor arrays come back out of their own path strings, so the
+    * incremental loop touches none of the settled corpus beyond one
+    * batch-scaled semi-join. Graded identical to DuckDB's full
+    * WITH RECURSIVE path recompute, old paths verbatim.
+    */
+  def etl_hierarchy_path_incr(s: SparkSession, dir: String): DataFrame = {
+    val ids = Ids.denseIds(t(s, dir, "orders").select("o_orderkey"),
+        "o_orderkey", buckets = 32)
+      .select(col("gid").as("id"))
+    val e = ids.filter(col("id") >= 8)
+      .select(col("id"), expr("id div 2").as("parent"))
+    val day1 = graft.operators.Hierarchy.materializedPaths(
+      e.filter(col("id") < 2048), "id", "parent")
+    graft.operators.Hierarchy.extendPaths(
+        day1, e.filter(col("id") >= 2048), "id", "parent")
+      .orderBy("id")
+  }
+
   val etlHpSql = """WITH RECURSIVE ids AS (
       SELECT row_number() OVER (ORDER BY o_orderkey) AS id FROM orders),
     e AS (SELECT id, id // 2 AS parent FROM ids WHERE id >= 8),
@@ -11769,6 +11790,7 @@ object Queries {
     ("etl_hierarchy", etl_hierarchy _, etlHierSql),
     ("etl_hierarchy_incr", etl_hierarchy_incr _, etlHierSql),
     ("etl_hierarchy_path", etl_hierarchy_path _, etlHpSql),
+    ("etl_hierarchy_path_incr", etl_hierarchy_path_incr _, etlHpSql),
     ("etl_subtree_agg", etl_subtree_agg _, etlStSql),
     ("e11_match_pattern", e11_match_pattern _, e11mpSql),
     ("e11_gaps", e11_gaps _, e11gpSql),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Blocks.CutSyntax
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hierarchy flattening — root and depth for every node of a
@@ -165,6 +165,70 @@ object Hierarchy {
         col("d").as("depth")))
       .unionByName(cur.select(col("id"), col("anc").as("root"),
         col("d").as("depth")))
+    graft.Blocks.free(fixed)
+    out
+  }
+
+  /** Incremental [[materializedPaths]] maintenance — the path twin of
+    * [[extend]]: attach a batch of new nodes to an existing
+    * (id, root, depth, path) map without recomputing it. Settled rows
+    * pass through VERBATIM; the only existing state the loop touches is
+    * the attach points' ancestor arrays, reconstructed from their own
+    * path strings (split, drop self, reverse — one batch-scaled
+    * semi-join; the path IS the serialized ancestor array, so no other
+    * lookup exists to pay for). New roots and the batch run the
+    * [[rootAndDepth]]-style doubling with the ancestor array riding
+    * along, exactly as in the full [[materializedPaths]] build.
+    */
+  def extendPaths(settled: DataFrame, newEdges: DataFrame, idCol: String,
+                  parentCol: String, sep: String = "/",
+                  maxIter: Int = 30): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val parts = split(col("path"), sepRe)
+    val ancArr = reverse(slice(parts, lit(1), size(parts) - 1))
+      .cast("array<long>")
+    val base = settled.select(col("id").cast("long").as("id"),
+      col("root").cast("long").as("anc"),
+      col("depth").cast("long").as("d"), ancArr.as("arr"), lit(true).as("s"))
+    val e = newEdges.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("anc"))
+    val parents = e.select(col("anc").as("id")).distinct()
+    val attach = base.join(parents, Seq("id"), "leftsemi")
+    val newRoots = parents
+      .join(base.select("id"), Seq("id"), "left_anti")
+      .join(e.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("anc"), lit(0L).as("d"),
+        array().cast("array<long>").as("arr"), lit(true).as("s"))
+    val fixed = attach.unionByName(newRoots).cut
+    var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
+      array(col("anc")).as("arr"), lit(false).as("s")).cut
+    var active = 1L
+    var iter = 0
+    while (active > 0 && iter < maxIter) {
+      val target = fixed.unionByName(cur)
+        .select(col("id").as("anc"), col("anc").as("anc2"),
+          col("d").as("d2"), col("arr").as("arr2"), col("s").as("s2"))
+      val jumped = cur.filter(!col("s"))
+        .join(target, Seq("anc"))
+        .select(col("id"), col("anc2").as("anc"),
+          (col("d") + col("d2")).as("d"),
+          concat(col("arr"), col("arr2")).as("arr"), col("s2").as("s"))
+      val next = cur.filter(col("s")).unionByName(jumped).cut
+      active = next.filter(!col("s")).count()
+      graft.Blocks.free(cur)
+      cur = next
+      iter += 1
+    }
+    def pathOf(idc: Column, arr: Column): Column =
+      concat_ws(sep, concat(reverse(arr), array(idc)).cast("array<string>"))
+    val out = settled
+      .select(col("id").cast("long").as("id"),
+        col("root").cast("long").as("root"),
+        col("depth").cast("long").as("depth"), col("path"))
+      .unionByName(newRoots.select(col("id"), col("anc").as("root"),
+        col("d").as("depth"), pathOf(col("id"), col("arr")).as("path")))
+      .unionByName(cur.select(col("id"), col("anc").as("root"),
+        col("d").as("depth"), pathOf(col("id"), col("arr")).as("path")))
     graft.Blocks.free(fixed)
     out
   }

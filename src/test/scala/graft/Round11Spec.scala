@@ -66,6 +66,27 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("hierarchy extendPaths == full path recompute: chains, verbatim old rows, new roots") {
+    import graft.operators.Hierarchy
+    val all = (1L to 1000L).map(i => (i, i - 1)).toDF("id", "parent")
+    val full = Hierarchy.materializedPaths(all, "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val day1 = Hierarchy.materializedPaths(
+      all.filter(col("id") < 600), "id", "parent")
+    val inc = Hierarchy.extendPaths(day1, all.filter(col("id") >= 600),
+        "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(inc == full)
+    // brand-new root: its own path is itself; children chain below it
+    val nr = Hierarchy.extendPaths(day1,
+        Seq((5000L, 4000L), (5001L, 5000L)).toDF("id", "parent"),
+        "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(nr(4000L) == (4000L, 0L, "4000"))
+    assert(nr(5001L) == (4000L, 2L, "4000/5000/5001"))
+    assert(nr(7L) == (0L, 7L, full(7L)._3)) // old paths verbatim
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
