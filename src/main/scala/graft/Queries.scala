@@ -4775,6 +4775,46 @@ object Queries {
     SELECT id AS doc_id, cast(pr as bigint) AS pr FROM pr$iters ORDER BY doc_id"""
   }
 
+  /** E2 — label-propagation communities over the near-dup graph
+    * ([[graft.operators.Components.labelPropagation]]): 3 synchronized
+    * rounds, most-frequent-neighbor label with smallest-label
+    * tie-break — deterministic by construction, so DuckDB's unrolled
+    * per-round argmax (count desc, label asc) reproduces it exactly.
+    * Same LSH pair graph as `e2_pagerank`.
+    */
+  def e2_label_prop(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
+      .select("id1", "id2")
+    Components.labelPropagation(pairs, "id1", "id2",
+        docs.select("doc_id"), "doc_id", rounds = 3)
+      .select(col("id").as("doc_id"), col("lab").as("community"))
+      .orderBy("doc_id")
+  }
+
+  val e2lpSql: String = {
+    val rounds = 3
+    val lpCtes = (1 to rounds).map { i =>
+      s"""lp$i AS (SELECT p.id, coalesce(b.lab, p.lab) AS lab
+      FROM lp${i - 1} p LEFT JOIN (
+        SELECT id, lab FROM (
+          SELECT e.dst AS id, q.lab AS lab,
+            row_number() OVER (PARTITION BY e.dst
+              ORDER BY count(*) DESC, q.lab ASC) AS rn
+          FROM edges e JOIN lp${i - 1} q ON q.id = e.src
+          GROUP BY e.dst, q.lab) WHERE rn = 1) b ON b.id = p.id)"""
+    }.mkString(",\n    ")
+    s"""WITH $e2mCtes,
+    prs AS (SELECT id1, id2 FROM cand WHERE jaccard >= 0.4),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL SELECT id2, id1 FROM prs),
+    nodes AS (SELECT doc_id AS id FROM documents),
+    lp0 AS (SELECT id, cast(id as bigint) AS lab FROM nodes),
+    $lpCtes
+    SELECT id AS doc_id, cast(lab as bigint) AS community
+    FROM lp$rounds ORDER BY doc_id"""
+  }
+
   /** E5 — array higher-order functions (the Spark lambda surface:
     * transform / filter / aggregate / array_sort / array_distinct) over
     * the tokenized documents, mirrored by DuckDB's list_* family. Pure
@@ -11776,6 +11816,7 @@ object Queries {
     ("etl_profile", etl_profile _, profileSql),
     ("etl_expectations", etl_expectations _, expectSql),
     ("e2_pagerank", e2_pagerank _, e2prSql),
+    ("e2_label_prop", e2_label_prop _, e2lpSql),
     ("e5_arrays", e5_arrays _, e5arSql),
     ("j_salted", j_salted _, jsltSql),
     ("sql_tpch_q1", sql_tpch_q1 _, sqlQ1),

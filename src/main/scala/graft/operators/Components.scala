@@ -278,6 +278,51 @@ object Components {
     pr
   }
 
+  /** Synchronized label propagation — the lightweight community
+    * detector (Raghavan et al. 2007): every node starts as its own
+    * label; each round, ALL nodes simultaneously adopt the most
+    * frequent label among their neighbors (ties break to the SMALLEST
+    * label, isolated nodes keep theirs). Fixed `rounds` + the
+    * deterministic tie-break make the result exactly reproducible —
+    * async LPA's update-order dependence is what keeps it out of graded
+    * engines — and a handful of rounds already groups dense near-dup
+    * clusters under one label.
+    *
+    * Scale: each round is one key-partitioned join (labels onto edge
+    * sources — the labels frame is node-sized, the join shuffles on
+    * src) + a two-level aggregate (count per (dst, label), then a
+    * lexicographic struct-min per dst: count desc, label asc — the
+    * deterministic argmax, no window). Lineage cut per round, same
+    * discipline as [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       nodes: DataFrame, idCol: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var lab = nodes.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("lab")).cut
+    for (_ <- 1 to rounds) {
+      val best = sym
+        .join(lab.select(col("id").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("nbLab"))
+      val next = lab
+        .join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nbLab"), col("lab")).as("lab"))
+        .cut
+      graft.Blocks.free(lab)
+      lab = next
+    }
+    sym.unpersist()
+    lab
+  }
+
   /** Triangle counting + local clustering coefficient over an
     * undirected edge list (id1 < id2 canonical), DEGREE-ORIENTED
     * (round-7 verdict item 6 — previously id-oriented).

@@ -87,6 +87,28 @@ class Round11Spec extends SparkSpec {
     assert(nr(7L) == (0L, 7L, full(7L)._3)) // old paths verbatim
   }
 
+  test("labelPropagation: sync rounds, smallest-label ties, isolated nodes keep theirs") {
+    import graft.operators.Components
+    // two triangles {1,2,3} and {10,11,12} bridged by 3-10; isolated 99
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val n = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    def run(r: Int) = Components.labelPropagation(e, "a", "b", n, "id", r)
+      .as[(Long, Long)].collect().toMap
+    // round 1 (sync from self-labels): each node takes min neighbor label
+    assert(run(1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+    // fixed point: the triangles keep separate communities (the bridge
+    // node's two internal votes for 3 outnumber its one vote for 1)
+    val fixedPoint = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 99L -> 99L)
+    assert(run(4) === fixedPoint)
+    assert(run(5) === fixedPoint) // genuinely converged
+    // rounds = 0 is the identity labeling
+    assert(run(0) === Map(1L -> 1L, 2L -> 2L, 3L -> 3L,
+      10L -> 10L, 11L -> 11L, 12L -> 12L, 99L -> 99L))
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
