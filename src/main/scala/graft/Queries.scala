@@ -9463,6 +9463,50 @@ object Queries {
     SELECT id, cast(hops as int) AS hops FROM d$rounds ORDER BY id"""
   }
 
+  /** E2 — weighted shortest paths
+    * ([[graft.operators.Components.shortestPaths]]) over the embedding
+    * near-dup graph: distance = accumulated (1 − cosine) in exact
+    * integer micro-units, 4 Bellman-Ford rounds from the same seed set
+    * as `e2_hops` (whose hop metric this generalizes). Integer weights
+    * keep min-plus sums bit-stable across engines; the oracle unrolls
+    * one min-plus CTE per round.
+    */
+  def e2_sssp(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.nearDupPairs(e, threshold = 0.1, bits = 8)
+      .select(col("id1"), col("id2"),
+        round((lit(1.0) - col("sim")) * 1e6, 0).cast("long").as("w"))
+    Components.shortestPaths(pairs, "id1", "id2", "w",
+        seeds = e.filter(pmod(col("id"), lit(50L)) === 0).select("id"),
+        idCol = "id", rounds = 4)
+      .select(col("id"), col("d").as("dist"))
+      .orderBy("id")
+  }
+
+  val e2ssspSql: String = {
+    val rounds = 4
+    val chain = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT id, min(d) AS d FROM (
+        SELECT id, d FROM d${r - 1}
+        UNION ALL
+        SELECT e.dst AS id, p.d + e.w AS d
+        FROM e0 e JOIN d${r - 1} p ON e.src = p.id) GROUP BY id)"""
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    g AS (SELECT a, b, cast(round((1 - sim) * 1000000) as bigint) AS w
+      FROM p WHERE sim >= 0.1),
+    e0 AS (SELECT a AS src, b AS dst, w FROM g UNION ALL SELECT b, a, w FROM g),
+    d0 AS (SELECT vec_id AS id, cast(0 as bigint) AS d FROM embeddings
+      WHERE vec_id % 50 = 0),
+    $chain
+    SELECT id, cast(d as bigint) AS dist FROM d$rounds ORDER BY id"""
+  }
+
   /** E11 — OHLC resampling (open/high/low/close + volume) per event
     * type per day — the time-series candlestick compaction. First/last
     * are made deterministic by the (ts, event_id) total order (two
@@ -11936,6 +11980,7 @@ object Queries {
     ("e6_basket_lift", e6_basket_lift _, e6blSql),
     ("e6_permtest", e6_permtest _, e6ptSql),
     ("e2_hops", e2_hops _, e2hpSql),
+    ("e2_sssp", e2_sssp _, e2ssspSql),
     ("e11_ohlc", e11_ohlc _, e11ohSql),
     ("e4_langid_eval", e4_langid_eval _, e4leSql),
     ("e6_kendall", e6_kendall _, e6kdSql),

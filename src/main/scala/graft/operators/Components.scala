@@ -466,6 +466,44 @@ object Components {
     known
   }
 
+  /** Weighted single-source shortest paths, Bellman-Ford style: `rounds`
+    * synchronized relaxations from a SEED SET over an undirected
+    * weighted edge list. After round r the distance is exact for every
+    * node whose cheapest path uses <= r edges — fixed rounds keep the
+    * oracle expressible (one unrolled min-plus CTE per round) and bound
+    * the job like [[bfsHops]], whose hop metric this generalizes
+    * (weights all 1 reduce to it). Unreached nodes stay absent: the
+    * frontier set is SPARSE, so a round's cost tracks the reached
+    * subgraph, not the node universe.
+    *
+    * Weights should be NON-NEGATIVE integers (longs): min-plus sums
+    * stay exact, and cross-engine comparison is bit-stable where
+    * float accumulation orders would not be. Each round is one
+    * key-partitioned join + a group-min; lineage cut per round.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, seeds: DataFrame, idCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
+      col("w"))).cut
+    var dist = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("d", lit(0L)).cut
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.select(col("id").as("src"), col("d")), "src")
+        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("id").agg(min(col("d")).as("d")).cut
+      graft.Blocks.free(dist)
+      dist = next
+    }
+    graft.Blocks.free(e)
+    dist
+  }
+
   /** Incremental connected components — fold a batch of NEW edges into
     * a standing (id, comp) mapping, recomputing ONLY what the batch
     * touches: comps containing any batch endpoint reconstruct as star

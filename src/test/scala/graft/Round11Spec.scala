@@ -109,6 +109,28 @@ class Round11Spec extends SparkSpec {
       10L -> 10L, 11L -> 11L, 12L -> 12L, 99L -> 99L))
   }
 
+  test("shortestPaths: cheap detour beats direct edge; round-bounded; weight-1 == bfsHops") {
+    import graft.operators.Components
+    // 1 -10-> 4 direct, but 1 -1-> 2 -1-> 3 -1-> 4 is cheaper (3 hops)
+    val e = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 2L)).toDF("a", "b", "w")
+    val seeds = Seq(1L).toDF("id")
+    def run(r: Int) = Components.shortestPaths(e, "a", "b", "w", seeds, "id", r)
+      .as[(Long, Long)].collect().toMap
+    // after 1 round only direct edges are exact
+    assert(run(1) === Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    // after 3 rounds the detour wins; 5 is reached via the detour + 2
+    assert(run(3) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 12L))
+    assert(run(4) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 5L))
+    // weights all 1 reduce to hop counts
+    val ones = e.withColumn("w", lit(1L))
+    val sp = Components.shortestPaths(ones, "a", "b", "w", seeds, "id", 4)
+      .as[(Long, Long)].collect().toMap
+    val hops = Components.bfsHops(e.select("a", "b"), "a", "b", seeds, "id", 4)
+      .as[(Long, Int)].collect().map { case (k, v) => k -> v.toLong }.toMap
+    assert(sp === hops)
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
