@@ -4775,6 +4775,51 @@ object Queries {
     SELECT id AS doc_id, cast(pr as bigint) AS pr FROM pr$iters ORDER BY doc_id"""
   }
 
+  /** E2 — personalized PageRank
+    * ([[graft.operators.Components.personalizedPageRank]]) over the
+    * LSH near-dup graph: restart mass on the doc_id % 100 seed docs, 4
+    * integer-arithmetic iterations — "documents most like this seed
+    * set" by random-walk proximity, mirrored by the same unrolled CTE
+    * discipline as `e2_pagerank` with the teleport term gated on seed
+    * membership.
+    */
+  def e2_ppr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.4)
+      .select("id1", "id2")
+    Components.personalizedPageRank(pairs, "id1", "id2",
+        docs.select("doc_id"), "doc_id",
+        seeds = docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+          .select("doc_id"),
+        iters = 4)
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy("doc_id")
+  }
+
+  val e2pprSql: String = {
+    val iters = 4
+    val prCtes = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n.id, n.s * p.base + (85 * coalesce(c.cs, 0)) // 100 AS pr
+      FROM nodes n CROSS JOIN params p LEFT JOIN
+        (SELECT e.dst AS id, sum(q.pr // d.deg) AS cs
+         FROM edges e JOIN deg d ON e.src = d.src
+         JOIN pr${i - 1} q ON q.id = e.src GROUP BY e.dst) c ON c.id = n.id)"""
+    }.mkString(",\n    ")
+    s"""WITH $e2mCtes,
+    prs AS (SELECT id1, id2 FROM cand WHERE jaccard >= 0.4),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL SELECT id2, id1 FROM prs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT doc_id AS id,
+      CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END AS s FROM documents),
+    params AS (SELECT 1000000000 // count(*) AS init,
+      (15 * (1000000000 // count(*))) // 100 AS base
+      FROM documents WHERE doc_id % 100 = 0),
+    pr0 AS (SELECT id, s * init AS pr FROM nodes CROSS JOIN params),
+    $prCtes
+    SELECT id AS doc_id, cast(pr as bigint) AS pr FROM pr$iters ORDER BY doc_id"""
+  }
+
   /** E2 — label-propagation communities over the near-dup graph
     * ([[graft.operators.Components.labelPropagation]]): 3 synchronized
     * rounds, most-frequent-neighbor label with smallest-label
@@ -11861,6 +11906,7 @@ object Queries {
     ("etl_expectations", etl_expectations _, expectSql),
     ("e2_pagerank", e2_pagerank _, e2prSql),
     ("e2_label_prop", e2_label_prop _, e2lpSql),
+    ("e2_ppr", e2_ppr _, e2pprSql),
     ("e5_arrays", e5_arrays _, e5arSql),
     ("j_salted", j_salted _, jsltSql),
     ("sql_tpch_q1", sql_tpch_q1 _, sqlQ1),

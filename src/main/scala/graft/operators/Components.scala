@@ -278,6 +278,51 @@ object Components {
     pr
   }
 
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass lands ONLY on the seed set, so scores rank every node by
+    * proximity to the seeds — the classic "more like these"
+    * recommender over a similarity graph. Same integer-arithmetic
+    * iteration discipline as [[pageRank]] (init = 1e9 / |seeds|,
+    * 15 % restart, div-truncated flows — bit-stable across engines);
+    * non-seed nodes start at 0 and receive only walked-in mass.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           nodes: DataFrame, idCol: String,
+                           seeds: DataFrame, iters: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val sd = seeds.select(col(idCol).as("id")).distinct()
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed")
+    val init = 1000000000L / nSeeds
+    val base = (15L * init) / 100L
+    val seeded = nodes.select(col(idCol).as("id"))
+      .join(sd.withColumn("__s", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0)).as("__s"))
+      .persist()
+    var pr = seeded
+      .select(col("id"), (col("__s").cast("long") * init).as("pr"))
+      .cut
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(deg, "src")
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("pr div deg")).as("cs"))
+      val next = seeded
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("__s").cast("long") * base +
+            expr("(85 * coalesce(cs, 0)) div 100")).as("pr"))
+        .cut
+      graft.Blocks.free(pr)
+      pr = next
+    }
+    sym.unpersist(); seeded.unpersist()
+    pr
+  }
+
   /** Synchronized label propagation — the lightweight community
     * detector (Raghavan et al. 2007): every node starts as its own
     * label; each round, ALL nodes simultaneously adopt the most

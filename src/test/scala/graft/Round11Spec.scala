@@ -131,6 +131,26 @@ class Round11Spec extends SparkSpec {
     assert(sp === hops)
   }
 
+  test("personalizedPageRank: mass stays seed-local; uniform seeds == pageRank") {
+    import graft.operators.Components
+    // two disconnected triangles; seed only the first
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val n = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("id")
+    val ppr = Components.personalizedPageRank(e, "a", "b", n, "id",
+        seeds = Seq(1L).toDF("id"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    // the unseeded component receives ZERO mass; the seed holds the most
+    assert(Seq(10L, 11L, 12L).forall(ppr(_) == 0L))
+    assert(Seq(2L, 3L).forall(id => ppr(id) > 0L && ppr(id) < ppr(1L)))
+    // seeding EVERY node reproduces plain pageRank exactly
+    val all = Components.personalizedPageRank(e, "a", "b", n, "id",
+        seeds = n, iters = 3).as[(Long, Long)].collect().toMap
+    val pr = Components.pageRank(e, "a", "b", n, "id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(all === pr)
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
