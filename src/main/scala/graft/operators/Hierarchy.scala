@@ -120,7 +120,11 @@ object Hierarchy {
     * semi-join that keeps just the attach points, and each round is
     * O(|batch|) regardless of corpus size — the property that makes
     * daily ingest into a 100 TB hierarchy a batch-sized job, not a
-    * corpus-sized one.
+    * corpus-sized one. Measured (ProbeIncr, fixed 20k batch, corpus
+    * 200k → 2M): 1.4 s → 2.3 s, and the residual growth is the
+    * irreducible part — the one semi-join's corpus scan plus
+    * materializing the corpus-sized RESULT map; the loop itself stays
+    * flat.
     */
   def extend(settled: DataFrame, newEdges: DataFrame, idCol: String,
              parentCol: String, maxIter: Int = 30): DataFrame = {
@@ -130,15 +134,25 @@ object Hierarchy {
     val e = newEdges.select(col(idCol).cast("long").as("id"),
       col(parentCol).cast("long").as("anc"))
     val parents = e.select(col("anc").as("id")).distinct()
-    // attach points: existing nodes directly referenced by the batch
-    val attach = base.join(parents, Seq("id"), "leftsemi")
-    // brand-new roots: referenced as parent, not existing, not in the batch
+    // attach points: existing nodes directly referenced by the batch.
+    // This semi-join is the ONLY corpus-sized touch in the whole call
+    // (AQE broadcasts the batch-sized probe side when it fits).
+    val attach = base.join(parents, Seq("id"), "leftsemi").cut
+    // brand-new roots: referenced as parent, not existing, not in the
+    // batch. Existing parents are EXACTLY the attach rows, so the
+    // anti-join runs batch-vs-batch — anti-joining `base` here would
+    // shuffle the corpus a second time (caught by ProbeIncr: 2.4x at
+    // 10x corpus with a fixed batch before this rewrite).
+    // materialized (batch-tiny): the output union reads newRoots again
+    // after attach's blocks are freed below
     val newRoots = parents
-      .join(base.select("id"), Seq("id"), "left_anti")
+      .join(attach.select("id"), Seq("id"), "left_anti")
       .join(e.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("anc"), lit(0L).as("d"),
         lit(true).as("s"))
+      .cut
     val fixed = attach.unionByName(newRoots).cut
+    graft.Blocks.free(attach)
     var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
       lit(false).as("s")).cut
     var active = 1L
@@ -193,13 +207,17 @@ object Hierarchy {
     val e = newEdges.select(col(idCol).cast("long").as("id"),
       col(parentCol).cast("long").as("anc"))
     val parents = e.select(col("anc").as("id")).distinct()
-    val attach = base.join(parents, Seq("id"), "leftsemi")
+    // same corpus-touch discipline as [[extend]]: one semi-join, then
+    // batch-vs-batch for the new-root set
+    val attach = base.join(parents, Seq("id"), "leftsemi").cut
     val newRoots = parents
-      .join(base.select("id"), Seq("id"), "left_anti")
+      .join(attach.select("id"), Seq("id"), "left_anti")
       .join(e.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("anc"), lit(0L).as("d"),
         array().cast("array<long>").as("arr"), lit(true).as("s"))
+      .cut
     val fixed = attach.unionByName(newRoots).cut
+    graft.Blocks.free(attach)
     var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
       array(col("anc")).as("arr"), lit(false).as("s")).cut
     var active = 1L
