@@ -58,6 +58,24 @@ import org.apache.spark.sql.functions._
   * checkpoint's cost is itself linear in the ranked frame, so it moves
   * constants, not the shape.
   *
+  * Round-11 run (same protocol, idle host, after the fused-SimHash and
+  * batch-sized-extend rewrites) — every probe sublinear again, and the
+  * round's additions measured for the first time:
+  *
+  *   etl_hierarchy_incr       5.96 → 10.53 s (1.77×)  day-1 build + extend;
+  *   etl_hierarchy_path_incr  7.20 → 13.23 s (1.84×)   flatter than the full
+  *                                                      rebuilds (2.40×/3.35×)
+  *                                                      even though the fixture
+  *                                                      batch GROWS with the
+  *                                                      corpus — the one-semi-
+  *                                                      join + batch-sized-loop
+  *                                                      design showing up
+  *   e2_label_prop            2.55 →  2.90 s (1.14×)  3 rounds over stationary-
+  *                                                      density LSH graph
+  *   e2_ppr                   2.66 →  3.51 s (1.32×)  4 integer iterations
+  *   e2_sssp                  1.47 →  3.04 s (2.07×)  sparse frontier tracks
+  *                                                      reached subgraph
+  *
   * Conclusion: at sf0.1 the iterative tier is fixed-cost-dominated
   * (stage scheduling, checkpoints, codebook/index contracts); the
   * data-dominated path (j_salted) is plainly linear in shuffle volume.
@@ -147,7 +165,13 @@ object ProbeScale {
     ("etl_subtree_agg", graft.Queries.etl_subtree_agg _),
     ("j_salted", graft.Queries.j_salted _),
     ("llm_ingest_incr", graft.Queries.llm_ingest_incr _),
-    ("e11_rfm", graft.Queries.e11_rfm _))
+    ("e11_rfm", graft.Queries.e11_rfm _),
+    // round-11 additions: the incremental hierarchy twins and graph tier
+    ("etl_hierarchy_incr", graft.Queries.etl_hierarchy_incr _),
+    ("etl_hierarchy_path_incr", graft.Queries.etl_hierarchy_path_incr _),
+    ("e2_label_prop", graft.Queries.e2_label_prop _),
+    ("e2_ppr", graft.Queries.e2_ppr _),
+    ("e2_sssp", graft.Queries.e2_sssp _))
 
   /** The worst shuffle-heavy probes, re-run under MEMORY PRESSURE
     * (round-10 verdict item 7): `spark.memory.fraction` shrunk 0.6 → 0.05
