@@ -3991,6 +3991,48 @@ object Queries {
       .orderBy("id")
   }
 
+  /** ETL — INCREMENTAL subtree rollup: the BOM-total artifact
+    * maintained under ingest instead of recomputed. Day 1 stands up
+    * the path map and the FULL subtree aggregate; day 2 attaches the
+    * batch via [[graft.operators.Hierarchy.extendPaths]] and the new
+    * rows' PATH STRINGS double as their closure rows (path = every
+    * ancestor + self), so the aggregate delta is one batch-sized
+    * explode + group-by folded into the standing totals by exact
+    * decimal addition — no recursion over the settled corpus, and
+    * associativity is exact so incremental == full recompute at the
+    * hash grain (graded against the same oracle as `etl_subtree_agg`).
+    */
+  def etl_subtree_agg_incr(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Ids.denseIds(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("m")),
+        "o_orderkey", buckets = 32)
+      .select(col("gid").as("id"), col("m"))
+    val e = ranked.filter(col("id") >= 8)
+      .select(col("id"), expr("id div 2").as("parent"))
+    val H = graft.operators.Hierarchy
+    val day1Paths = H.materializedPaths(
+      e.filter(col("id") < 2048), "id", "parent")
+    val agg1 = H.ancestorClosure(e.filter(col("id") < 2048), "id", "parent")
+      .join(ranked, "id")
+      .groupBy(col("ancestor").as("id"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("t"))
+    val updated = H.extendPaths(day1Paths, e.filter(col("id") >= 2048),
+      "id", "parent")
+    val delta = updated.filter(col("id") >= 2048)
+      .select(col("id"),
+        explode(split(col("path"), "/").cast("array<long>")).as("ancestor"))
+      .join(ranked, "id")
+      .groupBy(col("ancestor").as("id"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("t"))
+    agg1.unionByName(delta)
+      .groupBy("id")
+      .agg(sum(col("n")).as("n_subtree"),
+        sum(col("t")).cast("double").as("subtree_total"))
+      .filter(col("id") < 64)
+      .orderBy("id")
+  }
+
   val etlStSql = """WITH RECURSIVE ids AS (
       SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
         o_totalprice AS m
@@ -11923,6 +11965,7 @@ object Queries {
     ("etl_hierarchy_path", etl_hierarchy_path _, etlHpSql),
     ("etl_hierarchy_path_incr", etl_hierarchy_path_incr _, etlHpSql),
     ("etl_subtree_agg", etl_subtree_agg _, etlStSql),
+    ("etl_subtree_agg_incr", etl_subtree_agg_incr _, etlStSql),
     ("e11_match_pattern", e11_match_pattern _, e11mpSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
     ("e6_ratio", e6_ratio _, e6rtSql),
