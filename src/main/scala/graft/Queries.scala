@@ -10768,6 +10768,85 @@ object Queries {
         .as("z"))
   }
 
+  /** E6 — Benjamini-Hochberg FDR correction over a FAMILY of tests
+    * (one two-proportion z per event type: its share of half-1 traffic
+    * vs half-2). Multiple-testing control is what turns a metrics
+    * platform's per-cell z-scores into decisions; BH is the standard
+    * step-up procedure: rank p ascending, q_i = min over j >= i of
+    * p_j * m / j. The p-value itself uses the logistic approximation
+    * of the normal CDF (2 / (1 + exp(1.702 |z|))) — one closed-form
+    * double chain both engines evaluate IDENTICALLY, so grading is
+    * bit-stable without either engine shipping erf. The adjustment
+    * windows run over the m = |event types| rows — bounded by the
+    * family size, never data-sized.
+    */
+  def e6_bh_fdr(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      expr("unix_millis(ts) div 86400000").as("day"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val half = ev.crossJoin(broadcast(d0))
+      .withColumn("h", when(col("day") - col("d0") < 15, 1).otherwise(2))
+    val tot = half.groupBy("h").agg(count(lit(1)).as("n"))
+    val m = half.groupBy("event_type", "h").agg(count(lit(1)).as("k"))
+      .join(broadcast(tot), "h")
+      .groupBy("event_type")
+      .agg(sum(when(col("h") === 1, col("k"))).as("k1"),
+        sum(when(col("h") === 1, col("n"))).as("n1"),
+        sum(when(col("h") === 2, col("k"))).as("k2"),
+        sum(when(col("h") === 2, col("n"))).as("n2"))
+    val p1 = col("k1").cast("double") / col("n1").cast("double")
+    val p2 = col("k2").cast("double") / col("n2").cast("double")
+    val pp = (col("k1") + col("k2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+    val withP = m.withColumn("p",
+      lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(z))))
+    val nTests = count(lit(1)).over(Window.partitionBy())
+    val rk = row_number().over(Window.orderBy(col("p").asc, col("event_type").asc))
+    val tail = Window.orderBy(col("p").asc, col("event_type").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    withP
+      .withColumn("rank", rk)
+      .withColumn("bh", col("p") * nTests.cast("double") / col("rank").cast("double"))
+      .withColumn("q", least(min(col("bh")).over(tail), lit(1.0)))
+      .select(col("event_type"), round(col("p"), 6).as("p"),
+        col("rank").cast("int").as("rank"), round(col("q"), 6).as("q"),
+        (col("q") < 0.05).cast("int").as("reject"))
+      .orderBy("rank")
+  }
+
+  val e6bhSql = """WITH ev AS (SELECT event_type,
+      epoch_ms(ts) // 86400000 AS day FROM events),
+    d0 AS (SELECT min(day) AS d0 FROM ev),
+    hv AS (SELECT event_type,
+      CASE WHEN day - d0 < 15 THEN 1 ELSE 2 END AS h FROM ev CROSS JOIN d0),
+    tot AS (SELECT h, count(*) AS n FROM hv GROUP BY 1),
+    m AS (SELECT event_type,
+        sum(CASE WHEN c.h = 1 THEN k END) AS k1,
+        sum(CASE WHEN c.h = 1 THEN n END) AS n1,
+        sum(CASE WHEN c.h = 2 THEN k END) AS k2,
+        sum(CASE WHEN c.h = 2 THEN n END) AS n2
+      FROM (SELECT event_type, h, count(*) AS k FROM hv GROUP BY 1, 2) c
+      JOIN tot USING (h) GROUP BY 1),
+    wp AS (SELECT event_type,
+        2.0 / (1.0 + exp(1.702 * abs(
+          (cast(k1 as double) / n1 - cast(k2 as double) / n2)
+          / sqrt((cast(k1 + k2 as double) / (n1 + n2))
+            * (1.0 - cast(k1 + k2 as double) / (n1 + n2))
+            * (1.0 / n1 + 1.0 / n2))))) AS p
+      FROM m),
+    rk AS (SELECT event_type, p,
+        row_number() OVER (ORDER BY p ASC, event_type ASC) AS rank,
+        count(*) OVER () AS mt FROM wp)
+    SELECT event_type, round(p, 6) AS p, cast(rank as int) AS rank,
+      round(least(min(p * mt / rank) OVER (ORDER BY p ASC, event_type ASC
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0), 6) AS q,
+      cast(least(min(p * mt / rank) OVER (ORDER BY p ASC, event_type ASC
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) < 0.05 as int)
+        AS reject
+    FROM rk ORDER BY rank"""
+
   val e6ppSql = """WITH ev AS (SELECT event_type,
       epoch_ms(ts) // 86400000 AS day FROM events),
     d0 AS (SELECT min(day) AS d0 FROM ev),
@@ -12094,6 +12173,7 @@ object Queries {
     ("e11_churn", e11_churn _, e11churnSql),
     ("e10_hll_rolling", e10_hll_rolling _, e10rollSql),
     ("e6_proptest", e6_proptest _, e6ppSql),
+    ("e6_bh_fdr", e6_bh_fdr _, e6bhSql),
     ("e2_cross_lang_dups", e2_cross_lang_dups _, e2xlSql),
     ("sql_calendar_tvf", sql_calendar_tvf _, sqlCtvSql),
     ("e6_kappa", e6_kappa _, e6kpSql),
