@@ -7843,6 +7843,45 @@ object Queries {
     SELECT src AS id, count(*) AS deg FROM e$rounds GROUP BY src ORDER BY id"""
   }
 
+  /** E2 — 3-truss of the embedding near-dup graph
+    * ([[graft.operators.Components.kTrussFixed]]): edges surviving
+    * 3 peel rounds of support >= 1 (each must close at least one
+    * triangle among survivors) — the cohesion cut that keeps clique-ish
+    * near-dup clusters and drops tree-like chains `e2_kcore` would
+    * keep. Same graph and unrolled-rounds grading pattern as k-core.
+    */
+  def e2_ktruss(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Components.kTrussFixed(
+      Similarity.nearDupPairs(e, threshold = 0.1, bits = 8),
+      "id1", "id2", k = 3, rounds = 3)
+      .orderBy("u", "v")
+  }
+
+  val e2ktSql: String = {
+    val rounds = 3
+    val chain = (0 until rounds).map { r =>
+      s"""sym$r AS (SELECT u AS n, v AS c FROM e$r
+        UNION ALL SELECT v, u FROM e$r),
+      s$r AS (SELECT t.u, t.v, count(*) AS sup
+        FROM (SELECT x.n AS u, y.n AS v
+          FROM sym$r x JOIN sym$r y ON x.c = y.c AND x.n < y.n) t
+        JOIN e$r e ON t.u = e.u AND t.v = e.v GROUP BY 1, 2),
+      e${r + 1} AS (SELECT e.u, e.v FROM e$r e LEFT JOIN s$r s
+        ON e.u = s.u AND e.v = s.v WHERE coalesce(s.sup, 0) >= 1)"""
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    g AS (SELECT a, b FROM p WHERE sim >= 0.1),
+    e0 AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM g),
+    $chain
+    SELECT u, v FROM e$rounds ORDER BY u, v"""
+  }
+
   /** E9 — relational division ("for all"): suppliers whose late-window
     * shipments reached customers in EVERY nation — the universal
     * quantifier no single join expresses. Implemented as the
@@ -12149,6 +12188,7 @@ object Queries {
     ("e6_permtest", e6_permtest _, e6ptSql),
     ("e2_hops", e2_hops _, e2hpSql),
     ("e2_sssp", e2_sssp _, e2ssspSql),
+    ("e2_ktruss", e2_ktruss _, e2ktSql),
     ("e11_ohlc", e11_ohlc _, e11ohSql),
     ("e4_langid_eval", e4_langid_eval _, e4leSql),
     ("e6_kendall", e6_kendall _, e6kdSql),

@@ -511,6 +511,45 @@ object Components {
     known
   }
 
+  /** k-truss peeling (fixed rounds): keep edges supported by at least
+    * k-2 triangles among SURVIVING edges, iterated — the cohesion tier
+    * above [[kCoreFixed]] (every k-truss edge is in the (k-1)-core, but
+    * truss survival needs triangle mass, not just degree, so it prunes
+    * tree-like fluff k-core keeps). Fixed `rounds` keeps the oracle
+    * unrollable, one support CTE per round, exactly the kCoreFixed
+    * grading pattern.
+    *
+    * Per round: one wedge self-join on the shared neighbor (the same
+    * shape as [[trianglesAndClustering]]'s, here kept per-edge), an
+    * inner closure join against the canonical edge set, a group-count,
+    * and a filtered left join back — all key-partitioned; lineage cut
+    * per round. Returns the surviving canonical (u < v) edges.
+    */
+  def kTrussFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                  k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && rounds >= 1)
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") < col("v")).distinct().cut
+    for (_ <- 1 to rounds) {
+      val sym = e.select(col("u").as("n"), col("v").as("c"))
+        .union(e.select(col("v").as("n"), col("u").as("c")))
+      val sup = sym.select(col("n").as("u"), col("c")).as("x")
+        .join(sym.select(col("n").as("v"), col("c")).as("y"), Seq("c"))
+        .filter(col("u") < col("v"))
+        .select("u", "v")
+        .join(e, Seq("u", "v"), "leftsemi")
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      val next = e.join(sup, Seq("u", "v"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select("u", "v").cut
+      graft.Blocks.free(e)
+      e = next
+    }
+    e
+  }
+
   /** Weighted single-source shortest paths, Bellman-Ford style: `rounds`
     * synchronized relaxations from a SEED SET over an undirected
     * weighted edge list. After round r the distance is exact for every

@@ -151,6 +151,24 @@ class Round11Spec extends SparkSpec {
     assert(all === pr)
   }
 
+  test("kTrussFixed: pendant edges die, triangles live at k=3, only cliques at k=4") {
+    import graft.operators.Components
+    // triangle {1,2,3} with pendant 3-4; 4-clique {10,11,12,13}
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+      .toDF("a", "b")
+    def run(k: Int) = Components.kTrussFixed(e, "a", "b", k, rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    val clique = Set((10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L))
+    // k=3: triangle + clique survive, the pendant edge does not
+    assert(run(3) === clique + ((1L, 2L)) + ((2L, 3L)) + ((1L, 3L)))
+    // k=4: every edge needs 2 triangles — only the 4-clique qualifies
+    assert(run(4) === clique)
+    // k=5: the 4-clique dies too (3 triangles per edge needed)
+    assert(run(5) === Set.empty[(Long, Long)])
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
