@@ -9589,6 +9589,54 @@ object Queries {
     SELECT id, cast(hops as int) AS hops FROM d$rounds ORDER BY id"""
   }
 
+  /** E2 — landmark harmonic centrality
+    * ([[graft.operators.Components.multiSourceHops]]): per-node sum of
+    * 1/hops to the reached landmarks (the closeness proxy graph-ML
+    * pipelines feature on), with the sum held EXACT as an integer —
+    * hops <= 4, so 12/hops (lcm scaling, the pageRank integer
+    * discipline) makes the aggregate order-independent where a double
+    * Σ 1/h would be at the mercy of summation order. Same landmark set
+    * and round budget as `e2_hops`.
+    */
+  def e2_harmonic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Components.multiSourceHops(
+        Similarity.nearDupPairs(e, threshold = 0.1, bits = 8),
+        "id1", "id2",
+        seeds = e.filter(pmod(col("id"), lit(50L)) === 0).select("id"),
+        idCol = "id", rounds = 4)
+      .filter(col("hops") > 0)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("12 div hops")).as("harmonic12"))
+      .orderBy("id")
+  }
+
+  val e2hcSql: String = {
+    val rounds = 4
+    val chain = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT id, seed, min(hops) AS hops FROM (
+        SELECT id, seed, hops FROM d${r - 1}
+        UNION ALL
+        SELECT e.dst AS id, d.seed, d.hops + 1 AS hops
+        FROM e0 e JOIN d${r - 1} d ON e.src = d.id) GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < c.vec_id
+        AND ${bucketSql("q")} = ${bucketSql("c")}),
+    g AS (SELECT a, b FROM p WHERE sim >= 0.1),
+    e0 AS (SELECT a AS src, b AS dst FROM g UNION ALL SELECT b, a FROM g),
+    d0 AS (SELECT vec_id AS id, vec_id AS seed, 0 AS hops FROM embeddings
+      WHERE vec_id % 50 = 0),
+    $chain
+    SELECT id, count(*) AS n_reached,
+      cast(sum(12 // hops) as bigint) AS harmonic12
+    FROM d$rounds WHERE hops > 0 GROUP BY id ORDER BY id"""
+  }
+
   /** E2 — weighted shortest paths
     * ([[graft.operators.Components.shortestPaths]]) over the embedding
     * near-dup graph: distance = accumulated (1 − cosine) in exact
@@ -12189,6 +12237,7 @@ object Queries {
     ("e2_hops", e2_hops _, e2hpSql),
     ("e2_sssp", e2_sssp _, e2ssspSql),
     ("e2_ktruss", e2_ktruss _, e2ktSql),
+    ("e2_harmonic", e2_harmonic _, e2hcSql),
     ("e11_ohlc", e11_ohlc _, e11ohSql),
     ("e4_langid_eval", e4_langid_eval _, e4leSql),
     ("e6_kendall", e6_kendall _, e6kdSql),

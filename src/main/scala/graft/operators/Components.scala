@@ -511,6 +511,42 @@ object Components {
     known
   }
 
+  /** Multi-source BFS: per-(node, seed) hop distances from a landmark
+    * set in one synchronized frontier — the labeled generalization of
+    * [[bfsHops]] (whose output is this one's per-node min). Landmark
+    * distance vectors are the standard cheap proxy for closeness /
+    * harmonic centrality and a common graph-ML feature; state is
+    * (node, seed) SPARSE pairs, so cost tracks reached pairs — the
+    * landmark-count contract, not the node universe — and each round is
+    * one key-partitioned join + distinct + anti-join, lineage cut as in
+    * [[bfsHops]].
+    */
+  def multiSourceHops(edges: DataFrame, srcCol: String, dstCol: String,
+                      seeds: DataFrame, idCol: String,
+                      rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .cut
+    var known = seeds.select(col(idCol).as("id")).distinct()
+      .select(col("id"), col("id").as("seed"))
+      .withColumn("hops", lit(0)).cut
+    var frontier = known
+    for (r <- 1 to rounds) {
+      val fresh = e
+        .join(frontier.select(col("id").as("src"), col("seed")), "src")
+        .select(col("dst").as("id"), col("seed")).distinct()
+        .join(known.select("id", "seed"), Seq("id", "seed"), "left_anti")
+        .withColumn("hops", lit(r))
+      val nextKnown = known.union(fresh).cut
+      graft.Blocks.free(known)
+      known = nextKnown
+      frontier = known.filter(col("hops") === r)
+    }
+    graft.Blocks.free(e)
+    known
+  }
+
   /** k-truss peeling (fixed rounds): keep edges supported by at least
     * k-2 triangles among SURVIVING edges, iterated — the cohesion tier
     * above [[kCoreFixed]] (every k-truss edge is in the (k-1)-core, but

@@ -169,6 +169,22 @@ class Round11Spec extends SparkSpec {
     assert(run(5) === Set.empty[(Long, Long)])
   }
 
+  test("multiSourceHops: per-seed distances; per-node min == bfsHops") {
+    import graft.operators.Components
+    // path 1-2-3-4-5 with landmarks 1 and 5
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val ms = Components.multiSourceHops(e, "a", "b", seeds, "id", 4)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ms((3L, 1L)) == 2 && ms((3L, 5L)) == 2)
+    assert(ms((2L, 1L)) == 1 && ms((2L, 5L)) == 3)
+    assert(ms((1L, 1L)) == 0 && ms((1L, 5L)) == 4)
+    val perNodeMin = ms.groupBy(_._1._1).map { case (id, m) => id -> m.values.min }
+    val hops = Components.bfsHops(e, "a", "b", seeds, "id", 4)
+      .as[(Long, Int)].collect().toMap
+    assert(perNodeMin === hops)
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
