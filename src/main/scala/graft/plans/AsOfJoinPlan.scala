@@ -269,8 +269,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
          |  if ($head.isNullAt($rkOrd)) { $head = null; continue; }
          |  long $hk = ${getExpr(head, rkOrd, rkKind)};
          |  if ($hk < $lk) { $head = null; continue; }
-         |  if ($hk == $lk && ($head.isNullAt($rtOrd)
-         |      || ${getExpr(head, rtOrd, rtKind)} < $lt)) {
+         |  if ($hk == $lk && ($head.isNullAt($rtOrd) ||
+         |      ${getExpr(head, rtOrd, rtKind)} < $lt)) {
          |    $head = null; continue;
          |  }
          |  $adv = false;

@@ -185,6 +185,21 @@ class Round11Spec extends SparkSpec {
     assert(perNodeMin === hops)
   }
 
+  test("as-of codegen COMPILES for every direction (no silent interpreted fallback)") {
+    // spark.sql.codegen.fallback=false turns a janino compile failure
+    // into a thrown error instead of a quiet interpreted fallback —
+    // which is how the forward merge's missing `||` (stripMargin ate
+    // the pipes of a line-leading operator) hid across four rounds of
+    // green runs.
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val dir = "/root/testdata/sf0.001"
+      assert(Queries.j_asof_native(spark, dir).count() > 0)
+      assert(Queries.j_asof_forward(spark, dir).count() > 0)
+      assert(Queries.j_asof_nearest(spark, dir).count() > 0)
+      assert(Queries.j_asof_tolerance(spark, dir).count() > 0)
+    }
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
