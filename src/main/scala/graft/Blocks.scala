@@ -34,31 +34,62 @@ object Blocks {
     *     with a dir set (escape hatch for jobs whose dir serves other
     *     streams).
     *
-    * Reliable-checkpoint files are reclaimed by Spark's ContextCleaner
-    * when `spark.cleaner.referenceTracking.cleanCheckpoints=true`;
-    * otherwise they age out with the directory (the cluster-operator
-    * norm). [[free]] stays correct on both: unpersist is a no-op on a
-    * reliably-checkpointed RDD (its rows live in files, not blocks).
+    * The reliable path persists the frame BEFORE checkpointing and
+    * unpersists after: `RDD.checkpoint` writes its files in a separate
+    * job that would otherwise recompute the whole plan — every
+    * iterative round computed twice in cluster posture (r11 advice).
+    * With the persist, the checkpoint-writer job re-reads the cached
+    * blocks instead.
+    *
+    * Superseded rounds' checkpoint FILES are reclaimed eagerly by
+    * [[free]] (see there) — no reliance on the non-default
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` setting.
     */
   def cut[T](ds: Dataset[T]): Dataset[T] = {
     val sc = ds.sparkSession.sparkContext
     val forceLocal = ds.sparkSession.conf
       .getOption("spark.graft.checkpoint.local").contains("true")
-    if (!forceLocal && sc.getCheckpointDir.isDefined) ds.checkpoint(eager = true)
-    else ds.localCheckpoint(eager = true)
+    if (!forceLocal && sc.getCheckpointDir.isDefined) {
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ds.checkpoint(eager = true)
+      finally ds.unpersist(blocking = false)
+    } else ds.localCheckpoint(eager = true)
   }
 
-  /** Lazy twin of [[cut]] — the same deployment decision, but
-    * materialization rides the first action instead of its own job. For
-    * plan BARRIERS (codegen-deferral stops, index builds read by one
-    * downstream join) where an extra eager pass would be pure cost.
+  /** Lazy PLAN BARRIER (codegen-deferral stops, index builds read by
+    * one downstream join): always `localCheckpoint`, never the reliable
+    * path — a barrier's job is to stop plan fusion, not to survive
+    * executor loss, and writing full reliable checkpoint files at every
+    * barrier in cluster posture would be pure cost (r11 advice). A
+    * barrier-truncated lineage that loses blocks fails the QUERY, which
+    * simply reruns — unlike a mid-LOOP round, where [[cut]]'s reliable
+    * path is what keeps a 30-round job restartable.
     */
-  def cutLazy[T](ds: Dataset[T]): Dataset[T] = {
+  def cutLazy[T](ds: Dataset[T]): Dataset[T] =
+    ds.localCheckpoint(eager = false)
+
+  /** [[cut]] fused with a loop's convergence count — ONE job per round
+    * on the local path: the lazy localCheckpoint's blocks materialize
+    * as the counting action computes them (a full-frame aggregate
+    * computes every partition, and a locally-checkpoint-marked RDD
+    * persists each partition it computes), where eager-cut-then-count
+    * was two. The reliable path keeps [[cut]]'s
+    * persist→checkpoint→count sequence — durability there is worth the
+    * extra job. `pred` is the row predicate whose count decides
+    * convergence (e.g. `!col("s")`).
+    */
+  def cutCount[T](ds: Dataset[T], pred: org.apache.spark.sql.Column)
+      : (Dataset[T], Long) = {
     val sc = ds.sparkSession.sparkContext
     val forceLocal = ds.sparkSession.conf
       .getOption("spark.graft.checkpoint.local").contains("true")
-    if (!forceLocal && sc.getCheckpointDir.isDefined) ds.checkpoint(eager = false)
-    else ds.localCheckpoint(eager = false)
+    if (!forceLocal && sc.getCheckpointDir.isDefined) {
+      val c = cut(ds)
+      (c, c.filter(pred).count())
+    } else {
+      val marked = ds.localCheckpoint(eager = false)
+      (marked, marked.filter(pred).count())
+    }
   }
 
   /** `ds.cut` / `ds.cutLazy` syntax for [[cut]]/[[cutLazy]] at the end
@@ -69,12 +100,27 @@ object Blocks {
     def cutLazy: Dataset[T] = Blocks.cutLazy(ds)
   }
 
-  /** Release the storage blocks behind an eager localCheckpoint. No-op on
-    * frames that are not checkpoint-backed (including reliable
-    * checkpoints, whose rows live in files).
+  /** Release a superseded round's storage: the blocks behind an eager
+    * localCheckpoint, AND — for reliable checkpoints — the round's
+    * files themselves. Loop operators call this only after the NEXT
+    * round is fully materialized (its own checkpoint written), so the
+    * superseded files are provably dead; deleting them here bounds the
+    * checkpoint dir at O(live rounds) instead of O(all rounds) — the
+    * default `spark.cleaner.referenceTracking.cleanCheckpoints=false`
+    * reclaims nothing during the job (r11 advice). No-op on frames
+    * that are not checkpoint-backed.
     */
   def free(df: Dataset[_]): Unit = df.queryExecution.logical match {
-    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case lr: LogicalRDD =>
+      lr.rdd.getCheckpointFile.foreach { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        try {
+          val fs = path.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(path, true)
+        } catch { case _: java.io.IOException => () }
+      }
+      lr.rdd.unpersist(blocking = false)
     case _ => ()
   }
 

@@ -307,7 +307,11 @@ object Queries {
     * ScalaTest coverage.
     */
   def star_sink_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val outDir = "/tmp/graft_star_sink"
+    // per-run unique dir: two concurrent graded suites on one host must
+    // not race on the sink output (r11 advice; same discipline as the
+    // UUID-suffixed memory-sink names in the streaming queries)
+    val outDir = "/tmp/graft_star_sink_" +
+      java.util.UUID.randomUUID().toString.take(8)
     StarSchemaJob.run(s, graft.star.AneelFixture.ensure(), outDir)
     val fato = StarSchemaJob.readSource(s, s"$outDir/fato_geracao")
     val dimL = StarSchemaJob.readSource(s, s"$outDir/dim_localizacao")
@@ -3873,8 +3877,12 @@ object Queries {
     val ids = Ids.denseIds(t(s, dir, "orders").select("o_orderkey"),
         "o_orderkey", buckets = 32)
       .select(col("gid").as("id"))
-    val e = ids.filter(col("id") >= 8)
-      .select(col("id"), expr("id div 2").as("parent"))
+    // pin the ranked edge fixture ONCE: the loop's round-0 state plan
+    // references e three ways (state rows, roots-except both sides),
+    // and each unpinned reference re-runs the whole denseIds rank —
+    // exactly the caller-side pin Ids.globalRank's contract prescribes
+    val e = graft.Blocks.cut(ids.filter(col("id") >= 8)
+      .select(col("id"), expr("id div 2").as("parent")))
     graft.operators.Hierarchy.rootAndDepth(e, "id", "parent")
       .orderBy("id")
   }
@@ -3890,29 +3898,76 @@ object Queries {
       SELECT e.id, rec.root, rec.depth + 1 FROM e JOIN rec ON e.parent = rec.id)
     SELECT id, root, cast(depth as bigint) AS depth FROM rec ORDER BY id"""
 
+  /** Fixture shared by the three INCREMENTAL hierarchy queries (r11
+    * verdict item 1): the div-2 forest with the LAST 8 nodes rewired
+    * into a chain under BRAND-NEW root 10·N+1 (a node id no SF ever
+    * has), and day 2 = that chain plus all of subtree(41) — ~4 % of
+    * the corpus, yet it exercises every extend path: multi-level
+    * new-on-new chains (41→82→164→…, ~8 internal levels at sf0.01),
+    * an attach onto settled node 20, and a brand-new root. Day 1
+    * settles the other ~96 %, so the graded artifact demonstrates the
+    * batch-sized-cost claim (`Hierarchy.scala:103-127`) instead of
+    * re-running a near-full build through the incremental loop. Tail
+    * placement is load-bearing: the rewired band is [N−7, N] and
+    * children of node k are 2k > N, so no day-1 node's parent can
+    * ever live in the batch — at any scale factor.
+    */
+  private def hierIncrParent(n: Long): Column =
+    when(col("id") === n - 7, lit(10L * n + 1))
+      .when(col("id") > n - 7, col("id") - 1)
+      .otherwise(expr("id div 2"))
+
+  /** Day-2 membership: the rewired tail chain plus subtree(41) —
+    * `shiftright(id, bitlen(id)−6) = 41` walks id's div-2 ancestry to
+    * the 6-bit level in O(1) (prefix property), no recursion; exact
+    * because no non-band node's ancestor chain crosses the band.
+    */
+  private def hierIncrBatch(n: Long): Column =
+    (col("id") > n - 8) ||
+      (col("id") >= 41 &&
+        expr("shiftright(id, length(bin(id)) - 6)") === 41)
+
   /** ETL — INCREMENTAL hierarchy maintenance
-    * ([[graft.operators.Hierarchy.extend]]): day 1 flattens the
-    * sub-2048 forest, day 2 attaches every later node as one new
-    * batch — with multi-level new-on-new chains (node 15000's parent
-    * 7500 is itself new), so the batch-only doubling loop actually
-    * iterates, and the old map joins the loop only through its attach
-    * points (per-round cost is batch-sized, not corpus-sized). The
-    * graded invariant is the strong one: incremental == DuckDB's full
-    * WITH RECURSIVE recompute over the complete edge set, old rows
-    * verbatim — attaching leaves below a node never changes it.
+    * ([[graft.operators.Hierarchy.extend]]): day 1 flattens ~96 % of
+    * the forest, day 2 attaches the small [[hierIncrBatch]] batch —
+    * multi-level new-on-new chains, a settled attach point, and a
+    * brand-new root — so the incremental cost graded here is
+    * batch-sized, not corpus-sized. The graded invariant is the
+    * strong one: incremental == DuckDB's full WITH RECURSIVE
+    * recompute over the complete edge set, old rows verbatim —
+    * attaching below a node never changes it.
     */
   def etl_hierarchy_incr(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "orders").count()
     val ids = Ids.denseIds(t(s, dir, "orders").select("o_orderkey"),
         "o_orderkey", buckets = 32)
       .select(col("gid").as("id"))
-    val e = ids.filter(col("id") >= 8)
-      .select(col("id"), expr("id div 2").as("parent"))
+    // pinned once — day-1 build and extend both derive from it (see
+    // etl_hierarchy)
+    val e = graft.Blocks.cut(ids.filter(col("id") >= 8)
+      .select(col("id"), hierIncrParent(n).as("parent")))
     val day1 = graft.operators.Hierarchy.rootAndDepth(
-      e.filter(col("id") < 2048), "id", "parent")
+      e.filter(!hierIncrBatch(n)), "id", "parent")
     graft.operators.Hierarchy.extend(
-        day1, e.filter(col("id") >= 2048), "id", "parent")
+        day1, e.filter(hierIncrBatch(n)), "id", "parent")
       .orderBy("id")
   }
+
+  val etlHierIncrSql = """WITH RECURSIVE ids AS (
+      SELECT row_number() OVER (ORDER BY o_orderkey) AS id FROM orders),
+    e AS (SELECT id,
+        CASE WHEN id = (SELECT max(id) FROM ids) - 7
+               THEN 10 * (SELECT max(id) FROM ids) + 1
+             WHEN id > (SELECT max(id) FROM ids) - 7 THEN id - 1
+             ELSE id // 2 END AS parent
+      FROM ids WHERE id >= 8),
+    roots AS (SELECT DISTINCT parent AS id FROM e
+      WHERE parent NOT IN (SELECT id FROM e)),
+    rec AS (
+      SELECT id, id AS root, 0 AS depth FROM roots
+      UNION ALL
+      SELECT e.id, rec.root, rec.depth + 1 FROM e JOIN rec ON e.parent = rec.id)
+    SELECT id, root, cast(depth as bigint) AS depth FROM rec ORDER BY id"""
 
   /** ETL — materialized paths (the BI breadcrumb for drill-downs):
     * every node's root-to-self id path over the same deterministic
@@ -3924,32 +3979,53 @@ object Queries {
     val ids = Ids.denseIds(t(s, dir, "orders").select("o_orderkey"),
         "o_orderkey", buckets = 32)
       .select(col("gid").as("id"))
-    val e = ids.filter(col("id") >= 8)
-      .select(col("id"), expr("id div 2").as("parent"))
+    val e = graft.Blocks.cut(ids.filter(col("id") >= 8)
+      .select(col("id"), expr("id div 2").as("parent")))
     graft.operators.Hierarchy.materializedPaths(e, "id", "parent")
       .orderBy("id")
   }
 
   /** ETL — INCREMENTAL materialized-path maintenance
-    * ([[graft.operators.Hierarchy.extendPaths]]): same day-1/day-2
-    * split as `etl_hierarchy_incr`, over the PATH map — attach points'
-    * ancestor arrays come back out of their own path strings, so the
-    * incremental loop touches none of the settled corpus beyond one
-    * batch-scaled semi-join. Graded identical to DuckDB's full
-    * WITH RECURSIVE path recompute, old paths verbatim.
+    * ([[graft.operators.Hierarchy.extendPaths]]): same ~96/4
+    * [[hierIncrBatch]] split as `etl_hierarchy_incr`, over the PATH
+    * map — attach points' ancestor arrays come back out of their own
+    * path strings, so the incremental loop touches none of the
+    * settled corpus beyond one batch-scaled semi-join. Graded
+    * identical to DuckDB's full WITH RECURSIVE path recompute, old
+    * paths verbatim.
     */
   def etl_hierarchy_path_incr(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "orders").count()
     val ids = Ids.denseIds(t(s, dir, "orders").select("o_orderkey"),
         "o_orderkey", buckets = 32)
       .select(col("gid").as("id"))
-    val e = ids.filter(col("id") >= 8)
-      .select(col("id"), expr("id div 2").as("parent"))
+    val e = graft.Blocks.cut(ids.filter(col("id") >= 8)
+      .select(col("id"), hierIncrParent(n).as("parent")))
     val day1 = graft.operators.Hierarchy.materializedPaths(
-      e.filter(col("id") < 2048), "id", "parent")
+      e.filter(!hierIncrBatch(n)), "id", "parent")
     graft.operators.Hierarchy.extendPaths(
-        day1, e.filter(col("id") >= 2048), "id", "parent")
+        day1, e.filter(hierIncrBatch(n)), "id", "parent")
       .orderBy("id")
   }
+
+  val etlHpIncrSql = """WITH RECURSIVE ids AS (
+      SELECT row_number() OVER (ORDER BY o_orderkey) AS id FROM orders),
+    e AS (SELECT id,
+        CASE WHEN id = (SELECT max(id) FROM ids) - 7
+               THEN 10 * (SELECT max(id) FROM ids) + 1
+             WHEN id > (SELECT max(id) FROM ids) - 7 THEN id - 1
+             ELSE id // 2 END AS parent
+      FROM ids WHERE id >= 8),
+    roots AS (SELECT DISTINCT parent AS id FROM e
+      WHERE parent NOT IN (SELECT id FROM e)),
+    rec AS (
+      SELECT id, id AS root, 0 AS depth, cast(id as varchar) AS path
+      FROM roots
+      UNION ALL
+      SELECT e.id, rec.root, rec.depth + 1, rec.path || '/' || e.id
+      FROM e JOIN rec ON e.parent = rec.id)
+    SELECT id, root, cast(depth as bigint) AS depth, path
+    FROM rec ORDER BY id"""
 
   val etlHpSql = """WITH RECURSIVE ids AS (
       SELECT row_number() OVER (ORDER BY o_orderkey) AS id FROM orders),
@@ -3975,11 +4051,11 @@ object Queries {
     * Ids.denseIds (no single-partition sort), as in etl_hierarchy.
     */
   def etl_subtree_agg(s: SparkSession, dir: String): DataFrame = {
-    val ranked = Ids.denseIds(
+    val ranked = graft.Blocks.cut(Ids.denseIds(
         t(s, dir, "orders").select(col("o_orderkey"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("m")),
         "o_orderkey", buckets = 32)
-      .select(col("gid").as("id"), col("m"))
+      .select(col("gid").as("id"), col("m")))
     val e = ranked.filter(col("id") >= 8)
       .select(col("id"), expr("id div 2").as("parent"))
     graft.operators.Hierarchy.ancestorClosure(e, "id", "parent")
@@ -4000,26 +4076,35 @@ object Queries {
     * explode + group-by folded into the standing totals by exact
     * decimal addition — no recursion over the settled corpus, and
     * associativity is exact so incremental == full recompute at the
-    * hash grain (graded against the same oracle as `etl_subtree_agg`).
+    * hash grain. Same ~96/4 [[hierIncrBatch]] split (and therefore
+    * its own oracle with the rewired-tail edge rule).
     */
   def etl_subtree_agg_incr(s: SparkSession, dir: String): DataFrame = {
-    val ranked = Ids.denseIds(
+    val n = t(s, dir, "orders").count()
+    val ranked = graft.Blocks.cut(Ids.denseIds(
         t(s, dir, "orders").select(col("o_orderkey"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("m")),
         "o_orderkey", buckets = 32)
-      .select(col("gid").as("id"), col("m"))
+      .select(col("gid").as("id"), col("m")))
     val e = ranked.filter(col("id") >= 8)
-      .select(col("id"), expr("id div 2").as("parent"))
+      .select(col("id"), hierIncrParent(n).as("parent"))
     val H = graft.operators.Hierarchy
-    val day1Paths = H.materializedPaths(
-      e.filter(col("id") < 2048), "id", "parent")
-    val agg1 = H.ancestorClosure(e.filter(col("id") < 2048), "id", "parent")
+    // ONE doubling loop stands up both day-1 artifacts: the path map
+    // feeds extendPaths AND (path = every ancestor + self, exploded)
+    // the day-1 closure aggregate — r12: the old ancestorClosure call
+    // here ran a second corpus-sized loop for rows the path strings
+    // already carry
+    val day1Paths = graft.Blocks.cut(H.materializedPaths(
+      e.filter(!hierIncrBatch(n)), "id", "parent"))
+    val agg1 = day1Paths
+      .select(col("id"),
+        explode(split(col("path"), "/").cast("array<long>")).as("ancestor"))
       .join(ranked, "id")
       .groupBy(col("ancestor").as("id"))
       .agg(count(lit(1)).as("n"), sum(col("m")).as("t"))
-    val updated = H.extendPaths(day1Paths, e.filter(col("id") >= 2048),
+    val updated = H.extendPaths(day1Paths, e.filter(hierIncrBatch(n)),
       "id", "parent")
-    val delta = updated.filter(col("id") >= 2048)
+    val delta = updated.filter(hierIncrBatch(n))
       .select(col("id"),
         explode(split(col("path"), "/").cast("array<long>")).as("ancestor"))
       .join(ranked, "id")
@@ -4038,6 +4123,28 @@ object Queries {
         o_totalprice AS m
       FROM orders),
     e AS (SELECT id, id // 2 AS parent FROM ids WHERE id >= 8),
+    roots AS (SELECT DISTINCT parent AS id FROM e
+      WHERE parent NOT IN (SELECT id FROM e)),
+    cl AS (
+      SELECT id, id AS ancestor FROM roots
+      UNION ALL SELECT id, id AS ancestor FROM e
+      UNION ALL SELECT e.id, cl.ancestor FROM e JOIN cl ON e.parent = cl.id)
+    SELECT cl.ancestor AS id, count(*) AS n_subtree,
+      cast(sum(cast(ids.m as decimal(18,2))) as double) AS subtree_total
+    FROM cl JOIN ids ON ids.id = cl.id
+    WHERE cl.ancestor < 64
+    GROUP BY 1 ORDER BY 1"""
+
+  val etlStIncrSql = """WITH RECURSIVE ids AS (
+      SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
+        o_totalprice AS m
+      FROM orders),
+    e AS (SELECT id,
+        CASE WHEN id = (SELECT max(id) FROM ids) - 7
+               THEN 10 * (SELECT max(id) FROM ids) + 1
+             WHEN id > (SELECT max(id) FROM ids) - 7 THEN id - 1
+             ELSE id // 2 END AS parent
+      FROM ids WHERE id >= 8),
     roots AS (SELECT DISTINCT parent AS id FROM e
       WHERE parent NOT IN (SELECT id FROM e)),
     cl AS (
@@ -7145,7 +7252,10 @@ object Queries {
     * Layout swap a real stream commits through.
     */
   def e11_stream_cdc(s: SparkSession, dir: String): DataFrame = {
-    val snapPath = "/tmp/graft_cdc_snapshot"
+    // per-run unique snapshot dir (r11 advice): the two-rename swap in
+    // cdcApplyBatch must not collide with a concurrent suite's swap
+    val snapPath = "/tmp/graft_cdc_snapshot_" +
+      java.util.UUID.randomUUID().toString.take(8)
     val base = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     base.write.mode("overwrite").parquet(snapPath)
@@ -12127,11 +12237,11 @@ object Queries {
     ("e10_theta", e10_theta _, e10thSql),
     ("e6_listagg", e6_listagg _, e6laSql),
     ("etl_hierarchy", etl_hierarchy _, etlHierSql),
-    ("etl_hierarchy_incr", etl_hierarchy_incr _, etlHierSql),
+    ("etl_hierarchy_incr", etl_hierarchy_incr _, etlHierIncrSql),
     ("etl_hierarchy_path", etl_hierarchy_path _, etlHpSql),
-    ("etl_hierarchy_path_incr", etl_hierarchy_path_incr _, etlHpSql),
+    ("etl_hierarchy_path_incr", etl_hierarchy_path_incr _, etlHpIncrSql),
     ("etl_subtree_agg", etl_subtree_agg _, etlStSql),
-    ("etl_subtree_agg_incr", etl_subtree_agg_incr _, etlStSql),
+    ("etl_subtree_agg_incr", etl_subtree_agg_incr _, etlStIncrSql),
     ("e11_match_pattern", e11_match_pattern _, e11mpSql),
     ("e11_gaps", e11_gaps _, e11gpSql),
     ("e6_ratio", e6_ratio _, e6rtSql),

@@ -26,11 +26,12 @@ import org.apache.spark.sql.functions._
   * redundant work). The build side must stay the FULL state: an active
   * node's 2^i-jump may land on any settled node, and that hop is
   * exactly what teleports it to its root in one more round. Lineage is
-  * cut per round (`Blocks.cut` — reliable checkpoint when the session
-  * has a checkpoint dir, localCheckpoint otherwise) and superseded
-  * blocks are freed, same discipline as the components loops;
-  * convergence = empty frontier, read from the round's own cached
-  * blocks.
+  * cut per round and superseded blocks are freed, same discipline as
+  * the components loops; each round is ONE job (`Blocks.cutCount`
+  * fuses the round's deployment-aware lineage cut — reliable
+  * checkpoint under a checkpoint dir, localCheckpoint otherwise —
+  * with its convergence count; r12 halved the loop's job count, which
+  * was the dominant fixed cost of small-batch [[extend]] calls).
   */
 object Hierarchy {
 
@@ -51,12 +52,14 @@ object Hierarchy {
     // root, reached early), d the distance to it, s whether anc is
     // known to BE the root (settled: full depth reached). Roots carry
     // (root, root, 0, true) so every pointer join hits.
-    var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
-        lit(false).as("s"))
-      .unionByName(roots.select(col("id"), col("id").as("anc"),
-        lit(0L).as("d"), lit(true).as("s")))
-      .cut
-    var active = 1L
+    // each round is ONE job: Blocks.cutCount fuses the round's lineage
+    // cut with its convergence count (r12)
+    var (cur, active) = graft.Blocks.cutCount(
+      e.select(col("id"), col("anc"), lit(1L).as("d"),
+          lit(false).as("s"))
+        .unionByName(roots.select(col("id"), col("id").as("anc"),
+          lit(0L).as("d"), lit(true).as("s"))),
+      !col("s"))
     var iter = 0
     while (active > 0 && iter < maxIter) {
       val jumped = cur.filter(!col("s")).as("a")
@@ -64,11 +67,11 @@ object Hierarchy {
           col("d").as("d2"), col("s").as("s2")).as("b"), Seq("anc"))
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"), col("s2").as("s"))
-      val next = cur.filter(col("s")).unionByName(jumped)
-        .cut
-      active = next.filter(!col("s")).count()
+      val (next, nAct) = graft.Blocks.cutCount(
+        cur.filter(col("s")).unionByName(jumped), !col("s"))
       graft.Blocks.free(cur)
       cur = next
+      active = nAct
       iter += 1
     }
     cur.select(col("id"), col("anc").as("root"), col("d").as("depth"))
@@ -125,6 +128,9 @@ object Hierarchy {
     * irreducible part — the one semi-join's corpus scan plus
     * materializing the corpus-sized RESULT map; the loop itself stays
     * flat.
+    *
+    * Batches at or under [[SmallBatchEdges]] skip the distributed loop
+    * entirely: see [[SmallBatchEdges]].
     */
   def extend(settled: DataFrame, newEdges: DataFrame, idCol: String,
              parentCol: String, maxIter: Int = 30): DataFrame = {
@@ -133,6 +139,10 @@ object Hierarchy {
       col("depth").cast("long").as("d"), lit(true).as("s"))
     val e = newEdges.select(col(idCol).cast("long").as("id"),
       col(parentCol).cast("long").as("anc"))
+    smallBatch(e) match {
+      case Some(edges) => return extendSmall(settled, edges, withPaths = false)
+      case None => ()
+    }
     val parents = e.select(col("anc").as("id")).distinct()
     // attach points: existing nodes directly referenced by the batch.
     // This semi-join is the ONLY corpus-sized touch in the whole call
@@ -142,20 +152,22 @@ object Hierarchy {
     // batch. Existing parents are EXACTLY the attach rows, so the
     // anti-join runs batch-vs-batch — anti-joining `base` here would
     // shuffle the corpus a second time (caught by ProbeIncr: 2.4x at
-    // 10x corpus with a fixed batch before this rewrite).
-    // materialized (batch-tiny): the output union reads newRoots again
-    // after attach's blocks are freed below
+    // 10x corpus with a fixed batch before this rewrite). One cut
+    // covers attach∪newRoots (r12: was three); the __new flag
+    // separates the new-root rows back out for the output union.
     val newRoots = parents
       .join(attach.select("id"), Seq("id"), "left_anti")
       .join(e.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("anc"), lit(0L).as("d"),
         lit(true).as("s"))
-      .cut
-    val fixed = attach.unionByName(newRoots).cut
+    val fixedF = graft.Blocks.cut(attach.withColumn("__new", lit(false))
+      .unionByName(newRoots.withColumn("__new", lit(true))))
     graft.Blocks.free(attach)
-    var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
-      lit(false).as("s")).cut
-    var active = 1L
+    val fixed = fixedF.drop("__new")
+    var (cur, active) = graft.Blocks.cutCount(
+      e.select(col("id"), col("anc"), lit(1L).as("d"),
+        lit(false).as("s")),
+      !col("s"))
     var iter = 0
     while (active > 0 && iter < maxIter) {
       val target = fixed.unionByName(cur)
@@ -165,22 +177,21 @@ object Hierarchy {
         .join(target, Seq("anc"))
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"), col("s2").as("s"))
-      val next = cur.filter(col("s")).unionByName(jumped).cut
-      active = next.filter(!col("s")).count()
+      val (next, nAct) = graft.Blocks.cutCount(
+        cur.filter(col("s")).unionByName(jumped), !col("s"))
       graft.Blocks.free(cur)
       cur = next
+      active = nAct
       iter += 1
     }
-    val out = settled
+    settled
       .select(col("id").cast("long").as("id"),
         col("root").cast("long").as("root"),
         col("depth").cast("long").as("depth"))
-      .unionByName(newRoots.select(col("id"), col("anc").as("root"),
-        col("d").as("depth")))
+      .unionByName(fixedF.filter(col("__new")).select(col("id"),
+        col("anc").as("root"), col("d").as("depth")))
       .unionByName(cur.select(col("id"), col("anc").as("root"),
         col("d").as("depth")))
-    graft.Blocks.free(fixed)
-    out
   }
 
   /** Incremental [[materializedPaths]] maintenance — the path twin of
@@ -206,6 +217,11 @@ object Hierarchy {
       col("depth").cast("long").as("d"), ancArr.as("arr"), lit(true).as("s"))
     val e = newEdges.select(col(idCol).cast("long").as("id"),
       col(parentCol).cast("long").as("anc"))
+    smallBatch(e) match {
+      case Some(edges) =>
+        return extendSmall(settled, edges, withPaths = true, sep)
+      case None => ()
+    }
     val parents = e.select(col("anc").as("id")).distinct()
     // same corpus-touch discipline as [[extend]]: one semi-join, then
     // batch-vs-batch for the new-root set
@@ -215,12 +231,14 @@ object Hierarchy {
       .join(e.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("anc"), lit(0L).as("d"),
         array().cast("array<long>").as("arr"), lit(true).as("s"))
-      .cut
-    val fixed = attach.unionByName(newRoots).cut
+    val fixedF = graft.Blocks.cut(attach.withColumn("__new", lit(false))
+      .unionByName(newRoots.withColumn("__new", lit(true))))
     graft.Blocks.free(attach)
-    var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
-      array(col("anc")).as("arr"), lit(false).as("s")).cut
-    var active = 1L
+    val fixed = fixedF.drop("__new")
+    var (cur, active) = graft.Blocks.cutCount(
+      e.select(col("id"), col("anc"), lit(1L).as("d"),
+        array(col("anc")).as("arr"), lit(false).as("s")),
+      !col("s"))
     var iter = 0
     while (active > 0 && iter < maxIter) {
       val target = fixed.unionByName(cur)
@@ -231,24 +249,24 @@ object Hierarchy {
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"),
           concat(col("arr"), col("arr2")).as("arr"), col("s2").as("s"))
-      val next = cur.filter(col("s")).unionByName(jumped).cut
-      active = next.filter(!col("s")).count()
+      val (next, nAct) = graft.Blocks.cutCount(
+        cur.filter(col("s")).unionByName(jumped), !col("s"))
       graft.Blocks.free(cur)
       cur = next
+      active = nAct
       iter += 1
     }
     def pathOf(idc: Column, arr: Column): Column =
       concat_ws(sep, concat(reverse(arr), array(idc)).cast("array<string>"))
-    val out = settled
+    settled
       .select(col("id").cast("long").as("id"),
         col("root").cast("long").as("root"),
         col("depth").cast("long").as("depth"), col("path"))
-      .unionByName(newRoots.select(col("id"), col("anc").as("root"),
-        col("d").as("depth"), pathOf(col("id"), col("arr")).as("path")))
+      .unionByName(fixedF.filter(col("__new")).select(col("id"),
+        col("anc").as("root"), col("d").as("depth"),
+        pathOf(col("id"), col("arr")).as("path")))
       .unionByName(cur.select(col("id"), col("anc").as("root"),
         col("d").as("depth"), pathOf(col("id"), col("arr")).as("path")))
-    graft.Blocks.free(fixed)
-    out
   }
 
   /** Shared doubling state: (id, anc = root once settled, d = depth,
@@ -263,13 +281,13 @@ object Hierarchy {
     val roots = e.select(col("anc").as("id"))
       .except(e.select(col("id")))
       .distinct()
-    var cur = e.select(col("id"), col("anc"), lit(1L).as("d"),
-        array(col("anc")).as("arr"), lit(false).as("s"))
-      .unionByName(roots.select(col("id"), col("id").as("anc"),
-        lit(0L).as("d"), array().cast("array<long>").as("arr"),
-        lit(true).as("s")))
-      .cut
-    var active = 1L
+    var (cur, active) = graft.Blocks.cutCount(
+      e.select(col("id"), col("anc"), lit(1L).as("d"),
+          array(col("anc")).as("arr"), lit(false).as("s"))
+        .unionByName(roots.select(col("id"), col("id").as("anc"),
+          lit(0L).as("d"), array().cast("array<long>").as("arr"),
+          lit(true).as("s"))),
+      !col("s"))
     var iter = 0
     while (active > 0 && iter < maxIter) {
       val jumped = cur.filter(!col("s")).as("a")
@@ -279,13 +297,121 @@ object Hierarchy {
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"),
           concat(col("arr"), col("arr2")).as("arr"), col("s2").as("s"))
-      val next = cur.filter(col("s")).unionByName(jumped)
-        .cut
-      active = next.filter(!col("s")).count()
+      val (next, nAct) = graft.Blocks.cutCount(
+        cur.filter(col("s")).unionByName(jumped), !col("s"))
       graft.Blocks.free(cur)
       cur = next
+      active = nAct
       iter += 1
     }
     cur.drop("s")
+  }
+
+  /** Batch-size gate for [[extend]]/[[extendPaths]] — the
+    * `Components.minLabelAdaptive` discipline applied to ingest: a
+    * daily batch is usually tiny next to the standing map, and below
+    * this bound the distributed doubling loop's ~10 scheduled jobs are
+    * pure fixed cost (measured r12: ~2 s for a 4k-edge batch at
+    * local[32], >80 % of it scheduling). The small path collects the
+    * ≤2^17 batch edges (bounded: ≤2 MB) plus the batch-bounded
+    * attach-point rows, chases pointers ONCE on the driver with
+    * memoization, and ships the resolved rows back as a local
+    * relation — two jobs total, and the only corpus-sized touch is the
+    * same one attach semi-join the distributed path pays anyway.
+    */
+  val SmallBatchEdges: Int = 1 << 17
+
+  /** Bounded probe: Some(edges) iff the batch fits the gate — the
+    * limit stops scanning at bound+1 rows, so probing a huge batch
+    * costs one short-circuit pass, not a count.
+    */
+  private def smallBatch(e: DataFrame): Option[Array[(Long, Long)]] = {
+    // escape hatch (and the spec's lever for exercising the
+    // distributed loop on small fixtures)
+    if (e.sparkSession.conf.getOption("spark.graft.extend.driver")
+        .contains("false")) return None
+    val probe = e.limit(SmallBatchEdges + 1).collect()
+    if (probe.length > SmallBatchEdges) None
+    else Some(probe.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Driver-side resolve for a small batch (see [[SmallBatchEdges]]).
+    * Semantics match the distributed loop: a parent outside both the
+    * batch and the settled map becomes a brand-new root (depth 0,
+    * path = itself); cycle members (a contract violation there too)
+    * keep a non-root ancestor.
+    */
+  private def extendSmall(settled: DataFrame, edges: Array[(Long, Long)],
+                          withPaths: Boolean,
+                          sep: String = "/"): DataFrame = {
+    val sp = settled.sparkSession
+    import sp.implicits._
+    val parent = edges.toMap
+    val parentIds = edges.map(_._2).distinct.toSeq
+    // the one corpus-sized touch: attach-point rows via semi-join
+    val attachRows = {
+      val cols =
+        if (withPaths) settled.select(col("id").cast("long").as("id"),
+          col("root").cast("long").as("root"),
+          col("depth").cast("long").as("depth"), col("path"))
+        else settled.select(col("id").cast("long").as("id"),
+          col("root").cast("long").as("root"),
+          col("depth").cast("long").as("depth"),
+          lit(null).cast("string").as("path"))
+      cols.join(broadcast(parentIds.toDF("id")), Seq("id"), "leftsemi")
+        .collect()
+    }
+    val memo = scala.collection.mutable.HashMap.empty[Long, (Long, Long, String)]
+    attachRows.foreach { r =>
+      memo(r.getLong(0)) = (r.getLong(1), r.getLong(2),
+        if (withPaths) r.getString(3) else null)
+    }
+    val newRoots = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def chase(start: Long): Unit = {
+      var x = start
+      var stack = List.empty[Long]
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      while (!memo.contains(x)) {
+        if (!seen.add(x)) { // cycle: pin a non-root ancestor and stop
+          memo(x) = (parent(x), 1L,
+            if (withPaths) s"${parent(x)}$sep$x" else null)
+        } else parent.get(x) match {
+          case Some(p) => stack ::= x; x = p
+          case None =>
+            memo(x) = (x, 0L, if (withPaths) x.toString else null)
+            newRoots += x
+        }
+      }
+      stack.foreach { y =>
+        if (!memo.contains(y)) memo.get(parent(y)) match {
+          case Some((r, d, pth)) =>
+            memo(y) = (r, d + 1, if (withPaths) s"$pth$sep$y" else null)
+          case None => // unreachable outside cycles
+            memo(y) = (parent(y), 1L,
+              if (withPaths) s"${parent(y)}$sep$y" else null)
+        }
+      }
+    }
+    edges.foreach { case (id, _) => chase(id) }
+    val freshIds = edges.map(_._1) ++ newRoots
+    val out =
+      if (withPaths) {
+        val fresh = freshIds.toSeq.map { id =>
+          val (r, d, pth) = memo(id); (id, r, d, pth)
+        }.toDF("id", "root", "depth", "path")
+        settled.select(col("id").cast("long").as("id"),
+          col("root").cast("long").as("root"),
+          col("depth").cast("long").as("depth"), col("path"))
+          .unionByName(fresh)
+      } else {
+        val fresh = freshIds.toSeq.map { id =>
+          val (r, d, _) = memo(id); (id, r, d)
+        }.toDF("id", "root", "depth")
+        settled.select(col("id").cast("long").as("id"),
+          col("root").cast("long").as("root"),
+          col("depth").cast("long").as("depth"))
+          .unionByName(fresh)
+      }
+    out
   }
 }

@@ -60,9 +60,18 @@ object Ids {
     * it removes the eager `localCheckpoint` that used to pin the
     * bucketed frame: no lineage truncation, so a lost executor at the
     * 100 TB scale this primitive targets recomputes instead of killing
-    * the job, and the corpus is never materialized per call. Callers
-    * with an expensive upstream should `persist` their input themselves
-    * (three key-pruned passes read it: sample, bucket counts, rank).
+    * the job, and the corpus is never materialized per call.
+    *
+    * HARD PRECONDITION — `df` must be DETERMINISTIC. The plan is
+    * evaluated three times (sample collect, bucket-count aggregate,
+    * rank window) with no pin; an input that yields different rows per
+    * evaluation (`rand`/`sample`/un-ordered `limit` upstream, or a
+    * source mutating between actions) silently produces offsets that
+    * disagree with window contents — overlapping or gapped ranks, not
+    * an error. Nondeterministic callers must pin FIRST
+    * (`persist`+materialize, or `Blocks.cut`); deterministic callers
+    * with an expensive upstream may persist purely as a performance
+    * matter (three key-pruned passes read the input).
     *
     * `buckets <= 0` (the default) derives the count from the cluster:
     * `max(64, sparkContext.defaultParallelism)`.
@@ -159,13 +168,31 @@ object Ids {
     * the existing max (one broadcast scalar row). extend ∘ extend ==
     * one big assignment only for ids of KEYS INGESTED IN ORDER — the
     * general append case is exactly what the graded query pins.
+    *
+    * Small-batch gate (the [[graft.operators.Components]]
+    * `minLabelAdaptive` discipline, r11 verdict item 4): daily-ingest
+    * batches are usually tiny relative to the standing mapping, and
+    * below [[SmallBatchKeys]] new keys a bounded SINGLE-PARTITION rank
+    * is strictly cheaper than the sample→cuts→window machinery — one
+    * count pass plus one ≤2^17-row sort replaces three key-pruned
+    * passes and a driver-side sample collect. The count action that
+    * decides the gate is itself batch-pruned (the anti-join's probe
+    * side is the batch). Above the bound the full distributed
+    * [[denseIds]] runs unchanged.
     */
+  val SmallBatchKeys: Long = 1L << 17
+
   def extendIds(existing: DataFrame, incoming: DataFrame, keyCol: String,
                 buckets: Int = 0): DataFrame = {
     val newKeys = incoming.select(keyCol).distinct()
       .join(existing.select(keyCol), Seq(keyCol), "left_anti")
     val base = existing.agg(coalesce(max(col("gid")), lit(0L)).as("__base"))
-    val fresh = denseIds(newKeys, keyCol, buckets)
+    val ranked =
+      if (newKeys.count() <= SmallBatchKeys)
+        newKeys.withColumn("gid", row_number()
+          .over(Window.orderBy(col(keyCol).asc)).cast("long"))
+      else denseIds(newKeys, keyCol, buckets)
+    val fresh = ranked
       .crossJoin(broadcast(base))
       .select(col(keyCol), (col("gid") + col("__base")).as("gid"))
     existing.select(col(keyCol), col("gid")).unionByName(fresh)
