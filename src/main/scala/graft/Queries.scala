@@ -8522,8 +8522,12 @@ object Queries {
     */
   def e1_ids_incremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id")
-    val existing = Ids.denseIds(docs.where(col("doc_id") < 400), "doc_id", 8)
-      .select("doc_id", "gid")
+    // the standing mapping is pinned: in production it is AT REST (a
+    // table), and extendIds reads it three ways (anti-join, high-water
+    // max, output union) — unpinned, each read re-ran the day-1 rank
+    val existing = graft.Blocks.cut(
+      Ids.denseIds(docs.where(col("doc_id") < 400), "doc_id", 8)
+        .select("doc_id", "gid"))
     Ids.extendIds(existing, docs, "doc_id", 8).orderBy("doc_id")
   }
 

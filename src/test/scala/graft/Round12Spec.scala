@@ -35,6 +35,21 @@ class Round12Spec extends SparkSpec {
     assert(fast(1000L) == (0L, 1000L)) // 401-deep new-on-new chain
   }
 
+  test("denseIds small-frame local path == distributed rank, payload intact") {
+    val df = (1 to 500).map(i => (s"k${1000 - i}", i * 2)).toDF("k", "v")
+    val fast = operators.Ids.denseIds(df, "k", 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.ids.driver", "false")
+    val slow =
+      try operators.Ids.denseIds(df, "k", 8)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      finally spark.conf.unset("spark.graft.ids.driver")
+    assert(fast == slow)
+    assert(fast.size == 500)
+    // dense 1..N in key order
+    assert(fast.map(_._3) == (1L to 500L).toSet)
+  }
+
   test("extendPaths small-batch driver path == distributed loop") {
     val all = (1L to 400L).map(i => (i, i / 2)).toDF("id", "parent")
     val day1 = Hierarchy.materializedPaths(
