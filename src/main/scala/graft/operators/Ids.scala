@@ -34,14 +34,19 @@ object Ids {
     * (see [[globalRank]]).
     *
     * Frames at or under [[SmallBatchKeys]] rows skip the distributed
-    * machinery (r12, the small-batch gate discipline): a bounded
-    * limit-probe collects the rows (the limit stops at bound+1, so
-    * probing a huge frame is one short-circuit pass), ships them back
-    * as a LOCAL relation, and ranks with a single-partition window —
-    * Spark's own sort semantics, so ids are bit-identical to the
-    * distributed path (spec-pinned). This collapses the sample /
-    * bucket-count / rank jobs into one probe job for the small frames
-    * where those three were pure fixed cost.
+    * machinery (r12, the small-batch gate discipline; r14 made the
+    * probe BYTES-bounded, not just row-bounded): a KEY-PRUNED
+    * limit-probe (`select(keyCol).limit(bound+1)`) decides the gate —
+    * the limit stops at bound+1 and the projection reaches the scan,
+    * so probing a huge or wide frame ships only ≤2^17+1 key values to
+    * the driver, never payload columns. On the small path the
+    * collected keys come back as a LOCAL relation ranked with a
+    * single-partition window — Spark's own sort semantics, so ids are
+    * bit-identical to the distributed path (spec-pinned) — and `gid`
+    * is broadcast-joined back onto `df` by key, so full-width rows
+    * never visit the driver. A key-only `df` (the [[extendIds]] path)
+    * skips the join: the ranked local relation IS the result, one
+    * probe job total.
     * `spark.graft.ids.driver=false` forces the distributed path.
     */
   def denseIds(df: DataFrame, keyCol: String, buckets: Int = 0): DataFrame = {
@@ -49,16 +54,27 @@ object Ids {
       .getOption("spark.graft.ids.driver").contains("false")
     val probe =
       if (forceDist) Array.empty[Row]
-      else df.limit(SmallBatchKeys.toInt + 1).collect()
+      else probeKeys(df, keyCol).collect()
     if (!forceDist && probe.length <= SmallBatchKeys) {
       import scala.jdk.CollectionConverters._
-      df.sparkSession.createDataFrame(probe.toSeq.asJava, df.schema)
+      val ranked = df.sparkSession
+        .createDataFrame(probe.toSeq.asJava, df.select(keyCol).schema)
         .withColumn("gid", row_number()
           .over(Window.orderBy(col(keyCol).asc)).cast("long"))
+      if (df.columns.sameElements(Array(keyCol))) ranked
+      else df.join(broadcast(ranked), Seq(keyCol))
+        .select(df.columns.map(col).toIndexedSeq :+ col("gid"): _*)
     } else
       globalRank(df, col(keyCol), asc = true, col(keyCol), buckets)
         .withColumnRenamed("__rank", "gid")
   }
+
+  /** The gate probe frame — exposed (package-private) so the plan pin
+    * can assert the projection reaches the scan (`ReadSchema` holds
+    * only the key).
+    */
+  private[graft] def probeKeys(df: DataFrame, keyCol: String): DataFrame =
+    df.select(keyCol).limit(SmallBatchKeys.toInt + 1)
 
   /** Global 1..N rank over (primary asc|desc, tieBreak asc) WITHOUT a
     * single-partition sort — the building block that lets rank-family

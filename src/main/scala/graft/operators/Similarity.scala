@@ -718,6 +718,114 @@ object Similarity {
     topKPerQuery(sims, k, corpus.schema("id").dataType)
   }
 
+  /** E3 — approximate kNN GRAPH construction via NN-Descent (Dong, Moses
+    * & Li, "Efficient k-nearest neighbor graph construction for generic
+    * similarity measures", WWW'11): the corpus-wide k-NN graph that feeds
+    * graph-ANN indexes and SemDeDup-style clustering. The principle is
+    * "a neighbor of a neighbor is likely a neighbor": start from a cheap
+    * candidate graph, then repeatedly offer every vertex its neighbors'
+    * neighbors and keep the best k, until a round improves nothing.
+    *
+    * Spark formulation — the engine's own iterative-join discipline
+    * (graft.operators.Components): the graph is a (query_id, cand_id,
+    * sim) frame with ≤k rows per vertex; a round is
+    *
+    *   1. symmetrize: G ∪ reverse(G), distinct — reverse neighbors are
+    *      what makes NN-Descent converge (WWW'11 §2.2). The reverse
+    *      side is CAPPED at the k best incoming edges per vertex
+    *      (sim desc, id asc — WWW'11's ρ-sampling made deterministic):
+    *      a hub's in-degree is unbounded, and without the cap the
+    *      local join is quadratic in it;
+    *   2. local join: sym ⋈ sym on the midpoint — all ordered pairs at
+    *      distance 2, ≤(2k)² candidates PER VERTEX, so a round's work is
+    *      O(N·k²) regardless of corpus size — never all-pairs;
+    *   3. anti-join out pairs already in G, fetch vectors (two key
+    *      joins against the pinned corpus), score, merge, keep top-k
+    *      per vertex via BoundedTopK (O(k) state, map-side partial);
+    *   4. [[graft.Blocks.cutCount]] pins the round and counts edges
+    *      that ENTERED a top-k list — one job per round on the local
+    *      path; zero fresh edges is a fixed point (the next round would
+    *      regenerate and reject the same candidates), so early exit
+    *      cannot change the result, which keeps the fixed-`iters`
+    *      unrolled SQL oracle exact.
+    *
+    * Init is deterministic and oracle-expressible: id-residue stripes
+    * (`id mod max(1, N/(k+1))` — ~k+1 vertices per stripe, the "random"
+    * diversification leg; assumes dense-ish ids — sparse-id callers
+    * should pre-assign [[graft.operators.Ids.denseIds]]) unioned with
+    * sign-bit LSH buckets (`initBits`, the locality leg). Ranking ties
+    * broken on (rounded sim desc, cand_id asc) everywhere, so the
+    * result is engine-independent and hash-gradeable.
+    *
+    * Scale: the corpus (id, vec, norm) is pinned once ([[graft.Blocks.cut]]
+    * — reliable checkpoint in cluster posture) and never shuffles as a
+    * whole afterwards; per-round frames are O(N·k), candidate frames
+    * O(N·k²), all joins key-partitioned. Superseded rounds are freed
+    * eagerly.
+    */
+  def nnDescentGraph(corpus: DataFrame, k: Int, iters: Int = 3,
+                     initBits: Int = 6, roundTo: Int = 6): DataFrame = {
+    val idType = corpus.schema("id").dataType
+    val c = graft.Blocks.cut(
+      corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
+    val n = c.count() // second action on the pinned blocks — cheap
+    val stripe = math.max(1L, n / (k + 1L))
+
+    def simsFor(pairs: DataFrame): DataFrame = pairs
+      .join(c.select(col("id").as("query_id"), col("vec").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(c.select(col("id").as("cand_id"), col("vec").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
+          .as("sim"))
+
+    def pairsIn(grouped: DataFrame): DataFrame = {
+      val l = grouped.select(col("__g"), col("id").as("query_id"))
+      val r = grouped.select(col("__g"), col("id").as("cand_id"))
+      l.join(r, "__g").filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id")
+    }
+    val initPairs = pairsIn(
+        c.select(pmod(col("id"), lit(stripe)).as("__g"), col("id")))
+      .unionByName(pairsIn(
+        c.select(signBucket(col("vec"), initBits).as("__g"), col("id"))))
+      .distinct()
+
+    def best(sims: DataFrame): DataFrame =
+      topKPerQuery(sims, k, idType).drop("rnk")
+
+    var cur = graft.Blocks.cut(best(simsFor(initPairs)))
+    var round = 0
+    var done = false
+    while (!done && round < iters) {
+      val rev = best(cur.select(col("cand_id").as("query_id"),
+        col("query_id").as("cand_id"), col("sim")))
+      val sym = cur.select(col("query_id").as("__m"), col("cand_id").as("__x"))
+        .unionByName(
+          rev.select(col("query_id").as("__m"), col("cand_id").as("__x")))
+        .distinct()
+      val cand = sym.select(col("__m"), col("__x").as("query_id"))
+        .join(sym.select(col("__m"), col("__x").as("cand_id")), "__m")
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id").distinct()
+        .join(cur.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+      val merged = cur.select("query_id", "cand_id", "sim")
+        .unionByName(simsFor(cand))
+      val flagged = best(merged).join(
+        cur.select(col("query_id"), col("cand_id"), lit(true).as("__old")),
+        Seq("query_id", "cand_id"), "left")
+      val (pinned, fresh) = graft.Blocks.cutCount(flagged, col("__old").isNull)
+      graft.Blocks.free(cur)
+      cur = pinned
+      done = fresh == 0
+      round += 1
+    }
+    graft.Blocks.free(c)
+    topKPerQuery(cur.select("query_id", "cand_id", "sim"), k, idType)
+  }
+
   /** Symmetric per-vector INT8 quantization — the embedding-at-rest
     * storage path: scale = max|v_i| / 127, codes = round(v_i / scale),
     * reconstruction v̂_i = code_i · scale with error ≤ scale/2 per

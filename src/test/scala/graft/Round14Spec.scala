@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Ids
+import org.apache.spark.sql.functions._
+
+/** Round-14 pins for the [[Ids.denseIds]] small-batch gate rework: the
+  * probe that decides the gate must be KEY-PRUNED (bytes-bounded on the
+  * driver, not just row-bounded), the local path must never ship payload
+  * columns to the driver (gid is broadcast-joined back by key), and both
+  * paths must stay bit-identical on wide frames.
+  */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("denseIds gate probe prunes to the key column at the scan") {
+    // parquet-backed so pruning is observable at the source
+    val probe = Ids.probeKeys(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id")
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("doc_id") && !scan.contains("text")
+        && !scan.contains("lang"),
+      s"probe must read only the key column: $scan")
+  }
+
+  test("denseIds wide-payload frame: local path == distributed, payload never collected") {
+    // ~40 KB payload per row: the pre-r14 full-row probe would ship
+    // ~20 MB for this 500-row frame; the key-pruned probe ships 500
+    // short strings regardless of payload width
+    val wide = "x" * 40000
+    val df = (1 to 500).map(i => (s"k${1000 - i}", wide + i)).toDF("k", "payload")
+    val fast = Ids.denseIds(df, "k", 8)
+      .select(col("k"), length(col("payload")).as("plen"), col("gid"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.ids.driver", "false")
+    val slow =
+      try Ids.denseIds(df, "k", 8)
+        .select(col("k"), length(col("payload")).as("plen"), col("gid"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      finally spark.conf.unset("spark.graft.ids.driver")
+    assert(fast == slow)
+    assert(fast.size == 500 && fast.map(_._3) == (1L to 500L).toSet)
+  }
+
+  test("denseIds key-only frame skips the join-back (extendIds path)") {
+    val keys = (1 to 300).map(i => s"k$i").toDF("k")
+    val ids = Ids.denseIds(keys, "k", 8)
+    assert(ids.columns.toSeq == Seq("k", "gid"))
+    val got = ids.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // dense 1..N in Spark string sort order: k1, k10, k100, ...
+    val expect = (1 to 300).map(i => s"k$i").sorted.zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(got == expect)
+    // no join in the key-only local path: single local-relation window
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"key-only path should not join:\n$plan")
+  }
+}
