@@ -1437,6 +1437,58 @@ object Queries {
       cand_id, sim FROM sims
     QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** E3 — corpus-wide approximate kNN GRAPH via NN-Descent (2 rounds,
+    * stripe + 6-bit-sign init) — the input to graph-ANN indexes and
+    * SemDeDup clustering. The algorithm is deterministic (rounded sims,
+    * id tie-breaks, fixed-point-safe early exit), so the oracle unrolls
+    * the same two rounds over a precomputed all-pairs sim table — exact
+    * in DuckDB at sf0.01, while the Spark side only ever scores
+    * O(N·k²) candidate pairs per round.
+    */
+  def e3_knn_graph(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.nnDescentGraph(e, k = 3, iters = 2, initBits = 6)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val bucket6Sql = (v: String) =>
+    s"list_sum(list_transform(range(6), i -> CASE WHEN $v.e[i+1] >= 0 THEN cast(power(2, i) as bigint) ELSE 0 END))"
+
+  val e3gSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    vn AS (SELECT vec_id, e,
+      sqrt(list_sum(list_transform(range(1, 65), i -> cast(e[i] as double) * cast(e[i] as double)))) AS nrm FROM v),
+    p AS (SELECT greatest(1, count(*) // 4) AS stripe FROM v),
+    allsims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        round($dotSql / (q.nrm * c.nrm), 6) AS sim
+      FROM vn q JOIN vn c ON q.vec_id <> c.vec_id),
+    ip AS (
+      SELECT a.vec_id AS q, b.vec_id AS c FROM v a JOIN v b
+        ON a.vec_id <> b.vec_id
+        AND a.vec_id % (SELECT stripe FROM p) = b.vec_id % (SELECT stripe FROM p)
+      UNION
+      SELECT a.vec_id, b.vec_id FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        AND ${bucket6Sql("a")} = ${bucket6Sql("b")}),
+    g0 AS (SELECT s.qid, s.cid, s.sim FROM allsims s JOIN ip ON s.qid = ip.q AND s.cid = ip.c
+      QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) <= 3),
+    rev1 AS (SELECT cid AS m, qid AS x FROM g0
+      QUALIFY row_number() OVER (PARTITION BY cid ORDER BY sim DESC, qid) <= 3),
+    sym1 AS (SELECT qid AS m, cid AS x FROM g0 UNION SELECT m, x FROM rev1),
+    cand1 AS (SELECT a.x AS q, b.x AS c FROM sym1 a JOIN sym1 b ON a.m = b.m AND a.x <> b.x
+      UNION SELECT qid, cid FROM g0),
+    g1 AS (SELECT s.qid, s.cid, s.sim FROM allsims s JOIN cand1 ON s.qid = cand1.q AND s.cid = cand1.c
+      QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) <= 3),
+    rev2 AS (SELECT cid AS m, qid AS x FROM g1
+      QUALIFY row_number() OVER (PARTITION BY cid ORDER BY sim DESC, qid) <= 3),
+    sym2 AS (SELECT qid AS m, cid AS x FROM g1 UNION SELECT m, x FROM rev2),
+    cand2 AS (SELECT a.x AS q, b.x AS c FROM sym2 a JOIN sym2 b ON a.m = b.m AND a.x <> b.x
+      UNION SELECT qid, cid FROM g1),
+    g2 AS (SELECT s.qid, s.cid, s.sim FROM allsims s JOIN cand2 ON s.qid = cand2.q AND s.cid = cand2.c
+      QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) <= 3)
+    SELECT qid AS query_id,
+      cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) as int) AS rnk,
+      cid AS cand_id, sim FROM g2 ORDER BY query_id, rnk"""
+
   /** E2 (embedding flavour) — near-dup pairs by cosine within LSH bucket. */
   def e2_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -12182,6 +12234,7 @@ object Queries {
     ("e6_gsets", e6_gsets _, e6gSql),
     ("e7_ranks", e7_ranks _, e7rSql),
     ("e3_knn_join", e3_knn_join _, e3kSql),
+    ("e3_knn_graph", e3_knn_graph _, e3gSql),
     ("e4_group_sample", e4_group_sample _, e4gsSql),
     ("llm_curate", llm_curate _, curateSql),
     ("e4_seq_pack", e4_seq_pack _, e4pkSql),

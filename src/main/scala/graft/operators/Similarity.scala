@@ -762,6 +762,19 @@ object Similarity {
     * whole afterwards; per-round frames are O(N·k), candidate frames
     * O(N·k²), all joins key-partitioned. Superseded rounds are freed
     * eagerly.
+    *
+    * Recall (measured, Round14Spec): 0.9964\@k=10 after 3 rounds on
+    * clustered vectors (40 centroids × 25, noise 0.35) — the regime
+    * kNN graphs are built for. On ISOTROPIC vectors (the synthetic
+    * sf0.01 embeddings: within-label avg cos 0.0016 vs 0.0003 cross)
+    * there is no "neighbor of a neighbor" signal for ANY sublinear
+    * method and recall plateaus ~0.69\@k=10 — k must grow toward
+    * all-pairs coverage to do better, which is the exact [[knnJoin]]
+    * trade, not a defect of this operator.
+    *
+    * ProbeScale (idle host, local[32], sf0.1 → sf1-equivalent):
+    * e3_knn_graph 3.08 → 5.35 s at 10× volume (1.74× vs the 10.0
+    * linear bar) — per-round O(N·k²) work under fixed round count.
     */
   def nnDescentGraph(corpus: DataFrame, k: Int, iters: Int = 3,
                      initBits: Int = 6, roundTo: Int = 6): DataFrame = {
@@ -796,9 +809,9 @@ object Similarity {
       topKPerQuery(sims, k, idType).drop("rnk")
 
     var cur = graft.Blocks.cut(best(simsFor(initPairs)))
-    var round = 0
+    var iter = 0
     var done = false
-    while (!done && round < iters) {
+    while (!done && iter < iters) {
       val rev = best(cur.select(col("cand_id").as("query_id"),
         col("query_id").as("cand_id"), col("sim")))
       val sym = cur.select(col("query_id").as("__m"), col("cand_id").as("__x"))
@@ -820,7 +833,7 @@ object Similarity {
       graft.Blocks.free(cur)
       cur = pinned
       done = fresh == 0
-      round += 1
+      iter += 1
     }
     graft.Blocks.free(c)
     topKPerQuery(cur.select("query_id", "cand_id", "sim"), k, idType)

@@ -76,6 +76,12 @@ import org.apache.spark.sql.functions._
   *   e2_sssp                  1.47 →  3.04 s (2.07×)  sparse frontier tracks
   *                                                      reached subgraph
   *
+  * Round-14 point (same protocol, idle host):
+  *
+  *   e3_knn_graph             3.08 →  5.35 s (1.74×)  NN-Descent, fixed
+  *                                                      2 rounds, O(N·k²)
+  *                                                      candidates/round
+  *
   * Conclusion: at sf0.1 the iterative tier is fixed-cost-dominated
   * (stage scheduling, checkpoints, codebook/index contracts); the
   * data-dominated path (j_salted) is plainly linear in shuffle volume.
@@ -171,7 +177,9 @@ object ProbeScale {
     ("etl_hierarchy_path_incr", graft.Queries.etl_hierarchy_path_incr _),
     ("e2_label_prop", graft.Queries.e2_label_prop _),
     ("e2_ppr", graft.Queries.e2_ppr _),
-    ("e2_sssp", graft.Queries.e2_sssp _))
+    ("e2_sssp", graft.Queries.e2_sssp _),
+    // round-14 addition: the NN-Descent kNN graph
+    ("e3_knn_graph", graft.Queries.e3_knn_graph _))
 
   /** The worst shuffle-heavy probes, re-run under MEMORY PRESSURE
     * (round-10 verdict item 7): `spark.memory.fraction` shrunk 0.6 → 0.05
@@ -254,7 +262,9 @@ object ProbeScale {
         println(s"[scale] building $dir (k=$k) ...")
         replicate(spark, srcDir, dir, k)
       }
-      probes.foreach { case (name, f) =>
+      val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").toSet)
+      probes.filter(p => only.forall(_(p._1))).foreach { case (name, f) =>
         val reps = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           val n = f(spark, dir).count()
@@ -270,7 +280,7 @@ object ProbeScale {
     val k0 = scales.head
     val kN = scales.last
     println(f"\n[scale] ===== curve (${kN}x vs ${k0}x; linear bar = ${kN.toDouble / k0}%.1f) =====")
-    probes.foreach { case (name, _) =>
+    probes.filter(p => results.contains((p._1, k0))).foreach { case (name, _) =>
       val a = results((name, k0)); val b = results((name, kN))
       val ratio = b / a
       val verdict =
