@@ -7353,6 +7353,99 @@ object Queries {
       AND op <> 'D'
     ORDER BY c_custkey"""
 
+  /** E11/streaming — cdcUpsert run as a REAL multi-micro-batch stream:
+    * a two-file file-source with `maxFilesPerTrigger=1` delivers two
+    * sequential commits through the snapshot swap, so batch 2's merge
+    * reads the table batch 1 wrote. The grade PROVES the split: commit
+    * 1's update carries seq=2 and commit 2's seq=1 — applied as one
+    * batch, CDC compaction would keep seq 2 (+100); applied as two
+    * commits, the later batch overwrites regardless of seq (+200). The
+    * oracle encodes the sequential result, so a stream that coalesced
+    * the files into one batch hash-mismatches. Commit 2 also
+    * re-inserts keys commit 1 deleted — state composition across the
+    * swap in both directions.
+    */
+  def e11_stream_cdc2(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val snapPath = s"/tmp/graft_cdc2_snapshot_$run"
+    val chDir = new java.io.File(s"/tmp/graft_cdc2_changes_$run")
+    val ckpt = s"/tmp/graft_cdc2_ckpt_$run"
+    chDir.mkdirs()
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    base.write.mode("overwrite").parquet(snapPath)
+    val commit1 = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100).as("c_acctbal"),
+        lit("U").as("op"), lit(2).as("seq"))
+      .unionByName(base.filter(col("c_custkey") % 10 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("D").as("op"), lit(1).as("seq")))
+    val commit2 = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 200).as("c_acctbal"),
+        lit("U").as("op"), lit(1).as("seq"))
+      .unionByName(base.filter(col("c_custkey") % 10 === 1)
+        .select(col("c_custkey"), col("c_name"),
+          lit(50.0).as("c_acctbal"), lit("U").as("op"), lit(1).as("seq")))
+      .unionByName(base.filter(col("c_custkey") % 10 === 3)
+        .select((col("c_custkey") + 20000000L).as("c_custkey"), col("c_name"),
+          lit(0.0).as("c_acctbal"), lit("U").as("op"), lit(1).as("seq")))
+    // one parquet FILE per commit, modification times enforcing source
+    // order (FileStreamSource takes oldest first under latestFirst=false)
+    val now = System.currentTimeMillis()
+    def writeCommit(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new java.io.File(chDir, s".tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(chDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(mtime)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      ()
+    }
+    val changesSchema = commit1.schema
+    writeCommit(commit1, "c1.parquet", now - 120000)
+    writeCommit(commit2, "c2.parquet", now - 60000)
+    val src = s.readStream.schema(changesSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chDir.toString)
+    val q = graft.streaming.StreamingOps.cdcUpsert(
+      src, snapPath, Seq("c_custkey"), "seq", checkpoint = ckpt)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(snapPath).orderBy("c_custkey")
+  }
+
+  val e11scdc2Sql = """WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer),
+    c1 AS (
+      SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal, 'U' AS op
+        FROM base WHERE c_custkey % 10 = 0
+      UNION ALL SELECT c_custkey, c_name, c_acctbal, 'D'
+        FROM base WHERE c_custkey % 10 = 1),
+    tagged1 AS (
+      SELECT c_custkey, c_name, c_acctbal, 'U' AS op, 0 AS src FROM base
+      UNION ALL SELECT c_custkey, c_name, c_acctbal, op, 1 FROM c1),
+    s1 AS (
+      SELECT c_custkey, c_name, c_acctbal FROM tagged1
+      QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY src DESC) = 1
+        AND op <> 'D'),
+    c2 AS (
+      SELECT c_custkey, c_name, c_acctbal + 200 AS c_acctbal, 'U' AS op
+        FROM base WHERE c_custkey % 10 = 0
+      UNION ALL SELECT c_custkey, c_name, 50.0, 'U'
+        FROM base WHERE c_custkey % 10 = 1
+      UNION ALL SELECT c_custkey + 20000000, c_name, 0.0, 'U'
+        FROM base WHERE c_custkey % 10 = 3),
+    tagged2 AS (
+      SELECT c_custkey, c_name, c_acctbal, 'U' AS op, 0 AS src FROM s1
+      UNION ALL SELECT c_custkey, c_name, c_acctbal, op, 1 FROM c2)
+    SELECT c_custkey, c_name, c_acctbal FROM tagged2
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY src DESC) = 1
+      AND op <> 'D'
+    ORDER BY c_custkey"""
+
   /** E11/streaming — the STREAMING backward as-of join
     * (`StreamingOps.asOfBackward`, flatMapGroupsWithState), oracle-graded
     * in batch mode against DuckDB's native ASOF LEFT JOIN: per key each
@@ -12347,6 +12440,7 @@ object Queries {
     ("e11_stream_dedup", e11_stream_dedup _, e11sdedupSql),
     ("e11_stream_sessions", e11_stream_sessions _, e11ssessSql),
     ("e11_stream_cdc", e11_stream_cdc _, e11scdcSql),
+    ("e11_stream_cdc2", e11_stream_cdc2 _, e11scdc2Sql),
     ("e11_stream_asof", e11_stream_asof _, e11sasofSql),
     ("e11_stream_interval", e11_stream_interval _, e11sintSql),
     ("e11_stream_enrich", e11_stream_enrich _, e11senrSql),
