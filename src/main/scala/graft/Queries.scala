@@ -2210,6 +2210,68 @@ object Queries {
         AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01')
     GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** SQL surface — TPC-DS Q67 shape (top stores per category over a
+    * rollup): the ROLLUP-then-WINDOW composition the H set doesn't
+    * cover — aggregate over GROUP BY ROLLUP, then rank() WITHIN a
+    * rollup column's partition, filter to the top 100. The window's
+    * input is the AGGREGATED frame (grouping-set cardinality, not data
+    * size), so the rank never funnels the fact table through one task
+    * — TpchPlanSpec pins Expand → partial/final agg → window ordering.
+    * NULL placement is pinned explicitly (NULLS FIRST) because the
+    * engines' defaults differ, and rollup NULLs land in both the rank
+    * partition and the tie-break columns. Verbatim SQL, both engines
+    * (TPC-DS Q67 ranks sumsales within i_category over
+    * ROLLUP(category, class, brand, product, year, qoy, moy, store)).
+    */
+  def sql_tpcds_q67(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlDsQ67)
+  }
+
+  val sqlDsQ67 = """SELECT rf, ls, pri, yr, sum_qty, rk FROM (
+      SELECT rf, ls, pri, yr, sum_qty,
+        cast(rank() OVER (PARTITION BY rf
+          ORDER BY sum_qty DESC, ls ASC NULLS FIRST, pri ASC NULLS FIRST, yr ASC NULLS FIRST) as int) AS rk
+      FROM (
+        SELECT l_returnflag AS rf, l_linestatus AS ls, o_orderpriority AS pri, yr,
+          cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+        FROM (SELECT l_returnflag, l_linestatus, o_orderpriority,
+                cast(extract(year FROM cast(o_orderdate as date)) as int) AS yr, l_quantity
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey) j
+        GROUP BY ROLLUP(l_returnflag, l_linestatus, o_orderpriority, yr)
+      ) agg
+    ) ranked
+    WHERE rk <= 100
+    ORDER BY rf ASC NULLS FIRST, rk, ls ASC NULLS FIRST, pri ASC NULLS FIRST, yr ASC NULLS FIRST"""
+
+  /** SQL surface — TPC-DS Q88 shape (hour-band census): eight scalar
+    * COUNT subqueries over the same fact with disjoint time-band
+    * predicates, cross-joined into one row — the multi-scan union shape
+    * BI dashboards emit (Q88 counts store_sales per half-hour band ×
+    * demographics). Each subquery prunes to (ts, event_type) with the
+    * type filter pushed to the scan, and the eight single-row results
+    * compose via broadcast nested-loop joins of literal rows — the
+    * multi-scan cost is 8× scan, zero shuffle (TpchPlanSpec pins it).
+    * At 100 TB one would rewrite to a single-pass conditional
+    * aggregation (the e6 tier grades that form); this query grades the
+    * verbatim BI shape itself. Identical SQL through both engines.
+    */
+  def sql_tpcds_q88(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(sqlDsQ88)
+  }
+
+  val sqlDsQ88 = """SELECT * FROM
+    (SELECT count(*) AS h0_3 FROM events WHERE extract(hour FROM ts) >= 0 AND extract(hour FROM ts) < 3 AND event_type IN ('click', 'view')) s1,
+    (SELECT count(*) AS h3_6 FROM events WHERE extract(hour FROM ts) >= 3 AND extract(hour FROM ts) < 6 AND event_type IN ('click', 'view')) s2,
+    (SELECT count(*) AS h6_9 FROM events WHERE extract(hour FROM ts) >= 6 AND extract(hour FROM ts) < 9 AND event_type IN ('click', 'view')) s3,
+    (SELECT count(*) AS h9_12 FROM events WHERE extract(hour FROM ts) >= 9 AND extract(hour FROM ts) < 12 AND event_type IN ('click', 'view')) s4,
+    (SELECT count(*) AS h12_15 FROM events WHERE extract(hour FROM ts) >= 12 AND extract(hour FROM ts) < 15 AND event_type IN ('click', 'view')) s5,
+    (SELECT count(*) AS h15_18 FROM events WHERE extract(hour FROM ts) >= 15 AND extract(hour FROM ts) < 18 AND event_type IN ('click', 'view')) s6,
+    (SELECT count(*) AS h18_21 FROM events WHERE extract(hour FROM ts) >= 18 AND extract(hour FROM ts) < 21 AND event_type IN ('click', 'view')) s7,
+    (SELECT count(*) AS h21_24 FROM events WHERE extract(hour FROM ts) >= 21 AND extract(hour FROM ts) < 24 AND event_type IN ('click', 'view')) s8"""
+
   /** SQL surface — TPC-H Q17 shape (small-quantity-order revenue): the
     * CORRELATED SCALAR subquery tier — per outer row, compare against an
     * aggregate over the same table correlated on the outer's partkey.
@@ -12272,6 +12334,8 @@ object Queries {
     ("sql_tpch_q14", sql_tpch_q14 _, sqlQ14),
     ("sql_tpch_q19", sql_tpch_q19 _, sqlQ19),
     ("sql_tpch_q22", sql_tpch_q22 _, sqlQ22),
+    ("sql_tpcds_q67", sql_tpcds_q67 _, sqlDsQ67),
+    ("sql_tpcds_q88", sql_tpcds_q88 _, sqlDsQ88),
     ("sql_tpch_q17", sql_tpch_q17 _, sqlQ17),
     ("sql_tpch_q20", sql_tpch_q20 _, sqlQ20),
     ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),

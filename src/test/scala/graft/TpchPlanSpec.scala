@@ -92,4 +92,37 @@ class TpchPlanSpec extends SparkSpec {
     assert(p.contains("max(total_revenue"), "the max aggregate must exist")
     assert(!p.contains("CartesianProduct"), s"max gate must not cross-join:\n$p")
   }
+
+  test("DS-Q67: rollup expands once, rank's top-100 limit pushes below the shuffle") {
+    val p = executed("sql_tpcds_q67")
+    assert(p.contains("Expand"), "ROLLUP must plan as one Expand, not a UNION of scans")
+    assert(p.contains("partial_sum"), "the rollup aggregate must combine map-side")
+    // the rank<=100 filter must become a WindowGroupLimit applied BOTH
+    // partially (map side, before the rf shuffle) and finally — the
+    // window never sees more than ~100 rows per partition per task
+    assert(p.contains("WindowGroupLimit") && p.contains("100, Partial"),
+      s"rank limit not pushed below the shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "orders side should broadcast")
+    val scan = p.linesIterator.filter(_.contains("lineitem.parquet"))
+      .mkString
+    assert(scan.contains("l_quantity") && !scan.contains("l_extendedprice"),
+      s"lineitem scan should prune to the 4 used columns: $scan")
+  }
+
+  test("DS-Q88: each band scan prunes and pushes its type filter; bands compose broadcast") {
+    // the adaptive toString repeats the plan (Final + Initial) — count
+    // within the finalized section only
+    val p = executed("sql_tpcds_q88").split("== Initial Plan ==").head
+    val scans = p.linesIterator.filter(_.contains("events.parquet")).toSeq
+    assert(scans.size == 8, s"expected 8 band scans, got ${scans.size}")
+    assert(scans.forall(_.contains("In(event_type")),
+      "the type filter must push into every scan")
+    assert(scans.forall(s => s.contains("ReadSchema: struct<ts:")
+        && !s.contains("props")),
+      "every scan must prune to (ts, event_type)")
+    // eight single-row results compose via broadcast nested-loop joins —
+    // never a shuffled join of scalar frames
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 7,
+      s"expected 7 scalar-row joins:\n$p")
+  }
 }
