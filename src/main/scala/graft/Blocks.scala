@@ -44,6 +44,13 @@ object Blocks {
     * Superseded rounds' checkpoint FILES are reclaimed eagerly by
     * [[free]] (see there) — no reliance on the non-default
     * `spark.cleaner.referenceTracking.cleanCheckpoints` setting.
+    *
+    * Measured cost of the reliable posture (ProbeCkpt, idle host,
+    * local[32], sf0.1): `e2_pagerank` (6 rounds through this cut)
+    * 2.13 s local → 2.71 s reliable, 1.27× — i.e. ~0.1 s/round of
+    * persist+file-write+reclaim buys a loop that survives executor
+    * loss; at 100 TB the same trade is what keeps a 30-round job
+    * restartable instead of recomputing from round 0.
     */
   def cut[T](ds: Dataset[T]): Dataset[T] = {
     val sc = ds.sparkSession.sparkContext

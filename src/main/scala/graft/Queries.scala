@@ -229,8 +229,8 @@ object Queries {
   private val starCteSql: String = {
     val brNum = (c: String) =>
       s"coalesce(try_cast(replace(replace(s.$c, '.', ''), ',', '.') as double), 0.0)"
-    """WITH raw AS (
-      SELECT * FROM read_csv('/tmp/graft_star_e2e/in_utf8.csv',
+    s"""WITH raw AS (
+      SELECT * FROM read_csv('${graft.star.AneelFixture.pathUtf8}',
         delim=';', header=true, all_varchar=true)),
     src AS (
       SELECT nullif(trim(SigTipoGeracao), '') AS SigTipoGeracao,
@@ -263,7 +263,7 @@ object Queries {
         DscPropriRegimePariticipacao NULLS FIRST) = 1),
     fact AS (
       SELECT s.*,
-        CASE WHEN regexp_matches(substr(s.DatEntradaOperacao, 1, 10), '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+        CASE WHEN regexp_matches(substr(s.DatEntradaOperacao, 1, 10), '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$')
           THEN coalesce(cast(strftime(try_cast(substr(s.DatEntradaOperacao, 1, 10) as date), '%Y%m%d') as int), 0)
           ELSE 0 END AS FK_DataOperacao,
         """ + brNum("MdaPotenciaOutorgadaKw") + """ AS v1,
@@ -1455,7 +1455,11 @@ object Queries {
   private val bucket6Sql = (v: String) =>
     s"list_sum(list_transform(range(6), i -> CASE WHEN $v.e[i+1] >= 0 THEN cast(power(2, i) as bigint) ELSE 0 END))"
 
-  val e3gSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+  /** Shared CTE chain for the two-round NN-Descent oracle — the full
+    * graph build up to `g2`; [[e3gSql]] ranks it, [[e3sgSql]] clusters
+    * it.
+    */
+  private val knnGraphCtes = s"""v AS (SELECT vec_id, embedding AS e FROM embeddings),
     vn AS (SELECT vec_id, e,
       sqrt(list_sum(list_transform(range(1, 65), i -> cast(e[i] as double) * cast(e[i] as double)))) AS nrm FROM v),
     p AS (SELECT greatest(1, count(*) // 4) AS stripe FROM v),
@@ -1484,10 +1488,53 @@ object Queries {
     cand2 AS (SELECT a.x AS q, b.x AS c FROM sym2 a JOIN sym2 b ON a.m = b.m AND a.x <> b.x
       UNION SELECT qid, cid FROM g1),
     g2 AS (SELECT s.qid, s.cid, s.sim FROM allsims s JOIN cand2 ON s.qid = cand2.q AND s.cid = cand2.c
-      QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) <= 3)
+      QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) <= 3)"""
+
+  val e3gSql = s"""WITH $knnGraphCtes
     SELECT qid AS query_id,
       cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) as int) AS rnk,
       cid AS cand_id, sim FROM g2 ORDER BY query_id, rnk"""
+
+  /** E3 — SemDeDup-style semantic clustering: threshold the NN-Descent
+    * kNN graph's edges and take connected components (duplicates are
+    * transitive; cluster = min vec_id, singletons map to themselves) —
+    * the new graph operator feeding the engine's own CC tier, the
+    * composition a semantic-dedup pass at 100 TB actually runs (build
+    * the kNN graph once, cluster above a similarity bar, keep one
+    * representative per cluster). Oracle: the shared two-round graph
+    * CTEs + recursive min-label reachability.
+    */
+  def e3_semdedup_graph(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = Similarity.nnDescentGraph(e, k = 3, iters = 2, initBits = 6)
+    val pairs = g.filter(col("sim") >= 0.2)
+      .select(least(col("query_id"), col("cand_id")).as("id1"),
+        greatest(col("query_id"), col("cand_id")).as("id2"))
+      .distinct()
+    Components.minLabel(pairs, "id1", "id2",
+        e.select(col("id").as("vec_id")), "vec_id")
+      .select(col("id").as("vec_id"), col("comp").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  // The graph CTEs are NESTED in a subquery with their own WITH scope:
+  // putting them directly under WITH RECURSIVE silently changes DuckDB's
+  // evaluation of the QUALIFY-windowed chain (g2 came back with 304
+  // thresholded pairs instead of 349 — verified against a union-find
+  // ground truth; the nested form matches it exactly).
+  val e3sgSql = s"""WITH RECURSIVE
+    prs AS (SELECT least(qid, cid) AS id1, greatest(qid, cid) AS id2
+      FROM (WITH $knnGraphCtes SELECT qid, cid, sim FROM g2) gx
+      WHERE sim >= 0.2 GROUP BY 1, 2),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL SELECT id2, id1 FROM prs),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS vec_id, min(lbl) AS cluster FROM reach
+    GROUP BY id ORDER BY vec_id"""
 
   /** E2 (embedding flavour) — near-dup pairs by cosine within LSH bucket. */
   def e2_embed_neardup(s: SparkSession, dir: String): DataFrame = {
@@ -12392,6 +12439,7 @@ object Queries {
     ("e7_ranks", e7_ranks _, e7rSql),
     ("e3_knn_join", e3_knn_join _, e3kSql),
     ("e3_knn_graph", e3_knn_graph _, e3gSql),
+    ("e3_semdedup_graph", e3_semdedup_graph _, e3sgSql),
     ("e4_group_sample", e4_group_sample _, e4gsSql),
     ("llm_curate", llm_curate _, curateSql),
     ("e4_seq_pack", e4_seq_pack _, e4pkSql),

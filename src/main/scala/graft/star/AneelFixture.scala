@@ -22,7 +22,16 @@ import java.nio.file.{Files, Paths}
   * input for both engines.
   */
 object AneelFixture {
-  val path = "/tmp/graft_star_e2e/in.csv"
+  /** Per-JVM-unique dir: two concurrent harnesses (a driver Verify next
+    * to an sbt test run) must not race on the fixture file — same UUID
+    * treatment as the graded queries' /tmp outputs. The oracle SQL
+    * interpolates [[pathUtf8]] at dump time from the same JVM, so the
+    * DuckDB side always reads the path this run wrote.
+    */
+  private val dir =
+    "/tmp/graft_star_e2e_" + java.util.UUID.randomUUID().toString.take(8)
+
+  val path = s"$dir/in.csv"
 
   /** UTF-8 transcoding of the SAME logical content, for the DuckDB oracle
     * (its read_csv grew an `encoding` option only after 1.0). Reading the
@@ -30,7 +39,7 @@ object AneelFixture {
     * hash-comparing the results is a STRONGER encoding check than sharing
     * bytes: a misdecoded accent on either side breaks the match.
     */
-  val pathUtf8 = "/tmp/graft_star_e2e/in_utf8.csv"
+  val pathUtf8 = s"$dir/in_utf8.csv"
 
   private val header =
     "SigTipoGeracao;DscOrigemCombustivel;DscFonteCombustivel;DscFaseUsina;" +

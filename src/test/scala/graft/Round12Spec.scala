@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * loop (forced via spark.graft.extend.driver=false) — multi-level
   * new-on-new chains, settled attach points, brand-new roots, path
   * strings, old rows verbatim.
+  *
+  * Scope: the equivalence holds for ACYCLIC batches — the operator's
+  * contract. On contract-violating (cyclic) input the driver path's
+  * memoized pointer-chase and the distributed loop's bounded doubling
+  * break the cycle at different members, so "identical" is pinned only
+  * where the contract holds.
   */
 class Round12Spec extends SparkSpec {
   import spark.implicits._
