@@ -1512,7 +1512,11 @@ object Queries {
       .select(least(col("query_id"), col("cand_id")).as("id1"),
         greatest(col("query_id"), col("cand_id")).as("id2"))
       .distinct()
-    Components.minLabel(pairs, "id1", "id2",
+    // adaptive CC: the thresholded kNN edge set is ≤k·N and usually tiny
+    // after the similarity bar — the ≤2^17-edge gate solves it in one
+    // driver union-find; a corpus-sized edge set falls back to the
+    // distributed min-label loop with identical output
+    Components.minLabelAdaptive(pairs, "id1", "id2",
         e.select(col("id").as("vec_id")), "vec_id")
       .select(col("id").as("vec_id"), col("comp").as("cluster"))
       .orderBy("vec_id")
