@@ -1466,13 +1466,15 @@ object Queries {
     allsims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
         round($dotSql / (q.nrm * c.nrm), 6) AS sim
       FROM vn q JOIN vn c ON q.vec_id <> c.vec_id),
+    bk AS (SELECT vec_id, ${bucket6Sql("vv")} AS bkt FROM v vv),
+    rk AS (SELECT vec_id, bkt, row_number() OVER (ORDER BY bkt, vec_id) AS r FROM bk),
     ip AS (
       SELECT a.vec_id AS q, b.vec_id AS c FROM v a JOIN v b
         ON a.vec_id <> b.vec_id
         AND a.vec_id % (SELECT stripe FROM p) = b.vec_id % (SELECT stripe FROM p)
       UNION
-      SELECT a.vec_id, b.vec_id FROM v a JOIN v b ON a.vec_id <> b.vec_id
-        AND ${bucket6Sql("a")} = ${bucket6Sql("b")}),
+      SELECT a.vec_id, b.vec_id FROM rk a JOIN rk b
+        ON a.bkt = b.bkt AND a.vec_id <> b.vec_id AND abs(a.r - b.r) <= 2),
     g0 AS (SELECT s.qid, s.cid, s.sim FROM allsims s JOIN ip ON s.qid = ip.q AND s.cid = ip.c
       QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) <= 3),
     rev1 AS (SELECT cid AS m, qid AS x FROM g0

@@ -749,13 +749,27 @@ object Similarity {
     *      cannot change the result, which keeps the fixed-`iters`
     *      unrolled SQL oracle exact.
     *
-    * Init is deterministic and oracle-expressible: id-residue stripes
-    * (`id mod max(1, N/(k+1))` — ~k+1 vertices per stripe, the "random"
-    * diversification leg; assumes dense-ish ids — sparse-id callers
-    * should pre-assign [[graft.operators.Ids.denseIds]]) unioned with
-    * sign-bit LSH buckets (`initBits`, the locality leg). Ranking ties
-    * broken on (rounded sim desc, cand_id asc) everywhere, so the
-    * result is engine-independent and hash-gradeable.
+    * Init is deterministic, oracle-expressible, and SKEW-BOUNDED, with
+    * two legs:
+    *
+    *   - diversification: id-residue stripes `id mod max(1, N/(k+1))`
+    *     — every group is ~k+1 vertices BY CONSTRUCTION (dense-ish ids
+    *     assumed; sparse-id callers should pre-assign
+    *     [[graft.operators.Ids.denseIds]]);
+    *   - locality: a ±⌈k/2⌉ RING in global (sign-bucket, id) rank
+    *     order, kept only where both ends share the bucket. Same-orthant
+    *     vectors seed each other (this leg is what makes clustered data
+    *     converge in 2-3 rounds — measured 0.33 vs 0.99 recall at round
+    *     3 without it), but unlike the naive all-pairs-within-bucket
+    *     join it stays LINEAR under any bucket skew: one-orthant data
+    *     (post-ReLU embeddings — the whole corpus in one sign bucket)
+    *     yields N·2⌈k/2⌉ ring pairs, not N². The rank comes from
+    *     [[graft.operators.Ids.globalRank]], so no single-partition
+    *     window either.
+    *
+    * Ranking ties broken on (rounded sim desc, cand_id asc)
+    * everywhere, so the result is engine-independent and
+    * hash-gradeable.
     *
     * Scale: the corpus (id, vec, norm) is pinned once ([[graft.Blocks.cut]]
     * — reliable checkpoint in cluster posture) and never shuffles as a
@@ -763,18 +777,20 @@ object Similarity {
     * O(N·k²), all joins key-partitioned. Superseded rounds are freed
     * eagerly.
     *
-    * Recall (measured, Round14Spec): 0.9964\@k=10 after 3 rounds on
+    * Recall (measured, Round14Spec): 0.9877\@k=10 after 3 rounds on
     * clustered vectors (40 centroids × 25, noise 0.35) — the regime
     * kNN graphs are built for. On ISOTROPIC vectors (the synthetic
     * sf0.01 embeddings: within-label avg cos 0.0016 vs 0.0003 cross)
     * there is no "neighbor of a neighbor" signal for ANY sublinear
-    * method and recall plateaus ~0.69\@k=10 — k must grow toward
+    * method and recall plateaus ~0.68\@k=10 — k must grow toward
     * all-pairs coverage to do better, which is the exact [[knnJoin]]
     * trade, not a defect of this operator.
     *
     * ProbeScale (idle host, local[32], sf0.1 → sf1-equivalent):
-    * e3_knn_graph 3.08 → 5.35 s at 10× volume (1.74× vs the 10.0
-    * linear bar) — per-round O(N·k²) work under fixed round count.
+    * e3_knn_graph 3.71 → 5.60 s at 10× volume (1.51× vs the 10.0
+    * linear bar) — per-round O(N·k²) work under fixed round count
+    * (both points ride the small-corpus rank gate; past 2^17 vectors
+    * the init's rank switches to the distributed globalRank).
     */
   def nnDescentGraph(corpus: DataFrame, k: Int, iters: Int = 3,
                      initBits: Int = 6, roundTo: Int = 6): DataFrame = {
@@ -799,10 +815,29 @@ object Similarity {
       l.join(r, "__g").filter(col("query_id") =!= col("cand_id"))
         .select("query_id", "cand_id")
     }
+    val h = math.max(1, (k + 1) / 2)
+    val bs = c.select(signBucket(col("vec"), initBits).as("__g"), col("id"))
+    // small corpora skip globalRank's sample/bucket machinery (its ~3 s
+    // fixed cost dwarfs a <=2^17-row frame): one bounded single-partition
+    // window computes the identical rank — the Ids.denseIds gate
+    // discipline, decided from the already-known pinned count
+    val ranked =
+      if (n <= Ids.SmallBatchKeys)
+        bs.withColumn("__rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__g").asc, col("id").asc)).cast("long"))
+      else Ids.globalRank(bs, col("__g"), asc = true, col("id"))
+    val ring = ranked.select(col("__g"), col("id").as("query_id"),
+        explode(sequence(col("__rank") - h, col("__rank") + h)).as("__r2"),
+        col("__rank"))
+      .filter(col("__r2") =!= col("__rank")).drop("__rank")
+      .join(ranked.select(col("__g").as("__g2"), col("id").as("cand_id"),
+        col("__rank").as("__r2")), Seq("__r2"))
+      .filter(col("__g") === col("__g2"))
+      .select("query_id", "cand_id")
     val initPairs = pairsIn(
         c.select(pmod(col("id"), lit(stripe)).as("__g"), col("id")))
-      .unionByName(pairsIn(
-        c.select(signBucket(col("vec"), initBits).as("__g"), col("id"))))
+      .unionByName(ring)
       .distinct()
 
     def best(sims: DataFrame): DataFrame =

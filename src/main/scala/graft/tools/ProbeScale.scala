@@ -78,8 +78,9 @@ import org.apache.spark.sql.functions._
   *
   * Round-14 point (same protocol, idle host):
   *
-  *   e3_knn_graph             3.08 →  5.35 s (1.74×)  NN-Descent, fixed
-  *                                                      2 rounds, O(N·k²)
+  *   e3_knn_graph             3.71 →  5.60 s (1.51×)  NN-Descent (ring
+  *                                                      init), fixed 2
+  *                                                      rounds, O(N·k²)
   *                                                      candidates/round
   *
   * Conclusion: at sf0.1 the iterative tier is fixed-cost-dominated

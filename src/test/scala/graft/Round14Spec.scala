@@ -69,7 +69,7 @@ class Round14Spec extends SparkSpec {
     val exact = graphEdges(operators.Similarity.bruteForceTopK(cl, cl, 10))
     val approx = graphEdges(operators.Similarity.nnDescentGraph(cl, 10, iters = 3))
     val recall = (approx & exact).size.toDouble / exact.size
-    info(f"clustered recall@10 after 3 rounds: $recall%.4f") // measured 0.9964
+    info(f"clustered recall@10 after 3 rounds: $recall%.4f") // measured 0.9877
     assert(recall >= 0.9, f"NN-Descent recall $recall%.4f below 0.9")
   }
 
@@ -79,8 +79,22 @@ class Round14Spec extends SparkSpec {
     val exact = graphEdges(operators.Similarity.bruteForceTopK(e, e, 10))
     val approx = graphEdges(operators.Similarity.nnDescentGraph(e, 10, iters = 5))
     val recall = (approx & exact).size.toDouble / exact.size
-    info(f"isotropic recall@10 after 5 rounds: $recall%.4f") // measured 0.6902
+    info(f"isotropic recall@10 after 5 rounds: $recall%.4f") // measured 0.6838
     assert(recall >= 0.6, f"isotropic floor regressed: $recall%.4f")
+  }
+
+  test("nnDescentGraph one-orthant corpus: ring init stays linear, graph complete") {
+    // all-positive vectors put the ENTIRE corpus in one sign bucket —
+    // the skew case where an all-pairs-within-bucket init would build
+    // N^2/2 pairs; the ring init builds N*2*ceil(k/2) and the operator
+    // must complete with <= k neighbors per vertex
+    val rnd = new scala.util.Random(7)
+    val pos = (0 until 1000).map { i =>
+      (i.toLong, Array.fill(64)(math.abs(rnd.nextGaussian()).toFloat))
+    }.toDF("id", "vec")
+    val g = operators.Similarity.nnDescentGraph(pos, k = 5, iters = 2)
+      .groupBy("query_id").count().collect()
+    assert(g.length == 1000 && g.forall(_.getLong(1) <= 5))
   }
 
   test("denseIds key-only frame skips the join-back (extendIds path)") {
