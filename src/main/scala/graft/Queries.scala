@@ -1529,6 +1529,46 @@ object Queries {
   // evaluation of the QUALIFY-windowed chain (g2 came back with 304
   // thresholded pairs instead of 349 — verified against a union-find
   // ground truth; the nested form matches it exactly).
+  /** E3 — graph-ANN QUERY path: greedy beam search over the NN-Descent
+    * graph (build `e3_knn_graph`, search here — together the two sides
+    * of a graph index). Two unrolled hops, beam 4, entry = the 4
+    * smallest corpus ids; visited-set semantics fall out of UNION dedup
+    * in the oracle (sim is functional on the pair), and the fixed-point
+    * early exit keeps the unroll exact.
+    */
+  def e3_graph_search(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = Similarity.nnDescentGraph(e, k = 3, iters = 2, initBits = 6)
+    Similarity.graphSearchTopK(g, e, e.filter(col("id") < 8),
+        k = 3, beam = 4, hops = 2, entries = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3gsSql = s"""WITH $knnGraphCtes,
+    adj AS (SELECT qid AS s, cid AS d FROM g2 UNION SELECT cid, qid FROM g2),
+    qs AS (SELECT q.vec_id AS qid, c.vec_id AS node,
+        round($dotSql / (q.nrm * c.nrm), 6) AS sim
+      FROM vn q JOIN vn c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+    v0 AS (SELECT qid, node, sim FROM qs
+      WHERE node IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)),
+    f0 AS (SELECT qid, node FROM v0
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 4),
+    c1 AS (SELECT DISTINCT f0.qid, adj.d AS node FROM f0 JOIN adj ON f0.node = adj.s
+      WHERE adj.d <> f0.qid),
+    v1 AS (SELECT qid, node, sim FROM v0
+      UNION SELECT qs.qid, qs.node, qs.sim FROM qs JOIN c1 ON qs.qid = c1.qid AND qs.node = c1.node),
+    f1 AS (SELECT qid, node FROM v1
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 4),
+    c2 AS (SELECT DISTINCT f1.qid, adj.d AS node FROM f1 JOIN adj ON f1.node = adj.s
+      WHERE adj.d <> f1.qid),
+    v2 AS (SELECT qid, node, sim FROM v1
+      UNION SELECT qs.qid, qs.node, qs.sim FROM qs JOIN c2 ON qs.qid = c2.qid AND qs.node = c2.node)
+    SELECT qid AS query_id,
+      cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) as int) AS rnk,
+      node AS cand_id, sim FROM v2
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
   val e3sgSql = s"""WITH RECURSIVE
     prs AS (SELECT least(qid, cid) AS id1, greatest(qid, cid) AS id2
       FROM (WITH $knnGraphCtes SELECT qid, cid, sim FROM g2) gx
@@ -2324,6 +2364,44 @@ object Queries {
     (SELECT count(*) AS h15_18 FROM events WHERE extract(hour FROM ts) >= 15 AND extract(hour FROM ts) < 18 AND event_type IN ('click', 'view')) s6,
     (SELECT count(*) AS h18_21 FROM events WHERE extract(hour FROM ts) >= 18 AND extract(hour FROM ts) < 21 AND event_type IN ('click', 'view')) s7,
     (SELECT count(*) AS h21_24 FROM events WHERE extract(hour FROM ts) >= 21 AND extract(hour FROM ts) < 24 AND event_type IN ('click', 'view')) s8"""
+
+  /** SQL surface — TPC-DS Q51 shape (channel-cumulative crossover): two
+    * per-channel daily aggregates, each with a nested
+    * `sum(sum(...)) OVER` running total, FULL OUTER joined on
+    * (entity, day), gap-filled by a running MAX over the sparse
+    * cumulative columns, then filtered where one channel's cumulative
+    * overtakes the other — the H set has full outer joins and windows
+    * separately, not this window-over-join-of-windows composition.
+    * Sums ride decimal(18,2) so the cumulative comparison is exact in
+    * both engines (double accumulation order would diverge); cast to
+    * double only at the output edge. Verbatim SQL through both engines.
+    */
+  def sql_tpcds_q51(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(sqlDsQ51)
+  }
+
+  val sqlDsQ51 = """WITH clicks AS (
+      SELECT user_id, cast(ts as date) AS d,
+        sum(sum(cast(value as decimal(18,2)))) OVER (PARTITION BY user_id ORDER BY cast(ts as date)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+      FROM events WHERE event_type = 'click' GROUP BY user_id, cast(ts as date)),
+    purch AS (
+      SELECT user_id, cast(ts as date) AS d,
+        sum(sum(cast(value as decimal(18,2)))) OVER (PARTITION BY user_id ORDER BY cast(ts as date)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, cast(ts as date)),
+    x AS (SELECT coalesce(c.user_id, p.user_id) AS user_id, coalesce(c.d, p.d) AS d,
+        c.cume AS click_cume, p.cume AS purch_cume
+      FROM clicks c FULL OUTER JOIN purch p ON c.user_id = p.user_id AND c.d = p.d),
+    y AS (SELECT user_id, d,
+        max(click_cume) OVER (PARTITION BY user_id ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_c,
+        max(purch_cume) OVER (PARTITION BY user_id ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purch_c
+      FROM x)
+    SELECT user_id, d, cast(click_c as double) AS click_cumulative,
+      cast(purch_c as double) AS purchase_cumulative
+    FROM y WHERE click_c > purch_c
+    ORDER BY user_id, d LIMIT 100"""
 
   /** SQL surface — TPC-H Q17 shape (small-quantity-order revenue): the
     * CORRELATED SCALAR subquery tier — per outer row, compare against an
@@ -12389,6 +12467,7 @@ object Queries {
     ("sql_tpch_q22", sql_tpch_q22 _, sqlQ22),
     ("sql_tpcds_q67", sql_tpcds_q67 _, sqlDsQ67),
     ("sql_tpcds_q88", sql_tpcds_q88 _, sqlDsQ88),
+    ("sql_tpcds_q51", sql_tpcds_q51 _, sqlDsQ51),
     ("sql_tpch_q17", sql_tpch_q17 _, sqlQ17),
     ("sql_tpch_q20", sql_tpch_q20 _, sqlQ20),
     ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),
@@ -12446,6 +12525,7 @@ object Queries {
     ("e3_knn_join", e3_knn_join _, e3kSql),
     ("e3_knn_graph", e3_knn_graph _, e3gSql),
     ("e3_semdedup_graph", e3_semdedup_graph _, e3sgSql),
+    ("e3_graph_search", e3_graph_search _, e3gsSql),
     ("e4_group_sample", e4_group_sample _, e4gsSql),
     ("llm_curate", llm_curate _, curateSql),
     ("e4_seq_pack", e4_seq_pack _, e4pkSql),

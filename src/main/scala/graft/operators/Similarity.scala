@@ -874,6 +874,101 @@ object Similarity {
     topKPerQuery(cur.select("query_id", "cand_id", "sim"), k, idType)
   }
 
+  /** E3 — greedy BEAM SEARCH over a prebuilt kNN graph (the query path
+    * of a graph-ANN index; [[nnDescentGraph]] is the build path): start
+    * every query at a fixed set of entry points, repeatedly expand the
+    * current beam's graph neighbours, score only NEVER-SCORED nodes
+    * (anti-join on the visited set), keep the `beam` best per query,
+    * stop at `hops` or at a fixed point (a hop that scores no new node
+    * leaves the beam unchanged, so early exit cannot change the result
+    * — the same argument that keeps [[nnDescentGraph]]'s unrolled
+    * oracle exact). Final answer = top-k of everything scored.
+    *
+    * Scale design: the graph is symmetrized once (out-degree ≤ 2·k');
+    * per hop the work is |Q|·beam·2k' candidate rows — query-side
+    * bounded, the corpus never shuffles (vectors are fetched by one
+    * key join per hop against the pinned corpus); the beam rank is the
+    * BoundedTopK aggregate. Entry points are the `entries` smallest
+    * corpus ids (a bounded ordered limit, fully declarative) —
+    * deterministic and oracle-expressible where a medoid pick would
+    * not be.
+    *
+    * CONNECTIVITY CONTRACT: a pure kNN graph has no inter-cluster
+    * edges, so the beam cannot reach a cluster no entry point touches
+    * — `entries` must cover the corpus's cluster structure (the role
+    * HNSW's upper layers / Vamana's long edges play structurally).
+    * Measured (Round14Spec, 40-cluster fixture, beam 8, 4 hops):
+    * 4 entries → recall 0.05 (provably stuck in the entry clusters);
+    * 64 entries → recall 1.00. Determinism: ties broken on (rounded
+    * sim desc, node asc) everywhere.
+    */
+  def graphSearchTopK(graph: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, k: Int, beam: Int, hops: Int,
+                      entries: Int = 4, roundTo: Int = 6): DataFrame = {
+    val idType = corpus.schema("id").dataType
+    val c = graft.Blocks.cut(
+      corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val adj = graft.Blocks.cut(
+      graph.select(col("query_id").as("__s"), col("cand_id").as("__d"))
+        .unionByName(
+          graph.select(col("cand_id").as("__s"), col("query_id").as("__d")))
+        .distinct())
+
+    // score (query, node) pairs never scored before; queries broadcast
+    def score(pairs: DataFrame): DataFrame = broadcast(q)
+      .join(pairs, Seq("query_id"))
+      .join(c.select(col("id").as("node"), col("vec").as("cv"),
+        col("nrm").as("cn")), Seq("node"))
+      .select(col("query_id"), col("node"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
+          .as("sim"))
+
+    def topPerQuery(scored: DataFrame, n: Int): DataFrame =
+      scored.select(col("query_id"), col("node").as("cand_id"), col("sim"))
+        .groupBy("query_id")
+        .agg(BoundedTopK.topK(col("sim"), col("cand_id").cast("long"), n)
+          .as("__tk"))
+        .select(col("query_id"), explode(col("__tk")).as("__e"))
+        .select(col("query_id"), col("__e.id").cast(idType).as("node"),
+          col("__e.sim").as("sim"))
+
+    val entry = corpus.select(col("id").as("node"))
+      .orderBy(col("node").asc).limit(entries)
+    val entryPairs = q.select(col("query_id"))
+      .crossJoin(broadcast(entry))
+      .filter(col("query_id") =!= col("node"))
+
+    // visited = every (query, node) ever scored; pinned per hop
+    var visited = graft.Blocks.cut(score(entryPairs))
+    var hop = 0
+    var done = false
+    while (!done && hop < hops) {
+      val frontier = topPerQuery(visited, beam)
+      val cand = frontier.select(col("query_id"), col("node").as("__s"))
+        .join(adj, Seq("__s"))
+        .select(col("query_id"), col("__d").as("node")).distinct()
+        .filter(col("query_id") =!= col("node"))
+        .join(visited.select("query_id", "node"),
+          Seq("query_id", "node"), "left_anti")
+      // the union's tail rows are exactly the new scores (cand was
+      // anti-joined on visited), so the flag marks them directly
+      val next = visited.select(col("query_id"), col("node"), col("sim"),
+          lit(false).as("__new"))
+        .unionByName(score(cand).withColumn("__new", lit(true)))
+      val (pinned, fresh) = graft.Blocks.cutCount(next, col("__new"))
+      graft.Blocks.free(visited)
+      visited = pinned
+      done = fresh == 0
+      hop += 1
+    }
+    graft.Blocks.free(adj)
+    graft.Blocks.free(c)
+    topKPerQuery(visited.select(col("query_id"),
+      col("node").as("cand_id"), col("sim")), k, idType)
+  }
+
   /** Symmetric per-vector INT8 quantization — the embedding-at-rest
     * storage path: scale = max|v_i| / 127, codes = round(v_i / scale),
     * reconstruction v̂_i = code_i · scale with error ≤ scale/2 per

@@ -83,6 +83,33 @@ class Round14Spec extends SparkSpec {
     assert(recall >= 0.6, f"isotropic floor regressed: $recall%.4f")
   }
 
+  test("graphSearchTopK recall on clustered vectors (build + search compose)") {
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cents = Array.fill(40)(unit())
+    val cl = (0 until 1000).map { i =>
+      val c = cents(i % 40)
+      val noise = unit()
+      (i.toLong, c.zip(noise).map { case (a, b) => a + 0.35f * b })
+    }.toDF("id", "vec")
+    val qs = cl.filter(col("id") < 20)
+    val exact = graphEdges(operators.Similarity.bruteForceTopK(qs, cl, 5))
+    val g = operators.Similarity.nnDescentGraph(cl, 10, iters = 3)
+    // a pure kNN graph has no inter-cluster edges, so the entry set
+    // must cover the cluster structure (64 entries for 40 clusters —
+    // the role HNSW's upper layers play structurally); with 4 entries
+    // the beam provably cannot escape the entry clusters (recall 0.05)
+    val approx = graphEdges(operators.Similarity.graphSearchTopK(
+      g, cl, qs, k = 5, beam = 8, hops = 4, entries = 64))
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"graph-search recall@5, beam 8, 4 hops, 64 entries: $recall%.4f")
+    assert(recall >= 0.8, f"graph-search recall $recall%.4f below 0.8")
+  }
+
   test("nnDescentGraph one-orthant corpus: ring init stays linear, graph complete") {
     // all-positive vectors put the ENTIRE corpus in one sign bucket —
     // the skew case where an all-pairs-within-bucket init would build
