@@ -916,14 +916,18 @@ object Similarity {
           graph.select(col("cand_id").as("__s"), col("query_id").as("__d")))
         .distinct())
 
-    // score (query, node) pairs never scored before; queries broadcast
-    def score(pairs: DataFrame): DataFrame = broadcast(q)
-      .join(pairs, Seq("query_id"))
-      .join(c.select(col("id").as("node"), col("vec").as("cv"),
-        col("nrm").as("cn")), Seq("node"))
-      .select(col("query_id"), col("node"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
-          .as("sim"))
+    // score (query, node) pairs never scored before. BOTH joins keep
+    // the corpus in place: the (query ⋈ pairs) frame is query-side
+    // bounded (|Q|·beam·degree), so it broadcasts EXPLICITLY against
+    // the corpus — at 100 TB, relying on AQE to notice would leave the
+    // plan one stale statistic away from shuffling the corpus
+    def score(pairs: DataFrame): DataFrame =
+      broadcast(broadcast(q).join(pairs, Seq("query_id")))
+        .join(c.select(col("id").as("node"), col("vec").as("cv"),
+          col("nrm").as("cn")), Seq("node"))
+        .select(col("query_id"), col("node"),
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
+            .as("sim"))
 
     def topPerQuery(scored: DataFrame, n: Int): DataFrame =
       scored.select(col("query_id"), col("node").as("cand_id"), col("sim"))
