@@ -82,6 +82,13 @@ import org.apache.spark.sql.functions._
   *                                                      init), fixed 2
   *                                                      rounds, O(N·k²)
   *                                                      candidates/round
+  *   e3_semdedup_graph        4.74 →  5.38 s (1.13×)  graph build + gated
+  *                                                      driver union-find
+  *   e3_graph_search          5.14 →  6.28 s (1.22×)  build + 2-hop beam:
+  *                                                      hop work is query-
+  *                                                      side bounded, so
+  *                                                      10× corpus moves
+  *                                                      only the build leg
   *
   * Conclusion: at sf0.1 the iterative tier is fixed-cost-dominated
   * (stage scheduling, checkpoints, codebook/index contracts); the
@@ -179,8 +186,10 @@ object ProbeScale {
     ("e2_label_prop", graft.Queries.e2_label_prop _),
     ("e2_ppr", graft.Queries.e2_ppr _),
     ("e2_sssp", graft.Queries.e2_sssp _),
-    // round-14 addition: the NN-Descent kNN graph
-    ("e3_knn_graph", graft.Queries.e3_knn_graph _))
+    // round-14 additions: the NN-Descent kNN graph and its consumers
+    ("e3_knn_graph", graft.Queries.e3_knn_graph _),
+    ("e3_semdedup_graph", graft.Queries.e3_semdedup_graph _),
+    ("e3_graph_search", graft.Queries.e3_graph_search _))
 
   /** The worst shuffle-heavy probes, re-run under MEMORY PRESSURE
     * (round-10 verdict item 7): `spark.memory.fraction` shrunk 0.6 → 0.05
