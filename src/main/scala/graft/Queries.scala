@@ -1456,10 +1456,11 @@ object Queries {
     s"list_sum(list_transform(range(6), i -> CASE WHEN $v.e[i+1] >= 0 THEN cast(power(2, i) as bigint) ELSE 0 END))"
 
   /** Shared CTE chain for the two-round NN-Descent oracle — the full
-    * graph build up to `g2`; [[e3gSql]] ranks it, [[e3sgSql]] clusters
-    * it.
+    * graph build up to `g2` over `embeddings` restricted by `where`;
+    * [[e3gSql]] ranks it, [[e3sgSql]] clusters it, [[e3gsSql]] searches
+    * it, [[e3giSql]] extends it.
     */
-  private val knnGraphCtes = s"""v AS (SELECT vec_id, embedding AS e FROM embeddings),
+  private def knnGraphCtesWhere(where: String) = s"""v AS (SELECT vec_id, embedding AS e FROM embeddings $where),
     vn AS (SELECT vec_id, e,
       sqrt(list_sum(list_transform(range(1, 65), i -> cast(e[i] as double) * cast(e[i] as double)))) AS nrm FROM v),
     p AS (SELECT greatest(1, count(*) // 4) AS stripe FROM v),
@@ -1491,6 +1492,8 @@ object Queries {
       UNION SELECT qid, cid FROM g1),
     g2 AS (SELECT s.qid, s.cid, s.sim FROM allsims s JOIN cand2 ON s.qid = cand2.q AND s.cid = cand2.c
       QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) <= 3)"""
+
+  private val knnGraphCtes = knnGraphCtesWhere("")
 
   val e3gSql = s"""WITH $knnGraphCtes
     SELECT qid AS query_id,
@@ -1568,6 +1571,79 @@ object Queries {
       cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) as int) AS rnk,
       node AS cand_id, sim FROM v2
     QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
+  /** E3 — INCREMENTAL kNN-graph maintenance (`Similarity.knnGraphExtend`,
+    * the ingest twin of `e3_knn_graph`): day-1 graph over the 80 % of
+    * vectors with `vec_id % 5 <> 0`, then the remaining 20 % folds in —
+    * each newcomer beam-searches the standing graph for its
+    * neighbourhood, newcomers stripe-pair among themselves, and old
+    * lists re-rank under reverse offers. The oracle unrolls the day-1
+    * build (shared CTEs, old-corpus filter), the two-hop search, and
+    * the three-leg merge.
+    */
+  def e3_knn_graph_incr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val old = e.filter(pmod(col("id"), lit(5)) =!= 0)
+    val batch = e.filter(pmod(col("id"), lit(5)) === 0)
+    val g = Similarity.nnDescentGraph(old, k = 3, iters = 2, initBits = 6)
+    Similarity.knnGraphExtend(g, old, batch, k = 3, beam = 4, hops = 2,
+        entries = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3giSql = s"""WITH ${knnGraphCtesWhere("WHERE vec_id % 5 <> 0")},
+    adj AS (SELECT qid AS s, cid AS d FROM g2 UNION SELECT cid, qid FROM g2),
+    vb AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id % 5 = 0),
+    vbn AS (SELECT vec_id, e,
+      sqrt(list_sum(list_transform(range(1, 65), i -> cast(e[i] as double) * cast(e[i] as double)))) AS nrm FROM vb),
+    qs AS (SELECT q.vec_id AS qid, c.vec_id AS node,
+        round($dotSql / (q.nrm * c.nrm), 6) AS sim
+      FROM vbn q JOIN vn c ON q.vec_id <> c.vec_id),
+    v0 AS (SELECT qid, node, sim FROM qs
+      WHERE node IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)),
+    f0 AS (SELECT qid, node FROM v0
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 4),
+    c1 AS (SELECT DISTINCT f0.qid, adj.d AS node FROM f0 JOIN adj ON f0.node = adj.s
+      WHERE adj.d <> f0.qid),
+    v1 AS (SELECT qid, node, sim FROM v0
+      UNION SELECT qs.qid, qs.node, qs.sim FROM qs JOIN c1 ON qs.qid = c1.qid AND qs.node = c1.node),
+    f1 AS (SELECT qid, node FROM v1
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 4),
+    c2 AS (SELECT DISTINCT f1.qid, adj.d AS node FROM f1 JOIN adj ON f1.node = adj.s
+      WHERE adj.d <> f1.qid),
+    v2 AS (SELECT qid, node, sim FROM v1
+      UNION SELECT qs.qid, qs.node, qs.sim FROM qs JOIN c2 ON qs.qid = c2.qid AND qs.node = c2.node),
+    st AS (SELECT qid, node, sim FROM v2
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 4),
+    pb AS (SELECT greatest(1, count(*) // 4) AS stripe FROM vb),
+    bkb AS (SELECT vec_id, ${bucket6Sql("vbx")} AS bkt FROM vb vbx),
+    rkb AS (SELECT vec_id, bkt, row_number() OVER (ORDER BY bkt, vec_id) AS r FROM bkb),
+    bbp AS (
+      SELECT a.vec_id AS q, b.vec_id AS c FROM vb a JOIN vb b
+        ON a.vec_id <> b.vec_id
+        AND a.vec_id % (SELECT stripe FROM pb) = b.vec_id % (SELECT stripe FROM pb)
+      UNION
+      SELECT a.vec_id, b.vec_id FROM rkb a JOIN rkb b
+        ON a.bkt = b.bkt AND a.vec_id <> b.vec_id AND abs(a.r - b.r) <= 2
+      UNION
+      SELECT a.qid, b.qid FROM st a JOIN st b
+        ON a.node = b.node AND a.qid <> b.qid),
+    bb AS (SELECT a.vec_id AS qid, b.vec_id AS node,
+        round(list_sum(list_transform(range(1, 65), i -> cast(a.e[i] as double) * cast(b.e[i] as double))) / (a.nrm * b.nrm), 6) AS sim
+      FROM vbn a JOIN vbn b ON a.vec_id <> b.vec_id
+        JOIN bbp ON a.vec_id = bbp.q AND b.vec_id = bbp.c),
+    batchlists AS (SELECT qid, node, sim FROM
+        (SELECT qid, node, sim FROM st UNION ALL SELECT qid, node, sim FROM bb) u
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 3),
+    oldlists AS (SELECT qid, node, sim FROM
+        (SELECT qid, cid AS node, sim FROM g2
+         UNION ALL SELECT node AS qid, qid AS node, sim FROM st) u
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 3),
+    fin AS (SELECT * FROM oldlists UNION ALL SELECT * FROM batchlists)
+    SELECT qid AS query_id,
+      cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) as int) AS rnk,
+      node AS cand_id, sim FROM fin ORDER BY query_id, rnk"""
 
   val e3sgSql = s"""WITH RECURSIVE
     prs AS (SELECT least(qid, cid) AS id1, greatest(qid, cid) AS id2
@@ -12526,6 +12602,7 @@ object Queries {
     ("e3_knn_graph", e3_knn_graph _, e3gSql),
     ("e3_semdedup_graph", e3_semdedup_graph _, e3sgSql),
     ("e3_graph_search", e3_graph_search _, e3gsSql),
+    ("e3_knn_graph_incr", e3_knn_graph_incr _, e3giSql),
     ("e4_group_sample", e4_group_sample _, e4gsSql),
     ("llm_curate", llm_curate _, curateSql),
     ("e4_seq_pack", e4_seq_pack _, e4pkSql),

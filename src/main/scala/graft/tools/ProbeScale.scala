@@ -89,6 +89,12 @@ import org.apache.spark.sql.functions._
   *                                                      side bounded, so
   *                                                      10× corpus moves
   *                                                      only the build leg
+  *   e3_knn_graph_incr        7.67 → 15.96 s (2.08×)  day-1 build + fold:
+  *                                                      the fixture batch
+  *                                                      (20 % of corpus)
+  *                                                      GROWS with volume,
+  *                                                      matching the
+  *                                                      hierarchy-incr curve
   *
   * Conclusion: at sf0.1 the iterative tier is fixed-cost-dominated
   * (stage scheduling, checkpoints, codebook/index contracts); the
@@ -189,7 +195,8 @@ object ProbeScale {
     // round-14 additions: the NN-Descent kNN graph and its consumers
     ("e3_knn_graph", graft.Queries.e3_knn_graph _),
     ("e3_semdedup_graph", graft.Queries.e3_semdedup_graph _),
-    ("e3_graph_search", graft.Queries.e3_graph_search _))
+    ("e3_graph_search", graft.Queries.e3_graph_search _),
+    ("e3_knn_graph_incr", graft.Queries.e3_knn_graph_incr _))
 
   /** The worst shuffle-heavy probes, re-run under MEMORY PRESSURE
     * (round-10 verdict item 7): `spark.memory.fraction` shrunk 0.6 → 0.05

@@ -110,6 +110,46 @@ class Round14Spec extends SparkSpec {
     assert(recall >= 0.8, f"graph-search recall $recall%.4f below 0.8")
   }
 
+  test("knnGraphExtend: batch folds in with near-rebuild quality on clustered vectors") {
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cents = Array.fill(40)(unit())
+    val all = (0 until 1000).map { i =>
+      val c = cents(i % 40)
+      val noise = unit()
+      (i.toLong, c.zip(noise).map { case (a, b) => a + 0.35f * b })
+    }.toDF("id", "vec")
+    // the fold's contract is newcomers NEAR existing content: take 5 of
+    // each cluster's 25 members as the batch ((id % 200) < 40 picks ids
+    // c, c+200, ..., c+800 per cluster c), leaving 20 standing. A batch
+    // of ENTIRELY new clusters (first attempt: id % 5, which makes the 8
+    // clusters with c % 5 == 0 wholly new) measures recall 0 by
+    // construction — there is no standing neighborhood to search toward;
+    // that regime needs a rebuild (documented in the operator scaladoc).
+    val old = all.filter(col("id") % 200 >= 40)
+    val batch = all.filter(col("id") % 200 < 40)
+    val g = operators.Similarity.nnDescentGraph(old, 5, iters = 3)
+    val ext = operators.Similarity.knnGraphExtend(
+      g, old, batch, k = 5, beam = 8, hops = 3, entries = 64)
+    // batch vertices' lists vs the exact kNN of the FULL corpus
+    val exactB = graphEdges(operators.Similarity.bruteForceTopK(batch, all, 5))
+    val gotB = graphEdges(ext.filter(col("query_id") % 200 < 40))
+    val recallB = (gotB & exactB).size.toDouble / exactB.size
+    info(f"extended batch lists recall@5: $recallB%.4f")
+    assert(recallB >= 0.7, f"batch-fold recall $recallB%.4f below 0.7")
+    // old lists only ever change by a newcomer entering: every surviving
+    // old->old edge must come from the day-1 graph
+    val day1 = graphEdges(g)
+    val oldOld = ext.filter(col("query_id") % 200 >= 40
+        && col("cand_id") % 200 >= 40)
+    assert(graphEdges(oldOld).subsetOf(day1),
+      "an old->old edge appeared that day 1 never had")
+  }
+
   test("nnDescentGraph one-orthant corpus: ring init stays linear, graph complete") {
     // all-positive vectors put the ENTIRE corpus in one sign bucket —
     // the skew case where an all-pairs-within-bucket init would build
