@@ -87,4 +87,26 @@ class ReliableCheckpointSpec extends SparkSpec {
       assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
     }
   }
+
+  test("NN-Descent build and graph search are unchanged under reliable checkpoints") {
+    // the round-14 iterative loops run their rounds through cut/cutCount
+    // too — the reliable posture must reproduce the local result exactly
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vec")
+    def run(): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val g = operators.Similarity.nnDescentGraph(vecs, k = 3, iters = 2)
+      val s = operators.Similarity.graphSearchTopK(
+        g, vecs, vecs.filter(col("id") < 5), k = 3, beam = 4, hops = 2)
+      def edges(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (edges(g), edges(s))
+    }
+    val local = run()
+    val reliable = withCheckpointDir { _ => run() }
+    assert(local == reliable)
+    assert(local._1.nonEmpty && local._2.size == 15)
+  }
 }
