@@ -7670,7 +7670,12 @@ object Queries {
       val dst = new java.io.File(chDir, name)
       java.nio.file.Files.move(part.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.setLastModified(mtime)
+      // Files.setLastModifiedTime THROWS on failure — the mtimes are
+      // what sequence the two commits (FileStreamSource oldest-first),
+      // so an unenforced ordering must fail the setup loudly, not
+      // surface as a flaky hash grade (r14 advice item 4)
+      java.nio.file.Files.setLastModifiedTime(dst.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
       tmp.listFiles().foreach(_.delete()); tmp.delete()
       ()
     }

@@ -43,11 +43,22 @@ object Ids {
     * collected keys come back as a LOCAL relation ranked with a
     * single-partition window — Spark's own sort semantics, so ids are
     * bit-identical to the distributed path (spec-pinned) — and `gid`
-    * is broadcast-joined back onto `df` by key, so full-width rows
-    * never visit the driver. A key-only `df` (the [[extendIds]] path)
-    * skips the join: the ranked local relation IS the result, one
-    * probe job total.
+    * is broadcast-joined back onto `df` by key (NULL-SAFELY — a null
+    * key is a legal unique key and must keep its row on every path),
+    * so full-width rows never visit the driver. A key-only `df` (the
+    * [[extendIds]] path) skips the join: the ranked local relation IS
+    * the result, one probe job total.
     * `spark.graft.ids.driver=false` forces the distributed path.
+    *
+    * HARD PRECONDITION — `df` must be DETERMINISTIC (the same
+    * [[globalRank]] contract, which the distributed path inherits and
+    * the small path needs for its own reason: it evaluates `df` twice,
+    * once for the key probe and once for the join-back, so an input
+    * that yields different rows per evaluation — `rand`/`sample`/
+    * un-ordered `limit` upstream, or a source mutating between actions
+    * — can present keys to the join that the probe never ranked,
+    * silently dropping rows). Nondeterministic callers must pin first
+    * (`persist`+materialize, or [[graft.Blocks.cut]]).
     */
   def denseIds(df: DataFrame, keyCol: String, buckets: Int = 0): DataFrame = {
     val forceDist = df.sparkSession.conf
@@ -62,8 +73,13 @@ object Ids {
         .withColumn("gid", row_number()
           .over(Window.orderBy(col(keyCol).asc)).cast("long"))
       if (df.columns.sameElements(Array(keyCol))) ranked
-      else df.join(broadcast(ranked), Seq(keyCol))
-        .select(df.columns.map(col).toIndexedSeq :+ col("gid"): _*)
+      else {
+        // null-safe equality: a null key is ranked like any other
+        // unique key and must not drop its row (plain `===` would)
+        val r = ranked.withColumnRenamed(keyCol, "__dk")
+        df.join(broadcast(r), col(keyCol) <=> col("__dk"))
+          .select(df.columns.map(col).toIndexedSeq :+ col("gid"): _*)
+      }
     } else
       globalRank(df, col(keyCol), asc = true, col(keyCol), buckets)
         .withColumnRenamed("__rank", "gid")
