@@ -795,7 +795,10 @@ object Similarity {
     * — reliable checkpoint in cluster posture) and never shuffles as a
     * whole afterwards; per-round frames are O(N·k), candidate frames
     * O(N·k²), all joins key-partitioned. Superseded rounds are freed
-    * eagerly.
+    * eagerly, and the RETURNED graph is the operator's one surviving
+    * pinned frame (terminal cut — r14 advice): ownership passes to the
+    * caller, who frees it via [[graft.Blocks.free]] when superseded; a
+    * loop of builds accumulates nothing else.
     *
     * Recall (measured, Round14Spec fixture, rings=4): 0.9995\@k=10
     * after 3 rounds on clustered vectors (40 centroids × 25, noise
@@ -868,8 +871,18 @@ object Similarity {
       done = fresh == 0
       iter += 1
     }
+    // TERMINAL-CUT CONTRACT (r14 advice item 3): the result is
+    // materialized as the operator's ONE surviving pinned frame and
+    // every intermediate pin is freed here — a sweep-less caller
+    // invoking the operator in a loop accumulates nothing it didn't
+    // receive. The returned frame is PINNED: free it with
+    // [[graft.Blocks.free]] when superseded (or Blocks.sweep at a
+    // harness query boundary).
+    val out = graft.Blocks.cut(
+      topKPerQuery(cur.select("query_id", "cand_id", "sim"), k, idType))
+    graft.Blocks.free(cur)
     graft.Blocks.free(c)
-    topKPerQuery(cur.select("query_id", "cand_id", "sim"), k, idType)
+    out
   }
 
   /** The global (sign-bucket, id) rank both init legs order by:
@@ -942,7 +955,8 @@ object Similarity {
     * BoundedTopK aggregate. Entry points are the `entries` smallest
     * corpus ids (a bounded ordered limit, fully declarative) —
     * deterministic and oracle-expressible where a medoid pick would
-    * not be.
+    * not be. The returned frame is pinned (terminal cut, the
+    * [[nnDescentGraph]] contract): the caller frees it when superseded.
     *
     * CONNECTIVITY CONTRACT: a pure kNN graph has no inter-cluster
     * edges, so the beam cannot reach a cluster no entry point touches
@@ -1018,10 +1032,14 @@ object Similarity {
       done = fresh == 0
       hop += 1
     }
+    // terminal-cut contract, as in nnDescentGraph: one pinned result,
+    // all intermediate pins freed; caller frees the result
+    val out = graft.Blocks.cut(topKPerQuery(visited.select(col("query_id"),
+      col("node").as("cand_id"), col("sim")), k, idType))
+    graft.Blocks.free(visited)
     graft.Blocks.free(adj)
     graft.Blocks.free(c)
-    topKPerQuery(visited.select(col("query_id"),
-      col("node").as("cand_id"), col("sim")), k, idType)
+    out
   }
 
   /** E3 — INCREMENTAL kNN-graph maintenance (the ingest twin of
@@ -1067,18 +1085,25 @@ object Similarity {
     * beam search's key joins only, the standing graph streams through
     * one union + BoundedTopK re-rank; nothing old×old is ever
     * recomputed. Contract: the batch is ingest-day-sized (it rides
-    * [[graphSearchTopK]]'s broadcast query side).
+    * [[graphSearchTopK]]'s broadcast query side). The returned merged
+    * graph is pinned (terminal cut); every pin this call created is
+    * freed before return, so the ingest LOOP this operator targets
+    * accumulates only the frames the caller still holds — free the
+    * superseded day-N graph after folding day N+1 (spec-pinned in
+    * Round15Spec).
     */
   def knnGraphExtend(existing: DataFrame, oldCorpus: DataFrame,
                      batch: DataFrame, k: Int, beam: Int, hops: Int,
                      entries: Int = 4, roundTo: Int = 6,
                      initRings: Int = 4): DataFrame = {
     val idType = oldCorpus.schema("id").dataType
-    // leg 1: batch vectors locate their neighbourhood through the graph
-    val searched = graft.Blocks.cutLazy(
+    // leg 1: batch vectors locate their neighbourhood through the graph.
+    // graphSearchTopK returns its terminal-cut pinned frame — keep the
+    // handle so this operator can free it before returning
+    val searchedPinned =
       graphSearchTopK(existing, oldCorpus, batch, k = beam, beam = beam,
         hops = hops, entries = entries, roundTo = roundTo)
-        .drop("rnk"))
+    val searched = searchedPinned.drop("rnk")
     // leg 2: stripe pairs among the batch, scored exactly
     val b = graft.Blocks.cut(
       batch.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
@@ -1111,9 +1136,15 @@ object Similarity {
       .unionByName(searched.select(col("cand_id").as("query_id"),
         col("query_id").as("cand_id"), col("sim")))
     val oldLists = topKPerQuery(merged, k, idType)
-    // b stays pinned until the caller's action (it backs batchLists);
-    // harnesses reclaim it at the query boundary via Blocks.sweep
-    oldLists.unionByName(batchLists)
+    // terminal-cut contract (r14 advice item 3 — this operator IS the
+    // ingest-loop primitive, so per-call pin accumulation would be the
+    // exact Blocks.scala session-slowdown hazard): materialize the one
+    // pinned result, free this call's intermediates (`b`, the search
+    // leg), return ownership of the result to the caller
+    val out = graft.Blocks.cut(oldLists.unionByName(batchLists))
+    graft.Blocks.free(b)
+    graft.Blocks.free(searchedPinned)
+    out
   }
 
   /** Symmetric per-vector INT8 quantization — the embedding-at-rest

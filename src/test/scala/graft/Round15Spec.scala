@@ -24,4 +24,42 @@ class Round15Spec extends SparkSpec {
       finally spark.conf.unset("spark.graft.ids.driver")
     assert(fast == slow)
   }
+
+  test("graph-tier terminal-cut contract: sweep-less fold loop accumulates only caller-held frames") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(32)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cents = Array.fill(10)(unit())
+    val all = (0 until 300).map { i =>
+      val c = cents(i % 10)
+      val noise = unit()
+      (i.toLong, c.zip(noise).map { case (a, b) => a + 0.3f * b })
+    }.toDF("id", "vec")
+    val day0 = all.filter(col("id") < 100)
+    val day1 = all.filter(col("id") >= 100 && col("id") < 200)
+    val day2 = all.filter(col("id") >= 200)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    // the ingest loop the operator targets, with NO Blocks.sweep:
+    // day-0 build, then two folds, freeing each superseded graph
+    var g = operators.Similarity.nnDescentGraph(day0, k = 5, iters = 2)
+    var corpus = day0
+    Seq(day1, day2).foreach { batch =>
+      val next = operators.Similarity.knnGraphExtend(
+        g, corpus, batch, k = 5, beam = 6, hops = 2, entries = 8)
+      Blocks.free(g)
+      g = next
+      corpus = corpus.unionByName(batch)
+    }
+    assert(g.count() > 0)
+    // only the caller-held result may remain pinned: every per-call
+    // intermediate (corpus cut, search legs, loop rounds) is freed by
+    // the operators themselves
+    val live = spark.sparkContext.getPersistentRDDs.size - base
+    assert(live <= 1, s"pinned frames accumulated across folds: $live live beyond baseline")
+    Blocks.free(g)
+    assert(spark.sparkContext.getPersistentRDDs.size <= base)
+  }
 }
