@@ -1570,13 +1570,17 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  val e3gsSql = s"""WITH $knnGraphCtes,
+  /** The two-hop beam-search unroll over the `g2` graph CTEs, shared by
+    * the fixed-entry (`e3gsSql`) and operator-derived-entry
+    * (`e3gsaSql`) grades — only the entry subquery differs.
+    */
+  private def graphSearchUnrollSql(entrySubquery: String) = s""",
     adj AS (SELECT qid AS s, cid AS d FROM g2 UNION SELECT cid, qid FROM g2),
     qs AS (SELECT q.vec_id AS qid, c.vec_id AS node,
         round($dotSql / (q.nrm * c.nrm), 6) AS sim
       FROM vn q JOIN vn c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
     v0 AS (SELECT qid, node, sim FROM qs
-      WHERE node IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)),
+      WHERE node IN ($entrySubquery)),
     f0 AS (SELECT qid, node FROM v0
       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 4),
     c1 AS (SELECT DISTINCT f0.qid, adj.d AS node FROM f0 JOIN adj ON f0.node = adj.s
@@ -1593,6 +1597,30 @@ object Queries {
       cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) as int) AS rnk,
       node AS cand_id, sim FROM v2
     QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
+  val e3gsSql = s"WITH $knnGraphCtes" + graphSearchUnrollSql(
+    "SELECT vec_id FROM v ORDER BY vec_id LIMIT 4")
+
+  /** E3 — graph-ANN query path with OPERATOR-DERIVED entry points
+    * (`Similarity.graphSearchTopKAuto`, r14 verdict item 1): entries =
+    * the min-id representative of every occupied sign bucket across the
+    * four 6-bit dim-slice projections the graph CTEs already rank by —
+    * the connectivity dial chosen from the data instead of by hand.
+    * Same two-hop unroll as `e3_graph_search`; only the entry CTE
+    * differs (min(vec_id) per bucket per projection, UNION-deduped).
+    */
+  def e3_graph_search_auto(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = Similarity.nnDescentGraph(e, k = 3, iters = 2, initBits = 6)
+    Similarity.graphSearchTopKAuto(g, e, e.filter(col("id") < 8),
+        k = 3, beam = 4, hops = 2)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3gsaSql = s"WITH $knnGraphCtes" + graphSearchUnrollSql(
+    (0 until 4).map(j => s"SELECT min(vec_id) FROM bk$j GROUP BY bkt")
+      .mkString(" UNION "))
 
   /** E3 — INCREMENTAL kNN-graph maintenance (`Similarity.knnGraphExtend`,
     * the ingest twin of `e3_knn_graph`): day-1 graph over the 80 % of
@@ -12627,6 +12655,7 @@ object Queries {
     ("e3_knn_graph", e3_knn_graph _, e3gSql),
     ("e3_semdedup_graph", e3_semdedup_graph _, e3sgSql),
     ("e3_graph_search", e3_graph_search _, e3gsSql),
+    ("e3_graph_search_auto", e3_graph_search_auto _, e3gsaSql),
     ("e3_knn_graph_incr", e3_knn_graph_incr _, e3giSql),
     ("e4_group_sample", e4_group_sample _, e4gsSql),
     ("llm_curate", llm_curate _, curateSql),

@@ -969,7 +969,50 @@ object Similarity {
     */
   def graphSearchTopK(graph: DataFrame, corpus: DataFrame,
                       queries: DataFrame, k: Int, beam: Int, hops: Int,
-                      entries: Int = 4, roundTo: Int = 6): DataFrame = {
+                      entries: Int = 4, roundTo: Int = 6): DataFrame =
+    graphSearchCore(graph, corpus, queries, k, beam, hops, roundTo,
+      corpus.select(col("id").as("node")).orderBy(col("node").asc)
+        .limit(entries))
+
+  /** [[graphSearchTopK]] with DATA-DERIVED entry points (r14 verdict
+    * item 1): the fixed-`entries` dial satisfies the connectivity
+    * contract only if someone who already knows the corpus's cluster
+    * count sets it (measured cliff: 0.05 recall at 4 entries vs 1.00 at
+    * 64 on a 40-cluster fixture) — at 100 TB nobody can hand-pick that.
+    * Here the OPERATOR derives the entry set from the corpus: the
+    * min-id representative of every occupied sign bucket, across
+    * `entryRings` independent dim-slice projections (the same
+    * multi-table family as [[nnDescentGraph]]'s init rings). Entry
+    * count scales with the corpus's occupied-orthant structure —
+    * bounded by rings·2^bits (structural index dials, like IVF's
+    * nlist), never a per-corpus constant — and a cluster is covered as
+    * soon as one of its members wins min-id in some bucket of some
+    * projection, which multi-projection makes near-certain (measured,
+    * Round15Spec: recall 1.00 on the 40-cluster fixture with defaults;
+    * the fixed-4-entry dial measures 0.05 on the same fixture).
+    * Derivation is one narrow projection + a ≤rings·2^bits-row
+    * aggregate per ring — deterministic (min id), oracle-expressible,
+    * no collect. Same terminal-cut/pinned-result contract.
+    */
+  def graphSearchTopKAuto(graph: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int, beam: Int, hops: Int,
+                          entryBits: Int = 6, entryRings: Int = 4,
+                          roundTo: Int = 6): DataFrame = {
+    val ent = (0 until entryRings).map(j =>
+        corpus.select(
+            signBucketAt(col("vec"), entryBits, j * entryBits).as("__eb"),
+            col("id"))
+          .groupBy("__eb").agg(min(col("id")).as("node"))
+          .select("node"))
+      .reduce(_ unionByName _)
+      .distinct()
+    graphSearchCore(graph, corpus, queries, k, beam, hops, roundTo, ent)
+  }
+
+  private def graphSearchCore(graph: DataFrame, corpus: DataFrame,
+                              queries: DataFrame, k: Int, beam: Int,
+                              hops: Int, roundTo: Int,
+                              entry: DataFrame): DataFrame = {
     val idType = corpus.schema("id").dataType
     val c = graft.Blocks.cut(
       corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
@@ -1003,8 +1046,6 @@ object Similarity {
         .select(col("query_id"), col("__e.id").cast(idType).as("node"),
           col("__e.sim").as("sim"))
 
-    val entry = corpus.select(col("id").as("node"))
-      .orderBy(col("node").asc).limit(entries)
     val entryPairs = q.select(col("query_id"))
       .crossJoin(broadcast(entry))
       .filter(col("query_id") =!= col("node"))

