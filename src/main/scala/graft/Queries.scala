@@ -7990,6 +7990,120 @@ object Queries {
       OR end_ms + 600000 < w
     ORDER BY user_id, session_id"""
 
+  /** E11/streaming — TWO genuine micro-batches through the STATEFUL
+    * sessionizer (`StreamingOps.sessionsEventTime`,
+    * flatMapGroupsWithState + EventTimeTimeout): the OPERATOR-state
+    * companion to `e11_stream_cdc2`'s sink-state grade (r14 verdict
+    * item 3). Two parquet files, `maxFilesPerTrigger = 1`,
+    * mtime-sequenced (enforced, throws), so batch 1's watermark
+    * (max(ts₁) − 10 min) is LIVE when batch 2 arrives. Per customer
+    * key (role = c_custkey % 2), minutes after a fixed base:
+    *
+    *   - role 0: file 1 has events at +0, +5 (session open across the
+    *     batch boundary); file 2 has +12 — LATE, below the batch-1
+    *     watermark +20, dropped by the operator's late-row filter —
+    *     and +25, which closes session 1 as [+0,+5]×2 against the
+    *     CARRIED state and opens session 2;
+    *   - role 1: file 1 has +0, +3 and file 2 nothing — emitted by the
+    *     EventTimeTimeout path when batch 2's start-of-batch watermark
+    *     (+20) passes the session's +13 timeout;
+    *   - a driver key (−1) pushes the watermark: +30 in file 1, +50 in
+    *     file 2 (its own second session stays in state: timeout +60 >
+    *     final watermark +40 — the not-yet-emittable tail).
+    *
+    * A stream that coalesced the two files into ONE batch runs at
+    * watermark 0, so +12 is not late and role 0's first session becomes
+    * [+0,+12]×3 — hash mismatch. The oracle replays the sequenced
+    * semantics: events surviving the batch-1 watermark, batch
+    * sessionization over the survivors, emission = closed OR timeout
+    * below the final watermark.
+    */
+  def e11_stream_sessions2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val chDir = new java.io.File(s"/tmp/graft_sess2_files_$run")
+    chDir.mkdirs()
+    val base = 1700000000000L
+    def min(m: Long): Long = base + m * 60000L
+    val ks = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("key"),
+        pmod(col("c_custkey"), lit(2)).as("role"))
+    val driver1 = Seq((-1L, min(30), 0.0)).toDF("key", "tsMs", "value")
+    val driver2 = Seq((-1L, min(50), 0.0)).toDF("key", "tsMs", "value")
+    val file1 = ks.select(col("key"), lit(min(0)).as("tsMs"))
+      .unionByName(ks.select(col("key"),
+        when(col("role") === 0, lit(min(5))).otherwise(lit(min(3))).as("tsMs")))
+      .withColumn("value", lit(0.0))
+      .unionByName(driver1)
+    val r0 = ks.filter(col("role") === 0)
+    val file2 = r0.select(col("key"), lit(min(12)).as("tsMs"))
+      .unionByName(r0.select(col("key"), lit(min(25)).as("tsMs")))
+      .withColumn("value", lit(0.0))
+      .unionByName(driver2)
+    val now = System.currentTimeMillis()
+    def writeFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new java.io.File(chDir, s".tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(chDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      ()
+    }
+    writeFile(file1, "f1.parquet", now - 120000)
+    writeFile(file2, "f2.parquet", now - 60000)
+    val src = s.readStream.schema(file1.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chDir.toString)
+      .as[graft.streaming.StreamingOps.Event]
+    val qn = "e11_stream_sessions2_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingOps
+      .sessionsEventTime(src, gapMinutes = 10, watermark = "10 minutes")
+      .toDF()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "session_id")
+  }
+
+  val e11ssess2Sql = """WITH ks AS (
+      SELECT cast(c_custkey as bigint) AS k, c_custkey % 2 AS role FROM customer),
+    e1 AS (
+      SELECT k, cast(1700000000000 as bigint) AS ts FROM ks
+      UNION ALL SELECT k,
+        1700000000000 + CASE WHEN role = 0 THEN 300000 ELSE 180000 END FROM ks
+      UNION ALL SELECT -1, 1700001800000),
+    e2 AS (
+      SELECT k, cast(1700000720000 as bigint) AS ts FROM ks WHERE role = 0
+      UNION ALL SELECT k, 1700001500000 FROM ks WHERE role = 0
+      UNION ALL SELECT -1, 1700003000000),
+    wm1 AS (SELECT max(ts) - 600000 AS w FROM e1),
+    surv AS (
+      SELECT k, ts FROM e1
+      UNION ALL SELECT k, ts FROM e2 WHERE ts >= (SELECT w FROM wm1)),
+    g AS (SELECT k, ts,
+        ts - lag(ts) OVER (PARTITION BY k ORDER BY ts) AS gap FROM surv),
+    m AS (SELECT k, ts,
+        CASE WHEN gap IS NULL OR gap > 600000 THEN 1 ELSE 0 END AS ns FROM g),
+    sess AS (SELECT k, ts,
+        cast(sum(ns) OVER (PARTITION BY k ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS sid
+      FROM m),
+    agg AS (SELECT k, sid, count(*) AS n, min(ts) AS st, max(ts) AS en
+      FROM sess GROUP BY k, sid),
+    wmf AS (SELECT max(ts) - 600000 AS w FROM e2)
+    SELECT k AS user_id, sid AS session_id, n AS n_events,
+      st AS start_ms, en AS end_ms
+    FROM agg, wmf
+    QUALIFY sid < max(sid) OVER (PARTITION BY k) OR en + 600000 < w
+    ORDER BY user_id, session_id"""
+
   /** E11/streaming — the EVENT-TIME-flush interval coalescer
     * (`StreamingOps.intervalMergeEventTime`), same one-batch file-stream
     * grading as [[e11_stream_sessions_et]]: batch 1 reproduces the batch
@@ -12776,6 +12890,7 @@ object Queries {
     ("e11_stream_ijoin", e11_stream_ijoin _, e11sijSql),
     ("e11_stream_neardup", e11_stream_neardup _, e11sndSql),
     ("e11_stream_sessions_et", e11_stream_sessions_et _, e11ssetSql),
+    ("e11_stream_sessions2", e11_stream_sessions2 _, e11ssess2Sql),
     ("e11_stream_interval_et", e11_stream_interval_et _, e11sietSql),
     ("e11_stream_imagededup", e11_stream_imagededup _, e11simgSql),
     ("e3_mips", e3_mips _, e3mipsSql),
