@@ -2527,6 +2527,84 @@ object Queries {
     FROM y WHERE click_c > purch_c
     ORDER BY user_id, d LIMIT 100"""
 
+  /** SQL surface — TPC-DS Q14 shape (cross-channel intersection): a CTE
+    * built from a two-deep INTERSECT chain (users active in ALL three
+    * channels — Q14's cross_items) consumed by THREE sibling channel
+    * branches, each also gated by a shared scalar-aggregate CTE (Q14's
+    * avg_sales) — the H set has set ops and scalar subqueries
+    * separately, not an INTERSECT-built CTE fanned out across a UNION
+    * ALL of consumers. Determinism discipline: per-group sums
+    * accumulate in decimal(18,2) (exact, order-independent) and convert
+    * to double once; the gate average is one IEEE division of two exact
+    * quantities, so both engines compare identical doubles. Verbatim
+    * SQL through both engines; TpchPlanSpec pins the INTERSECT subtree
+    * planned once and reused across the three consumers (ReusedExchange
+    * on every repeat — the scan does not multiply with the fan-out).
+    */
+  def sql_tpcds_q14(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(sqlDsQ14)
+  }
+
+  val sqlDsQ14 = """WITH cross_users AS (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'),
+  avg_val AS (
+    SELECT cast(sum(cast(value as decimal(18,2))) as double) / cast(count(*) as double) AS av
+    FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+  ch AS (
+    SELECT 'click' AS channel, user_id,
+        cast(sum(cast(value as decimal(18,2))) as double) AS val, count(*) AS n
+      FROM events JOIN cross_users USING (user_id)
+      WHERE event_type = 'click' GROUP BY user_id
+    UNION ALL
+    SELECT 'view', user_id,
+        cast(sum(cast(value as decimal(18,2))) as double), count(*)
+      FROM events JOIN cross_users USING (user_id)
+      WHERE event_type = 'view' GROUP BY user_id
+    UNION ALL
+    SELECT 'purchase', user_id,
+        cast(sum(cast(value as decimal(18,2))) as double), count(*)
+      FROM events JOIN cross_users USING (user_id)
+      WHERE event_type = 'purchase' GROUP BY user_id)
+  SELECT channel, user_id, val, n FROM ch, avg_val
+  WHERE val > av
+  ORDER BY channel, user_id LIMIT 100"""
+
+  /** SQL surface — TPC-DS Q23 shape (multi-level CTE chain with a
+    * max-over-CTE gate): frequent users (distinct-date HAVING — Q23's
+    * frequent_ss_items), per-customer sales CTE, a MAX taken OVER that
+    * CTE (Q23's max_store_sales), a fourth CTE gating on a fraction of
+    * the max (best_ss_customer), and a final aggregate joining two of
+    * the chain's levels — each CTE consumes its predecessor, the
+    * H-set's chains are never four deep. max() over exact-decimal-
+    * summed doubles is order-independent, and the 0.5·mx gate is one
+    * IEEE multiply — cross-engine-exact throughout. Verbatim SQL
+    * through both engines.
+    */
+  def sql_tpcds_q23(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(sqlDsQ23)
+  }
+
+  val sqlDsQ23 = """WITH freq_users AS (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    GROUP BY user_id HAVING count(DISTINCT cast(ts as date)) > 4),
+  cust_sales AS (
+    SELECT user_id, cast(sum(cast(value as decimal(18,2))) as double) AS sales
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+  max_sales AS (SELECT max(sales) AS mx FROM cust_sales),
+  best_cust AS (
+    SELECT user_id FROM cust_sales, max_sales WHERE sales > 0.5 * mx)
+  SELECT user_id, count(*) AS n_views,
+      cast(sum(cast(value as decimal(18,2))) as double) AS view_value
+  FROM events JOIN freq_users USING (user_id) JOIN best_cust USING (user_id)
+  WHERE event_type = 'view'
+  GROUP BY user_id ORDER BY user_id"""
+
   /** SQL surface — TPC-H Q17 shape (small-quantity-order revenue): the
     * CORRELATED SCALAR subquery tier — per outer row, compare against an
     * aggregate over the same table correlated on the outer's partkey.
@@ -12711,6 +12789,8 @@ object Queries {
     ("sql_tpcds_q67", sql_tpcds_q67 _, sqlDsQ67),
     ("sql_tpcds_q88", sql_tpcds_q88 _, sqlDsQ88),
     ("sql_tpcds_q51", sql_tpcds_q51 _, sqlDsQ51),
+    ("sql_tpcds_q14", sql_tpcds_q14 _, sqlDsQ14),
+    ("sql_tpcds_q23", sql_tpcds_q23 _, sqlDsQ23),
     ("sql_tpch_q17", sql_tpch_q17 _, sqlQ17),
     ("sql_tpch_q20", sql_tpch_q20 _, sqlQ20),
     ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),

@@ -125,4 +125,47 @@ class TpchPlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 7,
       s"expected 7 scalar-row joins:\n$p")
   }
+
+  test("DS-Q14: the INTERSECT CTE plans once and is exchange-reused by every other consumer") {
+    val p = executed("sql_tpcds_q14").split("== Initial Plan ==").head
+    // the INTERSECT chain becomes two null-safe left-semi joins — never
+    // a per-row probe — and exists ONCE in the physical tree
+    assert(p.linesIterator.count(_.contains("LeftSemi")) == 2,
+      s"INTERSECT must plan as exactly two semi joins (one subtree):\n$p")
+    // consumers 2 and 3 reuse consumer 1's broadcast of the CTE — the
+    // fan-out does not multiply the intersection work
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"cross_users must be exchange-reused across consumers:\n$p")
+    // every branch scan pushes its channel filter and prunes
+    val scans = p.linesIterator.filter(_.contains("events.parquet")).toSeq
+    assert(scans.forall(s => s.contains("EqualTo(event_type")
+        || s.contains("In(event_type")),
+      "the channel filter must push into every scan")
+    assert(scans.forall(!_.contains("props")),
+      "every scan must prune the unused wide columns")
+    // the avg_sales gate is a single-row broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the scalar gate must compose as a broadcast of one row")
+  }
+
+  test("DS-Q23: the CTE chain's gates broadcast into one final aggregate") {
+    val p = executed("sql_tpcds_q23").split("== Initial Plan ==").head
+    // the distinct-date HAVING expands to the standard two-level
+    // distinct aggregate (no per-row subquery anywhere in the chain)
+    assert(p.contains("count(distinct"),
+      "freq_users must plan the distinct-date count as an aggregate")
+    assert(!p.contains("Subquery"), s"per-row subquery survived:\n$p")
+    // max-over-CTE: one single-row max broadcast into the 0.5*mx gate
+    assert(p.contains("functions=[max(sales"),
+      "max_sales must run once as its own aggregate")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"the max gate must be one scalar broadcast join:\n$p")
+    // both CTE gates reach the final view aggregate as broadcast hash
+    // joins; every scan pushes its type filter
+    assert(p.contains("BroadcastHashJoin"),
+      "freq/best gates must broadcast into the final aggregate")
+    val scans = p.linesIterator.filter(_.contains("events.parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("EqualTo(event_type")),
+      "the type filter must push into every scan")
+  }
 }
