@@ -1642,7 +1642,12 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  val e3giSql = s"""WITH ${knnGraphCtesWhere("WHERE vec_id % 5 <> 0")},
+  /** The incremental-fold oracle, parametrized on the search leg's
+    * entry subquery (fixed smallest-ids for `e3giSql`, per-bucket
+    * min-id reps over the OLD corpus for `e3giaSql` — the bk0..bk3
+    * CTEs already rank exactly that corpus).
+    */
+  private def e3giSqlWith(entrySubquery: String) = s"""WITH ${knnGraphCtesWhere("WHERE vec_id % 5 <> 0")},
     adj AS (SELECT qid AS s, cid AS d FROM g2 UNION SELECT cid, qid FROM g2),
     vb AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id % 5 = 0),
     vbn AS (SELECT vec_id, e,
@@ -1651,7 +1656,7 @@ object Queries {
         round($dotSql / (q.nrm * c.nrm), 6) AS sim
       FROM vbn q JOIN vn c ON q.vec_id <> c.vec_id),
     v0 AS (SELECT qid, node, sim FROM qs
-      WHERE node IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)),
+      WHERE node IN ($entrySubquery)),
     f0 AS (SELECT qid, node FROM v0
       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) <= 4),
     c1 AS (SELECT DISTINCT f0.qid, adj.d AS node FROM f0 JOIN adj ON f0.node = adj.s
@@ -1692,6 +1697,31 @@ object Queries {
     SELECT qid AS query_id,
       cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) as int) AS rnk,
       node AS cand_id, sim FROM fin ORDER BY query_id, rnk"""
+
+  val e3giSql: String = e3giSqlWith(
+    "SELECT vec_id FROM v ORDER BY vec_id LIMIT 4")
+
+  /** E3 — the incremental fold with OPERATOR-DERIVED search-leg entries
+    * (`Similarity.knnGraphExtendAuto`): the ingest loop is exactly
+    * where the connectivity dial cannot be hand-set per day, so the
+    * newcomers' beam search enters at the min-id representative of
+    * every occupied sign bucket of the STANDING corpus across the four
+    * projections. Same three-leg fold and oracle unroll as
+    * `e3_knn_graph_incr`; only the entry subquery differs.
+    */
+  def e3_knn_graph_incr2(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val old = e.filter(pmod(col("id"), lit(5)) =!= 0)
+    val batch = e.filter(pmod(col("id"), lit(5)) === 0)
+    val g = Similarity.nnDescentGraph(old, k = 3, iters = 2, initBits = 6)
+    Similarity.knnGraphExtendAuto(g, old, batch, k = 3, beam = 4, hops = 2)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3gi2Sql: String = e3giSqlWith(
+    (0 until 4).map(j => s"SELECT min(vec_id) FROM bk$j GROUP BY bkt")
+      .mkString(" UNION "))
 
   val e3sgSql = s"""WITH RECURSIVE
     prs AS (SELECT least(qid, cid) AS id1, greatest(qid, cid) AS id2
@@ -12851,6 +12881,7 @@ object Queries {
     ("e3_graph_search", e3_graph_search _, e3gsSql),
     ("e3_graph_search_auto", e3_graph_search_auto _, e3gsaSql),
     ("e3_knn_graph_incr", e3_knn_graph_incr _, e3giSql),
+    ("e3_knn_graph_incr2", e3_knn_graph_incr2 _, e3gi2Sql),
     ("e4_group_sample", e4_group_sample _, e4gsSql),
     ("llm_curate", llm_curate _, curateSql),
     ("e4_seq_pack", e4_seq_pack _, e4pkSql),

@@ -1142,14 +1142,49 @@ object Similarity {
   def knnGraphExtend(existing: DataFrame, oldCorpus: DataFrame,
                      batch: DataFrame, k: Int, beam: Int, hops: Int,
                      entries: Int = 4, roundTo: Int = 6,
-                     initRings: Int = 4): DataFrame = {
+                     initRings: Int = 4): DataFrame =
+    knnGraphExtendCore(existing, oldCorpus, batch, k, beam, hops, roundTo,
+      initRings,
+      oldCorpus.select(col("id").as("node")).orderBy(col("node").asc)
+        .limit(entries))
+
+  /** [[knnGraphExtend]] with the search leg's entry points DERIVED from
+    * the STANDING corpus (the [[graphSearchTopKAuto]] move carried to
+    * the fold — the ingest loop is exactly where nobody can hand-pick
+    * the connectivity dial per day): entries = the min-id
+    * representative of every occupied sign bucket of `oldCorpus`
+    * across `entryRings` dim-slice projections. Same legs, same
+    * terminal-cut/ownership contract; only the newcomers' beam-search
+    * entry set differs. Round15Spec pins batch-fold recall ≥ 0.9 on
+    * the 40-cluster fixture with defaults (no per-corpus constant).
+    */
+  def knnGraphExtendAuto(existing: DataFrame, oldCorpus: DataFrame,
+                         batch: DataFrame, k: Int, beam: Int, hops: Int,
+                         entryBits: Int = 6, entryRings: Int = 4,
+                         roundTo: Int = 6, initRings: Int = 4): DataFrame = {
+    val ent = (0 until entryRings).map(j =>
+        oldCorpus.select(
+            signBucketAt(col("vec"), entryBits, j * entryBits).as("__eb"),
+            col("id"))
+          .groupBy("__eb").agg(min(col("id")).as("node"))
+          .select("node"))
+      .reduce(_ unionByName _)
+      .distinct()
+    knnGraphExtendCore(existing, oldCorpus, batch, k, beam, hops, roundTo,
+      initRings, ent)
+  }
+
+  private def knnGraphExtendCore(existing: DataFrame, oldCorpus: DataFrame,
+                                 batch: DataFrame, k: Int, beam: Int,
+                                 hops: Int, roundTo: Int, initRings: Int,
+                                 entry: DataFrame): DataFrame = {
     val idType = oldCorpus.schema("id").dataType
     // leg 1: batch vectors locate their neighbourhood through the graph.
-    // graphSearchTopK returns its terminal-cut pinned frame — keep the
+    // graphSearchCore returns its terminal-cut pinned frame — keep the
     // handle so this operator can free it before returning
     val searchedPinned =
-      graphSearchTopK(existing, oldCorpus, batch, k = beam, beam = beam,
-        hops = hops, entries = entries, roundTo = roundTo)
+      graphSearchCore(existing, oldCorpus, batch, k = beam, beam = beam,
+        hops = hops, roundTo = roundTo, entry = entry)
     val searched = searchedPinned.drop("rnk")
     // leg 2: stripe pairs among the batch, scored exactly
     val b = graft.Blocks.cut(

@@ -53,6 +53,36 @@ class Round15Spec extends SparkSpec {
     assert(recall >= 0.9, f"auto-entry recall $recall%.4f below 0.9")
   }
 
+  test("knnGraphExtendAuto: fold recall >= 0.9 with operator-derived entries (no dial)") {
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cents = Array.fill(40)(unit())
+    val all = (0 until 1000).map { i =>
+      val c = cents(i % 40)
+      val noise = unit()
+      (i.toLong, c.zip(noise).map { case (a, b) => a + 0.35f * b })
+    }.toDF("id", "vec")
+    val old = all.filter(col("id") % 200 >= 40)
+    val batch = all.filter(col("id") % 200 < 40)
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = operators.Similarity.nnDescentGraph(old, 5, iters = 3)
+    // defaults only — the fold derives its search-leg entry set from
+    // the standing corpus (Round14Spec's twin hand-sets entries = 64)
+    val ext = operators.Similarity.knnGraphExtendAuto(
+      g, old, batch, k = 5, beam = 8, hops = 3)
+    val exactB = edges(operators.Similarity.bruteForceTopK(batch, all, 5))
+    val gotB = edges(ext.filter(col("query_id") % 200 < 40))
+    val recallB = (gotB & exactB).size.toDouble / exactB.size
+    info(f"auto-entry fold batch-list recall@5: $recallB%.4f")
+    assert(recallB >= 0.9, f"auto-entry fold recall $recallB%.4f below 0.9")
+  }
+
   test("graph-tier terminal-cut contract: sweep-less fold loop accumulates only caller-held frames") {
     val rnd = new scala.util.Random(11)
     def unit(): Array[Float] = {
