@@ -894,7 +894,7 @@ object Similarity {
     * [[Ids.globalRank]] runs, so no single-partition window ever sees a
     * corpus-sized frame.
     */
-  private def bucketRanked(frame: DataFrame, n: Long, bits: Int,
+  private[graft] def bucketRanked(frame: DataFrame, n: Long, bits: Int,
                            offset: Int = 0): DataFrame = {
     val bs = frame.select(signBucketAt(col("vec"), bits, offset).as("__g"),
       col("id"))
@@ -911,7 +911,7 @@ object Similarity {
     * N·(N/stripe − 1) ≈ N·k by construction, never quadratic in an id
     * pattern.
     */
-  private def stripePairs(ranked: DataFrame, stripe: Long): DataFrame = {
+  private[graft] def stripePairs(ranked: DataFrame, stripe: Long): DataFrame = {
     val g = ranked.select(pmod(col("__rank"), lit(stripe)).as("__sg"),
       col("id"))
     g.select(col("__sg"), col("id").as("query_id"))

@@ -83,6 +83,32 @@ class Round15Spec extends SparkSpec {
     assert(recallB >= 0.9, f"auto-entry fold recall $recallB%.4f below 0.9")
   }
 
+  test("stripe groups stay ~k+1 under adversarial id patterns (the r14-advice claim, pinned)") {
+    // the r14 id-residue stripes inflated quadratically when ids shared
+    // a factor with the stripe (every-5th-id batches, hash-sparse ids);
+    // rank-residue groups are bounded for ANY id distribution
+    val rnd = new scala.util.Random(3)
+    val patterns: Seq[(String, Seq[Long])] = Seq(
+      ("every-5th", (0 until 500).map(i => i * 5L)),
+      ("stripe-aligned", (0 until 500).map(i => i * 100L)),
+      ("hash-sparse", (0 until 500).map(_ => math.abs(rnd.nextLong()) % (1L << 40)).distinct),
+      ("dense", (0 until 500).map(_.toLong)))
+    patterns.foreach { case (name, ids) =>
+      val n = ids.length.toLong
+      val k = 10
+      val stripe = math.max(1L, n / (k + 1L))
+      val frame = ids.map(i => (i, Array.fill(8)((i % 7).toFloat - 3f)))
+        .toDF("id", "vec")
+      val ranked = operators.Similarity.bucketRanked(frame, n, bits = 6)
+      val deg = operators.Similarity.stripePairs(ranked, stripe)
+        .groupBy("query_id").count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      val bound = math.ceil(n.toDouble / stripe).toLong // group size cap
+      assert(deg <= bound,
+        s"$name: max stripe degree $deg exceeds group bound $bound")
+    }
+  }
+
   test("graph-tier terminal-cut contract: sweep-less fold loop accumulates only caller-held frames") {
     val rnd = new scala.util.Random(11)
     def unit(): Array[Float] = {
