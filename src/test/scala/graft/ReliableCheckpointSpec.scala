@@ -109,4 +109,39 @@ class ReliableCheckpointSpec extends SparkSpec {
     assert(local == reliable)
     assert(local._1.nonEmpty && local._2.size == 15)
   }
+
+  test("terminal-cut contract bounds the checkpoint DIR across a sweep-less fold loop") {
+    // cluster posture of the Round15Spec pin: in reliable mode every
+    // pin is checkpoint FILES, so a fold loop that leaked intermediates
+    // would grow the checkpoint dir per ingest day — the operators must
+    // leave only the caller-held result's files behind
+    val rnd = new scala.util.Random(5)
+    val all = (0 until 300).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vec")
+    def rddDirs(dir: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      finally s.close()
+    }
+    withCheckpointDir { dir =>
+      var g = operators.Similarity.nnDescentGraph(
+        all.filter(col("id") < 100), k = 3, iters = 2)
+      var corpus = all.filter(col("id") < 100)
+      Seq((100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+        val batch = all.filter(col("id") >= lo && col("id") < hi)
+        val next = operators.Similarity.knnGraphExtend(
+          g, corpus, batch, k = 3, beam = 4, hops = 2)
+        Blocks.free(g)
+        g = next
+        corpus = corpus.unionByName(batch)
+      }
+      assert(g.count() > 0)
+      // only the live result's checkpoint may remain on disk
+      val live = rddDirs(dir)
+      assert(live <= 1, s"checkpoint dir holds $live rdd checkpoints after the loop")
+      Blocks.free(g)
+      assert(rddDirs(dir) === 0, "freeing the last result must empty the dir")
+    }
+  }
 }
