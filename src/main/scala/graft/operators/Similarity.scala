@@ -997,17 +997,28 @@ object Similarity {
   def graphSearchTopKAuto(graph: DataFrame, corpus: DataFrame,
                           queries: DataFrame, k: Int, beam: Int, hops: Int,
                           entryBits: Int = 6, entryRings: Int = 4,
-                          roundTo: Int = 6): DataFrame = {
-    val ent = (0 until entryRings).map(j =>
-        corpus.select(
-            signBucketAt(col("vec"), entryBits, j * entryBits).as("__eb"),
-            col("id"))
-          .groupBy("__eb").agg(min(col("id")).as("node"))
-          .select("node"))
-      .reduce(_ unionByName _)
-      .distinct()
-    graphSearchCore(graph, corpus, queries, k, beam, hops, roundTo, ent)
-  }
+                          roundTo: Int = 6): DataFrame =
+    graphSearchCore(graph, corpus, queries, k, beam, hops, roundTo,
+      bucketEntryReps(corpus, entryBits, entryRings))
+
+  /** The shared entry-derivation pass of the two Auto operators: the
+    * min-id representative of every occupied (projection, bucket) cell,
+    * computed in ONE corpus scan — per row, explode `rings` composite
+    * keys `ring·2^bits + bucket` (disjoint per ring since bucket <
+    * 2^bits) and min-aggregate by key, map-side combinable. Equivalent
+    * to `rings` separate scan+aggregate passes (same mins, same
+    * distinct union — the SQL oracles keep the per-ring form), but one
+    * pass over the data instead of `rings` at 100 TB. Output is
+    * bounded by rings·2^bits rows.
+    */
+  private def bucketEntryReps(corpus: DataFrame, bits: Int,
+                              rings: Int): DataFrame =
+    corpus.select(col("id"),
+        explode(array((0 until rings).map(j =>
+          signBucketAt(col("vec"), bits, j * bits) +
+            lit(j.toLong * (1L << bits))): _*)).as("__eb"))
+      .groupBy("__eb").agg(min(col("id")).as("node"))
+      .select("node").distinct()
 
   private def graphSearchCore(graph: DataFrame, corpus: DataFrame,
                               queries: DataFrame, k: Int, beam: Int,
@@ -1161,18 +1172,9 @@ object Similarity {
   def knnGraphExtendAuto(existing: DataFrame, oldCorpus: DataFrame,
                          batch: DataFrame, k: Int, beam: Int, hops: Int,
                          entryBits: Int = 6, entryRings: Int = 4,
-                         roundTo: Int = 6, initRings: Int = 4): DataFrame = {
-    val ent = (0 until entryRings).map(j =>
-        oldCorpus.select(
-            signBucketAt(col("vec"), entryBits, j * entryBits).as("__eb"),
-            col("id"))
-          .groupBy("__eb").agg(min(col("id")).as("node"))
-          .select("node"))
-      .reduce(_ unionByName _)
-      .distinct()
+                         roundTo: Int = 6, initRings: Int = 4): DataFrame =
     knnGraphExtendCore(existing, oldCorpus, batch, k, beam, hops, roundTo,
-      initRings, ent)
-  }
+      initRings, bucketEntryReps(oldCorpus, entryBits, entryRings))
 
   private def knnGraphExtendCore(existing: DataFrame, oldCorpus: DataFrame,
                                  batch: DataFrame, k: Int, beam: Int,
