@@ -2635,6 +2635,38 @@ object Queries {
   WHERE event_type = 'view'
   GROUP BY user_id ORDER BY user_id"""
 
+  /** SQL surface — TPC-DS Q95 shape (multi-warehouse orders with
+    * returns): ONE CTE consumed by TWO IN-subqueries — once directly
+    * and once joined against a returns filter — the shape where the
+    * planner must (a) decorrelate both INs to semi joins and (b) plan
+    * the shared CTE's self-join subtree once, reusing its exchange in
+    * the second consumer (Q14 pins reuse across UNION consumers; here
+    * the consumers are semi-join build sides, a different reuse site).
+    * The CTE itself is the fact self-join on the order key with a
+    * supplier inequality (Q95's ws_wh) — at 100 TB a co-partitioned
+    * self-join (bucket by l_orderkey at rest and it needs no shuffle
+    * at all). Output is one exact-count + decimal-sum row — determinism
+    * by the usual discipline. Verbatim SQL through both engines.
+    */
+  def sql_tpcds_q95(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlDsQ95)
+  }
+
+  val sqlDsQ95 = """WITH multi_supp AS (
+    SELECT DISTINCT l1.l_orderkey AS okey
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey)
+  SELECT count(DISTINCT o_orderkey) AS n_orders,
+    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+  FROM orders
+  WHERE o_orderstatus = 'F'
+    AND o_orderkey IN (SELECT okey FROM multi_supp)
+    AND o_orderkey IN (
+      SELECT l_orderkey FROM lineitem JOIN multi_supp ON l_orderkey = okey
+      WHERE l_returnflag = 'R')"""
+
   /** SQL surface — TPC-H Q17 shape (small-quantity-order revenue): the
     * CORRELATED SCALAR subquery tier — per outer row, compare against an
     * aggregate over the same table correlated on the outer's partkey.
@@ -12821,6 +12853,7 @@ object Queries {
     ("sql_tpcds_q51", sql_tpcds_q51 _, sqlDsQ51),
     ("sql_tpcds_q14", sql_tpcds_q14 _, sqlDsQ14),
     ("sql_tpcds_q23", sql_tpcds_q23 _, sqlDsQ23),
+    ("sql_tpcds_q95", sql_tpcds_q95 _, sqlDsQ95),
     ("sql_tpch_q17", sql_tpch_q17 _, sqlQ17),
     ("sql_tpch_q20", sql_tpch_q20 _, sqlQ20),
     ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),

@@ -148,6 +148,25 @@ class TpchPlanSpec extends SparkSpec {
       "the scalar gate must compose as a broadcast of one row")
   }
 
+  test("DS-Q95: the shared CTE's self-join plans once across both semi-join consumers") {
+    val p = executed("sql_tpcds_q95").split("== Initial Plan ==").head
+    // both INs decorrelate to semi joins; no per-row probe
+    assert(p.linesIterator.count(_.contains("LeftSemi")) == 2,
+      s"both INs must plan as semi joins:\n$p")
+    assert(!p.contains("Subquery"), s"per-row subquery survived:\n$p")
+    // the multi_supp self-join subtree is planned once and its exchange
+    // reused by the second consumer — the CTE fan-out does not multiply
+    // the fact self-join
+    assert(p.contains("ReusedExchange"),
+      s"multi_supp must be exchange-reused across the two consumers:\n$p")
+    // status/returnflag filters reach their scans
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.exists(_.contains("EqualTo(o_orderstatus,F)")),
+      "the order-status filter must push into the orders scan")
+    assert(scans.exists(_.contains("EqualTo(l_returnflag,R)")),
+      "the returns filter must push into its lineitem scan")
+  }
+
   test("DS-Q23: the CTE chain's gates broadcast into one final aggregate") {
     val p = executed("sql_tpcds_q23").split("== Initial Plan ==").head
     // the distinct-date HAVING expands to the standard two-level
