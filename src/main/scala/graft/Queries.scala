@@ -8244,6 +8244,108 @@ object Queries {
     QUALIFY sid < max(sid) OVER (PARTITION BY k) OR en + 600000 < w
     ORDER BY user_id, session_id"""
 
+  /** E11/streaming — TWO genuine micro-batches through the STREAMING
+    * dedup (`StreamingOps.dedup` = watermark +
+    * dropDuplicatesWithinWatermark): the state-EVICTION companion to
+    * `e11_stream_sessions2`'s state-carryover grade. Same two-file
+    * mtime-sequenced `maxFilesPerTrigger = 1` recipe; per customer key
+    * (role = c_custkey % 2), minutes after a fixed base, watermark
+    * delay 10:
+    *
+    *   - role 0 ("re-emit"): file 1 at +0, file 3 at +35 — the key's
+    *     dedup state EXPIRES at +10, below the +30 eviction watermark
+    *     batch 2 runs with, so batch 2's END evicts it and the +35 row
+    *     EMITS AGAIN in batch 3 (within-watermark semantics: dedup is
+    *     a horizon, not forever);
+    *   - role 1 ("suppressed"): file 1 at +25, file 3 at +32 — state
+    *     expiry +35 survives the +30 eviction, so the carried entry
+    *     suppresses the batch-3 duplicate;
+    *   - the driver key (−1) at +40 pushes the watermark, file 2 is a
+    *     lone fresh key (−2, +41) whose only job is to BE batch 2 (the
+    *     state-eviction pass), and −1's +70 in file 3 is itself
+    *     suppressed (expiry +50 > +30).
+    *
+    * THREE batches because eviction is an end-of-batch pass run with
+    * the batch's START watermark (measured here first as a two-file
+    * attempt: batch 2's own rows still see the stale entry — the
+    * duplicate must arrive one batch AFTER the eviction ran). A
+    * coalesced run dedups role 0's two rows against each other (one
+    * survivor instead of two rows) — row-count mismatch, so the grade
+    * requires the real batch sequence. Each batch carries at most one
+    * row per key, so WHICH row survives is never an arrival-order race
+    * and the output is hash-gradeable. The oracle replays the sequenced
+    * rule: files 1-2 verbatim, plus file-3 rows whose key has no live
+    * (expiry > eviction watermark) file-1 state.
+    */
+  def e11_stream_dedup2(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val chDir = new java.io.File(s"/tmp/graft_dedup2_files_$run")
+    chDir.mkdirs()
+    val base = 1700000000000L
+    def min(m: Long): Long = base + m * 60000L
+    import s.implicits._
+    val ks = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("key"),
+        pmod(col("c_custkey"), lit(2)).as("role"))
+    val file1 = ks.select(col("key"),
+        when(col("role") === 0, lit(min(0))).otherwise(lit(min(25))).as("tsMs"))
+      .unionByName(Seq((-1L, min(40))).toDF("key", "tsMs"))
+      .withColumn("value", lit(0.0))
+    val file2 = Seq((-2L, min(41))).toDF("key", "tsMs")
+      .withColumn("value", lit(0.0))
+    val file3 = ks.select(col("key"),
+        when(col("role") === 0, lit(min(35))).otherwise(lit(min(32))).as("tsMs"))
+      .unionByName(Seq((-1L, min(70))).toDF("key", "tsMs"))
+      .withColumn("value", lit(0.0))
+    val now = System.currentTimeMillis()
+    def writeFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new java.io.File(chDir, s".tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(chDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      ()
+    }
+    writeFile(file1, "f1.parquet", now - 180000)
+    writeFile(file2, "f2.parquet", now - 120000)
+    writeFile(file3, "f3.parquet", now - 60000)
+    val src = s.readStream.schema(file1.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chDir.toString)
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+    val qn = "e11_stream_dedup2_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingOps
+      .dedup(src, "ts", Seq("key"), watermark = "10 minutes")
+      .select(col("key").as("user_id"), col("tsMs").as("ts_ms"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn).orderBy("user_id", "ts_ms")
+  }
+
+  val e11sdedup2Sql = """WITH ks AS (
+      SELECT cast(c_custkey as bigint) AS k, c_custkey % 2 AS role FROM customer),
+    e1 AS (
+      SELECT k, cast(1700000000000 as bigint)
+          + CASE WHEN role = 0 THEN 0 ELSE 1500000 END AS ts FROM ks
+      UNION ALL SELECT -1, 1700002400000),
+    e3 AS (
+      SELECT k, CASE WHEN role = 0 THEN 1700002100000 ELSE 1700001920000 END AS ts FROM ks
+      UNION ALL SELECT -1, 1700004200000),
+    wmev AS (SELECT max(ts) - 600000 AS w FROM e1)
+    SELECT k AS user_id, ts AS ts_ms FROM e1
+    UNION ALL SELECT -2, 1700002460000
+    UNION ALL
+    SELECT k, ts FROM e3
+    WHERE NOT EXISTS (SELECT 1 FROM e1
+        WHERE e1.k = e3.k AND e1.ts + 600000 > (SELECT w FROM wmev))
+    ORDER BY user_id, ts_ms"""
+
   /** E11/streaming — the EVENT-TIME-flush interval coalescer
     * (`StreamingOps.intervalMergeEventTime`), same one-batch file-stream
     * grading as [[e11_stream_sessions_et]]: batch 1 reproduces the batch
@@ -13035,6 +13137,7 @@ object Queries {
     ("e11_stream_neardup", e11_stream_neardup _, e11sndSql),
     ("e11_stream_sessions_et", e11_stream_sessions_et _, e11ssetSql),
     ("e11_stream_sessions2", e11_stream_sessions2 _, e11ssess2Sql),
+    ("e11_stream_dedup2", e11_stream_dedup2 _, e11sdedup2Sql),
     ("e11_stream_interval_et", e11_stream_interval_et _, e11sietSql),
     ("e11_stream_imagededup", e11_stream_imagededup _, e11simgSql),
     ("e3_mips", e3_mips _, e3mipsSql),
