@@ -344,6 +344,18 @@ object StreamingOps {
     * the user function for flatMapGroupsWithState, so without the
     * filter a below-watermark straggler would extend or respawn an
     * island the watermark already closed (see [[sessionsEventTime]]).
+    *
+    * IN-CONTRACT OUT-OF-ORDER rows (r16): events inside one micro-batch
+    * are sorted, but a carried island can meet an OLDER-than-state yet
+    * non-late event on the NEXT batch (wm <= ts < state.startMs). The
+    * merge min-clamps `startMs` so such a straggler widens the island
+    * exactly as the batch sweep would. One documented divergence
+    * remains: a straggler whose whole interval ends BEFORE the open
+    * island's start (ts + intervalMs < startMs) is still folded in —
+    * state holds a single open island per key, so batch semantics
+    * (a separate earlier island) would need multi-island state; hitting
+    * it requires the watermark to lag more than a full interval behind
+    * the open start.
     */
   def intervalMergeEventTime(events: Dataset[Event], intervalMs: Long,
                              watermark: String = "10 minutes"): Dataset[IntervalOut] = {
@@ -373,6 +385,11 @@ object StreamingOps {
                 out += IntervalOut(key, st.startMs, st.maxEndMs, st.n)
                 st = IntervalState(e.tsMs, e.tsMs + intervalMs, 1L)
               } else st = st.copy(
+                // min-clamp the start: a carried island can meet an
+                // in-contract but OLDER event on the next micro-batch
+                // (wm <= ts < state.startMs); without the clamp the
+                // island keeps the younger start and under-covers.
+                startMs = math.min(st.startMs, e.tsMs),
                 maxEndMs = math.max(st.maxEndMs, e.tsMs + intervalMs), n = st.n + 1)
             }
             if (st.n > 0L) {
@@ -400,6 +417,20 @@ object StreamingOps {
     * straggler would extend (or, worse, respawn after a timeout flush)
     * a session the watermark contract already declared closed, and the
     * claim above would be false across micro-batches.
+    *
+    * IN-CONTRACT OUT-OF-ORDER rows (r16): within a micro-batch events
+    * are sorted, but a carried session can meet an OLDER-than-state yet
+    * non-late event on the NEXT batch (wm <= ts < state.lastMs, within
+    * gap). The merge clamps `lastMs = max(lastMs, ts)` and
+    * `startMs = min(startMs, ts)` so the straggler widens the session
+    * exactly as the batch sessionizer would — an unclamped assignment
+    * would REGRESS lastMs (possibly below startMs: end < start, and an
+    * early timeout computed from the regressed end). One documented
+    * divergence remains: a straggler more than a full gap OLDER than
+    * the open session's start is still folded in (state holds one open
+    * session per key; batch semantics would make it a separate earlier
+    * session) — hitting it requires the watermark to lag more than a
+    * full gap behind the open start.
     */
   def sessionsEventTime(events: Dataset[Event], gapMinutes: Int,
                         watermark: String = "10 minutes"): Dataset[SessionOut] = {
@@ -430,7 +461,15 @@ object StreamingOps {
                 if (st.n > 0L)
                   out += SessionOut(key, st.sessionId, st.n, st.startMs, st.lastMs)
                 st = SessionState(st.sessionId + 1, e.tsMs, e.tsMs, 1L)
-              } else st = st.copy(lastMs = e.tsMs, n = st.n + 1)
+              } else st = st.copy(
+                // clamp both ends: a carried session can meet an
+                // in-contract but OLDER event on the next micro-batch
+                // (wm <= ts < state.lastMs, within gap); an unclamped
+                // `lastMs = e.tsMs` would REGRESS lastMs — possibly
+                // below startMs — yielding end < start and a timeout
+                // computed from the regressed end
+                startMs = math.min(st.startMs, e.tsMs),
+                lastMs = math.max(st.lastMs, e.tsMs), n = st.n + 1)
             }
             if (st.n > 0L) {
               state.update(st)
