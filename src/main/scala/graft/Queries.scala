@@ -8130,6 +8130,55 @@ object Queries {
       OR end_ms + 600000 < w
     ORDER BY user_id, session_id"""
 
+  /** Write `df` as ONE parquet file `name` in `chDir` with an explicit
+    * mtime — the micro-batch sequencer shared by the multi-batch stream
+    * grades: the file source under `maxFilesPerTrigger = 1` orders
+    * files by modification time, so the mtimes ARE the batch order
+    * (always written oldest-first here, one minute apart).
+    */
+  private[graft] def writeSequenced(chDir: java.io.File, name: String, mtime: Long,
+                             df: DataFrame): Unit = {
+    val tmp = new java.io.File(chDir, s".tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(chDir, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(dst.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    ()
+  }
+
+  /** The two-batch session fixture shared by `e11_stream_sessions2`
+    * (uninterrupted run, memory sink) and `e11_stream_restart` (stopped
+    * after batch 1, resumed from the checkpoint, file sink) — see
+    * `e11_stream_sessions2`'s scaladoc for the per-role timeline. Both
+    * grade against the SAME oracle (`e11ssess2Sql`) because checkpoint
+    * recovery is exactly the claim that the split run equals the
+    * uninterrupted one.
+    */
+  private[graft] def sess2Files(s: SparkSession, dir: String,
+                                driverMin1: Long = 30): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val base = 1700000000000L
+    def min(m: Long): Long = base + m * 60000L
+    val ks = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("key"),
+        pmod(col("c_custkey"), lit(2)).as("role"))
+    val file1 = ks.select(col("key"), lit(min(0)).as("tsMs"))
+      .unionByName(ks.select(col("key"),
+        when(col("role") === 0, lit(min(5))).otherwise(lit(min(3))).as("tsMs")))
+      .withColumn("value", lit(0.0))
+      .unionByName(Seq((-1L, min(driverMin1), 0.0)).toDF("key", "tsMs", "value"))
+    val r0 = ks.filter(col("role") === 0)
+    val file2 = r0.select(col("key"), lit(min(12)).as("tsMs"))
+      .unionByName(r0.select(col("key"), lit(min(25)).as("tsMs")))
+      .withColumn("value", lit(0.0))
+      .unionByName(Seq((-1L, min(50), 0.0)).toDF("key", "tsMs", "value"))
+    (file1, file2)
+  }
+
   /** E11/streaming — TWO genuine micro-batches through the STATEFUL
     * sessionizer (`StreamingOps.sessionsEventTime`,
     * flatMapGroupsWithState + EventTimeTimeout): the OPERATOR-state
@@ -8163,38 +8212,10 @@ object Queries {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val chDir = new java.io.File(s"/tmp/graft_sess2_files_$run")
     chDir.mkdirs()
-    val base = 1700000000000L
-    def min(m: Long): Long = base + m * 60000L
-    val ks = t(s, dir, "customer")
-      .select(col("c_custkey").cast("long").as("key"),
-        pmod(col("c_custkey"), lit(2)).as("role"))
-    val driver1 = Seq((-1L, min(30), 0.0)).toDF("key", "tsMs", "value")
-    val driver2 = Seq((-1L, min(50), 0.0)).toDF("key", "tsMs", "value")
-    val file1 = ks.select(col("key"), lit(min(0)).as("tsMs"))
-      .unionByName(ks.select(col("key"),
-        when(col("role") === 0, lit(min(5))).otherwise(lit(min(3))).as("tsMs")))
-      .withColumn("value", lit(0.0))
-      .unionByName(driver1)
-    val r0 = ks.filter(col("role") === 0)
-    val file2 = r0.select(col("key"), lit(min(12)).as("tsMs"))
-      .unionByName(r0.select(col("key"), lit(min(25)).as("tsMs")))
-      .withColumn("value", lit(0.0))
-      .unionByName(driver2)
+    val (file1, file2) = sess2Files(s, dir)
     val now = System.currentTimeMillis()
-    def writeFile(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = new java.io.File(chDir, s".tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(chDir, name)
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst.toPath,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-      tmp.listFiles().foreach(_.delete()); tmp.delete()
-      ()
-    }
-    writeFile(file1, "f1.parquet", now - 120000)
-    writeFile(file2, "f2.parquet", now - 60000)
+    writeSequenced(chDir, "f1.parquet", now - 120000, file1)
+    writeSequenced(chDir, "f2.parquet", now - 60000, file2)
     val src = s.readStream.schema(file1.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(chDir.toString)
@@ -8243,6 +8264,74 @@ object Queries {
     FROM agg, wmf
     QUALIFY sid < max(sid) OVER (PARTITION BY k) OR en + 600000 < w
     ORDER BY user_id, session_id"""
+
+  /** E11/streaming — checkpoint-RESTART recovery as a graded row (r15
+    * verdict item 3: the one streaming durability claim that had no
+    * CORRECTNESS row). `e11_stream_sessions2`'s fixture, but the stream
+    * is STOPPED after micro-batch 1 and a NEW query is started from the
+    * SAME checkpoint directory to process file 2 — the grade is that
+    * operator state (open sessions), the watermark, and the file
+    * source's seen-map all RESUME, so the split run's output equals the
+    * uninterrupted two-batch run the oracle replays. One fixture
+    * change, forced by a real engine behavior the first attempt
+    * measured: a stopped stream's final no-data batch fires every
+    * event-time timeout at or below the committed watermark, so with
+    * sessions2's +30 driver (watermark +20) role 0's open session
+    * (timeout +15) was FLUSHED before the stop and the restart had no
+    * state left to prove anything about — the driver therefore moves to
+    * +24, parking the inter-incarnation watermark at +14: BETWEEN
+    * "makes file 2's +12 late" (> 12) and "flushes the +15 timeout"
+    * (>= 15). The oracle is `e11ssess2Sql` with the driver timestamp
+    * substituted. Sink is a real parquet FILE sink (memory sinks don't
+    * support append-mode recovery; the sink's transaction log also
+    * makes the final read exactly-once across the two incarnations).
+    * An incarnation 2 that lost state would never emit role 0's carried
+    * [+0,+5] session and would restart its per-key session-id counter
+    * at 1 — row/hash mismatch either way (both observed while building
+    * the fixture). File 2 lands on disk between the incarnations,
+    * exactly the crash-and-catch-up sequence a production restart sees.
+    */
+  def e11_stream_restart(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val root = new java.io.File(s"/tmp/graft_restart_$run")
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").toString
+    val outDir = new java.io.File(root, "out").toString
+    val (file1, file2) = sess2Files(s, dir, driverMin1 = 24)
+    val now = System.currentTimeMillis()
+    import s.implicits._
+    def runIncarnation(): Unit = {
+      val src = s.readStream.schema(file1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .as[graft.streaming.StreamingOps.Event]
+      val q = graft.streaming.StreamingOps
+        .sessionsEventTime(src, gapMinutes = 10, watermark = "10 minutes")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeSequenced(srcDir, "f1.parquet", now - 120000, file1)
+    runIncarnation() // incarnation 1: batch 1 only, then STOP
+    writeSequenced(srcDir, "f2.parquet", now - 60000, file2)
+    runIncarnation() // incarnation 2: SAME checkpoint, resumes state
+    s.read.parquet(outDir)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** `e11ssess2Sql` with the batch-1 driver event moved +30 → +24 (ms
+    * 1700001800000 → 1700001440000) — see `e11_stream_restart`'s
+    * scaladoc; every other rule (late filter at the batch-1 watermark,
+    * batch sessionization, closed-or-timed-out emission) is identical,
+    * which is the point: restart recovery means the SAME oracle grades
+    * the split run.
+    */
+  val e11srestartSql: String =
+    e11ssess2Sql.replace("1700001800000", "1700001440000")
 
   /** E11/streaming — TWO genuine micro-batches through the STREAMING
     * dedup (`StreamingOps.dedup` = watermark +
@@ -8298,21 +8387,9 @@ object Queries {
       .unionByName(Seq((-1L, min(70))).toDF("key", "tsMs"))
       .withColumn("value", lit(0.0))
     val now = System.currentTimeMillis()
-    def writeFile(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = new java.io.File(chDir, s".tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(chDir, name)
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst.toPath,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-      tmp.listFiles().foreach(_.delete()); tmp.delete()
-      ()
-    }
-    writeFile(file1, "f1.parquet", now - 180000)
-    writeFile(file2, "f2.parquet", now - 120000)
-    writeFile(file3, "f3.parquet", now - 60000)
+    writeSequenced(chDir, "f1.parquet", now - 180000, file1)
+    writeSequenced(chDir, "f2.parquet", now - 120000, file2)
+    writeSequenced(chDir, "f3.parquet", now - 60000, file3)
     val src = s.readStream.schema(file1.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(chDir.toString)
@@ -13137,6 +13214,7 @@ object Queries {
     ("e11_stream_neardup", e11_stream_neardup _, e11sndSql),
     ("e11_stream_sessions_et", e11_stream_sessions_et _, e11ssetSql),
     ("e11_stream_sessions2", e11_stream_sessions2 _, e11ssess2Sql),
+    ("e11_stream_restart", e11_stream_restart _, e11srestartSql),
     ("e11_stream_dedup2", e11_stream_dedup2 _, e11sdedup2Sql),
     ("e11_stream_interval_et", e11_stream_interval_et _, e11sietSql),
     ("e11_stream_imagededup", e11_stream_imagededup _, e11simgSql),

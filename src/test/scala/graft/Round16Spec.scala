@@ -69,6 +69,45 @@ class Round16Spec extends SparkSpec {
     assert(recallB >= 0.9, f"defaults-only fold recall $recallB%.4f below 0.9")
   }
 
+  test("checkpoint restart: stopped-and-resumed session stream equals the uninterrupted two-batch run") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // the uninterrupted twin of the RESTART fixture (driver +24 — see
+    // e11_stream_restart's scaladoc for why it differs from sessions2's
+    // +30): same two files, one continuous query, memory sink
+    val uninterrupted = {
+      import spark.implicits._
+      val chDir = new java.io.File(s"/tmp/graft_restart_twin_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      chDir.mkdirs()
+      val (f1, f2) = Queries.sess2Files(spark, sf, driverMin1 = 24)
+      val now = System.currentTimeMillis()
+      Queries.writeSequenced(chDir, "f1.parquet", now - 120000, f1)
+      Queries.writeSequenced(chDir, "f2.parquet", now - 60000, f2)
+      val src = spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chDir.toString)
+        .as[graft.streaming.StreamingOps.Event]
+      val qn = "restart_twin_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingOps
+        .sessionsEventTime(src, gapMinutes = 10, watermark = "10 minutes")
+        .toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      rows(spark.table(qn)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "session_id"))
+    }
+    val restarted = rows(Queries.e11_stream_restart(spark, sf))
+    assert(restarted.nonEmpty, "restart run emitted nothing")
+    assert(restarted == uninterrupted,
+      s"resumed run diverged: ${restarted.diff(uninterrupted).take(5)} vs ${uninterrupted.diff(restarted).take(5)}")
+  }
+
   test("sessionsEventTime: in-contract cross-batch straggler widens, never regresses, the session") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps
