@@ -1978,6 +1978,134 @@ object Queries {
       AND v.user_id = c.user_id AND c.ms >= v.ms AND c.ms < v.ms + 600000
     ORDER BY view_id, click_id"""
 
+  /** J/E11 — the stream-stream interval join across THREE genuine
+    * micro-batches (r15 verdict item 4: `j_stream_interval` grades the
+    * operator batch-lowered, where watermarks are no-ops — here the
+    * two-sided STATE-EVICTION contract itself is what's graded). Two
+    * file sources (views, clicks), each with three mtime-sequenced
+    * files under `maxFilesPerTrigger = 1`, so batch N = (vₙ, cₙ) and
+    * the global watermark — min(max view_ts, max click_ts) − 10 min,
+    * driven to +30 by a −1-key view/click pair at +40 in batch 1 (which
+    * also inner-joins to one sentinel output row). Per customer key
+    * (role = c_custkey % 2), minutes after a fixed base, lag 10:
+    *
+    *   - role 0 proves EVICTION: its batch-1 view +0 crosses the
+    *     left-side eviction horizon (view + lag < wm once wm = +30) and
+    *     is REMOVED at the end of batch 2 (batch 2 is a lone −2-key
+    *     click at +41 whose only job is to BE the eviction pass — the
+    *     same shape as `e11_stream_dedup2`'s middle batch, and for the
+    *     same measured reason: eviction is an end-of-batch pass, and
+    *     the engine does NOT pre-drop late input, so a late row in the
+    *     eviction batch itself would still join the stale state). Its
+    *     batch-3 click +5 then finds NOTHING — a COALESCED run emits
+    *     the (+0, +5) pair: hash mismatch, so the grade requires the
+    *     real batch sequence;
+    *   - role 1 proves cross-batch BUFFERED-STATE matching: its batch-1
+    *     view +25 survives the horizon (25 + 10 ≥ 30) and matches its
+    *     batch-3 click +32; its in-batch-3 pair (view +45, click +50)
+    *     proves the join keeps emitting after the advance.
+    *
+    * The oracle replays the engine's actual rule, measured above:
+    * batches 1–2 join each other in full; batch-3 rows (late or not)
+    * join batch-3 rows and the SURVIVING earlier state (views with
+    * ms + lag ≥ wm, clicks with ms ≥ wm).
+    */
+  def j_stream_interval2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val vDir = new java.io.File(s"/tmp/graft_jsi2_$run/views"); vDir.mkdirs()
+    val cDir = new java.io.File(s"/tmp/graft_jsi2_$run/clicks"); cDir.mkdirs()
+    val base = 1700000000000L
+    def min(m: Long): Long = base + m * 60000L
+    val ks = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("user_id"),
+        pmod(col("c_custkey"), lit(2)).as("role"))
+    val v1 = ks.select(col("user_id"),
+        (col("user_id") * 1000 +
+          when(col("role") === 0, 0).otherwise(25)).as("view_id"),
+        when(col("role") === 0, lit(min(0))).otherwise(lit(min(25))).as("vms"))
+      .unionByName(Seq((-1L, -960L, min(40))).toDF("user_id", "view_id", "vms"))
+    val c1 = Seq((-1L, -460L, min(40))).toDF("user_id", "click_id", "cms")
+    val v2 = v1.filter(lit(false)) // empty: batch 2 is the eviction pass
+    val c2 = Seq((-2L, -418L, min(41))).toDF("user_id", "click_id", "cms")
+    val v3 = ks.filter(col("role") === 1)
+      .select(col("user_id"), (col("user_id") * 1000 + 45).as("view_id"),
+        lit(min(45)).as("vms"))
+    val c3 = ks.select(col("user_id"),
+        (col("user_id") * 1000 +
+          when(col("role") === 0, 505).otherwise(532)).as("click_id"),
+        when(col("role") === 0, lit(min(5))).otherwise(lit(min(32))).as("cms"))
+      .unionByName(ks.filter(col("role") === 1)
+        .select(col("user_id"), (col("user_id") * 1000 + 550).as("click_id"),
+          lit(min(50)).as("cms")))
+    val now = System.currentTimeMillis()
+    writeSequenced(vDir, "f1.parquet", now - 180000, v1)
+    writeSequenced(vDir, "f2.parquet", now - 120000, v2)
+    writeSequenced(vDir, "f3.parquet", now - 60000, v3)
+    writeSequenced(cDir, "f1.parquet", now - 180000, c1)
+    writeSequenced(cDir, "f2.parquet", now - 120000, c2)
+    writeSequenced(cDir, "f3.parquet", now - 60000, c3)
+    val vs = s.readStream.schema(v1.schema).option("maxFilesPerTrigger", 1)
+      .parquet(vDir.toString)
+      .withColumn("view_ts", timestamp_millis(col("vms")))
+    val cs = s.readStream.schema(c1.schema).option("maxFilesPerTrigger", 1)
+      .parquet(cDir.toString)
+      .withColumn("click_ts", timestamp_millis(col("cms")))
+    val qn = "j_stream_interval2_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingOps.intervalJoin(vs, cs, "user_id",
+        "view_ts", "click_ts", lagMinutes = 10, watermark = "10 minutes")
+      .select(col("view_id"), col("user_id"), col("click_id"),
+        col("vms").as("view_ms"), col("cms").as("click_ms"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn).orderBy("view_id", "click_id")
+  }
+
+  val jsi2Sql = """WITH ks AS (
+      SELECT cast(c_custkey as bigint) AS k, c_custkey % 2 AS role FROM customer),
+    v1 AS (
+      SELECT k, k*1000 + CASE WHEN role=0 THEN 0 ELSE 25 END AS vid,
+        cast(1700000000000 as bigint)
+          + CASE WHEN role=0 THEN 0 ELSE 1500000 END AS ms FROM ks
+      UNION ALL SELECT -1, -960, 1700002400000),
+    c12 AS (SELECT cast(-1 as bigint) AS k, cast(-460 as bigint) AS cid,
+        cast(1700002400000 as bigint) AS ms
+      UNION ALL SELECT -2, -418, 1700002460000),
+    v3 AS (
+      SELECT k, k*1000 + 45 AS vid,
+        cast(1700002700000 as bigint) AS ms FROM ks WHERE role = 1),
+    c3 AS (
+      SELECT k, k*1000 + CASE WHEN role=0 THEN 505 ELSE 532 END AS cid,
+        cast(1700000000000 as bigint)
+          + CASE WHEN role=0 THEN 300000 ELSE 1920000 END AS ms FROM ks
+      UNION ALL
+      SELECT k, k*1000 + 550, 1700003000000 FROM ks WHERE role = 1),
+    wm AS (SELECT least((SELECT max(ms) FROM v1),
+      (SELECT max(ms) FROM c12 WHERE k = -1)) - 600000 AS w),
+    vkeep AS (SELECT * FROM v1 WHERE ms + 600000 >= (SELECT w FROM wm)),
+    ckeep AS (SELECT * FROM c12 WHERE ms >= (SELECT w FROM wm)),
+    pairs AS (
+      SELECT v.vid, v.k, c.cid, v.ms AS vms, c.ms AS cms
+      FROM v1 v JOIN c12 c
+        ON v.k = c.k AND c.ms >= v.ms AND c.ms < v.ms + 600000
+      UNION ALL
+      SELECT v.vid, v.k, c.cid, v.ms, c.ms
+      FROM vkeep v JOIN c3 c
+        ON v.k = c.k AND c.ms >= v.ms AND c.ms < v.ms + 600000
+      UNION ALL
+      SELECT v.vid, v.k, c.cid, v.ms, c.ms
+      FROM v3 v JOIN ckeep c
+        ON v.k = c.k AND c.ms >= v.ms AND c.ms < v.ms + 600000
+      UNION ALL
+      SELECT v.vid, v.k, c.cid, v.ms, c.ms
+      FROM v3 v JOIN c3 c
+        ON v.k = c.k AND c.ms >= v.ms AND c.ms < v.ms + 600000)
+    SELECT vid AS view_id, k AS user_id, cid AS click_id,
+      vms AS view_ms, cms AS click_ms
+    FROM pairs ORDER BY view_id, click_id"""
+
   /** E4 — Gopher-shaped top-n-gram concentration: the fraction of a
     * document's word n-grams taken by its most frequent one (n = 2, 3) —
     * the boilerplate signal the duplicate-RATIO query (e4_repetition)
@@ -2666,6 +2794,58 @@ object Queries {
     AND o_orderkey IN (
       SELECT l_orderkey FROM lineitem JOIN multi_supp ON l_orderkey = okey
       WHERE l_returnflag = 'R')"""
+
+  /** SQL surface — TPC-DS Q4/Q11 shape (year-over-year growth gate):
+    * ONE yearly per-customer aggregate CTE consumed FOUR times — store
+    * year 1, store year 2, web year 1, web year 2 — self-joined on the
+    * customer and gated on the cross-year ratio (web growth must beat
+    * store growth), the classic BI cohort-growth shape the H+DS set
+    * still lacked (the reference's whole purpose is feeding BI tools —
+    * `readme.md:3`). Channels adapt to the synthetic schema as order
+    * status F (store) vs O (web); years 1995/1996. The planner finding
+    * (measured, and DIFFERENT from Q14/Q95's exchange-reuse
+    * discipline): because every consumer's selection is on GROUP KEYS
+    * of the CTE, Catalyst inlines year_total four times and pushes each
+    * consumer's (year, channel) equality below its aggregate into its
+    * own scan — four quarter-slice scans instead of one superset
+    * aggregate reused, which is exactly right on a date-partitioned
+    * 100 TB fact (reuse would compute the superset and forbid partition
+    * pruning; Q14/Q95 reuse fires there because those CTE consumers
+    * share identical subtrees — here they deliberately don't).
+    * TpchPlanSpec pins the four pruned scans, the per-consumer pushed
+    * gates, the three broadcast self-joins, and the absence of any
+    * per-row subquery. Totals are decimal-exact sums cast to double, so
+    * the ratio gate is the same IEEE division in both engines — no
+    * rounding needed anywhere. Verbatim SQL through both engines.
+    */
+  def sql_tpcds_q4(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(sqlDsQ4)
+  }
+
+  val sqlDsQ4 = """WITH year_total AS (
+    SELECT o_custkey AS cust,
+      year(cast(o_orderdate as date)) AS yr,
+      o_orderstatus AS channel,
+      cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND year(cast(o_orderdate as date)) IN (1995, 1996)
+    GROUP BY 1, 2, 3)
+  SELECT s1.cust AS cust,
+    s1.total AS store_y1, s2.total AS store_y2,
+    w1.total AS web_y1, w2.total AS web_y2
+  FROM year_total s1
+    JOIN year_total s2 ON s1.cust = s2.cust
+    JOIN year_total w1 ON s1.cust = w1.cust
+    JOIN year_total w2 ON s1.cust = w2.cust
+  WHERE s1.channel = 'F' AND s1.yr = 1995
+    AND s2.channel = 'F' AND s2.yr = 1996
+    AND w1.channel = 'O' AND w1.yr = 1995
+    AND w2.channel = 'O' AND w2.yr = 1996
+    AND s1.total > 0 AND w1.total > 0
+    AND w2.total / w1.total > s2.total / s1.total
+  ORDER BY cust"""
 
   /** SQL surface — TPC-H Q17 shape (small-quantity-order revenue): the
     * CORRELATED SCALAR subquery tier — per outer row, compare against an
@@ -12999,6 +13179,7 @@ object Queries {
     ("sql_tpch_q3", sql_tpch_q3 _, sqlQ3),
     ("sql_tpch_q5", sql_tpch_q5 _, sqlQ5),
     ("j_stream_interval", j_stream_interval _, jsiSql),
+    ("j_stream_interval2", j_stream_interval2 _, jsi2Sql),
     ("e4_top_ngram", e4_top_ngram _, e4tnSql),
     ("sql_tpch_q10", sql_tpch_q10 _, sqlQ10),
     ("j_asof_tolerance", j_asof_tolerance _, jatSql),
@@ -13033,6 +13214,7 @@ object Queries {
     ("sql_tpcds_q14", sql_tpcds_q14 _, sqlDsQ14),
     ("sql_tpcds_q23", sql_tpcds_q23 _, sqlDsQ23),
     ("sql_tpcds_q95", sql_tpcds_q95 _, sqlDsQ95),
+    ("sql_tpcds_q4", sql_tpcds_q4 _, sqlDsQ4),
     ("sql_tpch_q17", sql_tpch_q17 _, sqlQ17),
     ("sql_tpch_q20", sql_tpch_q20 _, sqlQ20),
     ("sql_tpch_q21", sql_tpch_q21 _, sqlQ21),

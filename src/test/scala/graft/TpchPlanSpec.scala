@@ -167,6 +167,38 @@ class TpchPlanSpec extends SparkSpec {
       "the returns filter must push into its lineitem scan")
   }
 
+  test("DS-Q4: each year_total consumer prunes to its (year, channel) slice at its scan") {
+    val fn = Queries.all.find(_._1 == "sql_tpcds_q4").get._2
+    val df = fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Subquery"), s"per-row subquery survived:\n$p")
+    // the consumers select on the CTE's GROUP KEYS, so the right plan
+    // is NOT exchange reuse of one superset aggregate (the Q14/Q95
+    // discipline) but four INLINED consumers, each with its (year,
+    // channel) gate pushed below the aggregate into its own scan —
+    // quarter-slice scans that partition-prune on a date-laid-out fact
+    val scans = p.linesIterator.filter(_.contains("orders.parquet")).toSeq
+    assert(scans.size == 4,
+      s"year_total must inline into four pruned consumers:\n$p")
+    assert(scans.forall(_.contains("In(o_orderstatus")),
+      s"the channel filter must push into every orders scan:\n$p")
+    assert(scans.forall(!_.contains("o_comment")),
+      "every scan must prune the unused wide columns")
+    // per-consumer gates sit below the aggregates in the optimized plan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.sliding(20).count(_.startsWith("(o_orderstatus")) >= 4
+        || opt.linesIterator.count(_.contains("o_orderstatus")) >= 4,
+      s"each consumer must carry its own channel gate:\n$opt")
+    // the four year_total slices are small aggregates: the self-join
+    // chain must broadcast, never sort-merge
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 3,
+      s"the four-way self-join must be three broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "aggregate slices must broadcast, not sort-merge")
+  }
+
   test("DS-Q23: the CTE chain's gates broadcast into one final aggregate") {
     val p = executed("sql_tpcds_q23").split("== Initial Plan ==").head
     // the distinct-date HAVING expands to the standard two-level
