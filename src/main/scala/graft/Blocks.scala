@@ -137,4 +137,64 @@ object Blocks {
     */
   def sweep(sc: SparkContext): Unit =
     sc.getPersistentRDDs.valuesIterator.foreach(_.unpersist(blocking = false))
+
+  /** Exception-safe pin accounting for an iterative operator body (r15
+    * advice): every pin the operator creates is registered here; if the
+    * body throws mid-build (a failed round job, a bad input surfacing in
+    * round 3), [[scoped]] frees all still-live pins before rethrowing —
+    * a retrying ingest loop accumulates nothing from failed attempts.
+    * On the SUCCESS path the scope does nothing the operator didn't
+    * already do: operators free superseded rounds eagerly via [[free]]
+    * and release their one result via [[result]], so the terminal-cut
+    * ownership contract (caller frees the returned frame) is unchanged.
+    * Identity-keyed: Dataset has no value equality, and two pins of
+    * equal plans are still two block sets.
+    */
+  final class Scope private[Blocks] () {
+    private val live = new java.util.IdentityHashMap[Dataset[_], Unit]()
+
+    /** [[Blocks.cut]], registered with the scope. */
+    def cut[T](ds: Dataset[T]): Dataset[T] = adopt(Blocks.cut(ds))
+
+    /** [[Blocks.cutCount]], registered with the scope. */
+    def cutCount[T](ds: Dataset[T], pred: org.apache.spark.sql.Column)
+        : (Dataset[T], Long) = {
+      val (p, n) = Blocks.cutCount(ds, pred)
+      adopt(p)
+      (p, n)
+    }
+
+    /** Register an ALREADY-pinned frame (e.g. the terminal-cut result of
+      * a nested operator call) so a later failure frees it too.
+      */
+    def adopt[T](ds: Dataset[T]): Dataset[T] = { live.put(ds, ()); ds }
+
+    /** [[Blocks.free]], deregistering from the scope. */
+    def free(df: Dataset[_]): Unit = { live.remove(df); Blocks.free(df) }
+
+    /** Mark `ds` as the operator's result: ownership leaves the scope
+      * (the caller frees it), so an unrelated later failure in the same
+      * scope cannot free the caller's frame.
+      */
+    def result[T](ds: Dataset[T]): Dataset[T] = { live.remove(ds); ds }
+
+    private[Blocks] def abort(): Unit = {
+      live.keySet.forEach { d =>
+        try Blocks.free(d)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      live.clear()
+    }
+  }
+
+  /** Run an operator body under a [[Scope]]: on ANY throw, every pin the
+    * scope still tracks is freed before the exception propagates. The
+    * happy path adds one IdentityHashMap per operator call — no Spark
+    * work.
+    */
+  def scoped[A](body: Scope => A): A = {
+    val s = new Scope
+    try body(s)
+    catch { case t: Throwable => s.abort(); throw t }
+  }
 }

@@ -51,6 +51,11 @@ object Components {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .cut
+    // the PINNED handle behind `labels` — freeing must target the
+    // checkpointed frame itself: Blocks.free silently no-ops on a
+    // Project over a LogicalRDD, so freeing the `.select(...)` view
+    // (the r15 form) leaked one block set per round past the first
+    var pin: DataFrame = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -69,7 +74,8 @@ object Components {
       // the superseded round's checkpoint blocks are dead the moment
       // `changed` is computed — free them NOW, don't wait for GC
       // (round 2 leaked one block per round per invocation).
-      graft.Blocks.free(labels)
+      graft.Blocks.free(pin)
+      pin = next
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }

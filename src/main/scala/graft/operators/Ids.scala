@@ -59,6 +59,9 @@ object Ids {
     * — can present keys to the join that the probe never ranked,
     * silently dropping rows). Nondeterministic callers must pin first
     * (`persist`+materialize, or [[graft.Blocks.cut]]).
+    * `spark.graft.ids.verify=true` (debug) checks the precondition at
+    * runtime: the join-back row count must equal `df.count()`, so a
+    * violation fails loudly instead of dropping rows (r15 advice).
     */
   def denseIds(df: DataFrame, keyCol: String, buckets: Int = 0): DataFrame = {
     val forceDist = df.sparkSession.conf
@@ -77,8 +80,24 @@ object Ids {
         // null-safe equality: a null key is ranked like any other
         // unique key and must not drop its row (plain `===` would)
         val r = ranked.withColumnRenamed(keyCol, "__dk")
-        df.join(broadcast(r), col(keyCol) <=> col("__dk"))
+        val joined = df.join(broadcast(r), col(keyCol) <=> col("__dk"))
           .select(df.columns.map(col).toIndexedSeq :+ col("gid"): _*)
+        // `spark.graft.ids.verify=true` turns a precondition violation
+        // into a loud failure instead of silently dropped rows (r15
+        // advice): a second evaluation that yields keys the probe never
+        // ranked loses them to the inner join (count shrinks); a
+        // duplicated key multiplies (count grows). Debug-only — it
+        // costs two extra counting actions.
+        if (df.sparkSession.conf
+            .getOption("spark.graft.ids.verify").contains("true")) {
+          val (got, want) = (joined.count(), df.count())
+          require(got == want,
+            s"denseIds: join-back kept $got of $want rows — the input is " +
+              "nondeterministic or the key is not unique (see the " +
+              "determinism precondition); pin the input with Blocks.cut " +
+              "or persist before calling")
+        }
+        joined
       }
     } else
       globalRank(df, col(keyCol), asc = true, col(keyCol), buckets)

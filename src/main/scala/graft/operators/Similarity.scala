@@ -826,9 +826,9 @@ object Similarity {
     */
   def nnDescentGraph(corpus: DataFrame, k: Int, iters: Int = 3,
                      initBits: Int = 6, roundTo: Int = 6,
-                     initRings: Int = 4): DataFrame = {
+                     initRings: Int = 4): DataFrame = graft.Blocks.scoped { ps =>
     val idType = corpus.schema("id").dataType
-    val c = graft.Blocks.cut(
+    val c = ps.cut(
       corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
     val n = c.count() // second action on the pinned blocks — cheap
     val stripe = math.max(1L, n / (k + 1L))
@@ -853,7 +853,7 @@ object Similarity {
     def best(sims: DataFrame): DataFrame =
       topKPerQuery(sims, k, idType).drop("rnk")
 
-    var cur = graft.Blocks.cut(best(simsFor(initPairs)))
+    var cur = ps.cut(best(simsFor(initPairs)))
     var iter = 0
     var done = false
     while (!done && iter < iters) {
@@ -874,8 +874,8 @@ object Similarity {
       val flagged = best(merged).join(
         cur.select(col("query_id"), col("cand_id"), lit(true).as("__old")),
         Seq("query_id", "cand_id"), "left")
-      val (pinned, fresh) = graft.Blocks.cutCount(flagged, col("__old").isNull)
-      graft.Blocks.free(cur)
+      val (pinned, fresh) = ps.cutCount(flagged, col("__old").isNull)
+      ps.free(cur)
       cur = pinned
       done = fresh == 0
       iter += 1
@@ -886,12 +886,13 @@ object Similarity {
     // invoking the operator in a loop accumulates nothing it didn't
     // receive. The returned frame is PINNED: free it with
     // [[graft.Blocks.free]] when superseded (or Blocks.sweep at a
-    // harness query boundary).
-    val out = graft.Blocks.cut(
+    // harness query boundary). A throw anywhere above frees every pin
+    // this call created (Blocks.scoped, r15 advice).
+    val out = ps.cut(
       topKPerQuery(cur.select("query_id", "cand_id", "sim"), k, idType))
-    graft.Blocks.free(cur)
-    graft.Blocks.free(c)
-    out
+    ps.free(cur)
+    ps.free(c)
+    ps.result(out)
   }
 
   /** The global (sign-bucket, id) rank both init legs order by:
@@ -1079,13 +1080,14 @@ object Similarity {
   private def graphSearchCore(graph: DataFrame, corpus: DataFrame,
                               queries: DataFrame, k: Int, beam: Int,
                               hops: Int, roundTo: Int,
-                              entry: DataFrame): DataFrame = {
+                              entry: DataFrame): DataFrame =
+      graft.Blocks.scoped { ps =>
     val idType = corpus.schema("id").dataType
-    val c = graft.Blocks.cut(
+    val c = ps.cut(
       corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       norm(col("vec")).as("qn"))
-    val adj = graft.Blocks.cut(
+    val adj = ps.cut(
       graph.select(col("query_id").as("__s"), col("cand_id").as("__d"))
         .unionByName(
           graph.select(col("cand_id").as("__s"), col("query_id").as("__d")))
@@ -1118,7 +1120,7 @@ object Similarity {
       .filter(col("query_id") =!= col("node"))
 
     // visited = every (query, node) ever scored; pinned per hop
-    var visited = graft.Blocks.cut(score(entryPairs))
+    var visited = ps.cut(score(entryPairs))
     var hop = 0
     var done = false
     while (!done && hop < hops) {
@@ -1134,20 +1136,21 @@ object Similarity {
       val next = visited.select(col("query_id"), col("node"), col("sim"),
           lit(false).as("__new"))
         .unionByName(score(cand).withColumn("__new", lit(true)))
-      val (pinned, fresh) = graft.Blocks.cutCount(next, col("__new"))
-      graft.Blocks.free(visited)
+      val (pinned, fresh) = ps.cutCount(next, col("__new"))
+      ps.free(visited)
       visited = pinned
       done = fresh == 0
       hop += 1
     }
     // terminal-cut contract, as in nnDescentGraph: one pinned result,
-    // all intermediate pins freed; caller frees the result
-    val out = graft.Blocks.cut(topKPerQuery(visited.select(col("query_id"),
+    // all intermediate pins freed (on failure too — Blocks.scoped);
+    // caller frees the result
+    val out = ps.cut(topKPerQuery(visited.select(col("query_id"),
       col("node").as("cand_id"), col("sim")), k, idType))
-    graft.Blocks.free(visited)
-    graft.Blocks.free(adj)
-    graft.Blocks.free(c)
-    out
+    ps.free(visited)
+    ps.free(adj)
+    ps.free(c)
+    ps.result(out)
   }
 
   /** E3 — INCREMENTAL kNN-graph maintenance (the ingest twin of
@@ -1244,17 +1247,18 @@ object Similarity {
   private def knnGraphExtendCore(existing: DataFrame, oldCorpus: DataFrame,
                                  batch: DataFrame, k: Int, beam: Int,
                                  hops: Int, roundTo: Int, initRings: Int,
-                                 entry: DataFrame): DataFrame = {
+                                 entry: DataFrame): DataFrame =
+      graft.Blocks.scoped { ps =>
     val idType = oldCorpus.schema("id").dataType
     // leg 1: batch vectors locate their neighbourhood through the graph.
-    // graphSearchCore returns its terminal-cut pinned frame — keep the
-    // handle so this operator can free it before returning
-    val searchedPinned =
+    // graphSearchCore returns its terminal-cut pinned frame — adopt the
+    // handle so this operator frees it before returning (or on a throw)
+    val searchedPinned = ps.adopt(
       graphSearchCore(existing, oldCorpus, batch, k = beam, beam = beam,
-        hops = hops, roundTo = roundTo, entry = entry)
+        hops = hops, roundTo = roundTo, entry = entry))
     val searched = searchedPinned.drop("rnk")
     // leg 2: stripe pairs among the batch, scored exactly
-    val b = graft.Blocks.cut(
+    val b = ps.cut(
       batch.select(col("id"), col("vec"), norm(col("vec")).as("nrm")))
     val nb = b.count()
     val stripe = math.max(1L, nb / (k + 1L))
@@ -1287,10 +1291,10 @@ object Similarity {
     // exact Blocks.scala session-slowdown hazard): materialize the one
     // pinned result, free this call's intermediates (`b`, the search
     // leg), return ownership of the result to the caller
-    val out = graft.Blocks.cut(oldLists.unionByName(batchLists))
-    graft.Blocks.free(b)
-    graft.Blocks.free(searchedPinned)
-    out
+    val out = ps.cut(oldLists.unionByName(batchLists))
+    ps.free(b)
+    ps.free(searchedPinned)
+    ps.result(out)
   }
 
   /** Symmetric per-vector INT8 quantization — the embedding-at-rest

@@ -281,10 +281,12 @@ object ProbeScale {
     val scales = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 3, 10))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // heap comes from build.sbt's forked-run -Xmx (SPARK_DRIVER_MEM,
+    // default 8g) — setting spark.driver.memory on an already-running
+    // local JVM is a no-op (r15 advice item 5)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
       .getOrCreate()
     graft.Graft.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")

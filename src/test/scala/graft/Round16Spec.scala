@@ -173,4 +173,107 @@ class Round16Spec extends SparkSpec {
         s"straggler must pull the island start back to +6: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  private def livePins(): Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  test("Blocks.scoped frees every tracked pin when the body throws") {
+    Blocks.sweep(spark.sparkContext)
+    val before = livePins()
+    val boom = intercept[RuntimeException] {
+      Blocks.scoped { ps =>
+        ps.cut(spark.range(100).toDF())
+        val kept = ps.cut(spark.range(50).toDF())
+        ps.free(kept)
+        ps.cut(spark.range(10).toDF())
+        throw new RuntimeException("mid-build failure")
+      }
+    }
+    assert(boom.getMessage == "mid-build failure")
+    assert(livePins() == before,
+      s"scoped body leaked pins: ${livePins()} vs $before before")
+  }
+
+  test("graphSearchTopK frees its pins when a round job fails (r15 advice: exception safety)") {
+    val cl = clusteredCorpus().filter(col("id") < 100)
+    // a graph frame that throws during evaluation — AFTER the operator
+    // has already pinned the corpus frame, the pre-r16 leak
+    val boomGraph = Seq((1L, 2L)).toDF("query_id", "__c")
+      .select(col("query_id"),
+        when(col("__c") > 0, raise_error(lit("boom")).cast("long"))
+          .otherwise(col("__c")).as("cand_id"),
+        lit(0.5).as("sim"))
+    Blocks.sweep(spark.sparkContext)
+    val before = livePins()
+    intercept[Exception] {
+      operators.Similarity.graphSearchTopK(
+        boomGraph, cl, cl.filter(col("id") < 5), k = 3, beam = 4, hops = 2)
+    }
+    assert(livePins() == before,
+      s"failed search leaked pins: ${livePins()} vs $before before")
+  }
+
+  test("knnGraphExtend frees its pins (including the adopted search leg) when a late leg fails") {
+    val all = clusteredCorpus().filter(col("id") < 200)
+    val old = all.filter(col("id") >= 40)
+    val batch = all.filter(col("id") < 40)
+    Blocks.sweep(spark.sparkContext)
+    val g = operators.Similarity.nnDescentGraph(old, 3, iters = 1)
+    // poison only the graph's `sim` column: the search leg reads just
+    // (query_id, cand_id) — Catalyst prunes sim away — so leg 1
+    // SUCCEEDS and its pinned result is adopted by the outer scope;
+    // leg 3's merge then evaluates sim and throws, the adopted-handle
+    // cleanup case
+    val poisoned = g.select(col("query_id"), col("cand_id"),
+      when(col("cand_id").isNotNull, raise_error(lit("boom")))
+        .otherwise(col("sim")).cast("double").as("sim"))
+    val before = livePins() // includes g's own pin, freed after
+    intercept[Exception] {
+      operators.Similarity.knnGraphExtend(poisoned, old, batch,
+        k = 3, beam = 4, hops = 2)
+    }
+    assert(livePins() == before,
+      s"failed fold leaked pins: ${livePins()} vs $before before")
+    Blocks.free(g)
+  }
+
+  test("minLabel frees every superseded round (the Project-wrapped free was a silent no-op)") {
+    import spark.implicits._
+    // a 12-node path: min-label needs ~11 rounds to converge, so the
+    // r15 form (free on the `.select` view, which Blocks.free no-ops)
+    // left one block set pinned per round past the first
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = spark.range(12).toDF("id")
+    Blocks.sweep(spark.sparkContext)
+    val before = livePins()
+    val out = operators.Components.minLabel(chain, "a", "b", nodes, "id")
+    assert(out.collect().forall(_.getLong(1) == 0L), "chain must collapse to comp 0")
+    // exactly ONE pin may remain: the final round's labels, which the
+    // returned (lazy) frame still reads — the harness sweep reclaims it
+    assert(livePins() <= before + 1,
+      s"minLabel leaked superseded rounds: ${livePins()} vs $before before")
+  }
+
+  test("denseIds verify mode fails loudly on a nondeterministic input (r15 advice)") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.ids.verify", "true")
+    try {
+      // deterministic input with a payload column: guard passes
+      val ok = operators.Ids.denseIds(
+        Seq(("b", 1), ("a", 2), ("c", 3)).toDF("k", "p"), "k")
+      assert(ok.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ==
+        Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+      // nanoTime keys differ between the probe evaluation and the
+      // join-back evaluation — the silent-drop hazard the guard exists
+      // for; without verify mode this returns an EMPTY frame
+      val nondet = spark.range(20)
+        .map(i => i * 1000000L + System.nanoTime() % 1000000L)
+        .toDF("k").withColumn("p", lit(1))
+      val boom = intercept[IllegalArgumentException] {
+        operators.Ids.denseIds(nondet, "k")
+      }
+      assert(boom.getMessage.contains("nondeterministic"),
+        s"wrong failure: ${boom.getMessage}")
+    } finally spark.conf.unset("spark.graft.ids.verify")
+  }
 }
