@@ -7665,6 +7665,61 @@ object Queries {
     AS t(media_id, frame_idx, pts_ms, width, height, decoded, near_prev)
     ORDER BY media_id, frame_idx"""
 
+  /** MM — Motion-PNG + MIXED-codec frame decode (r15 verdict item 7:
+    * the intra-only extension that closes the video line item). Same
+    * BMFF demux as [[mm_frame_decode]]; the codec is sniffed PER
+    * SAMPLE from the sample's own magic bytes, so media 1 (a pure
+    * `png `-style track — one complete PNG still per sample, lossless)
+    * decodes end to end through javax.imageio's PNG codec, and media
+    * 2's MIXED track (JPEG, then PNG, then an inter-frame-style blob
+    * no pure-JDK codec opens) decodes exactly the two stills — the
+    * blob keeps the labeled `decoded = false` stub row. `near_prev`
+    * grades the DECODED PIXELS across codecs: media 2's frame-1
+    * comparison is dHash(JPEG-decoded base) vs dHash(PNG-decoded
+    * patched) — near iff the perceptual hash crosses the lossy/lossless
+    * boundary, which it must for the same raster. Inter-frame
+    * bitstream decode itself is a formal non-goal (SURVEY §7.5).
+    */
+  def mm_frame_decode_png(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      (1L, "video", Multimodal.minimalMp4WithSamples(72, 48, 120L,
+        samples = Seq(
+          Multimodal.gradientPng(72, 48),
+          Multimodal.gradientPng(72, 48, patch = Some((60, 36, 8))),
+          Multimodal.gradientPng(72, 48, invert = true)),
+        sampleDeltaMs = 40L, samplesPerChunk = 2)),
+      (2L, "video", Multimodal.minimalMp4WithSamples(64, 32, 120L,
+        samples = Seq(
+          Multimodal.gradientJpeg(64, 32),
+          Multimodal.gradientPng(64, 32, patch = Some((52, 20, 6))),
+          Array.fill(32)(5.toByte)),
+        sampleDeltaMs = 40L, samplesPerChunk = 2)),
+      (3L, "video", "still not a container".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    Multimodal.extractDecodedFrames(media)
+      .withColumn("prev_hash", lag(col("phash"), 1).over(w))
+      .withColumn("prev_dec", lag(col("decoded"), 1).over(w))
+      .select(col("media_id"), col("frame_idx"), col("pts_ms"),
+        col("width"), col("height"), col("decoded").cast("int").as("decoded"),
+        when(!col("decoded") || !coalesce(col("prev_dec"), lit(false)), lit(-1))
+          .otherwise(when(expr("bit_count(phash ^ prev_hash)") <= 8, lit(1))
+            .otherwise(lit(0))).as("near_prev"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val mmFdPngSql = """SELECT * FROM (VALUES
+      (cast(1 as bigint), cast(0 as int), cast(0 as bigint), cast(72 as int), cast(48 as int), cast(1 as int), cast(-1 as int)),
+      (1, 1, 40, 72, 48, 1, 1),
+      (1, 2, 80, 72, 48, 1, 0),
+      (2, 0, 0, 64, 32, 1, -1),
+      (2, 1, 40, 64, 32, 1, 1),
+      (2, 2, 80, 0, 0, 0, -1))
+    AS t(media_id, frame_idx, pts_ms, width, height, decoded, near_prev)
+    ORDER BY media_id, frame_idx"""
+
   /** ETL — foreign-key discovery across six candidate column pairs of
     * the raw star schema (four true FKs, one reversed pair whose parent
     * is non-unique, one reversed pair with partial containment —
@@ -13381,6 +13436,7 @@ object Queries {
     ("e11_rfm", e11_rfm _, e11rfSql),
     ("e11_autocorr", e11_autocorr _, e11acSql),
     ("mm_frame_decode", mm_frame_decode _, mmFdSql),
+    ("mm_frame_decode_png", mm_frame_decode_png _, mmFdPngSql),
     ("etl_fk_infer", etl_fk_infer _, etlFkSql),
     ("e10_cms", e10_cms _, e10cmsSql),
     ("e10_stream_cms", e10_stream_cms _, e10scmsSql),

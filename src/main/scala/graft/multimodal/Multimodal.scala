@@ -649,24 +649,38 @@ object Multimodal {
     StructField("phash", LongType, nullable = false),
     StructField("decoded", BooleanType, nullable = false)))
 
-  /** REAL video frame decode for the motion-JPEG family. MJPEG-in-MP4
-    * stores one complete JPEG still per sample, so the BMFF demux
-    * ([[videoSamples]]: stts×stsc×stsz×stco expansion) composed with
-    * the pure-JDK still codec (javax.imageio) IS the genuine
-    * end-to-end decode path for this codec family — no stub anywhere
-    * on it. Each located sample whose bytes open with the JPEG SOI
-    * marker (FF D8) decodes to a raster; the row carries its true
-    * dims and the 64-bit perceptual dHash of the DECODED PIXELS
-    * ([[rasterDHash]] — hashed once, no re-encode round trip), which
-    * is what downstream frame-level near-dup / scene-cut analytics
-    * consume. Samples of inter-frame codecs (H.264/HEVC genuinely
-    * need a bitstream decoder this pure-JDK build doesn't ship) emit
-    * `decoded = false` with the labeled payload-fold stub hash and
-    * zero dims — the row SHAPE is codec-complete, so swapping in a
-    * full codec changes values, never plans. Per-partition streaming;
-    * payload bytes never shuffle, only (dims, hash, pts) leave the
-    * scan. Malformed containers emit nothing (quarantine, not crash).
+  /** REAL video frame decode for the INTRA-ONLY still-codec families —
+    * motion-JPEG and Motion-PNG. Both store one complete still per
+    * sample (MJPEG-in-MP4; QuickTime/MP4 `png ` tracks), so the BMFF
+    * demux ([[videoSamples]]: stts×stsc×stsz×stco expansion) composed
+    * with the pure-JDK still codecs (javax.imageio) IS the genuine
+    * end-to-end decode path for these families — no stub anywhere on
+    * it. The codec is sniffed PER SAMPLE from the sample's own magic
+    * (JPEG SOI FF D8, or the 8-byte PNG signature), not from a track
+    * header — a mixed-codec track decodes every frame the build has a
+    * codec for. Each decodable sample's row carries its true dims and
+    * the 64-bit perceptual dHash of the DECODED PIXELS ([[rasterDHash]]
+    * — hashed once, no re-encode round trip), which is what downstream
+    * frame-level near-dup / scene-cut analytics consume. Samples of
+    * inter-frame codecs (H.264/HEVC genuinely need a bitstream decoder
+    * this pure-JDK build doesn't ship — a formal non-goal since r16,
+    * SURVEY §7.5) emit `decoded = false` with the labeled payload-fold
+    * stub hash and zero dims — the row SHAPE is codec-complete, so
+    * swapping in a full codec changes values, never plans.
+    * Per-partition streaming; payload bytes never shuffle, only (dims,
+    * hash, pts) leave the scan. Malformed containers emit nothing
+    * (quarantine, not crash).
     */
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def isJpegSample(slice: Array[Byte]): Boolean =
+    slice.length >= 2 && (slice(0) & 0xff) == 0xff && (slice(1) & 0xff) == 0xd8
+
+  private def isPngSample(slice: Array[Byte]): Boolean =
+    slice.length >= PngSig.length &&
+      java.util.Arrays.equals(slice, 0, PngSig.length, PngSig, 0, PngSig.length)
+
   def extractDecodedFrames(media: DataFrame, everyK: Int = 1): DataFrame = {
     require(everyK > 0)
     val enc = RowEncoder.encoderFor(decodedFrameSchema)
@@ -682,7 +696,7 @@ object Multimodal {
               val o = s.offset.toInt
               val slice = java.util.Arrays.copyOfRange(payload, o, o + s.size)
               val img =
-                if ((slice(0) & 0xff) == 0xff && (slice(1) & 0xff) == 0xd8)
+                if (isJpegSample(slice) || isPngSample(slice))
                   try javax.imageio.ImageIO.read(
                     new java.io.ByteArrayInputStream(slice))
                   catch { case _: Exception => null }
@@ -708,7 +722,22 @@ object Multimodal {
     * near hamming).
     */
   def gradientJpeg(w: Int, h: Int, invert: Boolean = false,
-                   patch: Option[(Int, Int, Int)] = None): Array[Byte] = {
+                   patch: Option[(Int, Int, Int)] = None): Array[Byte] =
+    encodeRaster(gradientRaster(w, h, invert, patch), "jpeg")
+
+  /** [[gradientJpeg]]'s raster through the pure-JDK PNG codec — the
+    * Motion-PNG sample fixture (QuickTime/MP4 `png ` tracks store one
+    * complete PNG still per sample, the same intra-only layout as
+    * MJPEG). Lossless, so the decoded pixels — and their dHash — equal
+    * the source raster's exactly.
+    */
+  def gradientPng(w: Int, h: Int, invert: Boolean = false,
+                  patch: Option[(Int, Int, Int)] = None): Array[Byte] =
+    encodeRaster(gradientRaster(w, h, invert, patch), "png")
+
+  private def gradientRaster(w: Int, h: Int, invert: Boolean,
+                             patch: Option[(Int, Int, Int)])
+      : java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -731,8 +760,13 @@ object Multimodal {
         py += 1
       }
     }
+    img
+  }
+
+  private def encodeRaster(img: java.awt.image.BufferedImage,
+                           format: String): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    javax.imageio.ImageIO.write(img, format, baos)
     baos.toByteArray
   }
 
