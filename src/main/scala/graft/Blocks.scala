@@ -139,19 +139,24 @@ object Blocks {
     sc.getPersistentRDDs.valuesIterator.foreach(_.unpersist(blocking = false))
 
   /** Exception-safe pin accounting for an iterative operator body (r15
-    * advice): every pin the operator creates is registered here; if the
-    * body throws mid-build (a failed round job, a bad input surfacing in
-    * round 3), [[scoped]] frees all still-live pins before rethrowing —
-    * a retrying ingest loop accumulates nothing from failed attempts.
-    * On the SUCCESS path the scope does nothing the operator didn't
+    * advice): every pin (and [[Scope.persist]]) the operator creates is
+    * registered here; if the body throws mid-build (a failed round job,
+    * a bad input surfacing in round 3), [[scoped]] frees all still-live
+    * pins and unpersists all still-live persists before rethrowing — a
+    * retrying ingest loop accumulates nothing from failed attempts. On
+    * the SUCCESS path the scope does nothing the operator didn't
     * already do: operators free superseded rounds eagerly via [[free]]
-    * and release their one result via [[result]], so the terminal-cut
-    * ownership contract (caller frees the returned frame) is unchanged.
-    * Identity-keyed: Dataset has no value equality, and two pins of
-    * equal plans are still two block sets.
+    * and release frames the returned (lazy) result still reads via
+    * [[result]], so each operator's ownership contract (caller frees or
+    * harness-sweeps the returned frame) is unchanged. Used by every
+    * iterative loop operator (similarity graph tier, components/graph
+    * analytics, hierarchy closures). Identity-keyed: Dataset has no
+    * value equality, and two pins of equal plans are still two block
+    * sets.
     */
   final class Scope private[Blocks] () {
     private val live = new java.util.IdentityHashMap[Dataset[_], Unit]()
+    private val persisted = new java.util.IdentityHashMap[Dataset[_], Unit]()
 
     /** [[Blocks.cut]], registered with the scope. */
     def cut[T](ds: Dataset[T]): Dataset[T] = adopt(Blocks.cut(ds))
@@ -169,6 +174,22 @@ object Blocks {
       */
     def adopt[T](ds: Dataset[T]): Dataset[T] = { live.put(ds, ()); ds }
 
+    /** `ds.persist()`, registered with the scope: on abort the frame is
+      * unpersisted (persists route through the CacheManager, so plain
+      * `unpersist` is the correct release — unlike checkpoint pins).
+      */
+    def persist[T](ds: Dataset[T]): Dataset[T] = {
+      ds.persist()
+      persisted.put(ds, ())
+      ds
+    }
+
+    /** Unpersist a scope-tracked persist, deregistering it. */
+    def unpersist(ds: Dataset[_]): Unit = {
+      persisted.remove(ds)
+      ds.unpersist(blocking = false)
+    }
+
     /** [[Blocks.free]], deregistering from the scope. */
     def free(df: Dataset[_]): Unit = { live.remove(df); Blocks.free(df) }
 
@@ -184,6 +205,11 @@ object Blocks {
         catch { case scala.util.control.NonFatal(_) => () }
       }
       live.clear()
+      persisted.keySet.forEach { d =>
+        try d.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      persisted.clear()
     }
   }
 

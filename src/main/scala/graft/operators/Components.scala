@@ -32,25 +32,24 @@ object Components {
     * component.
     */
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
-               nodes: DataFrame, idCol: String, maxIter: Int = 50): DataFrame = {
+               nodes: DataFrame, idCol: String,
+               maxIter: Int = 50): DataFrame = graft.Blocks.scoped { ps =>
     // checkpoint the edge list FIRST: both union branches (and every
     // round's join) read the materialized rows — without it the caller's
     // pair-generation plan executes once per branch (round 8: resolve's
     // candidate join ran twice inside round 1's materialization)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .cut
+    val e = ps.cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     // persist (not checkpoint): read every round, released on exit —
     // Dataset.unpersist works for persists, so no block can leak.
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val sym = ps.persist(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
     // Iterate ONLY over edge-incident nodes: a near-dup / entity-res
     // pair graph is tiny relative to the record set (most records are
     // singletons), so per-round frames track the GRAPH size, not the
     // corpus size. Singletons rejoin after the fixpoint (round 8 —
     // previously every round carried all |nodes| labels).
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .cut
+    var labels = ps.cut(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     // the PINNED handle behind `labels` — freeing must target the
     // checkpointed frame itself: Blocks.free silently no-ops on a
     // Project over a LogicalRDD, so freeing the `.select(...)` view
@@ -65,24 +64,26 @@ object Components {
         .agg(min(col("srcComp")).as("nbrComp"))
       // carry the previous label through the checkpoint so convergence
       // is a scan of the materialized round, not an extra join+shuffle
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = ps.cut(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        .cut
+          col("comp").as("prev")))
       changed = next.filter(col("comp") < col("prev")).count()
       // the superseded round's checkpoint blocks are dead the moment
       // `changed` is computed — free them NOW, don't wait for GC
       // (round 2 leaked one block per round per invocation).
-      graft.Blocks.free(pin)
+      ps.free(pin)
       pin = next
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
-    sym.unpersist()
-    graft.Blocks.free(e)
+    ps.unpersist(sym)
+    ps.free(e)
     // singletons (nodes with no edges) map to themselves; the join is
-    // one shuffle keyed on id, after the loop — not per round
+    // one shuffle keyed on id, after the loop — not per round. The
+    // returned lazy frame still reads the final round's pin, which
+    // survives the scope (ps.result) for the caller/harness to sweep.
+    ps.result(pin)
     nodes.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
@@ -108,16 +109,16 @@ object Components {
     */
   def minLabelAdaptive(edges: DataFrame, srcCol: String, dstCol: String,
                        nodes: DataFrame, idCol: String,
-                       broadcastMaxEdges: Long = 1L << 17): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .cut
+                       broadcastMaxEdges: Long = 1L << 17)
+      : DataFrame = graft.Blocks.scoped { ps =>
+    val e = ps.cut(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
     val n = e.count()
     if (n > broadcastMaxEdges) {
       // cast nodes to long too, so both paths emit the same schema
       val out = minLabel(e, "src", "dst",
         nodes.select(col(idCol).cast("long").as(idCol)), idCol)
-      graft.Blocks.free(e)
+      ps.free(e)
       out
     } else {
       // union-find with min-id roots: find(x) is the smallest id seen
@@ -137,7 +138,7 @@ object Components {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      graft.Blocks.free(e)
+      ps.free(e)
       val session = nodes.sparkSession
       import session.implicits._
       // materialize keys BEFORE mapping: find() path-compresses (writes
@@ -177,14 +178,13 @@ object Components {
     */
   def largeStarSmallStar(edges: DataFrame, srcCol: String, dstCol: String,
                          nodes: DataFrame, idCol: String,
-                         maxIter: Int = 40): DataFrame = {
-    var cur = edges
+                         maxIter: Int = 40): DataFrame = graft.Blocks.scoped { ps =>
+    var cur = ps.cut(edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
-      .cut
+      .distinct())
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))),
         lit(0L))).collect()(0)
@@ -218,23 +218,22 @@ object Components {
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
         .distinct()
-        .cut
-      val nextSig = signature(ss)
+      val ssPinned = ps.cut(ss)
+      val nextSig = signature(ssPinned)
       stable = nextSig == sig
       sig = nextSig
-      graft.Blocks.free(cur)
-      cur = ss
+      ps.free(cur)
+      cur = ssPinned
       iter += 1
     }
     // fixpoint edges form stars (u → component min); roots and isolated
     // vertices label themselves
     val parents = cur.select(col("u").as("id"), col("v").as("comp"))
-    val out = nodes.select(col(idCol).as("id"))
+    val out = ps.cut(nodes.select(col(idCol).as("id"))
       .join(parents, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-      .cut
-    graft.Blocks.free(cur)
-    out
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp")))
+    ps.free(cur)
+    ps.result(out)
   }
 
   /** Fixed-iteration PageRank over an undirected pair list — the
@@ -257,31 +256,30 @@ object Components {
     * in `minLabel`. The only driver-side value is N (a scalar count).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               nodes: DataFrame, idCol: String, iters: Int = 4): DataFrame = {
+               nodes: DataFrame, idCol: String,
+               iters: Int = 4): DataFrame = graft.Blocks.scoped { ps =>
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val sym = ps.persist(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = nodes.count()
     val init = 1000000000L / n
     val base = (15L * init) / 100L
-    var pr = nodes.select(col(idCol).as("id"), lit(init).as("pr"))
-      .cut
+    var pr = ps.cut(nodes.select(col(idCol).as("id"), lit(init).as("pr")))
     for (_ <- 1 to iters) {
       val contrib = sym.join(deg, "src")
         .join(pr.select(col("id").as("src"), col("pr")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(expr("pr div deg")).as("cs"))
-      val next = nodes.select(col(idCol).as("id"))
+      val next = ps.cut(nodes.select(col(idCol).as("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(cs, 0)) div 100")).as("pr"))
-        .cut
-      graft.Blocks.free(pr)
+          (lit(base) + expr("(85 * coalesce(cs, 0)) div 100")).as("pr")))
+      ps.free(pr)
       pr = next
     }
-    sym.unpersist()
-    pr
+    ps.unpersist(sym)
+    ps.result(pr)
   }
 
   /** Personalized PageRank (random walk with restart): the teleport
@@ -294,39 +292,37 @@ object Components {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            nodes: DataFrame, idCol: String,
-                           seeds: DataFrame, iters: Int = 4): DataFrame = {
+                           seeds: DataFrame,
+                           iters: Int = 4): DataFrame = graft.Blocks.scoped { ps =>
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val sym = ps.persist(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val sd = seeds.select(col(idCol).as("id")).distinct()
     val nSeeds = sd.count()
     require(nSeeds > 0, "personalizedPageRank needs at least one seed")
     val init = 1000000000L / nSeeds
     val base = (15L * init) / 100L
-    val seeded = nodes.select(col(idCol).as("id"))
+    val seeded = ps.persist(nodes.select(col(idCol).as("id"))
       .join(sd.withColumn("__s", lit(1)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("__s"), lit(0)).as("__s"))
-      .persist()
-    var pr = seeded
-      .select(col("id"), (col("__s").cast("long") * init).as("pr"))
-      .cut
+      .select(col("id"), coalesce(col("__s"), lit(0)).as("__s")))
+    var pr = ps.cut(seeded
+      .select(col("id"), (col("__s").cast("long") * init).as("pr")))
     for (_ <- 1 to iters) {
       val contrib = sym.join(deg, "src")
         .join(pr.select(col("id").as("src"), col("pr")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(expr("pr div deg")).as("cs"))
-      val next = seeded
+      val next = ps.cut(seeded
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (col("__s").cast("long") * base +
-            expr("(85 * coalesce(cs, 0)) div 100")).as("pr"))
-        .cut
-      graft.Blocks.free(pr)
+            expr("(85 * coalesce(cs, 0)) div 100")).as("pr")))
+      ps.free(pr)
       pr = next
     }
-    sym.unpersist(); seeded.unpersist()
-    pr
+    ps.unpersist(sym); ps.unpersist(seeded)
+    ps.result(pr)
   }
 
   /** Synchronized label propagation — the lightweight community
@@ -348,13 +344,13 @@ object Components {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        nodes: DataFrame, idCol: String,
-                       rounds: Int = 3): DataFrame = {
+                       rounds: Int = 3): DataFrame = graft.Blocks.scoped { ps =>
     require(rounds >= 0)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    var lab = nodes.select(col(idCol).cast("long").as("id"),
-      col(idCol).cast("long").as("lab")).cut
+    val sym = ps.persist(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
+    var lab = ps.cut(nodes.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("lab")))
     for (_ <- 1 to rounds) {
       val best = sym
         .join(lab.select(col("id").as("src"), col("lab")), "src")
@@ -363,15 +359,14 @@ object Components {
         .groupBy("id")
         .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("m"))
         .select(col("id"), col("m.l").as("nbLab"))
-      val next = lab
+      val next = ps.cut(lab
         .join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("nbLab"), col("lab")).as("lab"))
-        .cut
-      graft.Blocks.free(lab)
+        .select(col("id"), coalesce(col("nbLab"), col("lab")).as("lab")))
+      ps.free(lab)
       lab = next
     }
-    sym.unpersist()
-    lab
+    ps.unpersist(sym)
+    ps.result(lab)
   }
 
   /** Triangle counting + local clustering coefficient over an
@@ -459,21 +454,21 @@ object Components {
     * per round).
     */
   def kCoreFixed(edges: DataFrame, srcCol: String, dstCol: String,
-                 k: Int, rounds: Int): DataFrame = {
+                 k: Int, rounds: Int): DataFrame = graft.Blocks.scoped { ps =>
     require(k >= 1 && rounds >= 1)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .cut
+    var e = ps.cut(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
-      val next = e.join(keep, Seq("src"), "left_semi")
+      val next = ps.cut(e.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .cut
-      graft.Blocks.free(e)
+        .select("src", "dst"))
+      ps.free(e)
       e = next
     }
+    ps.result(e)
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
 
@@ -492,13 +487,14 @@ object Components {
     * the plan stays flat at any horizon; seeds deduplicate defensively.
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
-              seeds: DataFrame, idCol: String, rounds: Int): DataFrame = {
+              seeds: DataFrame, idCol: String,
+              rounds: Int): DataFrame = graft.Blocks.scoped { ps =>
     require(rounds >= 0)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .cut
-    var known = seeds.select(col(idCol).as("id")).distinct()
-      .withColumn("hops", lit(0)).cut
+    val e = ps.cut(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+    var known = ps.cut(seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("hops", lit(0)))
     var frontier = known
     for (r <- 1 to rounds) {
       val fresh = e
@@ -506,15 +502,15 @@ object Components {
         .select(col("dst").as("id")).distinct()
         .join(known, Seq("id"), "left_anti")
         .withColumn("hops", lit(r))
-      val nextKnown = known.union(fresh).cut
-      graft.Blocks.free(known)
+      val nextKnown = ps.cut(known.union(fresh))
+      ps.free(known)
       known = nextKnown
       // re-derive the frontier from the checkpointed union so `fresh`'s
       // lineage (which still references the previous round) is dropped
       frontier = known.filter(col("hops") === r)
     }
-    graft.Blocks.free(e)
-    known
+    ps.free(e)
+    ps.result(known)
   }
 
   /** Multi-source BFS: per-(node, seed) hop distances from a landmark
@@ -529,14 +525,14 @@ object Components {
     */
   def multiSourceHops(edges: DataFrame, srcCol: String, dstCol: String,
                       seeds: DataFrame, idCol: String,
-                      rounds: Int): DataFrame = {
+                      rounds: Int): DataFrame = graft.Blocks.scoped { ps =>
     require(rounds >= 0)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .cut
-    var known = seeds.select(col(idCol).as("id")).distinct()
+    val e = ps.cut(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+    var known = ps.cut(seeds.select(col(idCol).as("id")).distinct()
       .select(col("id"), col("id").as("seed"))
-      .withColumn("hops", lit(0)).cut
+      .withColumn("hops", lit(0)))
     var frontier = known
     for (r <- 1 to rounds) {
       val fresh = e
@@ -544,13 +540,13 @@ object Components {
         .select(col("dst").as("id"), col("seed")).distinct()
         .join(known.select("id", "seed"), Seq("id", "seed"), "left_anti")
         .withColumn("hops", lit(r))
-      val nextKnown = known.union(fresh).cut
-      graft.Blocks.free(known)
+      val nextKnown = ps.cut(known.union(fresh))
+      ps.free(known)
       known = nextKnown
       frontier = known.filter(col("hops") === r)
     }
-    graft.Blocks.free(e)
-    known
+    ps.free(e)
+    ps.result(known)
   }
 
   /** k-truss peeling (fixed rounds): keep edges supported by at least
@@ -568,12 +564,12 @@ object Components {
     * per round. Returns the surviving canonical (u < v) edges.
     */
   def kTrussFixed(edges: DataFrame, srcCol: String, dstCol: String,
-                  k: Int, rounds: Int): DataFrame = {
+                  k: Int, rounds: Int): DataFrame = graft.Blocks.scoped { ps =>
     require(k >= 2 && rounds >= 1)
-    var e = edges.select(
+    var e = ps.cut(edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") < col("v")).distinct().cut
+      .filter(col("u") < col("v")).distinct())
     for (_ <- 1 to rounds) {
       val sym = e.select(col("u").as("n"), col("v").as("c"))
         .union(e.select(col("v").as("n"), col("u").as("c")))
@@ -583,13 +579,13 @@ object Components {
         .select("u", "v")
         .join(e, Seq("u", "v"), "leftsemi")
         .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-      val next = e.join(sup, Seq("u", "v"), "left")
+      val next = ps.cut(e.join(sup, Seq("u", "v"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-        .select("u", "v").cut
-      graft.Blocks.free(e)
+        .select("u", "v"))
+      ps.free(e)
       e = next
     }
-    e
+    ps.result(e)
   }
 
   /** Weighted single-source shortest paths, Bellman-Ford style: `rounds`
@@ -609,25 +605,25 @@ object Components {
     */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     weightCol: String, seeds: DataFrame, idCol: String,
-                    rounds: Int): DataFrame = {
+                    rounds: Int): DataFrame = graft.Blocks.scoped { ps =>
     require(rounds >= 0)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
-      col("w"))).cut
-    var dist = seeds.select(col(idCol).as("id")).distinct()
-      .withColumn("d", lit(0L)).cut
+    val e = ps.cut(e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst"), col("w"))))
+    var dist = ps.cut(seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("d", lit(0L)))
     for (_ <- 1 to rounds) {
       val relaxed = e
         .join(dist.select(col("id").as("src"), col("d")), "src")
         .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
-      val next = dist.unionByName(relaxed)
-        .groupBy("id").agg(min(col("d")).as("d")).cut
-      graft.Blocks.free(dist)
+      val next = ps.cut(dist.unionByName(relaxed)
+        .groupBy("id").agg(min(col("d")).as("d")))
+      ps.free(dist)
       dist = next
     }
-    graft.Blocks.free(e)
-    dist
+    ps.free(e)
+    ps.result(dist)
   }
 
   /** Incremental connected components — fold a batch of NEW edges into
@@ -647,15 +643,15 @@ object Components {
     */
   def minLabelIncremental(mapping: DataFrame, newEdges: DataFrame,
                           srcCol: String, dstCol: String,
-                          allNodes: DataFrame, idCol: String): DataFrame = {
-    val e = newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .cut
+                          allNodes: DataFrame,
+                          idCol: String): DataFrame = graft.Blocks.scoped { ps =>
+    val e = ps.cut(
+      newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val endpoints = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val touched = mapping.join(endpoints, Seq("id"), "left_semi")
       .select("comp").distinct()
-    val affected = mapping.join(touched, Seq("comp"), "left_semi")
-      .cut
+    val affected = ps.cut(mapping.join(touched, Seq("comp"), "left_semi"))
     val star = affected.select(col("id").as("src"), col("comp").as("dst"))
     val subNodes = affected.select("id").union(endpoints).distinct()
     val solved = minLabel(star.union(e), "src", "dst", subNodes, "id")
@@ -664,6 +660,9 @@ object Components {
     val selfs = allNodes.select(col(idCol).as("id"))
       .join(covered, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
+    // the returned lazy frame still reads BOTH pins (solved's nodes leg
+    // reads `e` and `affected`): they survive for the harness sweep
+    ps.result(e); ps.result(affected)
     untouched.select("id", "comp")
       .unionByName(solved.select("id", "comp"))
       .unionByName(selfs)
@@ -675,25 +674,25 @@ object Components {
     * graph depth.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxRounds: Int = 64): DataFrame = {
+            maxRounds: Int = 64): DataFrame = graft.Blocks.scoped { ps =>
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .cut
+    var e = ps.cut(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     var n = e.count()
     var done = false
     var r = 0
     while (!done && r < maxRounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
-      val next = e.join(keep, Seq("src"), "left_semi")
+      val next = ps.cut(e.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .cut
+        .select("src", "dst"))
       val m = next.count()
-      if (m == n) { graft.Blocks.free(next); done = true }
-      else { graft.Blocks.free(e); e = next; n = m }
+      if (m == n) { ps.free(next); done = true }
+      else { ps.free(e); e = next; n = m }
       r += 1
     }
+    ps.result(e)
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
 }

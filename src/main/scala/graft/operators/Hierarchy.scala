@@ -42,7 +42,7 @@ object Hierarchy {
     * `maxIter`; nodes on a cycle keep a non-root ancestor).
     */
   def rootAndDepth(edges: DataFrame, idCol: String, parentCol: String,
-                   maxIter: Int = 30): DataFrame = {
+                   maxIter: Int = 30): DataFrame = graft.Blocks.scoped { ps =>
     val e = edges.select(col(idCol).cast("long").as("id"),
       col(parentCol).cast("long").as("anc"))
     val roots = e.select(col("anc").as("id"))
@@ -54,7 +54,7 @@ object Hierarchy {
     // (root, root, 0, true) so every pointer join hits.
     // each round is ONE job: Blocks.cutCount fuses the round's lineage
     // cut with its convergence count (r12)
-    var (cur, active) = graft.Blocks.cutCount(
+    var (cur, active) = ps.cutCount(
       e.select(col("id"), col("anc"), lit(1L).as("d"),
           lit(false).as("s"))
         .unionByName(roots.select(col("id"), col("id").as("anc"),
@@ -67,13 +67,14 @@ object Hierarchy {
           col("d").as("d2"), col("s").as("s2")).as("b"), Seq("anc"))
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"), col("s2").as("s"))
-      val (next, nAct) = graft.Blocks.cutCount(
+      val (next, nAct) = ps.cutCount(
         cur.filter(col("s")).unionByName(jumped), !col("s"))
-      graft.Blocks.free(cur)
+      ps.free(cur)
       cur = next
       active = nAct
       iter += 1
     }
+    ps.result(cur)
     cur.select(col("id"), col("anc").as("root"), col("d").as("depth"))
   }
 
@@ -134,20 +135,25 @@ object Hierarchy {
     */
   def extend(settled: DataFrame, newEdges: DataFrame, idCol: String,
              parentCol: String, maxIter: Int = 30): DataFrame = {
-    val base = settled.select(col("id").cast("long").as("id"),
-      col("root").cast("long").as("anc"),
-      col("depth").cast("long").as("d"), lit(true).as("s"))
     val e = newEdges.select(col(idCol).cast("long").as("id"),
       col(parentCol).cast("long").as("anc"))
     smallBatch(e) match {
-      case Some(edges) => return extendSmall(settled, edges, withPaths = false)
-      case None => ()
+      case Some(edges) => extendSmall(settled, edges, withPaths = false)
+      case None => extendDistributed(settled, e, maxIter)
     }
+  }
+
+  private def extendDistributed(settled: DataFrame, e: DataFrame,
+                                maxIter: Int): DataFrame =
+      graft.Blocks.scoped { ps =>
+    val base = settled.select(col("id").cast("long").as("id"),
+      col("root").cast("long").as("anc"),
+      col("depth").cast("long").as("d"), lit(true).as("s"))
     val parents = e.select(col("anc").as("id")).distinct()
     // attach points: existing nodes directly referenced by the batch.
     // This semi-join is the ONLY corpus-sized touch in the whole call
     // (AQE broadcasts the batch-sized probe side when it fits).
-    val attach = base.join(parents, Seq("id"), "leftsemi").cut
+    val attach = ps.cut(base.join(parents, Seq("id"), "leftsemi"))
     // brand-new roots: referenced as parent, not existing, not in the
     // batch. Existing parents are EXACTLY the attach rows, so the
     // anti-join runs batch-vs-batch — anti-joining `base` here would
@@ -160,11 +166,11 @@ object Hierarchy {
       .join(e.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("anc"), lit(0L).as("d"),
         lit(true).as("s"))
-    val fixedF = graft.Blocks.cut(attach.withColumn("__new", lit(false))
+    val fixedF = ps.cut(attach.withColumn("__new", lit(false))
       .unionByName(newRoots.withColumn("__new", lit(true))))
-    graft.Blocks.free(attach)
+    ps.free(attach)
     val fixed = fixedF.drop("__new")
-    var (cur, active) = graft.Blocks.cutCount(
+    var (cur, active) = ps.cutCount(
       e.select(col("id"), col("anc"), lit(1L).as("d"),
         lit(false).as("s")),
       !col("s"))
@@ -177,13 +183,15 @@ object Hierarchy {
         .join(target, Seq("anc"))
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"), col("s2").as("s"))
-      val (next, nAct) = graft.Blocks.cutCount(
+      val (next, nAct) = ps.cutCount(
         cur.filter(col("s")).unionByName(jumped), !col("s"))
-      graft.Blocks.free(cur)
+      ps.free(cur)
       cur = next
       active = nAct
       iter += 1
     }
+    // the returned lazy union reads both surviving pins
+    ps.result(fixedF); ps.result(cur)
     settled
       .select(col("id").cast("long").as("id"),
         col("root").cast("long").as("root"),
@@ -208,6 +216,17 @@ object Hierarchy {
   def extendPaths(settled: DataFrame, newEdges: DataFrame, idCol: String,
                   parentCol: String, sep: String = "/",
                   maxIter: Int = 30): DataFrame = {
+    val e = newEdges.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("anc"))
+    smallBatch(e) match {
+      case Some(edges) => extendSmall(settled, edges, withPaths = true, sep)
+      case None => extendPathsDistributed(settled, e, sep, maxIter)
+    }
+  }
+
+  private def extendPathsDistributed(settled: DataFrame, e: DataFrame,
+                                     sep: String, maxIter: Int): DataFrame =
+      graft.Blocks.scoped { ps =>
     val sepRe = java.util.regex.Pattern.quote(sep)
     val parts = split(col("path"), sepRe)
     val ancArr = reverse(slice(parts, lit(1), size(parts) - 1))
@@ -215,27 +234,20 @@ object Hierarchy {
     val base = settled.select(col("id").cast("long").as("id"),
       col("root").cast("long").as("anc"),
       col("depth").cast("long").as("d"), ancArr.as("arr"), lit(true).as("s"))
-    val e = newEdges.select(col(idCol).cast("long").as("id"),
-      col(parentCol).cast("long").as("anc"))
-    smallBatch(e) match {
-      case Some(edges) =>
-        return extendSmall(settled, edges, withPaths = true, sep)
-      case None => ()
-    }
     val parents = e.select(col("anc").as("id")).distinct()
     // same corpus-touch discipline as [[extend]]: one semi-join, then
     // batch-vs-batch for the new-root set
-    val attach = base.join(parents, Seq("id"), "leftsemi").cut
+    val attach = ps.cut(base.join(parents, Seq("id"), "leftsemi"))
     val newRoots = parents
       .join(attach.select("id"), Seq("id"), "left_anti")
       .join(e.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("anc"), lit(0L).as("d"),
         array().cast("array<long>").as("arr"), lit(true).as("s"))
-    val fixedF = graft.Blocks.cut(attach.withColumn("__new", lit(false))
+    val fixedF = ps.cut(attach.withColumn("__new", lit(false))
       .unionByName(newRoots.withColumn("__new", lit(true))))
-    graft.Blocks.free(attach)
+    ps.free(attach)
     val fixed = fixedF.drop("__new")
-    var (cur, active) = graft.Blocks.cutCount(
+    var (cur, active) = ps.cutCount(
       e.select(col("id"), col("anc"), lit(1L).as("d"),
         array(col("anc")).as("arr"), lit(false).as("s")),
       !col("s"))
@@ -249,15 +261,16 @@ object Hierarchy {
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"),
           concat(col("arr"), col("arr2")).as("arr"), col("s2").as("s"))
-      val (next, nAct) = graft.Blocks.cutCount(
+      val (next, nAct) = ps.cutCount(
         cur.filter(col("s")).unionByName(jumped), !col("s"))
-      graft.Blocks.free(cur)
+      ps.free(cur)
       cur = next
       active = nAct
       iter += 1
     }
     def pathOf(idc: Column, arr: Column): Column =
       concat_ws(sep, concat(reverse(arr), array(idc)).cast("array<string>"))
+    ps.result(fixedF); ps.result(cur)
     settled
       .select(col("id").cast("long").as("id"),
         col("root").cast("long").as("root"),
@@ -275,13 +288,14 @@ object Hierarchy {
     * through the union; the per-round concat work is frontier-sized.
     */
   private def doubledArrays(edges: DataFrame, idCol: String,
-                            parentCol: String, maxIter: Int): DataFrame = {
+                            parentCol: String,
+                            maxIter: Int): DataFrame = graft.Blocks.scoped { ps =>
     val e = edges.select(col(idCol).cast("long").as("id"),
       col(parentCol).cast("long").as("anc"))
     val roots = e.select(col("anc").as("id"))
       .except(e.select(col("id")))
       .distinct()
-    var (cur, active) = graft.Blocks.cutCount(
+    var (cur, active) = ps.cutCount(
       e.select(col("id"), col("anc"), lit(1L).as("d"),
           array(col("anc")).as("arr"), lit(false).as("s"))
         .unionByName(roots.select(col("id"), col("id").as("anc"),
@@ -297,13 +311,14 @@ object Hierarchy {
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"),
           concat(col("arr"), col("arr2")).as("arr"), col("s2").as("s"))
-      val (next, nAct) = graft.Blocks.cutCount(
+      val (next, nAct) = ps.cutCount(
         cur.filter(col("s")).unionByName(jumped), !col("s"))
-      graft.Blocks.free(cur)
+      ps.free(cur)
       cur = next
       active = nAct
       iter += 1
     }
+    ps.result(cur)
     cur.drop("s")
   }
 

@@ -1236,6 +1236,13 @@ object Similarity {
     * terminal-cut/ownership contract; only the newcomers' beam-search
     * entry set differs. Round15Spec pins batch-fold recall ≥ 0.9 on
     * the 40-cluster fixture with defaults (no per-corpus constant).
+    *
+    * Scale point (ProbeFold r16, idle host, local[32], fixed
+    * 400-vector batch, standing corpus 1,600 → 19,600): auto fold
+    * 3.02 → 4.10 s (1.36× vs the 10.0 linear bar; fixed-dial twin
+    * 2.94 → 3.42 s). The auto delta is the ONE standing-corpus-sized
+    * pass the derivation adds — [[bucketEntryReps]]'s map-side-combined
+    * explode+min aggregate — everything else stays batch-sized.
     */
   def knnGraphExtendAuto(existing: DataFrame, oldCorpus: DataFrame,
                          batch: DataFrame, k: Int, beam: Int, hops: Int,

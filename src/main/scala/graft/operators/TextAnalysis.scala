@@ -301,17 +301,16 @@ object TextAnalysis {
     * Determinism: ties on pair frequency break by (left, right)
     * lexicographic order — byte order, engine-independent.
     */
-  def bpeLearn(df: DataFrame, textCol: String,
-               nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
-    var words = df
+  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(String, String, Long)], DataFrame) = graft.Blocks.scoped { ps =>
+    var words = ps.cut(df
       .select(explode(preTokens(col(textCol))).as("pt"))
       .groupBy("pt").agg(count(lit(1)).as("freq"))
       .filter(length(col("pt")) > 0)
       .select(col("pt"), col("freq"),
         // split-on-empty keeps a TRAILING "" (Pattern.split limit -1);
         // drop empties so symbols are exactly the codepoints
-        filter(split(col("pt"), ""), s => s =!= lit("")).as("syms"))
-      .cut
+        filter(split(col("pt"), ""), s => s =!= lit("")).as("syms")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     for (_ <- 1 to nMerges if !done) {
@@ -330,18 +329,18 @@ object TextAnalysis {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b, top(0).getLong(2)))
         val ab = a + b
-        val next = words.select(col("pt"), col("freq"),
+        val next = ps.cut(words.select(col("pt"), col("freq"),
           aggregate(col("syms"),
             array().cast("array<string>"),
             (acc, s) => when(
               size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(ab))))
-              .otherwise(concat(acc, array(s)))).as("syms"))
-          .cut
-        graft.Blocks.free(words)
+              .otherwise(concat(acc, array(s)))).as("syms")))
+        ps.free(words)
         words = next
       }
     }
+    ps.result(words)
     (merges.toSeq,
       words.select(col("pt"), col("freq"),
         size(col("syms")).cast("long").as("n_sub")))

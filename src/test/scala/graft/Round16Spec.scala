@@ -1,16 +1,31 @@
 package graft
 
-/** Round-16 pins: in-contract OUT-OF-ORDER events across micro-batches
-  * in the event-time stateful operators (r15 advice item 1 — the
-  * medium). Within one micro-batch the operator sorts its input, so the
-  * only unsorted path is a CARRIED state meeting a next-batch event
-  * with wm <= ts < state.lastMs (non-late, within gap): the r15 merge
+/** Round-16 pins.
+  *
+  * Event-time stateful operators: in-contract OUT-OF-ORDER events
+  * across micro-batches (r15 advice item 1 — the medium). Within one
+  * micro-batch the operator sorts its input, so the only unsorted path
+  * is a CARRIED state meeting a next-batch event with
+  * wm <= ts < state.lastMs (non-late, within gap): the r15 merge
   * assigned `lastMs = ts`, REGRESSING the session end (possibly below
   * the start) and the timeout computed from it. r16 clamps
   * `lastMs = max(lastMs, ts)` / `startMs = min(startMs, ts)` (and the
   * min-start analog in intervalMergeEventTime), so a straggler widens
   * the session exactly as the batch sessionizer over the same events
   * would.
+  *
+  * Graph-search defaults (r15 verdict item 1): derived entry points are
+  * the DEFAULT of graphSearchTopK/knnGraphExtend, recall ≥ 0.9 pinned
+  * with no per-corpus dial. Checkpoint restart (r15 verdict item 3):
+  * a stopped-and-resumed stream equals its uninterrupted twin.
+  *
+  * Pin hygiene (r15 advice items 2/3/4): Blocks.scoped frees every
+  * operator-created pin (and persist) when an iterative body throws
+  * mid-build — graded for the similarity graph tier AND the components
+  * loops; minLabel's superseded rounds actually free (the r15 form
+  * freed a Project-wrapped view, which Blocks.free silently no-ops);
+  * denseIds' verify mode turns the nondeterministic-input silent drop
+  * into a loud failure.
   */
 class Round16Spec extends SparkSpec {
   import org.apache.spark.sql.functions._
@@ -252,6 +267,28 @@ class Round16Spec extends SparkSpec {
     // returned (lazy) frame still reads — the harness sweep reclaims it
     assert(livePins() <= before + 1,
       s"minLabel leaked superseded rounds: ${livePins()} vs $before before")
+  }
+
+  test("components loops free pins AND persists when a round job fails") {
+    import spark.implicits._
+    // edges whose dst throws on evaluation: pageRank pins pr, persists
+    // sym, and fails in round 1's contrib job — everything must release
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "__b")
+      .select(col("a"), when(col("__b") > 0,
+        raise_error(lit("boom")).cast("long")).otherwise(col("__b")).as("b"))
+    val nodes = spark.range(4).toDF("id")
+    Blocks.sweep(spark.sparkContext)
+    val before = livePins()
+    intercept[Exception] {
+      operators.Components.pageRank(edges, "a", "b", nodes, "id", iters = 2)
+    }
+    assert(livePins() == before,
+      s"failed pageRank leaked pins/persists: ${livePins()} vs $before")
+    intercept[Exception] {
+      operators.Components.minLabel(edges, "a", "b", nodes, "id")
+    }
+    assert(livePins() == before,
+      s"failed minLabel leaked pins/persists: ${livePins()} vs $before")
   }
 
   test("denseIds verify mode fails loudly on a nondeterministic input (r15 advice)") {
