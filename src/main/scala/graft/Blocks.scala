@@ -115,7 +115,10 @@ object Blocks {
     * checkpoint dir at O(live rounds) instead of O(all rounds) — the
     * default `spark.cleaner.referenceTracking.cleanCheckpoints=false`
     * reclaims nothing during the job (r11 advice). No-op on frames
-    * that are not checkpoint-backed.
+    * that are not checkpoint-backed — which includes any frame DERIVED
+    * from a pin (`pinned.select(...)` is a Project over the LogicalRDD,
+    * not the LogicalRDD): free the pinned handle itself, never a view
+    * of it (r16: minLabel leaked one block set per round this way).
     */
   def free(df: Dataset[_]): Unit = df.queryExecution.logical match {
     case lr: LogicalRDD =>
