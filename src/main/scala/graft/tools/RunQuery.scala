@@ -11,7 +11,10 @@ object RunQuery {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RunQuery <name> [sfDir] [explain]")
     val name = args(0)
-    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+    // "explain" is a flag, not the sfDir: `RunQuery q explain` must not
+    // read tables from a directory literally named "explain"
+    val dir = args.drop(1).find(_ != "explain")
+      .getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -269,6 +269,17 @@ class Round16Spec extends SparkSpec {
       s"minLabel leaked superseded rounds: ${livePins()} vs $before before")
   }
 
+  test("nnDescentGraph initRings <= 0 degrades to one ring, never an analysis error") {
+    // explode(array()) of zero struct columns is ArrayType(NullType) —
+    // without the clamp the fused init failed at analysis where the r15
+    // per-ring form degraded gracefully
+    val cl = clusteredCorpus().filter(col("id") < 200)
+    val g = operators.Similarity.nnDescentGraph(cl, k = 3, iters = 1,
+      initRings = 0)
+    assert(g.count() > 0, "zero-ring build must still seed from ring 0 + stripes")
+    Blocks.free(g)
+  }
+
   test("components loops free pins AND persists when a round job fails") {
     import spark.implicits._
     // edges whose dst throws on evaluation: pageRank pins pr, persists
