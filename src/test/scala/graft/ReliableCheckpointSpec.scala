@@ -144,4 +144,34 @@ class ReliableCheckpointSpec extends SparkSpec {
       assert(rddDirs(dir) === 0, "freeing the last result must empty the dir")
     }
   }
+
+  test("a FAILED build reclaims its reliable checkpoint files (scope abort, cluster posture)") {
+    // the r16 Blocks.scoped contract in reliable mode: a mid-build
+    // throw must delete the checkpoint FILES of every pin the call
+    // created — a retrying cluster job whose failed attempts each left
+    // a corpus-sized rdd-* dir behind would fill the checkpoint store
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 150).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vec")
+    // graph that throws on evaluation AFTER the corpus pin's files exist
+    val boomGraph = Seq((1L, 2L)).toDF("query_id", "__c")
+      .select(col("query_id"),
+        when(col("__c") > 0, raise_error(lit("boom")).cast("long"))
+          .otherwise(col("__c")).as("cand_id"),
+        lit(0.5).as("sim"))
+    def rddDirs(dir: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      finally s.close()
+    }
+    withCheckpointDir { dir =>
+      intercept[Exception] {
+        operators.Similarity.graphSearchTopK(
+          boomGraph, vecs, vecs.filter(col("id") < 5), k = 3, beam = 4, hops = 2)
+      }
+      assert(rddDirs(dir) === 0,
+        s"failed build left ${rddDirs(dir)} rdd checkpoint dirs behind")
+    }
+  }
 }
