@@ -1404,6 +1404,92 @@ object Similarity {
     * O(N²/2^bits) candidate work, hash-partitioned by bucket) and
     * largeStarSmallStar's O(log diameter) rounds; nothing driver-side.
     */
+  /** SEMANTIC decontamination, exact: flag every train vector whose
+    * cosine against ANY eval vector reaches `threshold` — the
+    * embedding-space member of the decontamination family
+    * ([[graft.operators.TextAnalysis.decontaminate]] is the n-gram
+    * member, `decontaminateBloom` its prefiltered form). Paraphrased or
+    * re-rendered benchmark items share no n-grams with their source but
+    * sit next to it in embedding space — this is the pass that catches
+    * them.
+    *
+    * THIS IS THE SCALE PATH, not a toy baseline: eval sets are
+    * benchmark-sized (10³–10⁶ rows) while train is the 100 TB side, so
+    * the eval vectors BROADCAST and the train corpus streams through
+    * ONE scan with |eval| codegen'd dot products per row and NO
+    * shuffle — only the hit rows (contaminated ids) ever leave the
+    * scan, into one tiny aggregation. Exact by construction: recall 1
+    * at any threshold.
+    *
+    * Output: one row per contaminated train id —
+    * (id, n_matches, best_sim, best_eval_id), best = highest sim, ties
+    * to the smaller eval id (deterministic, hash-gradeable).
+    */
+  def semanticDecontaminateExact(train: DataFrame, eval: DataFrame,
+                                 threshold: Double,
+                                 roundTo: Int = 6): DataFrame = {
+    val ev = eval.select(col("id").as("eval_id"), col("vec").as("ev"),
+      norm(col("vec")).as("en"))
+    val hits = train.select(col("id"), col("vec"), norm(col("vec")).as("tn"))
+      .crossJoin(broadcast(ev))
+      .select(col("id"), col("eval_id"),
+        round(dot(col("vec"), col("ev")) / (col("tn") * col("en")), roundTo)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+    decontamFlags(hits)
+  }
+
+  /** [[semanticDecontaminateExact]] with a multi-ring sign-LSH
+    * PREFILTER: candidate iff train and eval share at least one of
+    * `rings` disjoint dim-slice sign buckets (the multi-table family of
+    * the graph init), so per-train compute drops from |eval| dot
+    * products to only bucket-colliding ones. Same broadcast-eval /
+    * one-train-scan shape — the exploded (bucket, eval vector) index
+    * broadcasts, candidates score inside the scan, only hits shuffle
+    * (one distinct over hit pairs collapses multi-ring duplicates; sim
+    * is deterministic, so duplicates are exact).
+    *
+    * HONESTY — when to use which: identical vectors share every ring
+    * bucket, so EXACT COPIES can never be missed (spec-pinned recall 1);
+    * clustered corpora (real embedding spaces) keep high recall the way
+    * the graph tier measures (0.9995 on the 40-cluster fixture family);
+    * but on ISOTROPIC vectors sign projections carry no neighbor signal
+    * and recall collapses (measured on the synthetic sf0.01 embeddings
+    * at τ=0.35: 6 of 85 contaminated train docs — the same documented
+    * floor as every sublinear method on that data). Decontamination is
+    * recall-critical: prefer the exact path whenever |eval| · dims per
+    * train row is affordable, and this prefilter only when it is not.
+    */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+                            threshold: Double, bits: Int = 8,
+                            rings: Int = 4, roundTo: Int = 6): DataFrame = {
+    def ringKeys(v: Column): Column =
+      array((0 until math.max(1, rings)).map(j =>
+        signBucketAt(v, bits, j * bits) + lit(j.toLong * (1L << bits))): _*)
+    val ev = eval.select(col("id").as("eval_id"), col("vec").as("ev"),
+        norm(col("vec")).as("en"), explode(ringKeys(col("vec"))).as("__b"))
+    val hits = train.select(col("id"), col("vec"), norm(col("vec")).as("tn"),
+        explode(ringKeys(col("vec"))).as("__b"))
+      .join(broadcast(ev), Seq("__b"))
+      .select(col("id"), col("eval_id"),
+        round(dot(col("vec"), col("ev")) / (col("tn") * col("en")), roundTo)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct() // a pair sharing r rings scored r times, identically
+    decontamFlags(hits)
+  }
+
+  /** Shared tail of the decontamination pair scorers: collapse hit
+    * pairs to one row per contaminated train id with a deterministic
+    * best match (max sim, ties to the smaller eval id).
+    */
+  private def decontamFlags(hits: DataFrame): DataFrame =
+    hits.groupBy("id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("sim"), (-col("eval_id")).as("negid"))).as("__m"))
+      .select(col("id"), col("n_matches"), col("__m.sim").as("best_sim"),
+        (-col("__m.negid")).as("best_eval_id"))
+
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     bits: Int = 8): DataFrame = {
     val pairs = nearDupPairs(corpus, threshold, bits).select("id1", "id2")

@@ -302,6 +302,36 @@ class Round16Spec extends SparkSpec {
       s"failed minLabel leaked pins/persists: ${livePins()} vs $before")
   }
 
+  test("semanticDecontaminate: exact copies are never missed; blocked hits are a subset of exact") {
+    import spark.implicits._
+    val cl = clusteredCorpus()
+    val train = cl.filter(col("id") >= 100)
+    // eval = verbatim copies of 20 train vectors (re-keyed) + 50 other
+    // vectors from clusters the copies also populate
+    val eval = cl.filter(col("id") >= 100 && col("id") < 120)
+      .select((col("id") + 10000).as("id"), col("vec"))
+      .unionByName(cl.filter(col("id") < 50)
+        .select((col("id") + 20000).as("id"), col("vec")))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    // identical vectors share every ring bucket: the prefilter cannot
+    // drop a verbatim copy at any rings/bits setting
+    val copies = ids(operators.Similarity.semanticDecontaminate(
+      train, eval, threshold = 0.999))
+    assert((100L until 120L).forall(copies.contains),
+      s"blocked path missed verbatim copies: ${(100L until 120L).toSet -- copies}")
+    // the prefilter only ever REMOVES candidate pairs, so its flag set
+    // is a subset of the exact path's at the same threshold
+    val lsh = ids(operators.Similarity.semanticDecontaminate(
+      train, eval, threshold = 0.6))
+    val exact = ids(operators.Similarity.semanticDecontaminateExact(
+      train, eval, threshold = 0.6))
+    assert(lsh.subsetOf(exact), s"blocked flags not a subset: ${lsh -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+    info(f"clustered-fixture doc recall at τ=0.6, rings=4: $recall%.4f (${exact.size} exact hits)")
+    assert(recall >= 0.8, f"clustered recall $recall%.4f below 0.8")
+  }
+
   test("denseIds verify mode fails loudly on a nondeterministic input (r15 advice)") {
     import spark.implicits._
     spark.conf.set("spark.graft.ids.verify", "true")
