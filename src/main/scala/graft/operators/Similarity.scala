@@ -1424,6 +1424,12 @@ object Similarity {
     * Output: one row per contaminated train id —
     * (id, n_matches, best_sim, best_eval_id), best = highest sim, ties
     * to the smaller eval id (deterministic, hash-gradeable).
+    *
+    * Plan audit (r16, `.explain("formatted")`): BroadcastNestedLoopJoin
+    * Cross BuildRight — eval broadcast, train streamed, filter fused at
+    * the join — and every downstream exchange/aggregate sees only HIT
+    * rows (the flag aggregation is sort-based because max-of-struct has
+    * no mutable hash buffer, irrelevant at hit cardinality).
     */
   def semanticDecontaminateExact(train: DataFrame, eval: DataFrame,
                                  threshold: Double,
@@ -1459,6 +1465,11 @@ object Similarity {
     * floor as every sublinear method on that data). Decontamination is
     * recall-critical: prefer the exact path whenever |eval| · dims per
     * train row is affordable, and this prefilter only when it is not.
+    *
+    * Plan audit (r16): Generate (ring explode) on both sides,
+    * BroadcastHashJoin BuildRight on the composite bucket key, then the
+    * pair-distinct HashAggregate and the flag aggregation run over hit
+    * rows only — the train side never shuffles.
     */
   def semanticDecontaminate(train: DataFrame, eval: DataFrame,
                             threshold: Double, bits: Int = 8,
