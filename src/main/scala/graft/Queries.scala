@@ -8722,6 +8722,70 @@ object Queries {
         WHERE e1.k = e3.k AND e1.ts + 600000 > (SELECT w FROM wmev))
     ORDER BY user_id, ts_ms"""
 
+  /** E11/streaming — checkpoint-RESTART recovery for the DEDUP state
+    * store: [[e11_stream_restart]] proved resume for
+    * flatMapGroupsWithState session state; this row proves it for the
+    * second stateful-operator family, `dropDuplicatesWithinWatermark`'s
+    * keyed expiry store. The fixture is `e11_stream_dedup2`'s
+    * three-batch eviction recipe SPLIT across two query incarnations —
+    * stop after micro-batch 1, start a NEW query on the same checkpoint
+    * dir for batches 2 and 3 — so the oracle is `e11sdedup2Sql`
+    * VERBATIM: restart recovery means the same oracle grades the split
+    * run. What the resume must carry: role 1's live state (expiry +35
+    * survives the +30 eviction, so its batch-3 duplicate stays
+    * SUPPRESSED — a state-less incarnation 2 re-emits it: hash
+    * mismatch), role 0's expired state (evicted end-of-batch-2 inside
+    * incarnation 2, so its +35 row re-emits), the committed +30
+    * watermark, and the file source's seen-map (files 2 and 3 land on
+    * disk between the incarnations — the crash-and-catch-up sequence).
+    * Parquet file sink for append-mode recovery, as in
+    * e11_stream_restart.
+    */
+  def e11_stream_restart2(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val root = new java.io.File(s"/tmp/graft_restart2_$run")
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").toString
+    val outDir = new java.io.File(root, "out").toString
+    val base = 1700000000000L
+    def min(m: Long): Long = base + m * 60000L
+    import s.implicits._
+    val ks = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("key"),
+        pmod(col("c_custkey"), lit(2)).as("role"))
+    val file1 = ks.select(col("key"),
+        when(col("role") === 0, lit(min(0))).otherwise(lit(min(25))).as("tsMs"))
+      .unionByName(Seq((-1L, min(40))).toDF("key", "tsMs"))
+      .withColumn("value", lit(0.0))
+    val file2 = Seq((-2L, min(41))).toDF("key", "tsMs")
+      .withColumn("value", lit(0.0))
+    val file3 = ks.select(col("key"),
+        when(col("role") === 0, lit(min(35))).otherwise(lit(min(32))).as("tsMs"))
+      .unionByName(Seq((-1L, min(70))).toDF("key", "tsMs"))
+      .withColumn("value", lit(0.0))
+    def runIncarnation(): Unit = {
+      val src = s.readStream.schema(file1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_millis(col("tsMs")))
+      val q = graft.streaming.StreamingOps
+        .dedup(src, "ts", Seq("key"), watermark = "10 minutes")
+        .select(col("key").as("user_id"), col("tsMs").as("ts_ms"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val now = System.currentTimeMillis()
+    writeSequenced(srcDir, "f1.parquet", now - 180000, file1)
+    runIncarnation() // incarnation 1: batch 1 only, then STOP
+    writeSequenced(srcDir, "f2.parquet", now - 120000, file2)
+    writeSequenced(srcDir, "f3.parquet", now - 60000, file3)
+    runIncarnation() // incarnation 2: SAME checkpoint, batches 2-3
+    s.read.parquet(outDir).orderBy("user_id", "ts_ms")
+  }
+
   /** E11/streaming — the EVENT-TIME-flush interval coalescer
     * (`StreamingOps.intervalMergeEventTime`), same one-batch file-stream
     * grading as [[e11_stream_sessions_et]]: batch 1 reproduces the batch
@@ -13520,6 +13584,7 @@ object Queries {
     ("e11_stream_sessions2", e11_stream_sessions2 _, e11ssess2Sql),
     ("e11_stream_restart", e11_stream_restart _, e11srestartSql),
     ("e11_stream_dedup2", e11_stream_dedup2 _, e11sdedup2Sql),
+    ("e11_stream_restart2", e11_stream_restart2 _, e11sdedup2Sql),
     ("e11_stream_interval_et", e11_stream_interval_et _, e11sietSql),
     ("e11_stream_imagededup", e11_stream_imagededup _, e11simgSql),
     ("e3_mips", e3_mips _, e3mipsSql),

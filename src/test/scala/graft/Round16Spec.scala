@@ -123,6 +123,17 @@ class Round16Spec extends SparkSpec {
       s"resumed run diverged: ${restarted.diff(uninterrupted).take(5)} vs ${uninterrupted.diff(restarted).take(5)}")
   }
 
+  test("dedup checkpoint restart: split run equals the uninterrupted three-batch run") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val split = rows(Queries.e11_stream_restart2(spark, sf))
+    val whole = rows(Queries.e11_stream_dedup2(spark, sf))
+    assert(split.nonEmpty, "restarted dedup emitted nothing")
+    assert(split == whole,
+      s"resumed dedup diverged: ${split.diff(whole).take(5)} vs ${whole.diff(split).take(5)}")
+  }
+
   test("sessionsEventTime: in-contract cross-batch straggler widens, never regresses, the session") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps
