@@ -2170,6 +2170,82 @@ object Queries {
       vms AS view_ms, cms AS click_ms
     FROM pairs ORDER BY view_id, click_id"""
 
+  /** J/streaming — checkpoint-RESTART recovery for the STREAM-STREAM
+    * JOIN's two-sided buffered state, completing the stateful-operator
+    * restart matrix (`e11_stream_restart` = flatMapGroupsWithState
+    * session state, `e11_stream_restart2` = the dedup expiry store,
+    * this = join buffers): [[j_stream_interval2]]'s three-batch
+    * eviction fixture split across two query incarnations — stop after
+    * micro-batch 1 (each source has only its f1 on disk), land f2/f3 on
+    * both sides, start a NEW query on the same checkpoint dir — graded
+    * by `jsi2Sql` VERBATIM. What the resume must carry: role 1's
+    * buffered batch-1 view (its batch-3 clicks at +32 must still match
+    * through it — a state-less incarnation 2 emits none of those
+    * pairs: row/hash mismatch), the eviction horizon that already
+    * removed role 0's batch-1 view, both sides' committed watermarks,
+    * and both file sources' seen-maps. Parquet file sink for
+    * append-mode recovery.
+    */
+  def j_stream_restart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val root = new java.io.File(s"/tmp/graft_jsr_$run")
+    val vDir = new java.io.File(root, "views"); vDir.mkdirs()
+    val cDir = new java.io.File(root, "clicks"); cDir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").toString
+    val outDir = new java.io.File(root, "out").toString
+    val base = 1700000000000L
+    def min(m: Long): Long = base + m * 60000L
+    val ks = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("user_id"),
+        pmod(col("c_custkey"), lit(2)).as("role"))
+    val v1 = ks.select(col("user_id"),
+        (col("user_id") * 1000 +
+          when(col("role") === 0, 0).otherwise(25)).as("view_id"),
+        when(col("role") === 0, lit(min(0))).otherwise(lit(min(25))).as("vms"))
+      .unionByName(Seq((-1L, -960L, min(40))).toDF("user_id", "view_id", "vms"))
+    val c1 = Seq((-1L, -460L, min(40))).toDF("user_id", "click_id", "cms")
+    val v2 = v1.filter(lit(false)) // empty: batch 2 is the eviction pass
+    val c2 = Seq((-2L, -418L, min(41))).toDF("user_id", "click_id", "cms")
+    val v3 = ks.filter(col("role") === 1)
+      .select(col("user_id"), (col("user_id") * 1000 + 45).as("view_id"),
+        lit(min(45)).as("vms"))
+    val c3 = ks.select(col("user_id"),
+        (col("user_id") * 1000 +
+          when(col("role") === 0, 505).otherwise(532)).as("click_id"),
+        when(col("role") === 0, lit(min(5))).otherwise(lit(min(32))).as("cms"))
+      .unionByName(ks.filter(col("role") === 1)
+        .select(col("user_id"), (col("user_id") * 1000 + 550).as("click_id"),
+          lit(min(50)).as("cms")))
+    def runIncarnation(): Unit = {
+      val vs = s.readStream.schema(v1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(vDir.toString)
+        .withColumn("view_ts", timestamp_millis(col("vms")))
+      val cs = s.readStream.schema(c1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(cDir.toString)
+        .withColumn("click_ts", timestamp_millis(col("cms")))
+      val q = graft.streaming.StreamingOps.intervalJoin(vs, cs, "user_id",
+          "view_ts", "click_ts", lagMinutes = 10, watermark = "10 minutes")
+        .select(col("view_id"), col("user_id"), col("click_id"),
+          col("vms").as("view_ms"), col("cms").as("click_ms"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val now = System.currentTimeMillis()
+    writeSequenced(vDir, "f1.parquet", now - 180000, v1)
+    writeSequenced(cDir, "f1.parquet", now - 180000, c1)
+    runIncarnation() // incarnation 1: batch 1 only, then STOP
+    writeSequenced(vDir, "f2.parquet", now - 120000, v2)
+    writeSequenced(vDir, "f3.parquet", now - 60000, v3)
+    writeSequenced(cDir, "f2.parquet", now - 120000, c2)
+    writeSequenced(cDir, "f3.parquet", now - 60000, c3)
+    runIncarnation() // incarnation 2: SAME checkpoint, batches 2-3
+    s.read.parquet(outDir).orderBy("view_id", "click_id")
+  }
+
   /** E4 — Gopher-shaped top-n-gram concentration: the fraction of a
     * document's word n-grams taken by its most frequent one (n = 2, 3) —
     * the boilerplate signal the duplicate-RATIO query (e4_repetition)
@@ -13363,6 +13439,7 @@ object Queries {
     ("sql_tpch_q5", sql_tpch_q5 _, sqlQ5),
     ("j_stream_interval", j_stream_interval _, jsiSql),
     ("j_stream_interval2", j_stream_interval2 _, jsi2Sql),
+    ("j_stream_restart", j_stream_restart _, jsi2Sql),
     ("e4_top_ngram", e4_top_ngram _, e4tnSql),
     ("sql_tpch_q10", sql_tpch_q10 _, sqlQ10),
     ("j_asof_tolerance", j_asof_tolerance _, jatSql),

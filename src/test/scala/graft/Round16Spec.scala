@@ -134,6 +134,18 @@ class Round16Spec extends SparkSpec {
       s"resumed dedup diverged: ${split.diff(whole).take(5)} vs ${whole.diff(split).take(5)}")
   }
 
+  test("interval-join checkpoint restart: split run equals the uninterrupted three-batch run") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val split = rows(Queries.j_stream_restart(spark, sf))
+    val whole = rows(Queries.j_stream_interval2(spark, sf))
+    assert(split.nonEmpty, "restarted join emitted nothing")
+    assert(split == whole,
+      s"resumed join diverged: ${split.diff(whole).take(5)} vs ${whole.diff(split).take(5)}")
+  }
+
   test("sessionsEventTime: in-contract cross-batch straggler widens, never regresses, the session") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps
