@@ -1385,7 +1385,8 @@ object Queries {
   val e4dsemSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
     hits AS (SELECT q.vec_id AS id, c.vec_id AS eval_id,
         round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
-      FROM v q JOIN v c ON q.vec_id % 5 <> 0 AND c.vec_id % 5 = 0)
+      FROM v q JOIN v c ON q.vec_id % 5 <> 0 AND c.vec_id % 5 = 0
+        AND ${normSql("q")} > 0 AND ${normSql("c")} > 0)
     SELECT id, count(*) AS n_matches, max(sim) AS best_sim,
       (list(eval_id ORDER BY sim DESC, eval_id))[1] AS best_eval_id
     FROM hits WHERE sim >= 0.3 GROUP BY id ORDER BY id"""
@@ -1421,7 +1422,8 @@ object Queries {
         AND (${bucketSqlAt("q", 0)} = ${bucketSqlAt("c", 0)}
           OR ${bucketSqlAt("q", 8)} = ${bucketSqlAt("c", 8)}
           OR ${bucketSqlAt("q", 16)} = ${bucketSqlAt("c", 16)}
-          OR ${bucketSqlAt("q", 24)} = ${bucketSqlAt("c", 24)}))
+          OR ${bucketSqlAt("q", 24)} = ${bucketSqlAt("c", 24)})
+        AND ${normSql("q")} > 0 AND ${normSql("c")} > 0)
     SELECT id, count(*) AS n_matches, max(sim) AS best_sim,
       (list(eval_id ORDER BY sim DESC, eval_id))[1] AS best_eval_id
     FROM hits WHERE sim >= 0.2 GROUP BY id ORDER BY id"""
@@ -2074,11 +2076,16 @@ object Queries {
     * join batch-3 rows and the SURVIVING earlier state (views with
     * ms + lag ≥ wm, clicks with ms ≥ wm).
     */
-  def j_stream_interval2(s: SparkSession, dir: String): DataFrame = {
+  /** The j_stream_interval2 / j_stream_restart shared fixture — ONE
+    * definition (the sess2Files discipline): both rows are graded by
+    * `jsi2Sql` verbatim, so their inputs must stay byte-identical
+    * forever; a copy in each would make any future fixture tweak a
+    * latent wrong-grade in the sibling. Returns (v1, c1, v2, c2, v3,
+    * c3): the view/click files of the three-batch eviction recipe.
+    */
+  private def jsi2Fixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val run = java.util.UUID.randomUUID().toString.take(8)
-    val vDir = new java.io.File(s"/tmp/graft_jsi2_$run/views"); vDir.mkdirs()
-    val cDir = new java.io.File(s"/tmp/graft_jsi2_$run/clicks"); cDir.mkdirs()
     val base = 1700000000000L
     def min(m: Long): Long = base + m * 60000L
     val ks = t(s, dir, "customer")
@@ -2102,6 +2109,14 @@ object Queries {
       .unionByName(ks.filter(col("role") === 1)
         .select(col("user_id"), (col("user_id") * 1000 + 550).as("click_id"),
           lit(min(50)).as("cms")))
+    (v1, c1, v2, c2, v3, c3)
+  }
+
+  def j_stream_interval2(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val vDir = new java.io.File(s"/tmp/graft_jsi2_$run/views"); vDir.mkdirs()
+    val cDir = new java.io.File(s"/tmp/graft_jsi2_$run/clicks"); cDir.mkdirs()
+    val (v1, c1, v2, c2, v3, c3) = jsi2Fixture(s, dir)
     val now = System.currentTimeMillis()
     writeSequenced(vDir, "f1.parquet", now - 180000, v1)
     writeSequenced(vDir, "f2.parquet", now - 120000, v2)
@@ -2187,36 +2202,13 @@ object Queries {
     * append-mode recovery.
     */
   def j_stream_restart(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val run = java.util.UUID.randomUUID().toString.take(8)
     val root = new java.io.File(s"/tmp/graft_jsr_$run")
     val vDir = new java.io.File(root, "views"); vDir.mkdirs()
     val cDir = new java.io.File(root, "clicks"); cDir.mkdirs()
     val ckpt = new java.io.File(root, "ckpt").toString
     val outDir = new java.io.File(root, "out").toString
-    val base = 1700000000000L
-    def min(m: Long): Long = base + m * 60000L
-    val ks = t(s, dir, "customer")
-      .select(col("c_custkey").cast("long").as("user_id"),
-        pmod(col("c_custkey"), lit(2)).as("role"))
-    val v1 = ks.select(col("user_id"),
-        (col("user_id") * 1000 +
-          when(col("role") === 0, 0).otherwise(25)).as("view_id"),
-        when(col("role") === 0, lit(min(0))).otherwise(lit(min(25))).as("vms"))
-      .unionByName(Seq((-1L, -960L, min(40))).toDF("user_id", "view_id", "vms"))
-    val c1 = Seq((-1L, -460L, min(40))).toDF("user_id", "click_id", "cms")
-    val v2 = v1.filter(lit(false)) // empty: batch 2 is the eviction pass
-    val c2 = Seq((-2L, -418L, min(41))).toDF("user_id", "click_id", "cms")
-    val v3 = ks.filter(col("role") === 1)
-      .select(col("user_id"), (col("user_id") * 1000 + 45).as("view_id"),
-        lit(min(45)).as("vms"))
-    val c3 = ks.select(col("user_id"),
-        (col("user_id") * 1000 +
-          when(col("role") === 0, 505).otherwise(532)).as("click_id"),
-        when(col("role") === 0, lit(min(5))).otherwise(lit(min(32))).as("cms"))
-      .unionByName(ks.filter(col("role") === 1)
-        .select(col("user_id"), (col("user_id") * 1000 + 550).as("click_id"),
-          lit(min(50)).as("cms")))
+    val (v1, c1, v2, c2, v3, c3) = jsi2Fixture(s, dir)
     def runIncarnation(): Unit = {
       val vs = s.readStream.schema(v1.schema).option("maxFilesPerTrigger", 1)
         .parquet(vDir.toString)
@@ -8741,10 +8733,13 @@ object Queries {
     * rule: files 1-2 verbatim, plus file-3 rows whose key has no live
     * (expiry > eviction watermark) file-1 state.
     */
-  def e11_stream_dedup2(s: SparkSession, dir: String): DataFrame = {
-    val run = java.util.UUID.randomUUID().toString.take(8)
-    val chDir = new java.io.File(s"/tmp/graft_dedup2_files_$run")
-    chDir.mkdirs()
+  /** The e11_stream_dedup2 / e11_stream_restart2 shared fixture — one
+    * definition for the same reason as [[jsi2Fixture]]: both rows are
+    * graded by `e11sdedup2Sql` verbatim. Returns (file1, file2, file3)
+    * of the three-batch dedup-eviction recipe.
+    */
+  private def dedup2Files(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = 1700000000000L
     def min(m: Long): Long = base + m * 60000L
     import s.implicits._
@@ -8761,6 +8756,14 @@ object Queries {
         when(col("role") === 0, lit(min(35))).otherwise(lit(min(32))).as("tsMs"))
       .unionByName(Seq((-1L, min(70))).toDF("key", "tsMs"))
       .withColumn("value", lit(0.0))
+    (file1, file2, file3)
+  }
+
+  def e11_stream_dedup2(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val chDir = new java.io.File(s"/tmp/graft_dedup2_files_$run")
+    chDir.mkdirs()
+    val (file1, file2, file3) = dedup2Files(s, dir)
     val now = System.currentTimeMillis()
     writeSequenced(chDir, "f1.parquet", now - 180000, file1)
     writeSequenced(chDir, "f2.parquet", now - 120000, file2)
@@ -8823,22 +8826,7 @@ object Queries {
     val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
     val ckpt = new java.io.File(root, "ckpt").toString
     val outDir = new java.io.File(root, "out").toString
-    val base = 1700000000000L
-    def min(m: Long): Long = base + m * 60000L
-    import s.implicits._
-    val ks = t(s, dir, "customer")
-      .select(col("c_custkey").cast("long").as("key"),
-        pmod(col("c_custkey"), lit(2)).as("role"))
-    val file1 = ks.select(col("key"),
-        when(col("role") === 0, lit(min(0))).otherwise(lit(min(25))).as("tsMs"))
-      .unionByName(Seq((-1L, min(40))).toDF("key", "tsMs"))
-      .withColumn("value", lit(0.0))
-    val file2 = Seq((-2L, min(41))).toDF("key", "tsMs")
-      .withColumn("value", lit(0.0))
-    val file3 = ks.select(col("key"),
-        when(col("role") === 0, lit(min(35))).otherwise(lit(min(32))).as("tsMs"))
-      .unionByName(Seq((-1L, min(70))).toDF("key", "tsMs"))
-      .withColumn("value", lit(0.0))
+    val (file1, file2, file3) = dedup2Files(s, dir)
     def runIncarnation(): Unit = {
       val src = s.readStream.schema(file1.schema)
         .option("maxFilesPerTrigger", 1)

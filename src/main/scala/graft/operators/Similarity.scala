@@ -1404,6 +1404,13 @@ object Similarity {
     * O(N²/2^bits) candidate work, hash-partitioned by bucket) and
     * largeStarSmallStar's O(log diameter) rounds; nothing driver-side.
     */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    bits: Int = 8): DataFrame = {
+    val pairs = nearDupPairs(corpus, threshold, bits).select("id1", "id2")
+    Components.largeStarSmallStar(pairs, "id1", "id2",
+      corpus.select("id"), "id")
+  }
+
   /** SEMANTIC decontamination, exact: flag every train vector whose
     * cosine against ANY eval vector reaches `threshold` — the
     * embedding-space member of the decontamination family
@@ -1434,9 +1441,15 @@ object Similarity {
   def semanticDecontaminateExact(train: DataFrame, eval: DataFrame,
                                  threshold: Double,
                                  roundTo: Int = 6): DataFrame = {
+    // zero-norm vectors (failed-embedding artifacts) have no direction:
+    // without the guard their cosine is NaN, and Spark orders NaN above
+    // every double, so ONE degenerate eval vector would flag the entire
+    // train corpus (NaN >= τ is true). Excluded by contract both sides.
     val ev = eval.select(col("id").as("eval_id"), col("vec").as("ev"),
-      norm(col("vec")).as("en"))
+        norm(col("vec")).as("en"))
+      .filter(col("en") > 0)
     val hits = train.select(col("id"), col("vec"), norm(col("vec")).as("tn"))
+      .filter(col("tn") > 0)
       .crossJoin(broadcast(ev))
       .select(col("id"), col("eval_id"),
         round(dot(col("vec"), col("ev")) / (col("tn") * col("en")), roundTo)
@@ -1477,10 +1490,13 @@ object Similarity {
     def ringKeys(v: Column): Column =
       array((0 until math.max(1, rings)).map(j =>
         signBucketAt(v, bits, j * bits) + lit(j.toLong * (1L << bits))): _*)
+    // same zero-norm guard as the exact path (NaN cosine orders above τ)
     val ev = eval.select(col("id").as("eval_id"), col("vec").as("ev"),
         norm(col("vec")).as("en"), explode(ringKeys(col("vec"))).as("__b"))
+      .filter(col("en") > 0)
     val hits = train.select(col("id"), col("vec"), norm(col("vec")).as("tn"),
         explode(ringKeys(col("vec"))).as("__b"))
+      .filter(col("tn") > 0)
       .join(broadcast(ev), Seq("__b"))
       .select(col("id"), col("eval_id"),
         round(dot(col("vec"), col("ev")) / (col("tn") * col("en")), roundTo)
@@ -1501,12 +1517,6 @@ object Similarity {
       .select(col("id"), col("n_matches"), col("__m.sim").as("best_sim"),
         (-col("__m.negid")).as("best_eval_id"))
 
-  def semanticDedup(corpus: DataFrame, threshold: Double,
-                    bits: Int = 8): DataFrame = {
-    val pairs = nearDupPairs(corpus, threshold, bits).select("id1", "id2")
-    Components.largeStarSmallStar(pairs, "id1", "id2",
-      corpus.select("id"), "id")
-  }
 
   /** E2 (embedding flavour) — near-duplicate pairs by cosine >= threshold,
     * blocked by shared LSH bucket so the self-join never goes quadratic.

@@ -355,6 +355,25 @@ class Round16Spec extends SparkSpec {
     assert(recall >= 0.8, f"clustered recall $recall%.4f below 0.8")
   }
 
+  test("semanticDecontaminate: a zero-norm eval vector flags nothing (NaN cosine guard)") {
+    import spark.implicits._
+    val train = clusteredCorpus().filter(col("id") < 100)
+    // ONE degenerate all-zero eval embedding (failed-embedding artifact):
+    // unguarded, its cosine is NaN for every train row, and Spark orders
+    // NaN above every double — the whole corpus would flag as contaminated
+    val zero = Seq((9999L, Array.fill(64)(0.0f))).toDF("id", "vec")
+    assert(operators.Similarity
+      .semanticDecontaminateExact(train, zero, threshold = 0.5).isEmpty)
+    assert(operators.Similarity
+      .semanticDecontaminate(train, zero, threshold = 0.5).isEmpty)
+    // and a zero-norm TRAIN row is excluded, not spuriously flagged
+    val zt = train.unionByName(zero)
+    val flagged = operators.Similarity
+      .semanticDecontaminateExact(zt, train.filter(col("id") < 5), 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(!flagged.contains(9999L))
+  }
+
   test("denseIds verify mode fails loudly on a nondeterministic input (r15 advice)") {
     import spark.implicits._
     spark.conf.set("spark.graft.ids.verify", "true")
