@@ -224,6 +224,12 @@ object Blocks {
   def scoped[A](body: Scope => A): A = {
     val s = new Scope
     try body(s)
-    catch { case t: Throwable => s.abort(); throw t }
+    catch {
+      // Only clean up on non-fatal failure: abort() does distributed
+      // work (checkpoint-file deletes, unpersist RPCs) that can stall
+      // or compound the failure during OOM/interrupt/VM death — fatal
+      // throwables must propagate immediately (r16 advice).
+      case scala.util.control.NonFatal(t) => s.abort(); throw t
+    }
   }
 }

@@ -4394,6 +4394,62 @@ object Queries {
     QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
   }
 
+  /** E3 — the PQ index AT REST with its own CORRECTNESS row (the
+    * e2_incremental_rest discipline applied to the similarity tier):
+    * the codebook and the corpus' PQ codes are WRITTEN TO PARQUET
+    * first — the write-once artifact a production corpus persists; at
+    * 100 TB the build runs for hours, once, and every search reads only
+    * the stored code columns (m small ints per vector, three orders of
+    * magnitude below the raw embeddings). The search here reads ONLY
+    * the stored tables (codes + codebook) plus the query vectors — the
+    * oracle is e3_pq_topk's full in-query SQL verbatim, so this row
+    * only hash-matches if code storage, codebook round-trip (codes are
+    * positions in the id-sorted codebook), and ADC over stored codes
+    * agree exactly with encoding in-query from raw vectors. Plan pin
+    * (Round17Spec): the search's corpus-side scan reads code columns
+    * only — `vec` never appears in its ReadSchema.
+    */
+  def e3_pq_rest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("pq-rest").toString
+    e.filter(col("id") < 8).write.mode("overwrite").parquet(s"$tmp/codebook")
+    val cbRest = s.read.parquet(s"$tmp/codebook")
+    Similarity.pqEncode(e, cbRest, m = 4)
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    Similarity.pqTopKFromCodes(e.filter(col("id") < 8),
+        s.read.parquet(s"$tmp/codes"), cbRest, k = 3, m = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** E3 — the composed IVF-PQ index AT REST, partitioned by cell: the
+    * centroids, codebook, and every vector's (cell, residual-code)
+    * columns are written to parquet — codes PARTITIONED BY CELL, the
+    * physical layout that makes an nprobe search read only the probed
+    * cells' files at 100 TB — and the search reads exclusively the
+    * stored tables. Oracle = e3_ivfpq's in-query SQL verbatim (cell
+    * argmax, float residual, per-subspace encode, cell-scoped ADC), so
+    * the row pins that the stored index is bit-equivalent to building
+    * in-query. The partition column round-trips as an int directory
+    * key; cast back to long to keep the probe join's key type exact.
+    */
+  def e3_ivfpq_rest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-rest").toString
+    e.filter(col("id") >= 8 && col("id") < 12)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    e.filter(col("id") < 8).write.mode("overwrite").parquet(s"$tmp/codebook")
+    val cents = s.read.parquet(s"$tmp/centroids")
+    val cb = s.read.parquet(s"$tmp/codebook")
+    Similarity.ivfPqIndex(e, cents, cb, m = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    Similarity.ivfPqTopKFromCodes(e.filter(col("id") < 8),
+        s.read.parquet(s"$tmp/codes").withColumn("cell", col("cell").cast("long")),
+        cents, cb, k = 3, m = 4)
+      .orderBy("query_id", "rnk")
+  }
+
   /** E11 — peak concurrency per event type (sweep-line over +1/-1
     * points; each event holds for 5 minutes).
     */
@@ -13546,6 +13602,10 @@ object Queries {
     ("e3_pq_topk", e3_pq_topk _, e3pqSql),
     ("e3_pq_rerank", e3_pq_rerank _, e3prSql),
     ("e3_ivfpq", e3_ivfpq _, e3ipSql),
+    // at-rest twins: oracle = the in-query SQL verbatim, so the stored
+    // index must be bit-equivalent to building in-query
+    ("e3_pq_rest", e3_pq_rest _, e3pqSql),
+    ("e3_ivfpq_rest", e3_ivfpq_rest _, e3ipSql),
     ("e11_concurrency", e11_concurrency _, e11ccSql),
     ("e4_type_token", e4_type_token _, e4ttSql),
     ("e4_bigram_logprob", e4_bigram_logprob _, e4bgSql),

@@ -96,6 +96,18 @@ object Ids {
               "nondeterministic or the key is not unique (see the " +
               "determinism precondition); pin the input with Blocks.cut " +
               "or persist before calling")
+          // The row-count check alone passes when a second evaluation
+          // drops some keys while duplicating others by the same total
+          // (offsetting errors, r16 advice). The distinct-key count of
+          // the join-back must also equal the number of keys the probe
+          // ranked — a dropped key shrinks it regardless of what else
+          // got duplicated.
+          val gotKeys = joined.select(col(keyCol)).distinct().count()
+          require(gotKeys == probe.length,
+            s"denseIds: join-back holds $gotKeys distinct keys but the " +
+              s"probe ranked ${probe.length} — the input produced a " +
+              "different key set on re-evaluation; pin it with " +
+              "Blocks.cut or persist before calling")
         }
         joined
       }

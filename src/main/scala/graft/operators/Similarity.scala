@@ -625,33 +625,73 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                 codebook: DataFrame, k: Int, m: Int = 4, nprobe: Int = 1,
-                roundTo: Int = 6): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val cents = collectCentroids(centroids)
-    require(cents.nonEmpty, "ivfPqTopK needs at least one centroid")
-    require(nprobe >= 1, "nprobe must be >= 1")
-    val (cbCents, sub) = pqGeometry(codebook, m)
+                roundTo: Int = 6): DataFrame =
+    // one-shot composition for test/ad-hoc use; the barrier stops codegen
+    // deferring the encode into the search join (see pqTopK). The real
+    // deployment is ivfPqIndex + write-at-rest + ivfPqTopKFromCodes.
+    ivfPqTopKFromCodes(queries, ivfPqIndex(corpus, centroids, codebook, m,
+        roundTo).cutLazy,
+      centroids, codebook, k, m, nprobe, roundTo)
+
+  /** Residual against the vector's assigned (or supplied) cell centroid:
+    * shared by the IVF-PQ index build (corpus side, argmax cell) and
+    * search (query side, per probed cell).
+    */
+  private def ivfResidual(df: DataFrame, centroids: DataFrame,
+                          cellCol: Column): DataFrame = {
     val cdf = broadcast(
       centroids.select(col("id").as("cell"), col("vec").as("__cvec")))
-    def residual(df: DataFrame, cellCol: Column): DataFrame = df
-      .select(col("id"), col("vec"), cellCol.as("cell"))
+    df.select(col("id"), col("vec"), cellCol.as("cell"))
       .join(cdf, Seq("cell"))
       .select(col("id"), col("cell"),
         zip_with(col("vec"), col("__cvec"), (a, b) => a - b).as("vec"))
-    // ---- index build: cell + residual codes, materialized (THE index;
-    // the barrier also stops codegen deferring the encode into the
-    // search join — see pqTopK)
-    val codes = pqEncodeWith(
-      residual(corpus, cellExpr(cents, roundTo)(col("vec"))),
+  }
+
+  /** Build the IVF-PQ INDEX frame: (cand_id, cell, __c0..__c{m-1}) —
+    * every corpus vector's argmax Voronoi cell plus the PQ codes of its
+    * RESIDUAL against that cell's centroid. One broadcast join + one
+    * narrow codegen'd projection over the corpus; no shuffle. At 100 TB
+    * this frame is written AT REST partitioned/bucketed by `cell`
+    * (m·log2(ksub) bits + one cell id per vector) and search
+    * ([[ivfPqTopKFromCodes]]) reads ONLY these columns — raw train
+    * vectors never load again after the build.
+    */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame,
+                 codebook: DataFrame, m: Int = 4,
+                 roundTo: Int = 6): DataFrame = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "ivfPqIndex needs at least one centroid")
+    val (cbCents, sub) = pqGeometry(codebook, m)
+    pqEncodeWith(
+      ivfResidual(corpus, centroids, cellExpr(cents, roundTo)(col("vec"))),
       cbCents, m, sub, roundTo, carry = Seq("cell"))
       .withColumnRenamed("id", "cand_id")
-      .cutLazy
-    // ---- search: per probed cell, the query's residual distance tables
-    val qresid = residual(
+  }
+
+  /** ADC search over a PRE-BUILT IVF-PQ index — the search half of the
+    * production contract. `codes` is [[ivfPqIndex]]'s output (or the
+    * same columns read back from rest, partitioned by cell). Per probed
+    * cell the query builds its RESIDUAL distance table (the residual
+    * differs per cell — asymmetric twice over) and broadcast-joins the
+    * stored codes on `cell`: the index side never shuffles and never
+    * touches a raw corpus vector.
+    */
+  def ivfPqTopKFromCodes(queries: DataFrame, codes: DataFrame,
+                         centroids: DataFrame, codebook: DataFrame, k: Int,
+                         m: Int = 4, nprobe: Int = 1,
+                         roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "ivfPqTopKFromCodes needs at least one centroid")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val (cbCents, sub) = pqGeometry(codebook, m)
+    val idType = codes.schema("cand_id").dataType
+    // per probed cell, the query's residual distance tables
+    val qresid = ivfResidual(
       queries.select(col("id"), col("vec"),
           explode(cellsExpr(cents, roundTo, nprobe)(col("vec"))).as("__pc"))
         .select(col("id"), col("vec"), col("__pc")),
-      col("__pc"))
+      centroids, col("__pc"))
     val dtCols = (0 until m).map { i =>
       array(cbCents.map { case (_, w) => pqD2(w, i, sub, roundTo) }: _*).as(s"__dt$i")
     }
@@ -664,7 +704,7 @@ object Similarity {
     val sims = broadcast(q).join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), negate(adc).as("sim"))
-    topKPerQuery(sims, k, corpus.schema("id").dataType)
+    topKPerQuery(sims, k, idType)
       .select(col("query_id"), col("rnk"), col("cand_id"),
         negate(col("sim")).as("adc"))
   }

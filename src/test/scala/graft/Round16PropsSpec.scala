@@ -72,12 +72,25 @@ object Round16PropsSpec extends Properties("graft.round16") {
     df.collect().map(r => r.getLong(0) ->
       ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
 
+  // Codegen may sum the dot product in a different association order
+  // than the in-Scala reference; a one-ulp delta can flip HALF_UP
+  // rounding at a .5e-6 boundary (r16 advice). Flags and counts must
+  // still agree exactly; best_sim gets a ±1e-6 tolerance, and a
+  // best-match-id flip is accepted only when an actual rounding delta
+  // explains it (bit-equal sims must tie-break identically).
+  private def approxSame(got: Map[Long, (Long, Double, Long)],
+                         want: Map[Long, (Long, Double, Long)]): Boolean =
+    got.keySet == want.keySet && got.forall { case (id, (n, s, b)) =>
+      val (nw, sw, bw) = want(id)
+      n == nw && math.abs(s - sw) <= 1e-6 && (b == bw || s != sw)
+    }
+
   property("exact path equals the in-Scala brute force") =
     Prop.forAll(setsGen) { case (train, eval, tau) =>
       val got = collectFlags(Similarity.semanticDecontaminateExact(
         train.toDF("id", "vec"), eval.toDF("id", "vec"), tau))
       val want = reference(train, eval, tau)
-      (got == want) :| s"got $got\nwant $want"
+      approxSame(got, want) :| s"got $got\nwant $want"
     }
 
   property("LSH prefilter only removes candidates (flags/counts/sims bounded by exact)") =
