@@ -2112,7 +2112,7 @@ object Queries {
     (v1, c1, v2, c2, v3, c3)
   }
 
-  def j_stream_interval2(s: SparkSession, dir: String): DataFrame = {
+  def j_stream_interval2(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val vDir = new java.io.File(s"/tmp/graft_jsi2_$run/views"); vDir.mkdirs()
     val cDir = new java.io.File(s"/tmp/graft_jsi2_$run/clicks"); cDir.mkdirs()
@@ -2201,7 +2201,7 @@ object Queries {
     * and both file sources' seen-maps. Parquet file sink for
     * append-mode recovery.
     */
-  def j_stream_restart(s: SparkSession, dir: String): DataFrame = {
+  def j_stream_restart(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val root = new java.io.File(s"/tmp/graft_jsr_$run")
     val vDir = new java.io.File(root, "views"); vDir.mkdirs()
@@ -8105,7 +8105,7 @@ object Queries {
     * graded surface counts survivors per event_type — distinct users
     * per type, deterministic no matter the winner.
     */
-  def e11_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+  def e11_stream_dedup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -8476,7 +8476,7 @@ object Queries {
     * in the corpus, hash-compared against the 24-bit signature CTE the
     * batch SimHash oracles already mirror bit for bit.
     */
-  def e11_stream_neardup(s: SparkSession, dir: String): DataFrame = {
+  def e11_stream_neardup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -8509,7 +8509,7 @@ object Queries {
     * old enough for the watermark to have flushed — the oracle mirrors
     * both emission paths exactly (QUALIFY non-last OR end+gap < wm).
     */
-  def e11_stream_sessions_et(s: SparkSession, dir: String): DataFrame = {
+  def e11_stream_sessions_et(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream.schema(schema)
@@ -8552,6 +8552,26 @@ object Queries {
     QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
       OR end_ms + 600000 < w
     ORDER BY user_id, session_id"""
+
+  /** Run a REAL-micro-batch graded query under a small
+    * `spark.sql.shuffle.partitions` (restored after). A stateful
+    * streaming operator instantiates one state store per shuffle
+    * partition, and every micro-batch pays that fixed cost again
+    * (store load/commit, checkpoint fsyncs) regardless of rows — at
+    * the session default of 32 that is 32 stores for ~30 k-row
+    * fixtures, pure overhead that amplified host load 3-6x on the
+    * r16 driver bench. Results are partition-count-invariant (keyed
+    * state, deterministic emission), and each query's checkpoint pins
+    * its own count, so restart incarnations stay consistent — the
+    * conf only has to hold while the query RUNS (r16 verdict item 4).
+    * Production streams size this to their key cardinality; these
+    * fixtures are graded for SEMANTICS, not throughput.
+    */
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** Write `df` as ONE parquet file `name` in `chDir` with an explicit
     * mtime — the micro-batch sequencer shared by the multi-batch stream
@@ -8630,7 +8650,7 @@ object Queries {
     * sessionization over the survivors, emission = closed OR timeout
     * below the final watermark.
     */
-  def e11_stream_sessions2(s: SparkSession, dir: String): DataFrame = {
+  def e11_stream_sessions2(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val run = java.util.UUID.randomUUID().toString.take(8)
     val chDir = new java.io.File(s"/tmp/graft_sess2_files_$run")
@@ -8714,7 +8734,7 @@ object Queries {
     * the fixture). File 2 lands on disk between the incarnations,
     * exactly the crash-and-catch-up sequence a production restart sees.
     */
-  def e11_stream_restart(s: SparkSession, dir: String): DataFrame = {
+  def e11_stream_restart(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val root = new java.io.File(s"/tmp/graft_restart_$run")
     val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
@@ -8815,7 +8835,7 @@ object Queries {
     (file1, file2, file3)
   }
 
-  def e11_stream_dedup2(s: SparkSession, dir: String): DataFrame = {
+  def e11_stream_dedup2(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val chDir = new java.io.File(s"/tmp/graft_dedup2_files_$run")
     chDir.mkdirs()
@@ -8876,7 +8896,7 @@ object Queries {
     * Parquet file sink for append-mode recovery, as in
     * e11_stream_restart.
     */
-  def e11_stream_restart2(s: SparkSession, dir: String): DataFrame = {
+  def e11_stream_restart2(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val root = new java.io.File(s"/tmp/graft_restart2_$run")
     val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
@@ -8906,6 +8926,122 @@ object Queries {
     s.read.parquet(outDir).orderBy("user_id", "ts_ms")
   }
 
+  /** E11/streaming — checkpoint-RESTART recovery for the fourth and
+    * last stateful-operator family, built-in WINDOWED AGGREGATION
+    * (StateStoreSave): [[e11_stream_restart]] proved resume for
+    * flatMapGroupsWithState state, [[e11_stream_restart2]] for the
+    * dedup expiry store, [[j_stream_restart]] for the stream-stream
+    * join's buffers — this row proves a PARTIAL WINDOW carried in
+    * aggregation state across a stop. `StreamingOps.tumbling`
+    * (20-minute windows, 10-minute watermark) over a two-file
+    * mtime-sequenced fixture whose base 1700000400000 is ALIGNED to the
+    * 20-minute window grid; per customer key (role = c_custkey % 2),
+    * minutes after base:
+    *
+    *   - role 0: file 1 has +5 (window [0,20) OPENS with n=1); file 2
+    *     has +18 — merged INTO THE CARRIED PARTIAL, so the window
+    *     emits n=2. A state-less incarnation 2 emits n=1: hash
+    *     mismatch.
+    *   - role 1: file 1 has +3 and +7 (carried partial n=2); file 2
+    *     has −5 — LATE under the resumed +15 watermark (batch-1 max
+    *     +25 − 10): its window [−20,0) closed below the watermark, so
+    *     the row drops pre-aggregation whichever late rule the engine
+    *     applies (window-end ≤ wm, the actual streaming-agg rule, or
+    *     raw ts < wm — the row is late under BOTH, so the fixture
+    *     cannot hinge on the rule) and role 1 emits [0,20) n=2. An
+    *     incarnation 2 that lost the watermark ADMITS the row and
+    *     emits a spurious [−20,0) window: row-count mismatch.
+    *   - the driver key (−1) parks the inter-incarnation watermark at
+    *     +15 — BELOW the window end +20, so incarnation 1's final
+    *     no-data batch flushes NOTHING (the partial window stays in
+    *     state; same forced design as e11_stream_restart's +24
+    *     driver) — then +55 in file 2 closes [0,20) and the driver's
+    *     own [20,40) (final watermark +45), while [40,60) stays
+    *     unemittable in state.
+    *
+    * Margins are 2-5 minutes on every boundary, so </>/<= flip-offs
+    * in the engine's eviction predicate cannot flip the fixture.
+    * Oracle = the uninterrupted two-batch semantics replayed in SQL
+    * (batch-1-watermark late filter, grid-aligned GROUP BY, emission
+    * iff window end ≤ final watermark). Parquet file sink for
+    * append-mode recovery, as in the other three restart rows.
+    */
+  def e11_stream_restart3(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val base = 1700000400000L
+    def min(m: Long): Long = base + m * 60000L
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val root = new java.io.File(s"/tmp/graft_restart3_$run")
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").toString
+    val outDir = new java.io.File(root, "out").toString
+    val ks = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("key"),
+        pmod(col("c_custkey"), lit(2)).as("role"))
+    val file1 = ks.filter(col("role") === 0)
+      .select(col("key"), lit(min(5)).as("tsMs"))
+      .unionByName(ks.filter(col("role") === 1)
+        .select(col("key"), lit(min(3)).as("tsMs")))
+      .unionByName(ks.filter(col("role") === 1)
+        .select(col("key"), lit(min(7)).as("tsMs")))
+      .unionByName(Seq((-1L, min(25))).toDF("key", "tsMs"))
+      .withColumn("value", lit(0.0))
+    val file2 = ks.filter(col("role") === 0)
+      .select(col("key"), lit(min(18)).as("tsMs"))
+      .unionByName(ks.filter(col("role") === 1)
+        .select(col("key"), lit(min(-5)).as("tsMs")))
+      .unionByName(Seq((-1L, min(55))).toDF("key", "tsMs"))
+      .withColumn("value", lit(0.0))
+    def runIncarnation(): Unit = {
+      val src = s.readStream.schema(file1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_millis(col("tsMs")))
+      val q = graft.streaming.StreamingOps
+        .tumbling(src, "key", "ts", "value", minutes = 20,
+          watermark = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val now = System.currentTimeMillis()
+    writeSequenced(srcDir, "f1.parquet", now - 120000, file1)
+    runIncarnation() // incarnation 1: batch 1 only, partial windows in state
+    writeSequenced(srcDir, "f2.parquet", now - 60000, file2)
+    runIncarnation() // incarnation 2: SAME checkpoint, merges + closes
+    s.read.parquet(outDir)
+      .select(col("key").as("user_id"), col("w_start_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "w_start_ms")
+  }
+
+  val e11srestart3Sql = """WITH ks AS (
+      SELECT cast(c_custkey as bigint) AS k, c_custkey % 2 AS role FROM customer),
+    e1 AS (
+      SELECT k, cast(1700000700000 as bigint) AS ts FROM ks WHERE role = 0
+      UNION ALL SELECT k, 1700000580000 FROM ks WHERE role = 1
+      UNION ALL SELECT k, 1700000820000 FROM ks WHERE role = 1
+      UNION ALL SELECT -1, 1700001900000),
+    e2 AS (
+      SELECT k, cast(1700001480000 as bigint) AS ts FROM ks WHERE role = 0
+      UNION ALL SELECT k, 1700000100000 FROM ks WHERE role = 1
+      UNION ALL SELECT -1, 1700003700000),
+    wm1 AS (SELECT max(ts) - 600000 AS w FROM e1),
+    surv AS (
+      SELECT k, ts FROM e1
+      UNION ALL SELECT k, ts FROM e2
+      WHERE ((ts // 1200000) + 1) * 1200000 > (SELECT w FROM wm1)),
+    wmf AS (SELECT max(ts) - 600000 AS w
+      FROM (SELECT ts FROM e1 UNION ALL SELECT ts FROM e2)),
+    agg AS (SELECT k, (ts // 1200000) * 1200000 AS w_start_ms,
+        count(*) AS n_events, cast(0 as double) AS sum_value
+      FROM surv GROUP BY 1, 2)
+    SELECT k AS user_id, w_start_ms, n_events, sum_value FROM agg, wmf
+    WHERE w_start_ms + 1200000 <= w
+    ORDER BY user_id, w_start_ms"""
+
   /** E11/streaming — the EVENT-TIME-flush interval coalescer
     * (`StreamingOps.intervalMergeEventTime`), same one-batch file-stream
     * grading as [[e11_stream_sessions_et]]: batch 1 reproduces the batch
@@ -8915,7 +9051,7 @@ object Queries {
     * the batch island CTE with the emission rule QUALIFY non-last OR
     * end < wm.
     */
-  def e11_stream_interval_et(s: SparkSession, dir: String): DataFrame = {
+  def e11_stream_interval_et(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream.schema(schema)
@@ -8967,7 +9103,7 @@ object Queries {
     * hashes through `Multimodal.extractPhash` — the same three
     * deterministic literals `mm_image_phash` already pins.
     */
-  def e11_stream_imagededup(s: SparkSession, dir: String): DataFrame = {
+  def e11_stream_imagededup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -13710,6 +13846,7 @@ object Queries {
     ("e11_stream_restart", e11_stream_restart _, e11srestartSql),
     ("e11_stream_dedup2", e11_stream_dedup2 _, e11sdedup2Sql),
     ("e11_stream_restart2", e11_stream_restart2 _, e11sdedup2Sql),
+    ("e11_stream_restart3", e11_stream_restart3 _, e11srestart3Sql),
     ("e11_stream_interval_et", e11_stream_interval_et _, e11sietSql),
     ("e11_stream_imagededup", e11_stream_imagededup _, e11simgSql),
     ("e3_mips", e3_mips _, e3mipsSql),

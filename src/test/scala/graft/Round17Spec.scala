@@ -117,4 +117,29 @@ class Round17Spec extends SparkSpec {
     val atRest = search.orderBy("query_id", "rnk").collect().toSeq
     assert(atRest == oneShot)
   }
+
+  test("windowed-agg restart: partial window state carries across incarnations") {
+    // the fourth stateful family's restart fixture (StateStoreSave):
+    // role-0 keys prove CARRYOVER (batch-1 partial n=1 merges with the
+    // batch-2 row into n=2 — a state-less incarnation 2 emits n=1);
+    // role-1 keys prove the RESUMED WATERMARK (their batch-2 row's
+    // window [-20,0) closed below it, so no window before the grid
+    // base ever emits — a fresh-checkpoint incarnation admits it)
+    val out = Queries.e11_stream_restart3(spark, sf).collect()
+    val base = 1700000400000L
+    assert(out.nonEmpty)
+    val byKey = out.groupBy(_.getLong(0))
+    byKey.foreach { case (k, rows) =>
+      if (k >= 0 && k % 2 == 0)
+        assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+          Seq((base, 2L)), s"role-0 key $k must emit the merged n=2 window")
+      else if (k >= 0)
+        assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+          Seq((base, 2L)), s"role-1 key $k must emit only its carried window")
+    }
+    assert(!out.exists(_.getLong(1) < base),
+      "no pre-base window may emit: the resumed watermark drops the late row")
+    // the driver key's own unemittable tail stays in state: only [20,40)
+    assert(byKey(-1L).map(_.getLong(1)).toSeq == Seq(base + 1200000L))
+  }
 }
