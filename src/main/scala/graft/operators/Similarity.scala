@@ -1124,12 +1124,40 @@ object Similarity {
     */
   private def bucketEntryReps(corpus: DataFrame, bits: Int,
                               rings: Int): DataFrame =
+    entryReps(corpus, bits, rings).select("node").distinct()
+
+  /** The entry-rep INDEX in its keyed, at-rest form: (__eb, node) —
+    * the min-id representative of every occupied (projection, bucket)
+    * cell (composite key `ring·2^bits + bucket`). This is what the
+    * Auto entry derivation computes; kept KEYED (not collapsed to the
+    * distinct node set) because min-per-key is a MERGEABLE aggregate:
+    * store this frame next to the corpus and fold each ingest batch's
+    * reps into it with [[entryRepsMerge]] — a batch-sized pass — so
+    * the standing corpus is NEVER re-scanned for entry derivation
+    * (r16 verdict item 3: the one standing-corpus-sized pass left in
+    * the auto fold). Bounded by rings·2^bits rows.
+    */
+  def entryReps(corpus: DataFrame, bits: Int = DefaultEntryBits,
+                rings: Int = DefaultEntryRings): DataFrame =
     corpus.select(col("id"),
         explode(array((0 until rings).map(j =>
           signBucketAt(col("vec"), bits, j * bits) +
             lit(j.toLong * (1L << bits))): _*)).as("__eb"))
       .groupBy("__eb").agg(min(col("id")).as("node"))
-      .select("node").distinct()
+
+  /** Fold an ingest batch into a stored entry-rep index: the batch's
+    * own reps min-merge with the stored keys. EXACTLY equals
+    * [[entryReps]] over the unioned corpus (min is associative and
+    * commutative per key — spec-pinned), at batch-sized cost: one
+    * batch scan + one ≤rings·2^bits-row merge, the standing corpus
+    * untouched.
+    */
+  def entryRepsMerge(stored: DataFrame, batch: DataFrame,
+                     bits: Int = DefaultEntryBits,
+                     rings: Int = DefaultEntryRings): DataFrame =
+    stored.select(col("__eb"), col("node"))
+      .unionByName(entryReps(batch, bits, rings))
+      .groupBy("__eb").agg(min(col("node")).as("node"))
 
   private def graphSearchCore(graph: DataFrame, corpus: DataFrame,
                               queries: DataFrame, k: Int, beam: Int,
@@ -1305,6 +1333,36 @@ object Similarity {
                          roundTo: Int = 6, initRings: Int = 4): DataFrame =
     knnGraphExtendCore(existing, oldCorpus, batch, k, beam, hops, roundTo,
       initRings, bucketEntryReps(oldCorpus, entryBits, entryRings))
+
+  /** [[knnGraphExtendAuto]] with the entry set read from a STORED
+    * entry-rep index ([[entryReps]]/[[entryRepsMerge]] output) instead
+    * of derived by scanning the standing corpus — the incremental form
+    * of the auto fold (r16 verdict item 3). A maintained index equals
+    * the fresh derivation exactly (min-merge, spec-pinned), so results
+    * are identical to [[knnGraphExtendAuto]]; the cost drops to
+    * batch-sized everywhere (the standing corpus is touched only by
+    * the search leg's key joins). The ingest loop this targets:
+    *   reps(day N+1) = entryRepsMerge(reps(day N), batch)   // at rest
+    *   graph(day N+1) = knnGraphExtendFromReps(..., reps(day N))
+    */
+  def knnGraphExtendFromReps(existing: DataFrame, oldCorpus: DataFrame,
+                             batch: DataFrame, reps: DataFrame, k: Int,
+                             beam: Int, hops: Int, roundTo: Int = 6,
+                             initRings: Int = 4): DataFrame =
+    knnGraphExtendCore(existing, oldCorpus, batch, k, beam, hops, roundTo,
+      initRings, reps.select("node").distinct())
+
+  /** [[graphSearchTopKAuto]] against a stored entry-rep index: the
+    * query path never scans the corpus for entries — at 100 TB the
+    * reps (≤ rings·2^bits rows) live next to the graph and every
+    * search reads them instead of re-deriving.
+    */
+  def graphSearchTopKFromReps(graph: DataFrame, corpus: DataFrame,
+                              queries: DataFrame, reps: DataFrame, k: Int,
+                              beam: Int, hops: Int,
+                              roundTo: Int = 6): DataFrame =
+    graphSearchCore(graph, corpus, queries, k, beam, hops, roundTo,
+      reps.select("node").distinct())
 
   private def knnGraphExtendCore(existing: DataFrame, oldCorpus: DataFrame,
                                  batch: DataFrame, k: Int, beam: Int,
@@ -1545,6 +1603,69 @@ object Similarity {
       .distinct() // a pair sharing r rings scored r times, identically
     decontamFlags(hits)
   }
+
+  /** The eval set's IVF INDEX for decontamination: every (non-zero-
+    * norm) eval vector with its argmax Voronoi cell against the
+    * centroids — the stored form (write next to the eval set,
+    * partitioned by cell; centroids from [[trainCentroids]] at scale).
+    * Build once per benchmark release; decontamination runs read it
+    * forever after.
+    */
+  def evalIvfIndex(eval: DataFrame, centroids: DataFrame,
+                   roundTo: Int = 6): DataFrame = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "evalIvfIndex needs at least one centroid")
+    // same zero-norm exclusion contract as the exact path (NaN cosine)
+    eval.select(col("id").as("eval_id"), col("vec").as("ev"),
+        norm(col("vec")).as("en"),
+        cellExpr(cents, roundTo)(col("vec")).as("cell"))
+      .filter(col("en") > 0)
+  }
+
+  /** [[semanticDecontaminateExact]] against the eval set's IVF index —
+    * the MEASURED MID-GROUND between the exact path (|eval| dot
+    * products per train row) and the sign-LSH prefilter (sublinear but
+    * with an isotropic recall floor): each train row probes its
+    * `nprobe` best cells and exact-dots ONLY the eval vectors indexed
+    * there. nprobe is the recall/compute dial — a CURVE (probed
+    * fraction ≈ nprobe/nlist, recall measured per corpus the
+    * e3_recall_eval way by the graded recall row), not two extremes.
+    * Same scale shape as the siblings: the (bounded) eval index
+    * broadcasts, the train side is ONE scan with an nprobe-way cell
+    * explode, only hit rows reach an exchange — no train shuffle.
+    * Cells partition the eval set, so probes never duplicate a pair
+    * (no distinct needed, unlike the multi-ring LSH variant).
+    */
+  def semanticDecontaminateIvfIndexed(train: DataFrame, evalIndex: DataFrame,
+                                      centroids: DataFrame, threshold: Double,
+                                      nprobe: Int = 1,
+                                      roundTo: Int = 6): DataFrame = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "needs at least one centroid")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val hits = train
+      .select(col("id"), col("vec"), norm(col("vec")).as("tn"),
+        explode(cellsExpr(cents, roundTo, nprobe)(col("vec"))).as("cell"))
+      .filter(col("tn") > 0)
+      .join(broadcast(evalIndex.select(col("eval_id"), col("ev"),
+        col("en"), col("cell"))), Seq("cell"))
+      .select(col("id"), col("eval_id"),
+        round(dot(col("vec"), col("ev")) / (col("tn") * col("en")), roundTo)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+    decontamFlags(hits)
+  }
+
+  /** One-shot compose: index the eval set, then decontaminate through
+    * it. The real deployment stores [[evalIvfIndex]]'s output at rest
+    * and calls [[semanticDecontaminateIvfIndexed]].
+    */
+  def semanticDecontaminateIvf(train: DataFrame, eval: DataFrame,
+                               centroids: DataFrame, threshold: Double,
+                               nprobe: Int = 1, roundTo: Int = 6): DataFrame =
+    semanticDecontaminateIvfIndexed(train,
+      evalIvfIndex(eval, centroids, roundTo), centroids, threshold, nprobe,
+      roundTo)
 
   /** Shared tail of the decontamination pair scorers: collapse hit
     * pairs to one row per contaminated train id with a deterministic

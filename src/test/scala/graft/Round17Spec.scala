@@ -142,4 +142,54 @@ class Round17Spec extends SparkSpec {
     // the driver key's own unemittable tail stays in state: only [20,40)
     assert(byKey(-1L).map(_.getLong(1)).toSeq == Seq(base + 1200000L))
   }
+
+  test("entry-rep index: min-merge fold equals fresh derivation; FromReps equals Auto") {
+    val e = emb()
+    val a = e.filter(col("id") % 3 =!= 0)
+    val b = e.filter(col("id") % 3 === 0)
+    // the mergeability contract that makes the index incremental:
+    // fold(reps(a), b) == reps(a UNION b), key for key
+    val folded = Similarity.entryRepsMerge(Similarity.entryReps(a), b)
+      .orderBy("__eb").collect().toSeq
+    val fresh = Similarity.entryReps(e).orderBy("__eb").collect().toSeq
+    assert(folded == fresh)
+    // and therefore the incremental fold is RESULT-IDENTICAL to the
+    // corpus-rescanning auto fold (same entries -> same beam search)
+    val old = e.filter(col("id") % 5 =!= 0)
+    val batch = e.filter(col("id") % 5 === 0)
+    val reps = Similarity.entryRepsMerge(
+      Similarity.entryReps(old.filter(col("id") % 5 <= 2)),
+      old.filter(col("id") % 5 >= 3))
+    val g = Similarity.nnDescentGraph(old, k = 3, iters = 2, initBits = 6)
+    val auto = Similarity.knnGraphExtendAuto(g, old, batch,
+      k = 3, beam = 4, hops = 2)
+    val fromReps = Similarity.knnGraphExtendFromReps(g, old, batch, reps,
+      k = 3, beam = 4, hops = 2)
+    val l = auto.orderBy("query_id", "rnk").collect().toSeq
+    val r = fromReps.orderBy("query_id", "rnk").collect().toSeq
+    graft.Blocks.free(auto); graft.Blocks.free(fromReps); graft.Blocks.free(g)
+    assert(l == r)
+  }
+
+  test("ivf decontamination: nprobe=nlist equals exact; probing only removes") {
+    val e = emb()
+    val train = e.filter(col("id") % 5 =!= 0)
+    val ev = e.filter(col("id") % 5 === 0)
+    val cents = e.filter(col("id").isin(0L, 5L, 10L, 15L))
+    def flags(df: DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exact = flags(Similarity.semanticDecontaminateExact(train, ev, 0.3))
+    // cells PARTITION the eval set, so probing all nlist cells scores
+    // every pair — the curve's recall-1 anchor, exactly
+    val full = flags(Similarity.semanticDecontaminateIvf(train, ev, cents,
+      0.3, nprobe = 4))
+    assert(full == exact)
+    // fewer probes only REMOVE candidate pairs: flags subset, counts
+    // and best sims bounded by exact
+    val one = flags(Similarity.semanticDecontaminateIvf(train, ev, cents,
+      0.3, nprobe = 1))
+    assert(one.forall { case (id, (n, s)) =>
+      exact.get(id).exists { case (ne, se) => n <= ne && s <= se }
+    })
+  }
 }
