@@ -1783,6 +1783,32 @@ object Queries {
     (0 until 4).map(j => s"SELECT min(vec_id) FROM bk$j GROUP BY bkt")
       .mkString(" UNION "))
 
+  /** E3 — the GRAPH-ANN index fully AT REST: the NN-Descent kNN graph
+    * (its edge lists ARE the index) and the derived entry-rep table are
+    * both WRITTEN TO PARQUET, and the beam search reads ONLY stored
+    * tables — graph edges, reps, and the corpus parquet the vectors
+    * already live in (fetched by key join per hop, never scanned).
+    * With e3_pq_rest/e3_ivfpq_rest this completes the at-rest round
+    * trip for every ANN tier: build hours-once, search from storage.
+    * Oracle = e3_graph_search_auto's full unroll verbatim (stored reps
+    * equal the derived entry set by the [[Similarity.entryReps]]
+    * contract), so storage round-tripping of edges, sims (rounded
+    * doubles), and reps is hash-graded.
+    */
+  def e3_graph_search_rest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graph-rest").toString
+    val g = Similarity.nnDescentGraph(e, k = 3, iters = 2, initBits = 6)
+    g.write.mode("overwrite").parquet(s"$tmp/graph")
+    graft.Blocks.free(g)
+    Similarity.entryReps(e).write.mode("overwrite").parquet(s"$tmp/reps")
+    Similarity.graphSearchTopKFromReps(
+        s.read.parquet(s"$tmp/graph"), e, e.filter(col("id") < 8),
+        s.read.parquet(s"$tmp/reps"), k = 3, beam = 4, hops = 2)
+      .orderBy("query_id", "rnk")
+  }
+
   /** E3 — INCREMENTAL kNN-graph maintenance (`Similarity.knnGraphExtend`,
     * the ingest twin of `e3_knn_graph`): day-1 graph over the 80 % of
     * vectors with `vec_id % 5 <> 0`, then the remaining 20 % folds in —
@@ -13822,6 +13848,7 @@ object Queries {
     ("e3_semdedup_graph", e3_semdedup_graph _, e3sgSql),
     ("e3_graph_search", e3_graph_search _, e3gsSql),
     ("e3_graph_search_auto", e3_graph_search_auto _, e3gsaSql),
+    ("e3_graph_search_rest", e3_graph_search_rest _, e3gsaSql),
     ("e3_knn_graph_incr", e3_knn_graph_incr _, e3giSql),
     ("e3_knn_graph_incr2", e3_knn_graph_incr2 _, e3gi2Sql),
     ("e4_group_sample", e4_group_sample _, e4gsSql),

@@ -692,6 +692,18 @@ object Similarity {
           explode(cellsExpr(cents, roundTo, nprobe)(col("vec"))).as("__pc"))
         .select(col("id"), col("vec"), col("__pc")),
       centroids, col("__pc"))
+    // PROBE-SET PUSHDOWN: the probed cells are a bounded set (≤ |Q|·nprobe
+    // values off the broadcast-sized query side — queries must be
+    // deterministic, the same contract as the broadcast itself). Filtering
+    // the codes side on them statically is what turns the cell-partitioned
+    // at-rest index into a PRUNED scan (PartitionFilters on `cell`,
+    // Round17Spec-pinned): an nprobe search reads only the probed cells'
+    // files, never the whole 100 TB index — the join alone would rely on
+    // DPP's selectivity heuristic, which has no filter here to trigger on.
+    val probed = qresid.select("cell").distinct().collect().map(_.getLong(0))
+    val cPruned =
+      if (probed.isEmpty) codes.filter(lit(false))
+      else codes.filter(col("cell").isin(probed.toIndexedSeq: _*))
     val dtCols = (0 until m).map { i =>
       array(cbCents.map { case (_, w) => pqD2(w, i, sub, roundTo) }: _*).as(s"__dt$i")
     }
@@ -701,7 +713,7 @@ object Similarity {
       .map(i => element_at(col(s"__dt$i"), col(s"__c$i") + 1)
         .cast(DecimalType(18, 6)))
       .reduce(_ + _).cast("double")
-    val sims = broadcast(q).join(codes, Seq("cell"))
+    val sims = broadcast(q).join(cPruned, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), negate(adc).as("sim"))
     topKPerQuery(sims, k, idType)

@@ -38,6 +38,18 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  /** Pre-order flatten that descends AQE stages and reused exchanges
+    * (both are leaves to TreeNode.collect).
+    */
+  private def flattenAll(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(flattenAll)
+  }
+
   /** All ReadSchema lines of parquet scans that are NOT under a
     * broadcast exchange — the streamed side(s) of the search plan.
     * Walk the plan string: broadcast subtrees render under
@@ -116,6 +128,28 @@ class Round17Spec extends SparkSpec {
       .orderBy("query_id", "rnk").collect().toSeq
     val atRest = search.orderBy("query_id", "rnk").collect().toSeq
     assert(atRest == oneShot)
+    // probe-set pushdown: ONE query probes ONE cell, and the stored
+    // index scan must PRUNE to that cell's partition — files from the
+    // other cells are never opened (the property that makes an nprobe
+    // search sublinear in index SIZE at rest, not just in compute)
+    val single = Similarity.ivfPqTopKFromCodes(
+      e.filter(col("id") === 0), codes, cents, cb, k = 3, m = 4)
+    single.collect()
+    val scans = flattenAll(single.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.requiredSchema.fieldNames.contains("__c0") => s
+    }
+    assert(scans.nonEmpty, "expected the codes file scan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "probed-cell filter must reach the scan as a partition filter")
+      assert(s.selectedPartitions.partitionCount == 1,
+        s"one probed cell must prune to one partition, " +
+          s"got ${s.selectedPartitions.partitionCount}")
+    }
   }
 
   test("windowed-agg restart: partial window state carries across incarnations") {
