@@ -1342,6 +1342,36 @@ object Queries {
       cand_id, sim FROM sims
     QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
 
+  /** E3 — the TRAINED IVF path graded end to end: centroids come from
+    * `Similarity.trainCentroids`' deterministic spherical k-means (the
+    * production build; every other IVF row uses DESIGNATED vectors so
+    * DuckDB can mirror the cells). K-means itself is not
+    * oracle-expressible, but the index's PARTITION-COMPLETENESS
+    * contract is: cells partition the corpus wherever training lands
+    * the centroids, so probing ALL nlist cells scores every pair and
+    * must equal brute force EXACTLY. That is what this row grades —
+    * training, cell assignment, multi-probe fan-out, and the
+    * cell-scoped scoring compose to the exact answer when the probe
+    * dial is wide open (the recall curve's anchor, like
+    * e4_decontam_recall's nprobe = nlist row); the oracle is the plain
+    * brute-force top-3.
+    */
+  def e3_ivf_trained(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.trainCentroids(e, k = 4, iters = 3)
+    Similarity.ivfTopK(e.filter(col("id") < 8), e, cents, k = 3, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val e3itSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) AS sim
+      FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+    SELECT query_id, cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) as int) AS rnk,
+      cand_id, sim FROM sims
+    QUALIFY rnk <= 3 ORDER BY query_id, rnk"""
+
   /** E3 — LSH-bucketed approximate top-k (the scale path). */
   def e3_lsh_topk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -13821,6 +13851,7 @@ object Queries {
     ("sql_gsets", sql_gsets _, sqlGs),
     ("e4_token_counts", e4_token_counts _, e4cSql),
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
+    ("e3_ivf_trained", e3_ivf_trained _, e3itSql),
     ("e11_session_window", e11_session_window _, e11wSql),
     ("star_etl_e2e", star_etl_e2e _, starE2eSql),
     ("star_sink_roundtrip", star_sink_roundtrip _, starSinkSql),
