@@ -1553,6 +1553,47 @@ object Queries {
         ELSE round(cast(found.n_found as double) / ex.n_exact, 6) END AS recall
     FROM found CROSS JOIN ex ORDER BY nprobe"""
 
+  /** E11/streaming — semantic decontamination AT INGEST
+    * (`StreamingOps.decontamFilter`): the train embeddings arrive as a
+    * file stream and every row within cosine 0.3 of ANY eval vector is
+    * dropped BEFORE the sink by a stream-static left_anti join against
+    * the broadcast eval set — the shape a continuous pretraining-ingest
+    * pipeline runs (contaminated rows never land; a refreshed benchmark
+    * parquet is picked up per micro-batch without restarting). Graded
+    * by running the real stream into a memory sink; the oracle is the
+    * batch complement — train ids with NO eval vector at sim ≥ τ under
+    * the same zero-norm contract — so this row and `e4_decontam_sem`
+    * partition the train set between them.
+    */
+  def e11_stream_decontam(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val ev = t(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qn = "e11_stream_decontam_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingOps
+      .decontamFilter(src, ev, threshold = 0.3)
+      .select(col("id"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn).orderBy("id")
+  }
+
+  val e11sdcSql = s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    hits AS (SELECT q.vec_id AS id FROM v q JOIN v c
+      ON q.vec_id % 5 <> 0 AND c.vec_id % 5 = 0
+        AND ${normSql("q")} > 0 AND ${normSql("c")} > 0
+        AND round($dotSql / (${normSql("q")} * ${normSql("c")}), 6) >= 0.3)
+    SELECT vec_id AS id FROM v
+    WHERE vec_id % 5 <> 0 AND vec_id NOT IN (SELECT id FROM hits)
+    ORDER BY id"""
+
   /** E3 — IVF-flavoured ANN: Voronoi cells around 8 designated centroid
     * vectors, search restricted to the query's cell.
     */
@@ -13981,6 +14022,7 @@ object Queries {
     ("e4_decontam_sem", e4_decontam_sem _, e4dsemSql),
     ("e4_decontam_sem_ivf", e4_decontam_sem_ivf _, e4dsivSql),
     ("e4_decontam_recall", e4_decontam_recall _, e4drcSql),
+    ("e11_stream_decontam", e11_stream_decontam _, e11sdcSql),
     ("e4_decontam_sem_lsh", e4_decontam_sem_lsh _, e4dslSql),
     ("e1_global_ids", e1_global_ids _, e1giSql),
     ("e3_rank_metrics", e3_rank_metrics _, e3rmSql),

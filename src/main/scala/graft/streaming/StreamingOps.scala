@@ -162,6 +162,36 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left")
 
+  /** Semantic decontamination AT INGEST — the streaming form of
+    * `Similarity.semanticDecontaminateExact`, as a FILTER: a stream of
+    * (id, vec) embedding rows anti-joins the static eval set, so a row
+    * within cosine `threshold` of ANY eval vector never reaches the
+    * sink. Stream-static left_anti is stateless per micro-batch (the
+    * eval side broadcasts — benchmark-sized by the decontamination
+    * contract; no streaming state, no watermark, and Spark re-resolves
+    * a file-based eval side each batch, so a refreshed benchmark
+    * release is picked up without restarting the ingest). Zero-norm
+    * contract matches the batch operator both ways: zero-norm eval
+    * vectors are excluded from the index (no direction → NaN cosine
+    * would flag everything), and a zero-norm STREAM row survives (it
+    * cannot be semantically close to anything).
+    */
+  def decontamFilter(stream: DataFrame, eval: DataFrame, threshold: Double,
+                     roundTo: Int = 6): DataFrame = {
+    val ev = eval
+      .select(col("id").as("__eid"), col("vec").as("__ev"),
+        graft.operators.Similarity.norm(col("vec")).as("__en"))
+      .filter(col("__en") > 0)
+    val dot = graft.operators.Similarity.dot(col("vec"), col("__ev"))
+    stream
+      .withColumn("__tn", graft.operators.Similarity.norm(col("vec")))
+      .join(broadcast(ev),
+        col("__tn") > 0 &&
+          round(dot / (col("__tn") * col("__en")), roundTo) >= threshold,
+        "left_anti")
+      .drop("__tn")
+  }
+
   /** Streaming CDC upsert (the incremental-dimension pattern): each
     * micro-batch of change rows is compacted to one change per key
     * (latest by `orderCol`, the CDC-compaction contract Merge requires)
