@@ -543,6 +543,60 @@ object Queries {
       .select("user_id", "n_events", "start_ms", "last_ms")
       .orderBy("user_id", "start_ms")
 
+  /** E11 — batch-incremental sessionization over the AT-REST snapshot
+    * (`Sessionize.sessionsSnapshot` / `sessionsFold` — the warehouse
+    * pattern: closed history is never re-sessionized; each ingest day
+    * touches only the OPEN tails and the batch). The events table is
+    * split into three event-time slices (60% / 20% / 20% of the ms
+    * span — the append-in-time ingest contract by construction), the
+    * day-one snapshot and each fold's result are WRITTEN TO PARQUET
+    * and the next fold reads the stored snapshot — and the oracle is a
+    * FULL re-sessionization of everything with the same openness rule,
+    * so the fold's claim (incremental == recompute, including which
+    * tails fused across both day boundaries and which sessions remain
+    * open at the end) is hash-graded.
+    */
+  def e11_sessions_incr_rest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+    val r = ev.agg(unix_millis(min(col("ts"))).as("mn"),
+      unix_millis(max(col("ts"))).as("mx")).collect()(0) // 1-row scalar
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val t1 = mn + (mx - mn) * 6 / 10
+    val t2 = mn + (mx - mn) * 8 / 10
+    def slice(lo: Long, hi: Long) = ev.filter(
+      unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+    val tmp = java.nio.file.Files.createTempDirectory("sess-rest").toString
+    Sessionize.sessionsSnapshot(slice(mn, t1), "user_id", "ts", "event_id", 10)
+      .write.mode("overwrite").parquet(s"$tmp/d1")
+    Sessionize.sessionsFold(s.read.parquet(s"$tmp/d1"), slice(t1, t2),
+        "user_id", "ts", "event_id", 10)
+      .write.mode("overwrite").parquet(s"$tmp/d2")
+    Sessionize.sessionsFold(s.read.parquet(s"$tmp/d2"), slice(t2, mx + 1),
+        "user_id", "ts", "event_id", 10)
+      .orderBy("user_id", "start_ms")
+  }
+
+  val e11sirSql = """WITH g AS (
+      SELECT user_id, event_id, ts,
+        epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN gap IS NULL OR gap > 600000 THEN 1 ELSE 0 END AS new_session
+      FROM g),
+    sess AS (
+      SELECT user_id, ts,
+        cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+      FROM marked),
+    agg AS (SELECT user_id, session_id, count(*) AS n_events,
+        min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+      FROM sess GROUP BY user_id, session_id),
+    mxv AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+    SELECT user_id, start_ms, end_ms, n_events,
+      cast(end_ms + 600000 > m as int) AS open
+    FROM agg, mxv ORDER BY user_id, start_ms"""
+
   val e11wSql = """WITH g AS (
       SELECT user_id, ts,
         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
@@ -13894,6 +13948,7 @@ object Queries {
     ("e3_ivf_topk", e3_ivf_topk _, e3iSql),
     ("e3_ivf_trained", e3_ivf_trained _, e3itSql),
     ("e11_session_window", e11_session_window _, e11wSql),
+    ("e11_sessions_incr_rest", e11_sessions_incr_rest _, e11sirSql),
     ("star_etl_e2e", star_etl_e2e _, starE2eSql),
     ("star_sink_roundtrip", star_sink_roundtrip _, starSinkSql),
     ("e4_chunks", e4_chunks _, e4chSql),
