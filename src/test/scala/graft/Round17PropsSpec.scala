@@ -91,6 +91,53 @@ object Round17PropsSpec extends Properties("graft.round17") {
       (full == exact) :| s"full=$full exact=$exact"
     }
 
+  private val eventsGen: Gen[(List[(Long, Long, Long)], Int, Int)] =
+    for {
+      n <- Gen.chooseNum(1, 120)
+      keys <- Gen.chooseNum(1, 6)
+      seed <- Gen.chooseNum(0, 10000)
+      c1 <- Gen.chooseNum(20, 50) // split percentiles of the ts span
+      c2 <- Gen.chooseNum(55, 90)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      // ts spread over ~5 gap-lengths so sessions split and fuse across
+      // the cuts; duplicate timestamps allowed on purpose
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(keys).toLong, rnd.nextInt(3000000).toLong.max(0L),
+          i.toLong)).toList
+      (rows, c1, c2)
+    }
+
+  property("sessionsFold over any event-time split equals the full snapshot") =
+    Prop.forAll(eventsGen) { case (rows, c1, c2) =>
+      import graft.operators.Sessionize
+      def df(xs: List[(Long, Long, Long)]) = xs.toDF("user_id", "tsMs", "event_id")
+        .select(col("user_id"), timestamp_millis(col("tsMs")).as("ts"),
+          col("event_id"))
+      val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
+      val t1 = mn + (mx - mn) * c1 / 100
+      val t2 = mn + (mx - mn) * c2 / 100
+      // non-empty day slices in event-time order (empty days skipped —
+      // the fold contract requires a non-empty batch)
+      val slices = Seq(
+        rows.filter(_._2 <= t1),
+        rows.filter(r => r._2 > t1 && r._2 <= t2),
+        rows.filter(_._2 > t2)).filter(_.nonEmpty)
+      val folded = slices.tail.foldLeft(
+        Sessionize.sessionsSnapshot(df(slices.head), "user_id", "ts",
+          "event_id", 10)) { (snap, day) =>
+        Sessionize.sessionsFold(snap, df(day), "user_id", "ts", "event_id", 10)
+      }
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select("user_id", "start_ms", "end_ms", "n_events", "open")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getInt(4))).sorted.toSeq
+      val got = canon(folded)
+      val want = canon(Sessionize.sessionsSnapshot(df(rows), "user_id", "ts",
+        "event_id", 10))
+      (got == want) :| s"got=$got\nwant=$want"
+    }
+
   property("fewer probes only remove candidates (flags/counts/sims bounded)") =
     Prop.forAll(deconGen) { case (train, eval, cents, tau) =>
       val exact = flags(Similarity.semanticDecontaminateExact(
