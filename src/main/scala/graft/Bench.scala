@@ -83,6 +83,12 @@ object Bench {
       // left behind so session state can't accumulate into later timings
       // (round 2's p1-p3 scans drifted 3-5x from exactly that).
       Blocks.sweep(spark.sparkContext)
+      // memory-sink temp views too: every streaming graded query registers
+      // a UUID-named in-memory table holding all its emitted rows — across
+      // 370+ queries x reps that is hundreds of driver-resident row sets
+      // taxing GC for the rest of the run
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       // iterative operators (connected components) leave dead broadcast
       // and checkpoint references that only the ContextCleaner can reap —
       // and it only wakes on GC. One untimed GC per query boundary keeps

@@ -26,6 +26,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       Blocks.sweep(spark.sparkContext) // queries are independent
+      // drop streaming memory-sink temp views (see Bench: driver-resident
+      // row sets accumulate across the run otherwise)
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
