@@ -8264,6 +8264,50 @@ object Queries {
     ORDER BY t.exact_cnt DESC, t.tk"""
   }
 
+  /** E10 — count-min sketches AT REST (the e10_hll_rest discipline for
+    * the CMS tier, with a STRONGER grade): per-shard sketches build
+    * over disjoint document shards, land in parquet — the telemetry
+    * artifact a 100 TB pipeline stores instead of raw token streams —
+    * and query time reads the stored rows and merges them by
+    * ELEMENTWISE CELL SUM (the CMS merge law: cells are plain counts,
+    * so sharded-sum ≡ single-pass, losslessly). Where the HLL row can
+    * only flag merge consistency (datasketches binaries are opaque to
+    * DuckDB), the CMS cells are portable longs: the oracle is
+    * e10_cms's full cell-rebuilding SQL VERBATIM, so storage
+    * round-trip + merge must reproduce the single-pass estimates
+    * EXACTLY, cell for cell.
+    */
+  def e10_cms_rest(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.CountMinSketch
+    val (d, wd) = (4, 512)
+    val docs = t(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("cms-rest").toString
+    docs.withColumn("__shard", pmod(col("doc_id"), lit(4L)))
+      .select(col("__shard"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("__shard")
+      .agg(CountMinSketch.sketch(col("tk"), d, wd).as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val merged = s.read.parquet(tmp)
+      .select(posexplode(col("sk")))
+      .groupBy("pos").agg(sum(col("col")).as("c"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("sk"))
+    val toks = docs.select(explode(split(col("text"), " ")).as("tk"))
+    val top = toks.groupBy("tk").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tk")).limit(10)
+    val h = portableStringHash(col("tk"))
+    val est = (0 until d).map { i =>
+      element_at(col("sk"),
+        (lit(i * wd) + pmod(pmod(h * lit(CountMinSketch.SeedA(i)) +
+          lit(CountMinSketch.SeedB(i)), lit(HashPrime)), lit(wd.toLong)))
+          .cast("int") + 1)
+    }.reduce(least(_, _))
+    top.crossJoin(broadcast(merged)) // 1-row merged sketch
+      .select(col("tk"), col("exact_cnt"), est.as("cms_est"),
+        when(est >= col("exact_cnt"), 1).otherwise(0).as("over_ok"))
+      .orderBy(col("exact_cnt").desc, col("tk"))
+  }
+
   /** E10/streaming — the STREAMING windowed count-min sketch operator
     * itself, oracle-graded (round-8 verdict item 8: put the streaming
     * tier under the same correctness regime as batch). The graded plan
@@ -14095,6 +14139,7 @@ object Queries {
     ("mm_frame_decode_png", mm_frame_decode_png _, mmFdPngSql),
     ("etl_fk_infer", etl_fk_infer _, etlFkSql),
     ("e10_cms", e10_cms _, e10cmsSql),
+    ("e10_cms_rest", e10_cms_rest _, e10cmsSql),
     ("e10_stream_cms", e10_stream_cms _, e10scmsSql),
     ("e11_stream_tumbling", e11_stream_tumbling _, e11stumSql),
     ("e11_stream_dedup", e11_stream_dedup _, e11sdedupSql),
