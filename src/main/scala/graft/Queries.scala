@@ -576,6 +576,37 @@ object Queries {
       .orderBy("user_id", "start_ms")
   }
 
+  /** E11 — the LATE-DAY fold (`Sessionize.sessionsFoldLate`): a
+    * replayed-partition ingest. Users ≡ 3 (mod 7) deliver their events
+    * from the [30%, 60%) span of the corpus a day late — those rows
+    * arrive in the day-two batch, which therefore VIOLATES the fold's
+    * append-in-event-time contract (sessionsFold fails loud on it —
+    * Round18Spec pins that). The late handler folds every conforming
+    * key as usual and re-sessionizes ONLY the violating keys at session
+    * granularity (their stored snapshot rows, open AND closed, interval-
+    * merged with their batch sessions). Oracle: FULL re-sessionization
+    * of all events with the same openness rule — the fold + handler must
+    * be hash-indistinguishable from recomputing everything.
+    */
+  def e11_sessions_incr_late(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+    val r = ev.agg(unix_millis(min(col("ts"))).as("mn"),
+      unix_millis(max(col("ts"))).as("mx")).collect()(0) // 1-row scalar
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val t0 = mn + (mx - mn) * 3 / 10
+    val t1 = mn + (mx - mn) * 6 / 10
+    val ms = unix_millis(col("ts"))
+    val lateRows = col("user_id") % 7 === 3 && ms >= t0 && ms < t1
+    val day1 = ev.filter(ms < t1 && !lateRows)
+    val day2 = ev.filter(ms >= t1 || lateRows)
+    val tmp = java.nio.file.Files.createTempDirectory("sess-late").toString
+    Sessionize.sessionsSnapshot(day1, "user_id", "ts", "event_id", 10)
+      .write.mode("overwrite").parquet(s"$tmp/d1")
+    Sessionize.sessionsFoldLate(s.read.parquet(s"$tmp/d1"), day2,
+        "user_id", "ts", "event_id", 10)
+      .orderBy("user_id", "start_ms")
+  }
+
   val e11sirSql = """WITH g AS (
       SELECT user_id, event_id, ts,
         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
@@ -14017,6 +14048,7 @@ object Queries {
     ("e3_ivf_trained", e3_ivf_trained _, e3itSql),
     ("e11_session_window", e11_session_window _, e11wSql),
     ("e11_sessions_incr_rest", e11_sessions_incr_rest _, e11sirSql),
+    ("e11_sessions_incr_late", e11_sessions_incr_late _, e11sirSql),
     ("star_etl_e2e", star_etl_e2e _, starE2eSql),
     ("star_sink_roundtrip", star_sink_roundtrip _, starSinkSql),
     ("e4_chunks", e4_chunks _, e4chSql),

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.operators.{Sessionize, Similarity}
+
+/** Round-18 pins.
+  *
+  * The sessionsFold ingest gate (r17 verdict item 1 / advice): the
+  * append-in-event-time contract is now STRICT (batch min ts > snapshot
+  * max event ts) and guarded by default — a violating batch fails loud
+  * instead of silently mis-attaching sessions. Pinned here at the exact
+  * boundary the r17 advice named: a session whose end + gap EQUALS the
+  * snapshot max is flagged closed, yet a batch event at exactly that
+  * max would still join it under full recompute — so equality must be
+  * rejected, not just strictly-older batches.
+  *
+  * The late-day handler (`sessionsFoldLate`) routes ONLY the violating
+  * keys through session-granularity re-sessionization (interval merge
+  * of their stored rows with their batch sessions) and must be
+  * hash-identical to full recompute — fusion across CLOSED history
+  * sessions included.
+  *
+  * The IVF-PQ search query side (r17 verdict item 2): probe cells are
+  * derived on the DRIVER from the already-collected centroids, and the
+  * collected query rows become the frame the search joins — a local
+  * relation that physically cannot re-evaluate, closing the
+  * nondeterministic-query hazard. Pinned: the driver cell math is
+  * bit-identical to the expression-side assignment, and the search
+  * plan's query side is a LocalTableScan.
+  */
+class Round18Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb(): DataFrame = spark.read
+    .parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def ev(rows: Seq[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "tsMs", "event_id")
+      .select(col("user_id"), timestamp_millis(col("tsMs")).as("ts"),
+        col("event_id"))
+  }
+
+  private def canon(d: DataFrame): Seq[(Long, Long, Long, Long, Int)] =
+    d.select("user_id", "start_ms", "end_ms", "n_events", "open")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).sorted.toSeq
+
+  private val G = 600000L // the 10-minute gap in ms
+
+  test("sessionsFold fails loud on a contract-violating batch — including the end+gap == max boundary") {
+    // user 1's only session ends at 0; user 2 pushes the corpus max to
+    // exactly 0 + gap, so user 1's session is flagged CLOSED (strict >).
+    val snap = Sessionize.sessionsSnapshot(
+      ev(Seq((1L, 0L, 1L), (2L, G, 2L))), "user_id", "ts", "event_id", 10)
+    // a batch event at EXACTLY the snapshot max: full recompute would
+    // join it to user 1's closed session (gap == G is not > G), which
+    // the fold structurally cannot do — the gate must reject equality
+    val atMax = intercept[IllegalArgumentException] {
+      Sessionize.sessionsFold(snap, ev(Seq((1L, G, 3L))),
+        "user_id", "ts", "event_id", 10)
+    }
+    assert(atMax.getMessage.contains("append-in-event-time"))
+    // and a plainly older batch
+    val older = intercept[IllegalArgumentException] {
+      Sessionize.sessionsFold(snap, ev(Seq((9L, 1L, 4L))),
+        "user_id", "ts", "event_id", 10)
+    }
+    assert(older.getMessage.contains("append-in-event-time"))
+    // an empty batch also fails loud (fold to the same snapshot is a
+    // caller decision, not a silent no-op)
+    val empty = intercept[IllegalArgumentException] {
+      Sessionize.sessionsFold(snap, ev(Seq.empty),
+        "user_id", "ts", "event_id", 10)
+    }
+    assert(empty.getMessage.contains("empty"))
+    // a conforming batch (strictly newer) still folds
+    assert(Sessionize.sessionsFold(snap, ev(Seq((1L, G + 1, 5L))),
+      "user_id", "ts", "event_id", 10).count() >= 2)
+  }
+
+  test("sessionsFoldLate re-sessionizes only violating keys, hash-equal to full recompute") {
+    // user 1: two CLOSED day-1 sessions that a late event FUSES;
+    // user 2: conforming (folds through the normal path);
+    // user 3: a late key the snapshot has never seen
+    val day1 = Seq(
+      (1L, 0L, 1L), (1L, 2 * G, 2L), // [0,0] and [2G,2G] — gap 2G closes both
+      (2L, G / 2, 3L))
+    val batch = Seq(
+      (1L, G, 4L), // LATE: bridges user 1's two closed sessions
+      (1L, 4 * G, 5L), // and a genuinely new session
+      (2L, 3 * G, 6L), // conforming key
+      (3L, G / 4, 7L), (3L, G / 3, 8L)) // late key with no history
+    val snap = Sessionize.sessionsSnapshot(ev(day1),
+      "user_id", "ts", "event_id", 10)
+    // the gated fold rejects this batch...
+    intercept[IllegalArgumentException] {
+      Sessionize.sessionsFold(snap, ev(batch), "user_id", "ts", "event_id", 10)
+    }
+    // ...and the late handler equals recomputing everything from events
+    val got = canon(Sessionize.sessionsFoldLate(snap, ev(batch),
+      "user_id", "ts", "event_id", 10))
+    val want = canon(Sessionize.sessionsSnapshot(ev(day1 ++ batch),
+      "user_id", "ts", "event_id", 10))
+    assert(got == want, s"got=$got\nwant=$want")
+    // the fusion really happened: user 1 holds one [0, 2G] session of 3
+    assert(got.contains((1L, 0L, 2 * G, 3L, 0)))
+  }
+
+  test("driver probe cells are bit-identical to the expression-side assignment") {
+    val e = emb()
+    val cents = e.filter(col("id") >= 8 && col("id") < 12)
+      .select(col("id").cast("long"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    for (p <- Seq(1, 2, 4)) {
+      val want = e.select(col("id"),
+          Similarity.cellsExpr(cents, 6, p)(col("vec")).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val got = e.select(col("id"), col("vec")).collect().map { r =>
+        r.getLong(0) -> Similarity.topCellsDriver(
+          r.getSeq[Float](1).toArray, cents, p, 6).toSeq
+      }.toMap
+      assert(got == want, s"nprobe=$p driver cells diverge from cellsExpr")
+    }
+  }
+
+  test("ivf-pq search query side is a single-evaluation local relation") {
+    val e = emb()
+    val cents = e.filter(col("id") >= 8 && col("id") < 12)
+    val cb = e.filter(col("id") < 8)
+    val codes = Similarity.ivfPqIndex(e, cents, cb, m = 4)
+    val search = Similarity.ivfPqTopKFromCodes(
+      e.filter(col("id") < 8), codes, cents, cb, k = 3, m = 4, nprobe = 2)
+    search.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val plan = search.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(flatten(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      "the query side must be the collected rows themselves (a local " +
+        "relation) — re-deriving it from the caller's frame reintroduces " +
+        "the re-evaluation hazard")
+  }
+}
