@@ -86,9 +86,12 @@ object Bench {
       // memory-sink temp views too: every streaming graded query registers
       // a UUID-named in-memory table holding all its emitted rows — across
       // 370+ queries x reps that is hundreds of driver-resident row sets
-      // taxing GC for the rest of the run
+      // taxing GC for the rest of the run. Only the UUID-suffixed sink
+      // names are dropped (r17 advice): a future cross-query session view
+      // must survive the boundary.
       spark.catalog.listTables().collect()
-        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+        .filter(t => t.isTemporary && t.name.matches(".*_[0-9a-f]{32}"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
       // iterative operators (connected components) leave dead broadcast
       // and checkpoint references that only the ContextCleaner can reap —
       // and it only wakes on GC. One untimed GC per query boundary keeps

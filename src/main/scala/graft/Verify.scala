@@ -27,9 +27,12 @@ object Verify {
       }
       Blocks.sweep(spark.sparkContext) // queries are independent
       // drop streaming memory-sink temp views (see Bench: driver-resident
-      // row sets accumulate across the run otherwise)
+      // row sets accumulate across the run otherwise); only the
+      // UUID-suffixed sink names, so a future cross-query session view
+      // survives the boundary (r17 advice)
       spark.catalog.listTables().collect()
-        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+        .filter(t => t.isTemporary && t.name.matches(".*_[0-9a-f]{32}"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

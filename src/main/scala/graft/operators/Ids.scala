@@ -87,7 +87,8 @@ object Ids {
         // advice): a second evaluation that yields keys the probe never
         // ranked loses them to the inner join (count shrinks); a
         // duplicated key multiplies (count grows). Debug-only — it
-        // costs two extra counting actions.
+        // costs three extra counting actions (the two row counts plus
+        // the distinct-key count below).
         if (df.sparkSession.conf
             .getOption("spark.graft.ids.verify").contains("true")) {
           val (got, want) = (joined.count(), df.count())

@@ -278,10 +278,40 @@ object Similarity {
   /** The query's `p` best cells (by the same rounded-similarity order), for
     * multi-probe search.
     */
-  private def cellsExpr(cents: Array[(Long, Array[Float])], roundTo: Int,
+  private[graft] def cellsExpr(cents: Array[(Long, Array[Float])], roundTo: Int,
                         p: Int)(vec: Column): Column =
     transform(slice(array_sort(scoredCells(cents, roundTo)(vec)), 1, p),
       s => s.getField("cid"))
+
+  /** Driver-side twin of [[cellsExpr]]: a vector's `p` best cells by the
+    * SAME order — dot accumulated left-to-right in double, HALF_UP
+    * rounding at `roundTo` (Spark's `round` on double goes through the
+    * decimal string form, hence `BigDecimal.decimal`), ties to the
+    * smallest cell id, and -0.0 == 0.0 exactly as Spark's double
+    * ordering ties them. Kept bit-identical to the expression so a
+    * probe set derived HERE can prune the stored index without ever
+    * dropping a cell the expression-side assignment would probe.
+    */
+  private[graft] def topCellsDriver(vec: Array[Float],
+                             cents: Array[(Long, Array[Float])], p: Int,
+                             roundTo: Int): Array[Long] = {
+    // Spark's double ordering (SQLOrderingUtil): IEEE == first, so
+    // -0.0 ties 0.0; NaN sorts greatest via Double.compare
+    def cmp(a: Double, b: Double): Int =
+      if (a == b) 0 else java.lang.Double.compare(a, b)
+    cents.map { case (cid, c) =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(vec.length, c.length)
+      while (i < n) { acc += vec(i).toDouble * c(i).toDouble; i += 1 }
+      val nd = -BigDecimal.decimal(acc)
+        .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (nd, cid)
+    }.sortWith { case ((d1, c1), (d2, c2)) =>
+      val d = cmp(d1, d2)
+      d < 0 || (d == 0 && c1 < c2)
+    }.take(p).map(_._2)
+  }
 
   /** Deterministic spherical k-means for IVF centroids: a fixed-iteration
     * Lloyd loop over a HASH-DETERMINISTIC sample, seeded by the k sample
@@ -686,21 +716,47 @@ object Similarity {
     require(nprobe >= 1, "nprobe must be >= 1")
     val (cbCents, sub) = pqGeometry(codebook, m)
     val idType = codes.schema("cand_id").dataType
-    // per probed cell, the query's residual distance tables
-    val qresid = ivfResidual(
-      queries.select(col("id"), col("vec"),
-          explode(cellsExpr(cents, roundTo, nprobe)(col("vec"))).as("__pc"))
-        .select(col("id"), col("vec"), col("__pc")),
-      centroids, col("__pc"))
+    // PROBE SET ON THE DRIVER, queries evaluated ONCE (r17 verdict +
+    // advice): the query side is broadcast-bounded by contract, so its
+    // rows collect in one job and both the probed-cell set and the
+    // per-probed-cell residuals derive in Scala against the ALREADY
+    // collected centroids ([[topCellsDriver]] is the bit-exact twin of
+    // the cellsExpr assignment). The collected rows then BECOME the
+    // frame the search joins (a local relation), so the earlier
+    // per-search `distinct().collect()` job is gone AND a
+    // nondeterministic caller can no longer yield join-time cells the
+    // probe set never saw — the frame physically cannot re-evaluate.
+    val qrows = queries.select(col("id"), col("vec")).collect()
+    val centById = cents.toMap
+    val probedSet = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val qresRows = qrows.toSeq.flatMap { r =>
+      val qv = r.getSeq[Float](1).toArray
+      topCellsDriver(qv, cents, nprobe, roundTo).map { cid =>
+        probedSet += cid
+        val cv = centById(cid)
+        val res = new Array[Float](math.min(qv.length, cv.length))
+        var i = 0
+        while (i < res.length) { res(i) = qv(i) - cv(i); i += 1 }
+        org.apache.spark.sql.Row(r.get(0), cid, res.toSeq)
+      }
+    }
+    // per probed cell, the query's RESIDUAL rows (id, cell, vec)
+    val qresid = {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+      queries.sparkSession.createDataFrame(qresRows.asJava,
+        StructType(Seq(queries.schema("id").copy(name = "id"),
+          StructField("cell", LongType, nullable = false),
+          StructField("vec", ArrayType(FloatType, containsNull = false)))))
+    }
     // PROBE-SET PUSHDOWN: the probed cells are a bounded set (≤ |Q|·nprobe
-    // values off the broadcast-sized query side — queries must be
-    // deterministic, the same contract as the broadcast itself). Filtering
-    // the codes side on them statically is what turns the cell-partitioned
-    // at-rest index into a PRUNED scan (PartitionFilters on `cell`,
-    // Round17Spec-pinned): an nprobe search reads only the probed cells'
-    // files, never the whole 100 TB index — the join alone would rely on
-    // DPP's selectivity heuristic, which has no filter here to trigger on.
-    val probed = qresid.select("cell").distinct().collect().map(_.getLong(0))
+    // values). Filtering the codes side on them statically is what turns
+    // the cell-partitioned at-rest index into a PRUNED scan
+    // (PartitionFilters on `cell`, Round17Spec-pinned): an nprobe search
+    // reads only the probed cells' files, never the whole 100 TB index —
+    // the join alone would rely on DPP's selectivity heuristic, which has
+    // no filter here to trigger on.
+    val probed = probedSet.toArray
     val cPruned =
       if (probed.isEmpty) codes.filter(lit(false))
       else codes.filter(col("cell").isin(probed.toIndexedSeq: _*))
