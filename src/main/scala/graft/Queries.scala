@@ -1240,6 +1240,27 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** The curation pipeline run FROM THE STORED INDEX (r17 verdict item
+    * 3): the corpus' MinHash columns are written once
+    * (`Dedup.minhashAtRest` → parquet, the accept-time artifact) and
+    * `Pipelines.curateFromRest` derives every near-dup candidate from
+    * the stored (sh, sig) columns — no stage re-shingles or re-encodes
+    * the corpus (Round18Spec pins the pair stage's scans never read
+    * text). Oracle = llm_curate's SQL verbatim: the at-rest run must be
+    * hash-indistinguishable from curating in-query.
+    */
+  def llm_curate_rest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("curate-rest").toString
+    Dedup.minhashAtRest(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/minhash")
+    Pipelines.curateFromRest(docs, s.read.parquet(s"$tmp/minhash"),
+        "doc_id", "text", minQuality = 0.3, jaccardThreshold = 0.4,
+        carry = Seq("lang"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val curateSql: String = {
     val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
     s"""WITH RECURSIVE scored AS (
@@ -14080,6 +14101,7 @@ object Queries {
     ("e3_knn_graph_incr2", e3_knn_graph_incr2 _, e3gi2Sql),
     ("e4_group_sample", e4_group_sample _, e4gsSql),
     ("llm_curate", llm_curate _, curateSql),
+    ("llm_curate_rest", llm_curate_rest _, curateSql),
     ("e4_seq_pack", e4_seq_pack _, e4pkSql),
     ("e4_mixture", e4_mixture _, e4mxSql),
     ("e2_passage_dedup", e2_passage_dedup _, e2pdSql),

@@ -297,6 +297,55 @@ object Dedup {
     rest
   }
 
+  /** SELF near-dup pairs from the AT-REST frame — the full-corpus twin
+    * of [[minhashIncrementalPairsFromRest]]: band hashes re-derive from
+    * the STORED signature (a width-m narrow projection) and the
+    * exact-Jaccard verify reads the STORED shingle-hash arrays, so the
+    * corpus text is never tokenized, shingled, or explode-aggregated
+    * again — the whole point of writing (sh, sig) once at accept time.
+    * Identical pairs to [[minhashLsh]] over the same documents (same
+    * coefficient family, same band fold, same verify — Round18Spec pins
+    * both the equality and that no scan reads text).
+    */
+  def minhashPairsFromRest(rest: DataFrame, bands: Int = 4,
+                           rowsPerBand: Int = 4,
+                           jaccardThreshold: Double = 0.5): DataFrame =
+    // pin the (small) pair set so downstream component iterations never
+    // re-run the band join — same terminal-cut shape as lshVerifiedPairs
+    minhashPairsFromRestRaw(rest, bands, rowsPerBand, jaccardThreshold).cut
+
+  /** The un-pinned plan of [[minhashPairsFromRest]] — exposed so the
+    * plan pin can inspect the scans (a cut frame executes eagerly and
+    * leaves only a LogicalRDD behind).
+    */
+  private[graft] def minhashPairsFromRestRaw(rest: DataFrame, bands: Int,
+                                             rowsPerBand: Int,
+                                             jaccardThreshold: Double)
+      : DataFrame = {
+    def bandHash(b: Int): Column =
+      (0 until rowsPerBand).foldLeft(lit(7L): Column)((acc, r) =>
+        pmod(acc * lit(31L) +
+          element_at(col("sig"), b * rowsPerBand + r + 1), lit(HashPrime)))
+    val banded = rest.select(col("id"),
+      posexplode(array((0 until bands).map(bandHash): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandHash")
+    val pairs = banded.select(col("band"), col("bandHash"), col("id").as("id1"))
+      .join(banded.select(col("band"), col("bandHash"), col("id").as("id2")),
+        Seq("band", "bandHash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    // no persist of the base: sh/sig are STORED columns (a parquet scan,
+    // not an interpreted hash chain), so re-reading them is the floor
+    pairs
+      .join(rest.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(rest.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        jaccardOf(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
   /** The portable MinHash SIGNATURES as a first-class frame: (id,
     * sig array<long> of length m) — the columns a production corpus
     * writes AT REST next to the documents so ingest-time banding (see

@@ -39,6 +39,26 @@ class Round18Spec extends SparkSpec {
     .parquet(s"$sf/embeddings.parquet")
     .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Pre-order flatten that descends AQE stages and reused exchanges. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
   private def ev(rows: Seq[(Long, Long, Long)]): DataFrame = {
     import spark.implicits._
     rows.toDF("user_id", "tsMs", "event_id")
@@ -129,6 +149,52 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("at-rest minhash pairs: identical to the fresh path, and no scan reads text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("r18-mh").toString
+    operators.Dedup.minhashAtRest(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(tmp)
+    val rest = spark.read.parquet(tmp)
+    val fromRest = operators.Dedup.minhashPairsFromRest(rest,
+      jaccardThreshold = 0.4)
+    def pairSet(d: DataFrame) = d.select("id1", "id2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(pairSet(fromRest) ==
+      pairSet(operators.Dedup.minhashLsh(docs, "doc_id", "text",
+        jaccardThreshold = 0.4)),
+      "stored-signature pairs must equal the fresh derivation")
+    // the at-rest claim at the PLAN level: every parquet scan of the
+    // pair derivation reads stored index columns only — `text` in any
+    // ReadSchema means a stage quietly re-shingled the corpus
+    val scans = flatten(executed(
+      operators.Dedup.minhashPairsFromRestRaw(rest, 4, 4, 0.4)))
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected parquet scans of the stored index")
+    scans.foreach { s =>
+      val fields = s.requiredSchema.fieldNames.toSet
+      assert(!fields.contains("text"),
+        s"pair stage must never read corpus text, got $fields")
+      assert(fields.subsetOf(Set("id", "sh", "sig")),
+        s"pair stage must read only stored index columns, got $fields")
+    }
+  }
+
+  test("curateFromRest equals curate end to end") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("r18-curate").toString
+    operators.Dedup.minhashAtRest(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(tmp)
+    def ids(d: DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val atRest = ids(Pipelines.curateFromRest(docs,
+      spark.read.parquet(tmp), "doc_id", "text",
+      minQuality = 0.3, jaccardThreshold = 0.4))
+    val fresh = ids(Pipelines.curate(docs, "doc_id", "text",
+      minQuality = 0.3, jaccardThreshold = 0.4))
+    assert(atRest == fresh)
+    assert(atRest.nonEmpty)
+  }
+
   test("ivf-pq search query side is a single-evaluation local relation") {
     val e = emb()
     val cents = e.filter(col("id") >= 8 && col("id") < 12)
@@ -136,21 +202,7 @@ class Round18Spec extends SparkSpec {
     val codes = Similarity.ivfPqIndex(e, cents, cb, m = 4)
     val search = Similarity.ivfPqTopKFromCodes(
       e.filter(col("id") < 8), codes, cents, cb, k = 3, m = 4, nprobe = 2)
-    search.collect()
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          Seq(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          Seq(r.child)
-        case other => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
-    val plan = search.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
+    val plan = executed(search)
     assert(flatten(plan).exists(
       _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
       "the query side must be the collected rows themselves (a local " +
