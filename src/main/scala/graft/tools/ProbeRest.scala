@@ -33,6 +33,17 @@ import org.apache.spark.sql.functions._
   * 1.20 → 1.54 s (growing — the per-search corpus re-encode). The gap
   * is already 2.4× at 20k rows and widens linearly with the corpus;
   * at 100 TB the one-shot shape is simply not runnable per query.
+  *
+  * MEASURED round 18 — the cell-partitioned IVF-PQ store's PRUNING
+  * economics (nlist=4, one query, bytes/files from the codes scan's own
+  * metrics, so they are deterministic; times min over runs straddling a
+  * load wave): nprobe=1 reads 1-of-4 files / 4,363 of 17,978 B at x1
+  * and 10-of-40 files / 42,583 of 177,894 B at x10 — 0.24 of the full
+  * index at BOTH scales (the probed cell's share), while the full-probe
+  * search's bytes grow 10× with the corpus. Time at this fixture volume
+  * is scheduling-floor bound (pruned 0.33-0.47 s vs full 0.47-0.49 s);
+  * the bytes ratio IS the 100 TB claim: an nprobe search reads
+  * nprobe/nlist of the index no matter how large the index grows.
   */
 object ProbeRest {
   def main(args: Array[String]): Unit = {
@@ -77,6 +88,58 @@ object ProbeRest {
         .pqTopK(queries, e, cb, k = 3, m = 4).count())
       println(f"[rest] x$k%-3d corpus=$n%9d rest=$sRest%6.2f s " +
         f"(rows=$nRest) oneshot=$sOne%6.2f s (rows=$nOne)")
+
+      // the CELL-PARTITIONED IVF-PQ store: partition-pruning economics
+      // (r17 verdict item 4). The plan-level claim (one probed cell →
+      // one of nlist partitions, Round17Spec) becomes a measured
+      // bytes-read curve: the pruned nprobe=1 search vs the same search
+      // probing every cell (nprobe = nlist ≡ the unpruned scan). Bytes
+      // come from the codes scan's own filesSize/numFiles metrics.
+      val cents = e.filter(col("id") >= 8 && col("id") < 12)
+      val ivfIdx = s"$dir/ivfpq-codes"
+      graft.operators.Similarity.ivfPqIndex(e, cents, cb, m = 4)
+        .write.mode("overwrite").partitionBy("cell").parquet(ivfIdx)
+      val codes = spark.read.parquet(ivfIdx)
+        .withColumn("cell", col("cell").cast("long"))
+      val q1 = e.filter(col("id") === 0)
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            Seq(r.child)
+          case other => other.children
+        }
+        p +: kids.flatMap(flatten)
+      }
+      def searchStats(nprobe: Int): (Double, Long, Long) = (1 to 2).map { _ =>
+        val d = graft.operators.Similarity.ivfPqTopKFromCodes(
+          q1, codes, cents, cb, k = 3, m = 4, nprobe = nprobe)
+        val t0 = System.nanoTime()
+        // collect() (not count()) so the metrics land on THIS frame's
+        // queryExecution — count() plans its own aggregate query
+        d.collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val plan = d.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val scans = flatten(plan).collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.requiredSchema.fieldNames.contains("__c0") => s
+        }
+        val files = scans.map(_.metrics("numFiles").value).sum
+        val bytes = scans.map(_.metrics("filesSize").value).sum
+        graft.Blocks.sweep(spark.sparkContext)
+        (dt, files, bytes)
+      }.minBy(_._1)
+      val (sPr, fPr, bPr) = searchStats(1)
+      val (sFu, fFu, bFu) = searchStats(4) // nprobe = nlist: every cell
+      println(f"[rest] x$k%-3d ivfpq pruned(nprobe=1)=$sPr%6.2f s " +
+        f"($fPr%d files, $bPr%d B) full(nprobe=4)=$sFu%6.2f s " +
+        f"($fFu%d files, $bFu%d B) bytes=${bPr.toDouble / bFu}%.2f of full")
     }
     spark.stop()
   }
