@@ -3879,6 +3879,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The ingestion gate run FROM THE STORED INDEX — the last FromRest
+    * composition to join the graded surface (Round7Spec pinned
+    * `ingestReportFromRest` equal to `ingestReport`; this row grades
+    * the same claim against DuckDB end to end): history's MinHash
+    * columns are written once (`Dedup.minhashAtRest` → parquet) and the
+    * near-dup gate bands the incoming fifth against the READ-BACK
+    * stored signatures — history text is consulted only by the
+    * exact-dup gate, never re-shingled. Oracle = llm_ingest's verbatim.
+    */
+  def llm_ingest_rest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("ingest-rest").toString
+    Dedup.minhashAtRest(hist, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/minhash")
+    Pipelines.ingestReportFromRest(hist, s.read.parquet(s"$tmp/minhash"),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val llmInSql: String = {
     val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
     s"""WITH $e2mCtes,
@@ -14012,6 +14032,7 @@ object Queries {
     ("e3_int8", e3_int8 _, e3i8Sql),
     ("e2_incremental", e2_incremental _, e2incSql),
     ("llm_ingest", llm_ingest _, llmInSql),
+    ("llm_ingest_rest", llm_ingest_rest _, llmInSql),
     ("e3_standardize", e3_standardize _, e3sdSql),
     ("e7_running_distinct", e7_running_distinct _, e7rdSql),
     ("e2_minhash_sigs", e2_minhash_sigs _, e2msSql),

@@ -132,6 +132,39 @@ class Round18Spec extends SparkSpec {
     assert(got.contains((1L, 0L, 2 * G, 3L, 0)))
   }
 
+  test("scd2 applyChanges fails loud on a change at or before a retained regime start") {
+    import spark.implicits._
+    val prior = graft.star.Scd2.build(
+      Seq((1L, 100L, "A"), (1L, 200L, "B"), (2L, 50L, "X"))
+        .toDF("k", "ts", "attr"),
+      Seq("k"), col("ts"), Seq(col("ts")), Seq("attr"))
+    def apply(changes: (Long, Long, String)*) =
+      graft.star.Scd2.applyChanges(prior,
+        changes.toDF("k", "ts", "attr"),
+        Seq("k"), col("ts"), Seq(col("ts")), Seq("attr"))
+    // mid-history change: key 1's retained max is 200
+    val mid = intercept[IllegalArgumentException] {
+      apply((1L, 150L, "C")).collect()
+    }
+    assert(mid.getMessage.contains("strictly-later"))
+    // exactly AT a retained start is also rejected (dropped same-ts
+    // events would interleave under the tie-break)
+    intercept[IllegalArgumentException] { apply((1L, 200L, "C")).collect() }
+    // strictly later folds, and equals the full rebuild
+    val got = apply((1L, 300L, "C"))
+      .select("k", "valid_from", "valid_to", "version", "is_current", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val want = graft.star.Scd2.build(
+      Seq((1L, 100L, "A"), (1L, 200L, "B"), (2L, 50L, "X"), (1L, 300L, "C"))
+        .toDF("k", "ts", "attr"),
+      Seq("k"), col("ts"), Seq(col("ts")), Seq("attr"))
+      .select("k", "valid_from", "valid_to", "version", "is_current", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == want.toSeq)
+    // a new key whose history is empty is never "late"
+    assert(apply((9L, 10L, "Z")).filter(col("k") === 9L).count() == 1)
+  }
+
   test("driver probe cells are bit-identical to the expression-side assignment") {
     val e = emb()
     val cents = e.filter(col("id") >= 8 && col("id") < 12)
