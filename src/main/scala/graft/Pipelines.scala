@@ -71,7 +71,11 @@ object Pipelines {
       .select(keep: _*)
     val exact = Dedup.exact(kept, Seq(textCol), Seq(col(idCol)))
       .cut
-    // near-dup pairs among the survivors, from the stored index only
+    // near-dup pairs among the survivors, from the stored index only.
+    // `spark.graft.dedup.verify=true` (debug) loud-fails on a stale
+    // index instead of silently under-deduplicating the missing docs
+    Dedup.verifyRestCoverage(exact, rest, idCol, textCol, k = 3,
+      what = "curateFromRest")
     val restKept = rest.join(exact.select(col(idCol).as("id")),
       Seq("id"), "left_semi")
     val pairs = Dedup.minhashPairsFromRest(restKept,
@@ -181,10 +185,15 @@ object Pipelines {
                            incoming: DataFrame,
                            idCol: String, textCol: String,
                            jaccardThreshold: Double = 0.5,
-                           minQuality: Double = 0.55): DataFrame =
+                           minQuality: Double = 0.55): DataFrame = {
+    // `spark.graft.dedup.verify=true` (debug) loud-fails on a stale
+    // history index instead of silently admitting its near-dups
+    Dedup.verifyRestCoverage(existing, existingRest, idCol, textCol, k = 3,
+      what = "ingestReportFromRest")
     ingestGate(existing, incoming, idCol, textCol, minQuality,
       Dedup.minhashIncrementalPairsFromRest(existingRest, incoming, idCol,
         textCol, jaccardThreshold = jaccardThreshold))
+  }
 
   private def ingestGate(existing: DataFrame, incoming: DataFrame,
                          idCol: String, textCol: String, minQuality: Double,

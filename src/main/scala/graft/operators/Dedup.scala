@@ -297,6 +297,34 @@ object Dedup {
     rest
   }
 
+  /** Verify-mode coverage gate for the FromRest family
+    * (`spark.graft.dedup.verify=true`, debug — the ids.verify
+    * discipline): a STALE at-rest index silently UNDER-dedups — a doc
+    * missing from `rest` forms no bands, so its near-dups are never
+    * found, with no error anywhere. The gate loud-fails if any doc the
+    * index must cover (≥ k tokens — shorter docs have no k-shingles and
+    * are legitimately absent) is missing from `rest`. Off by default
+    * because it re-reads doc text (the id anti-join is free, but the
+    * token-count filter on the absentees forces the text column into
+    * the scan), which is exactly the cost the at-rest path exists to
+    * avoid — turn it on when index freshness is in doubt, not per run.
+    */
+  private[graft] def verifyRestCoverage(docs: DataFrame, rest: DataFrame,
+                                        idCol: String, textCol: String,
+                                        k: Int, what: String): Unit =
+    if (docs.sparkSession.conf
+        .getOption("spark.graft.dedup.verify").contains("true")) {
+      val absent = docs
+        .join(rest.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        .filter(size(tokens(col(textCol))) >= k)
+        .select(col(idCol)).limit(3).collect()
+      require(absent.isEmpty,
+        s"$what: the at-rest MinHash index is STALE — doc(s) " +
+          absent.map(_.get(0)).mkString(", ") +
+          s" have >= $k tokens but no stored (sh, sig) row; rebuild or " +
+          "fold the index before deduplicating against it")
+    }
+
   /** SELF near-dup pairs from the AT-REST frame — the full-corpus twin
     * of [[minhashIncrementalPairsFromRest]]: band hashes re-derive from
     * the STORED signature (a width-m narrow projection) and the

@@ -132,6 +132,34 @@ class Round18Spec extends SparkSpec {
     assert(got.contains((1L, 0L, 2 * G, 3L, 0)))
   }
 
+  test("dedup.verify loud-fails FromRest compositions on a stale index") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("r18-stale").toString
+    operators.Dedup.minhashAtRest(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(tmp)
+    val full = spark.read.parquet(tmp)
+    // a "stale" index: the last ingest's rows never folded in
+    val stale = full.filter(col("id") % 11 =!= 0)
+    spark.conf.set("spark.graft.dedup.verify", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Pipelines.curateFromRest(docs, stale, "doc_id", "text",
+          minQuality = 0.3, jaccardThreshold = 0.4).collect()
+      }
+      assert(e.getMessage.contains("STALE"))
+      intercept[IllegalArgumentException] {
+        Pipelines.ingestReportFromRest(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          stale.filter(col("id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text").collect()
+      }
+      // the FRESH index passes with the gate on (short docs are
+      // legitimately absent and must not trip it)
+      assert(Pipelines.curateFromRest(docs, full, "doc_id", "text",
+        minQuality = 0.3, jaccardThreshold = 0.4).count() > 0)
+    } finally spark.conf.unset("spark.graft.dedup.verify")
+  }
+
   test("scd2 applyChanges fails loud on a change at or before a retained regime start") {
     import spark.implicits._
     val prior = graft.star.Scd2.build(
