@@ -229,10 +229,15 @@ object Sessionize {
       return sessionsFoldImpl(snapshot, batch, keyCol, tsCol, idCol,
         gapMinutes, mx)
     val smax = smaxRow.getLong(0)
-    val lateKeys = batch.groupBy(col(keyCol))
+    // PINNED (localCheckpoint): five anti/semi joins consume this frame,
+    // and without the pin each broadcast re-aggregates the batch —
+    // plan-audited on e11_sessions_incr_late, five identical
+    // batch-sized aggregate subtrees. The violating tail is bounded by
+    // the ingest reality, so the pin is small; computed once here.
+    val lateKeys = graft.Blocks.cut(batch.groupBy(col(keyCol))
       .agg(unix_millis(min(col(tsCol))).as("__bmin"))
       .filter(col("__bmin") <= smax) // the violating tail
-      .select(col(keyCol))
+      .select(col(keyCol)))
     val lk = broadcast(lateKeys)
     val foldLeg = sessionsFoldImpl(
       snapshot.join(lk, Seq(keyCol), "left_anti"),
