@@ -229,15 +229,24 @@ object Sessionize {
       return sessionsFoldImpl(snapshot, batch, keyCol, tsCol, idCol,
         gapMinutes, mx)
     val smax = smaxRow.getLong(0)
-    // PINNED (localCheckpoint): five anti/semi joins consume this frame,
-    // and without the pin each broadcast re-aggregates the batch —
-    // plan-audited on e11_sessions_incr_late, five identical
-    // batch-sized aggregate subtrees. The violating tail is bounded by
-    // the ingest reality, so the pin is small; computed once here.
-    val lateKeys = graft.Blocks.cut(batch.groupBy(col(keyCol))
+    // COLLECTED ONCE into a local relation: five anti/semi joins consume
+    // this frame, and left as a plan each of their broadcasts
+    // re-aggregates the batch (plan-audited on e11_sessions_incr_late —
+    // five identical batch-sized aggregate subtrees). The violating
+    // tail is broadcast-bounded by the ingest reality (if EVERY key is
+    // late, re-sessionize instead), so its rows collect at the same
+    // cost the broadcast pays anyway — and a local relation needs no
+    // checkpoint-pin hygiene from the caller.
+    val lkRows = batch.groupBy(col(keyCol))
       .agg(unix_millis(min(col(tsCol))).as("__bmin"))
       .filter(col("__bmin") <= smax) // the violating tail
-      .select(col(keyCol)))
+      .select(col(keyCol)).collect()
+    val lateKeys = {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.StructType
+      batch.sparkSession.createDataFrame(lkRows.toSeq.asJava,
+        StructType(Seq(batch.schema(keyCol))))
+    }
     val lk = broadcast(lateKeys)
     val foldLeg = sessionsFoldImpl(
       snapshot.join(lk, Seq(keyCol), "left_anti"),
