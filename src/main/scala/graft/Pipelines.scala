@@ -63,7 +63,8 @@ object Pipelines {
   def curateFromRest(docs: DataFrame, rest: DataFrame, idCol: String,
                      textCol: String, minQuality: Double = 0.3,
                      jaccardThreshold: Double = 0.4,
-                     carry: Seq[String] = Nil): DataFrame = {
+                     carry: Seq[String] = Nil, k: Int = 3,
+                     bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val keep: Seq[Column] = (idCol +: textCol +: carry).map(col)
     val kept = TextAnalysis.qualityScore(docs, idCol, textCol,
         carry = textCol +: carry)
@@ -73,13 +74,17 @@ object Pipelines {
       .cut
     // near-dup pairs among the survivors, from the stored index only.
     // `spark.graft.dedup.verify=true` (debug) loud-fails on a stale
-    // index instead of silently under-deduplicating the missing docs
-    Dedup.verifyRestCoverage(exact, rest, idCol, textCol, k = 3,
+    // index instead of silently under-deduplicating the missing docs.
+    // The index GEOMETRY (k, bands, rowsPerBand) is plumbed through to
+    // both the gate and the pair derivation (r18 advice) — a
+    // non-default index must be consumed with its own parameters, not
+    // the defaults.
+    Dedup.verifyRestCoverage(exact, rest, idCol, textCol, k = k,
       what = "curateFromRest")
     val restKept = rest.join(exact.select(col(idCol).as("id")),
       Seq("id"), "left_semi")
-    val pairs = Dedup.minhashPairsFromRest(restKept,
-        jaccardThreshold = jaccardThreshold)
+    val pairs = Dedup.minhashPairsFromRest(restKept, bands = bands,
+        rowsPerBand = rowsPerBand, jaccardThreshold = jaccardThreshold)
       .select("id1", "id2")
     val comps = Components.minLabelAdaptive(pairs, "id1", "id2",
       exact.select(idCol), idCol)
@@ -185,14 +190,17 @@ object Pipelines {
                            incoming: DataFrame,
                            idCol: String, textCol: String,
                            jaccardThreshold: Double = 0.5,
-                           minQuality: Double = 0.55): DataFrame = {
+                           minQuality: Double = 0.55, k: Int = 3,
+                           bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     // `spark.graft.dedup.verify=true` (debug) loud-fails on a stale
-    // history index instead of silently admitting its near-dups
-    Dedup.verifyRestCoverage(existing, existingRest, idCol, textCol, k = 3,
+    // history index instead of silently admitting its near-dups. Index
+    // geometry is plumbed through to gate AND banding (r18 advice).
+    Dedup.verifyRestCoverage(existing, existingRest, idCol, textCol, k = k,
       what = "ingestReportFromRest")
     ingestGate(existing, incoming, idCol, textCol, minQuality,
       Dedup.minhashIncrementalPairsFromRest(existingRest, incoming, idCol,
-        textCol, jaccardThreshold = jaccardThreshold))
+        textCol, k = k, bands = bands, rowsPerBand = rowsPerBand,
+        jaccardThreshold = jaccardThreshold))
   }
 
   private def ingestGate(existing: DataFrame, incoming: DataFrame,

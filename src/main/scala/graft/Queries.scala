@@ -7312,6 +7312,45 @@ object Queries {
       .orderBy("o_custkey", "version")
   }
 
+  /** ETL — the LATE-BATCH SCD2 fold (`Scd2.applyChangesLate`): customers
+    * ≡ 3 (mod 7) deliver their 1997 change events a batch late — those
+    * rows arrive WITH the 1999+ batch, landing at-or-before the keys'
+    * stored high-watermark (their 1998 events are already in the
+    * dimension), which is exactly the replayed-partition ingest the
+    * strictly-later contract rejects. The handler folds every
+    * conforming key through the `applyChanges` replay and rebuilds ONLY
+    * the violating keys from retained raw history — gated on the
+    * at-rest per-key watermark (exact: it saw the dropped
+    * same-attribute events the dimension forgot). Dimension AND
+    * watermark round-trip through parquet, the production at-rest
+    * shape. Oracle: the full-history rebuild SQL verbatim — fold + late
+    * handler must be hash-indistinguishable from rebuilding everything.
+    */
+  def etl_scd2_apply_late(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "orders")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+    val d = to_date(col("o_orderdate"))
+    val lateRows = col("o_custkey") % 7 === 3 &&
+      d >= lit("1997-01-01") && d < lit("1998-01-01")
+    val day1 = ev.filter(d < lit("1999-01-01") && !lateRows)
+    val day2 = ev.filter(d >= lit("1999-01-01") || lateRows)
+    val tmp = java.nio.file.Files.createTempDirectory("scd2-late").toString
+    Scd2.build(day1, nk = Seq("o_custkey"), ts = col("o_orderdate"),
+        tieBreak = Seq(col("o_orderkey")), attrs = Seq("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    Scd2.highWatermark(day1, Seq("o_custkey"), col("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$tmp/hwm")
+    Scd2.applyChangesLate(s.read.parquet(s"$tmp/dim"),
+        s.read.parquet(s"$tmp/hwm"), rawEvents = day1, changes = day2,
+        nk = Seq("o_custkey"), ts = col("o_orderdate"),
+        tieBreak = Seq(col("o_orderkey")), attrs = Seq("o_orderpriority"))
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        col("valid_from").cast("date").as("valid_from"),
+        col("valid_to").cast("date").as("valid_to"),
+        col("version"), col("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
   /** E11 — rolling anomaly detection: each user-day's event count scored
     * against the trailing 7 OBSERVED days' mean/σ, flagging |z| > 2 —
     * the rate-spike monitor over behavioral streams. The window sums are
@@ -14206,6 +14245,7 @@ object Queries {
     ("e6_moments", e6_moments _, e6mmSql),
     ("e11_transitions", e11_transitions _, e11trSql),
     ("etl_scd2_apply", etl_scd2_apply _, scd2Sql),
+    ("etl_scd2_apply_late", etl_scd2_apply_late _, scd2Sql),
     ("e11_anomaly", e11_anomaly _, e11anSql),
     ("e11_mixed_repr", e11_mixed_repr _, e11mrSql),
     ("e4_dsir", e4_dsir _, e4dsSql),

@@ -226,6 +226,8 @@ object Dedup {
                                       rowsPerBand: Int = 4,
                                       jaccardThreshold: Double = 0.5)
       : DataFrame = {
+    requireSigWidth(existingRest, bands, rowsPerBand,
+      "minhashIncrementalPairsFromRest")
     val (baseN, bandedN) =
       portableBands(incoming, idCol, textCol, k, bands, rowsPerBand)
     def bandHash(b: Int): Column =
@@ -325,6 +327,27 @@ object Dedup {
           "fold the index before deduplicating against it")
     }
 
+  /** Loud-fail geometry probe for stored-signature banding (r18
+    * advice): an index written with a NARROWER signature than
+    * bands*rowsPerBand makes `element_at` return null past the array
+    * end (non-ANSI), the band hash goes null, and those rows silently
+    * drop into one degenerate null-hash bucket — under-dedup of the
+    * exact hazard class [[verifyRestCoverage]] exists to catch. One
+    * stored row's width settles it ([[minhashAtRest]] writes
+    * uniform-width signatures), so the probe is a limit-1 scan of the
+    * narrow sig column.
+    */
+  private def requireSigWidth(rest: DataFrame, bands: Int,
+                              rowsPerBand: Int, what: String): Unit = {
+    val need = bands * rowsPerBand
+    rest.select(size(col("sig")).as("__w")).limit(1).collect()
+      .foreach(r => require(r.getInt(0) >= need,
+        s"$what: stored signature width ${r.getInt(0)} < bands * " +
+          s"rowsPerBand = $need — the at-rest index was written with a " +
+          "different MinHash geometry; rebuild it or pass the index's " +
+          "own (bands, rowsPerBand)"))
+  }
+
   /** SELF near-dup pairs from the AT-REST frame — the full-corpus twin
     * of [[minhashIncrementalPairsFromRest]]: band hashes re-derive from
     * the STORED signature (a width-m narrow projection) and the
@@ -337,10 +360,12 @@ object Dedup {
     */
   def minhashPairsFromRest(rest: DataFrame, bands: Int = 4,
                            rowsPerBand: Int = 4,
-                           jaccardThreshold: Double = 0.5): DataFrame =
+                           jaccardThreshold: Double = 0.5): DataFrame = {
+    requireSigWidth(rest, bands, rowsPerBand, "minhashPairsFromRest")
     // pin the (small) pair set so downstream component iterations never
     // re-run the band join — same terminal-cut shape as lshVerifiedPairs
     minhashPairsFromRestRaw(rest, bands, rowsPerBand, jaccardThreshold).cut
+  }
 
   /** The un-pinned plan of [[minhashPairsFromRest]] — exposed so the
     * plan pin can inspect the scans (a cut frame executes eagerly and

@@ -291,6 +291,14 @@ object Similarity {
     * ordering ties them. Kept bit-identical to the expression so a
     * probe set derived HERE can prune the stored index without ever
     * dropping a cell the expression-side assignment would probe.
+    *
+    * Two degenerate inputs diverge LOUDLY instead of silently (r18
+    * advice): a query whose dimension differs from the centroids'
+    * (the expression dot returns NULL there — a mis-built query frame,
+    * not a searchable vector) fails with a named require, and a
+    * non-finite dot (NaN/Inf components) skips the decimal rounding
+    * exactly as Spark's Round passes non-finite doubles through —
+    * `BigDecimal.decimal(NaN)` would throw NumberFormatException.
     */
   private[graft] def topCellsDriver(vec: Array[Float],
                              cents: Array[(Long, Array[Float])], p: Int,
@@ -300,12 +308,17 @@ object Similarity {
     def cmp(a: Double, b: Double): Int =
       if (a == b) 0 else java.lang.Double.compare(a, b)
     cents.map { case (cid, c) =>
+      require(vec.length == c.length,
+        s"topCellsDriver: query dim ${vec.length} != centroid $cid dim " +
+          s"${c.length} — the query frame does not match the trained index")
       var acc = 0.0
       var i = 0
-      val n = math.min(vec.length, c.length)
+      val n = vec.length
       while (i < n) { acc += vec(i).toDouble * c(i).toDouble; i += 1 }
-      val nd = -BigDecimal.decimal(acc)
-        .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nd =
+        if (acc.isNaN || acc.isInfinite) -acc // Round passes non-finite through
+        else -BigDecimal.decimal(acc)
+          .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
       (nd, cid)
     }.sortWith { case ((d1, c1), (d2, c2)) =>
       val d = cmp(d1, d2)
@@ -726,7 +739,19 @@ object Similarity {
     // per-search `distinct().collect()` job is gone AND a
     // nondeterministic caller can no longer yield join-time cells the
     // probe set never saw — the frame physically cannot re-evaluate.
-    val qrows = queries.select(col("id"), col("vec")).collect()
+    // GUARDED (r18 verdict): the contract is enforced, not assumed —
+    // the collect itself is bounded to cap+1 rows, so a corpus-sized
+    // "query" frame fails with a named error instead of an
+    // executor-killing broadcast.
+    val qCap = queries.sparkSession.conf
+      .getOption("spark.graft.ann.maxQueryRows").map(_.toInt)
+      .getOrElse(100000)
+    val qrows = queries.select(col("id"), col("vec"))
+      .limit(qCap + 1).collect()
+    require(qrows.length <= qCap,
+      s"ivfPqTopKFromCodes: query side exceeds $qCap rows — searches are " +
+        "broadcast-bounded by contract (queries << corpus); batch the " +
+        "query frame or raise spark.graft.ann.maxQueryRows")
     val centById = cents.toMap
     val probedSet = scala.collection.mutable.LinkedHashSet.empty[Long]
     val qresRows = qrows.toSeq.flatMap { r =>

