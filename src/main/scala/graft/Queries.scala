@@ -4522,6 +4522,27 @@ object Queries {
       langCol = "lang", sourceCol = "source")
       .orderBy("source", "doc_id")
 
+  /** The packing pipeline run FROM THE STORED ARTIFACT (r18 verdict item
+    * 4 — the last composed pipeline without an at-rest twin): the
+    * per-chunk counts and fingerprints are written once
+    * (`Pipelines.packAtRest` → parquet, the accept-time artifact) and
+    * `pretrainPackFromRest` derives the C4 gate, the boilerplate set,
+    * the emptied-doc drop, the mixture rates, AND the packing offsets
+    * from stored counts — the corpus text is never read in the pack
+    * stage (Round19Spec pins its scans' ReadSchema). Oracle =
+    * llm_pretrain_pack's SQL verbatim: packing from rest must be
+    * hash-indistinguishable from re-tokenizing.
+    */
+  def llm_pretrain_pack_rest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("pack-rest").toString
+    Pipelines.packAtRest(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/pack")
+    Pipelines.pretrainPackFromRest(docs, s.read.parquet(s"$tmp/pack"),
+        "doc_id", langCol = "lang", sourceCol = "source")
+      .orderBy("source", "doc_id")
+  }
+
   val pretrainSql: String = {
     val en = TextAnalysis.langMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
     val phash = (c: String) =>
@@ -14178,6 +14199,7 @@ object Queries {
     ("e4_c4_filter", e4_c4_filter _, e4c4Sql),
     ("e4_heavy_hitters", e4_heavy_hitters _, e4hhSql),
     ("llm_pretrain_pack", llm_pretrain_pack _, pretrainSql),
+    ("llm_pretrain_pack_rest", llm_pretrain_pack_rest _, pretrainSql),
     ("etl_incr_agg", etl_incr_agg _, incrSql),
     ("e3_pq_topk", e3_pq_topk _, e3pqSql),
     ("e3_pq_rerank", e3_pq_rerank _, e3prSql),

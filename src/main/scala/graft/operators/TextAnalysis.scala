@@ -583,13 +583,27 @@ object TextAnalysis {
     * parallelism = number of shards, one shuffle on the shard key.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    groupCol: String, ctx: Int): DataFrame = {
+                    groupCol: String, ctx: Int): DataFrame =
+    packSequencesFromCounts(
+      df.select(col(groupCol), col(idCol),
+        wordCount(col(textCol)).cast("long").as("__nt")),
+      idCol, "__nt", groupCol, ctx)
+
+  /** [[packSequences]] from PRE-COMPUTED token counts — the at-rest form:
+    * packing needs only each document's token count, never its text, so
+    * a pipeline that stored counts at accept time assembles training
+    * bins without re-tokenizing the corpus (see
+    * Pipelines.pretrainPackFromRest). Same one-shuffle-per-shard shape.
+    */
+  def packSequencesFromCounts(df: DataFrame, idCol: String,
+                              nTokensCol: String, groupCol: String,
+                              ctx: Int): DataFrame = {
     require(ctx > 0, "ctx must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col(idCol))
       .rowsBetween(Long.MinValue, -1)
     df.select(col(groupCol), col(idCol),
-        wordCount(col(textCol)).cast("long").as("n_tokens"))
+        col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(groupCol), col(idCol), col("n_tokens"),
         floor(col("__start") / lit(ctx.toDouble)).cast("long").as("bin"),
