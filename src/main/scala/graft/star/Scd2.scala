@@ -147,8 +147,10 @@ object Scd2 {
     *
     * Scale: the late-key set is the contract-violation tail, ENFORCED —
     * the tail collect is bounded to `spark.graft.scd2.lateMaxKeys`
-    * (default 1M) + 1 rows and an over-cap batch fails loud (if every
-    * key is late, rebuild from raw instead). The collected tail becomes
+    * (default 1M) + 1 rows and an over-cap batch fails loud — or, with
+    * `spark.graft.scd2.lateFallback=true`, rebuilds the whole dimension
+    * from `rawEvents` ∪ `changes` automatically (exactly the full
+    * rebuild the per-key late leg approximates). The collected tail becomes
     * a broadcast local relation consumed by the four anti/semi joins
     * (collected ONCE — left lazy, each broadcast would re-run the
     * batch aggregate, the e11_sessions_incr_late plan audit). Work is
@@ -172,10 +174,17 @@ object Scd2 {
       .join(hwm, nk)
       .filter(col("__cmin") <= col("hwm_ts")) // the violating tail
       .select(nk.map(col): _*).limit(lateCap + 1).collect()
-    require(lkRows.length <= lateCap,
-      s"applyChangesLate: more than $lateCap late keys — the batch is " +
-        "not a late TAIL; rebuild from raw events instead, or raise " +
-        "spark.graft.scd2.lateMaxKeys")
+    if (lkRows.length > lateCap) {
+      if (spark.conf.getOption("spark.graft.scd2.lateFallback")
+          .contains("true"))
+        return build(rawEvents.select(changes.columns.map(col).toSeq: _*)
+          .unionByName(changes), nk, ts, tieBreak, attrs)
+      throw new IllegalArgumentException(
+        s"applyChangesLate: more than $lateCap late keys — the batch is " +
+          "not a late TAIL; rebuild from raw events instead (set " +
+          "spark.graft.scd2.lateFallback=true to do that automatically), " +
+          "or raise spark.graft.scd2.lateMaxKeys")
+    }
     val lateKeys = {
       import scala.jdk.CollectionConverters._
       import org.apache.spark.sql.types.StructType

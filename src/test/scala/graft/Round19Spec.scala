@@ -254,7 +254,17 @@ class Round19Spec extends SparkSpec {
           Seq(col("tb")), Seq("attr")).collect()
       }
       assert(e.getMessage.contains("lateMaxKeys"))
-    } finally spark.conf.unset("spark.graft.scd2.lateMaxKeys")
+      // over-cap auto-fallback: the whole dimension rebuilds from raw
+      spark.conf.set("spark.graft.scd2.lateFallback", "true")
+      val got = Scd2.applyChangesLate(prior, hwm, hist, batch, nk,
+        col("ts"), Seq(col("tb")), Seq("attr"))
+      val want = Scd2.build(hist.unionByName(batch), nk, col("ts"),
+        Seq(col("tb")), Seq("attr"))
+      assert(canonScd(got) == canonScd(want))
+    } finally {
+      spark.conf.unset("spark.graft.scd2.lateMaxKeys")
+      spark.conf.unset("spark.graft.scd2.lateFallback")
+    }
   }
 
   // ---------------------------------------------------------------------
