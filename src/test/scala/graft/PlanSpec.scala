@@ -125,11 +125,17 @@ class PlanSpec extends SparkSpec {
 
   test("e3_knn_join: sort-merge on the bucket, one exchange per side, no broadcast") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
+    val confs = Seq(
       // at test scale AQE would legitimately broadcast the tiny side;
       // disable to observe the at-scale (neither-side-fits) plan
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // likewise, AQE converts the sort-merge to shuffled-hash when every
+      // post-shuffle partition is under the r19 64MB threshold — true at
+      // test scale only, so pin it off to observe the at-scale strategy
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       val df = Queries.e3_knn_join(spark, sf)
       val plan = executed(df)
       val smj = collectDeep(plan) { case j: SortMergeJoinExec => j }
@@ -138,7 +144,7 @@ class PlanSpec extends SparkSpec {
         collectDeep(c) { case e: ShuffleExchangeExec => e }.size)
       assert(sideExchanges.forall(_ <= 1),
         s"each side should shuffle once on the bucket:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("e3_cosine_topk: query side broadcasts, corpus side reads in place") {
