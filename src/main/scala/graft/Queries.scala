@@ -61,6 +61,23 @@ object Queries {
                        sch: org.apache.spark.sql.types.StructType): DataFrame =
     s.read.schema(sch).parquet(path)
 
+  /** [[readBack]] for partitionBy(partCol)-written artifacts: the data
+    * columns keep the writer frame's fields (what the files physically
+    * hold), the partition column is typed EXPLICITLY and appended last —
+    * the position an inferred read gives it. The directory key string is
+    * parsed per the given type, so the values equal the old
+    * infer-then-cast contract while the footer-inference job is skipped;
+    * partition discovery (the directory listing) still runs — that
+    * listing is the at-rest layout's whole point.
+    */
+  private def readBackPartitioned(s: SparkSession, path: String,
+      writer: org.apache.spark.sql.types.StructType, partCol: String,
+      partType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val fields = writer.fields.filterNot(_.name == partCol) :+
+      org.apache.spark.sql.types.StructField(partCol, partType, nullable = true)
+    s.read.schema(org.apache.spark.sql.types.StructType(fields)).parquet(path)
+  }
+
   /** events with its TIMESTAMP(NANOS) column truncated to millisecond
     * TimestampType via the schema-adaptive events-ts contract
     * (graft.functions.eventTimeMillis) — works whether the reader
@@ -1623,10 +1640,13 @@ object Queries {
     val ev = e.filter(pmod(col("id"), lit(5)) === 0)
     val cents = e.filter(col("id").isin(0L, 5L, 10L, 15L))
     val tmp = java.nio.file.Files.createTempDirectory("decon-ivf").toString
-    Similarity.evalIvfIndex(ev, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val evIdx = Similarity.evalIvfIndex(ev, cents)
+    evIdx.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    // explicit LongType on the partition column = the old
+    // infer-int-then-cast-long contract, minus the inference job
     Similarity.semanticDecontaminateIvfIndexed(train,
-        s.read.parquet(tmp).withColumn("cell", col("cell").cast("long")),
+        readBackPartitioned(s, tmp, evIdx.schema, "cell",
+          org.apache.spark.sql.types.LongType),
         cents, threshold = 0.3, nprobe = 2)
       .orderBy("id")
   }
@@ -4839,10 +4859,13 @@ object Queries {
     e.filter(col("id") < 8).write.mode("overwrite").parquet(s"$tmp/codebook")
     val cents = readBack(s, s"$tmp/centroids", e.schema)
     val cb = readBack(s, s"$tmp/codebook", e.schema)
-    Similarity.ivfPqIndex(e, cents, cb, m = 4)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    val idx = Similarity.ivfPqIndex(e, cents, cb, m = 4)
+    idx.write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    // explicit LongType on the partition column = the old
+    // infer-int-then-cast-long contract, minus the inference job
     Similarity.ivfPqTopKFromCodes(e.filter(col("id") < 8),
-        s.read.parquet(s"$tmp/codes").withColumn("cell", col("cell").cast("long")),
+        readBackPartitioned(s, s"$tmp/codes", idx.schema, "cell",
+          org.apache.spark.sql.types.LongType),
         cents, cb, k = 3, m = 4)
       .orderBy("query_id", "rnk")
   }

@@ -113,7 +113,7 @@ object Ids {
         joined
       }
     } else
-      globalRank(df, col(keyCol), asc = true, col(keyCol), buckets)
+      globalRankDist(df, col(keyCol), asc = true, col(keyCol), buckets)
         .withColumnRenamed("__rank", "gid")
   }
 
@@ -162,9 +162,66 @@ object Ids {
     *
     * `buckets <= 0` (the default) derives the count from the cluster:
     * `max(64, sparkContext.defaultParallelism)`.
+    *
+    * Frames at or under [[SmallBatchKeys]] rows skip the distributed
+    * machinery (r19 optimization — the [[denseIds]] small-frame gate
+    * discipline applied to the general rank): a KEY-PRUNED limit-probe
+    * over `(primary, tieBreak)` decides the gate; on the small path the
+    * collected key pairs rank as a LOCAL relation with one bounded
+    * single-partition window — Spark's own sort semantics over the same
+    * (primary asc|desc, tieBreak asc) order, so ranks are bit-identical
+    * to the distributed path (spec-pinned, Round19Spec) — and `__rank`
+    * is broadcast-joined back NULL-SAFELY on the composite key (unique
+    * by the tieBreak-is-a-key contract, so exactly one match per row).
+    * When `df` carries nothing but the key columns themselves, the
+    * ranked local relation IS the result and the join is skipped: one
+    * probe job total instead of the distributed path's three passes.
+    * `spark.graft.ids.driver=false` forces the distributed path.
     */
   def globalRank(df: DataFrame, primary: Column, asc: Boolean,
                  tieBreak: Column, buckets: Int = 0): DataFrame = {
+    val forceDist = df.sparkSession.conf
+      .getOption("spark.graft.ids.driver").contains("false")
+    val keyed = df.select(primary.as("__p"), tieBreak.as("__t"))
+    val probe =
+      if (forceDist) Array.empty[Row]
+      else keyed.limit(SmallBatchKeys.toInt + 1).collect()
+    if (!forceDist && probe.length <= SmallBatchKeys) {
+      import scala.jdk.CollectionConverters._
+      val sOrd =
+        if (asc) Seq(col("__p").asc, col("__t").asc)
+        else Seq(col("__p").desc, col("__t").asc)
+      val ranked = df.sparkSession
+        .createDataFrame(probe.toSeq.asJava, keyed.schema)
+        .withColumn("__rank",
+          row_number().over(Window.orderBy(sOrd: _*)).cast("long"))
+      // plain-attribute shortcut: when df's columns are exactly the
+      // probe's source attributes, rename the probe back — no join, no
+      // second evaluation of df
+      (GraftSqlBridge.plainAttrName(primary),
+        GraftSqlBridge.plainAttrName(tieBreak)) match {
+        case (Some(p), Some(tb)) if df.columns.toSet == Set(p, tb) =>
+          ranked.select(df.columns.map(n =>
+            (if (n == p) col("__p") else col("__t")).as(n))
+            .toIndexedSeq :+ col("__rank"): _*)
+        case _ =>
+          // null-safe on BOTH key columns: null is a legal key value on
+          // either side and must keep its row (plain `===` would drop it)
+          df.join(broadcast(ranked),
+              primary <=> col("__p") && tieBreak <=> col("__t"))
+            .select(df.columns.map(col).toIndexedSeq :+ col("__rank"): _*)
+      }
+    } else globalRankDist(df, primary, asc, tieBreak, buckets)
+  }
+
+  /** The distributed rank machinery behind [[globalRank]] — callers that
+    * have ALREADY gated on frame size (denseIds' probe, Similarity's
+    * counted bucket ranks) enter here directly so the gate probe is not
+    * paid twice.
+    */
+  private[graft] def globalRankDist(df: DataFrame, primary: Column,
+                                    asc: Boolean, tieBreak: Column,
+                                    buckets: Int = 0): DataFrame = {
     val b = if (buckets > 0) buckets
       else math.max(64, df.sparkSession.sparkContext.defaultParallelism)
     val ord =

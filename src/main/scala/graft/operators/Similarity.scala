@@ -1045,7 +1045,7 @@ object Similarity {
       bs.withColumn("__rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("__g").asc, col("id").asc)).cast("long"))
-    else Ids.globalRank(bs, col("__g"), asc = true, col("id"))
+    else Ids.globalRankDist(bs, col("__g"), asc = true, col("id"))
   }
 
   /** All `rings` (ring, sign-bucket, per-ring rank) triples in ONE
@@ -1079,7 +1079,7 @@ object Similarity {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("__ring"))
           .orderBy(col("__g").asc, col("id").asc)).cast("long"))
-    else Ids.globalRank(bs,
+    else Ids.globalRankDist(bs,
         col("__ring") * lit(1L << bits) + col("__g"), asc = true, col("id"))
       .withColumn("__rank", col("__rank") - col("__ring") * lit(n))
   }

@@ -19,6 +19,13 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     graft.Graft.tune(spark)
+    // GRAFT_PLANDUMP_CONF="k=v;k=v" — session confs for the dump run
+    // (e.g. spark.graft.ids.driver=false reproduces the pre-r19
+    // distributed-rank plan as the honest "before")
+    sys.env.get("GRAFT_PLANDUMP_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     graft.Queries.all.filter(q => names(q._1)).foreach { case (name, fn, _) =>

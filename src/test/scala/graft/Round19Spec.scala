@@ -361,4 +361,44 @@ class Round19Spec extends SparkSpec {
     // events from BOTH incarnations
     assert(rocks.exists { case (k, _, n, _) => k == 1L && n == 2L })
   }
+
+  // --- r19 optimization: globalRank small-frame gate -------------------
+
+  /** The small path must be BIT-IDENTICAL to the distributed path on
+    * every ordering edge the rank contract covers: dense ties on the
+    * metric, nulls (asc→first, desc→last — Spark's default placement),
+    * NaN (sorts greatest), and -0.0 == 0.0 ties broken by the key.
+    * Also pins the payload join-back (extra columns survive) and the
+    * key-only shortcut (no second evaluation of df).
+    */
+  test("globalRank small-frame local path == distributed rank, all orderings") {
+    import spark.implicits._
+    val rows = Seq[(Long, java.lang.Double, String)](
+      (1L, 5.0, "a"), (2L, 5.0, "b"), (3L, null, "c"), (4L, Double.NaN, "d"),
+      (5L, -0.0, "e"), (6L, 0.0, "f"), (7L, -3.5, "g"), (8L, null, "h"),
+      (9L, 5.0, "i"), (10L, Double.PositiveInfinity, "j"))
+    val df = rows.toDF("uid", "v", "payload")
+    for (asc <- Seq(true, false)) {
+      val fast = operators.Ids.globalRank(df, col("v"), asc, col("uid"))
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+      spark.conf.set("spark.graft.ids.driver", "false")
+      val slow =
+        try operators.Ids.globalRank(df, col("v"), asc, col("uid"))
+          .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+        finally spark.conf.unset("spark.graft.ids.driver")
+      assert(fast == slow, s"asc=$asc small path diverges from distributed")
+      assert(fast.map(_._3) == (1L to 10L).toSet)
+    }
+    // key-only shortcut: a df holding exactly the key columns comes back
+    // as the ranked local relation itself (one probe job, no join) with
+    // df's column order preserved
+    val keyOnly = operators.Ids.globalRank(
+      df.select(col("uid"), col("v")), col("v"), asc = true, col("uid"))
+    assert(keyOnly.columns.toSeq == Seq("uid", "v", "__rank"))
+    assert(keyOnly.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "key-only shortcut must not plan a join")
+    val ranks = keyOnly.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ranks.values.toSet == (1L to 10L).toSet)
+  }
 }

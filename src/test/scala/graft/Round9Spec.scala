@@ -52,7 +52,15 @@ class Round9Spec extends SparkSpec {
     }
     wins.foreach { w =>
       val childCols = w.child.output.map(_.name).toSet
-      assert(childCols.contains("__c") && childCols.contains("__b"),
+      // r19: globalRank's small-frame gate ranks the collected probe as
+      // a LOCAL relation with one bounded window (≤ SmallBatchKeys+1
+      // rows by the gate) — allowed alongside the bucket-count frame,
+      // but ONLY when the window really sits on a LocalTableScan
+      val boundedProbe = childCols == Set("__p", "__t") &&
+        flatten(w.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+      assert((childCols.contains("__c") && childCols.contains("__b")) ||
+          boundedProbe,
         s"$name: un-partitioned window over non-bucket-frame " +
           s"(child cols=$childCols):\n$w")
     }
