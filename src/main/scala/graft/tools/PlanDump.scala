@@ -30,7 +30,10 @@ object PlanDump {
     new java.io.File(outDir).mkdirs()
     graft.Queries.all.filter(q => names(q._1)).foreach { case (name, fn, _) =>
       val df = fn(spark, dir)
-      df.count() // finalize AQE
+      // finalize AQE on THE df's own QueryExecution: count() would build
+      // a separate execution (Aggregate on top) and leave this one
+      // un-executed, dumping the static pre-AQE plan
+      df.collect()
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
